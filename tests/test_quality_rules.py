@@ -1,0 +1,169 @@
+"""Unit tests of the silver derivations + 6-rule quality engine on
+hand-built rows — every edge in SURVEY §2A's 'semantic fine print'."""
+
+from __future__ import annotations
+
+from datetime import date
+from decimal import Decimal
+
+import pytest
+
+from etl_global_mobility_spark.pipeline.quality import (
+    silver_transform,
+    split_clean_quarantine,
+)
+from etl_global_mobility_spark.schemas import BRONZE_SCHEMA
+
+UNIT_FACTORS = {"CS": 20.0, "ST": 1.0}
+ROUTINE = ["ZPRE", "ZVE1"]
+BONUS = ["Z04", "Z05"]
+
+FROZEN_TS = "2025-07-01 00:00:00"
+
+
+def _bronze(spark, rows):
+    def row(pais="EC", fecha=date(2025, 3, 1), transporte="TR-1", ruta="R-1",
+            tipo="ZPRE", material="MAT-1", precio="100.00", cantidad="10.00",
+            unidad="ST"):
+        return (
+            pais, fecha, transporte, ruta, tipo, material,
+            None if precio is None else Decimal(precio),
+            None if cantidad is None else Decimal(cantidad),
+            unidad,
+        )
+
+    return spark.createDataFrame([row(**r) for r in rows], BRONZE_SCHEMA)
+
+
+def _derived(spark, rows):
+    df = _bronze(spark, rows)
+    return silver_transform(df, UNIT_FACTORS, ROUTINE, BONUS, "fixture.csv", FROZEN_TS)
+
+
+def _one(spark, **row):
+    return _derived(spark, [row]).collect()[0]
+
+
+def test_clean_row_no_reason(spark):
+    r = _one(spark)
+    assert r.motivo_obs is None
+    assert r.cant_unidades == Decimal("10.00")
+    assert r.precio_unitario_unidades == Decimal("10.000")
+    assert r.ind_rutina is True and r.ind_bonificacion is False
+
+
+def test_cs_factor_conversion(spark):
+    r = _one(spark, unidad="CS", cantidad="3.00", precio="120.00")
+    assert r.cant_unidades == Decimal("60.00")  # 3 * 20
+    assert r.precio_unitario_unidades == Decimal("2.000")  # 120 / 60
+
+
+def test_unit_case_whitespace_normalized(spark):
+    r = _one(spark, unidad=" cs ")
+    assert r.motivo_obs is None
+    assert r.cant_unidades == Decimal("200.00")
+
+
+def test_null_cantidad_fires_rule1_only(spark):
+    r = _one(spark, cantidad=None)
+    assert r.motivo_obs == "ERR_CANT_NULL"
+    assert r.cant_unidades is None and r.precio_unitario_unidades is None
+
+
+@pytest.mark.parametrize("cant", ["0.00", "-5.00"])
+def test_nonpositive_cantidad(spark, cant):
+    r = _one(spark, cantidad=cant)
+    assert r.motivo_obs == "ERR_CANT_NO_POSITIVA"
+
+
+def test_null_material(spark):
+    r = _one(spark, material=None)
+    assert r.motivo_obs == "ERR_SIN_MATERIAL_CONOCIDO"
+
+
+def test_unknown_unit(spark):
+    r = _one(spark, unidad="BX")
+    assert r.motivo_obs == "ERR_UNIDAD_DESCONOCIDA"
+    assert r.cant_unidades is None
+
+
+@pytest.mark.parametrize("precio", ["0.00", "-10.00"])
+def test_nonpositive_venta(spark, precio):
+    r = _one(spark, precio=precio)
+    assert r.motivo_obs == "ERR_VENTA_NO_POSITIVA"
+
+
+def test_null_precio_is_not_an_error(spark):
+    """NULL mto_venta fires NOTHING; row lands in depurado with NULL
+    unit price (NB:573-574, 606-615)."""
+    r = _one(spark, precio=None)
+    assert r.motivo_obs is None
+    assert r.precio_unitario_unidades is None
+    assert r.cant_unidades == Decimal("10.00")
+
+
+def test_unknown_delivery_type(spark):
+    r = _one(spark, tipo="Z99")
+    assert r.motivo_obs == "ERR_TIPO_ENTREGA_NO_CONSIDERADA"
+    assert r.ind_rutina is None and r.ind_bonificacion is None
+
+
+def test_bonus_type_indicators(spark):
+    r = _one(spark, tipo=" z04 ")
+    assert r.motivo_obs is None
+    assert r.ind_rutina is False and r.ind_bonificacion is True
+
+
+def test_multi_rule_fixed_order_cant_unit(spark):
+    r = _one(spark, cantidad=None, unidad="KG")
+    assert r.motivo_obs == "ERR_CANT_NULL|ERR_UNIDAD_DESCONOCIDA"
+
+
+def test_multi_rule_fixed_order_three(spark):
+    r = _one(spark, material=None, tipo="ZXX", precio="-1.00")
+    assert (
+        r.motivo_obs
+        == "ERR_SIN_MATERIAL_CONOCIDO|ERR_VENTA_NO_POSITIVA|ERR_TIPO_ENTREGA_NO_CONSIDERADA"
+    )
+
+
+def test_half_up_rounding(spark):
+    # Spark round() is HALF_UP on decimals: 123.005/1 qty 7.005
+    r = _one(spark, precio="123.005", cantidad="7.005")
+    # bronze already stores decimal(21,2): inputs quantized before silver
+    assert r.mto_venta == Decimal("123.01")
+    assert r.cant_uni_medida == Decimal("7.01")
+
+
+def test_split_disjoint_union(spark):
+    rows = [
+        {},
+        {"cantidad": None},
+        {"material": None},
+        {"precio": None},
+        {"unidad": "BX", "cantidad": "0.00"},
+    ]
+    derived = _derived(spark, rows)
+    clean, obs = split_clean_quarantine(derived)
+    n_clean, n_obs, n_all = clean.count(), obs.count(), derived.count()
+    assert n_clean + n_obs == n_all == 5
+    assert n_clean == 2  # clean + null-precio rows
+    assert "motivo_obs" not in clean.columns
+    # obs is fully type-erased to string
+    assert all(f.dataType.simpleString() == "string" for f in obs.schema.fields)
+    multi = obs.filter(obs.motivo_obs == "ERR_CANT_NO_POSITIVA|ERR_UNIDAD_DESCONOCIDA")
+    assert multi.count() == 1
+
+
+def test_obs_string_formatting(spark):
+    """DATE → 'yyyy-MM-dd', DECIMAL → plain string with scale digits."""
+    obs = split_clean_quarantine(_derived(spark, [{"cantidad": "-2.50"}]))[1].collect()[0]
+    assert obs.fec_proceso == "2025-03-01"
+    assert obs.cant_uni_medida == "-2.50"
+    assert obs.mto_venta == "100.00"
+
+
+def test_lineage_columns(spark):
+    r = _one(spark)
+    assert r.origen_datos == "fixture.csv"
+    assert r.fec_actualizacion_registro == FROZEN_TS
