@@ -25,7 +25,7 @@ RENAME_MAP = {
     "material": "cod_material",
     "precio": "mto_venta",
     "cantidad": "cant_uni_medida",
-    "unidad": "cod_unidad_medida",
+    "unidad": "cod_uni_medida",
 }
 
 # Fixed rule order (NB:566-577). Each entry: (reason literal, predicate builder).
@@ -162,7 +162,7 @@ def silver_transform(
         *[F.col(a).alias(b) for a, b in RENAME_MAP.items()]
     )
 
-    factor = factor_lookup("cod_unidad_medida", unit_factors)
+    factor = factor_lookup("cod_uni_medida", unit_factors)
     mto = F.col("mto_venta")
     cant = F.col("cant_uni_medida")
     tipo = F.col("cod_tipo_entrega")
@@ -180,10 +180,10 @@ def silver_transform(
         F.col("cod_ruta"),
         F.col("cod_tipo_entrega"),
         F.col("cod_material"),
+        precio_unitario_unidades(mto, cant, factor).alias("precio_unitario_unidades"),  # NB:607-615
         F.round(mto, 2).cast("decimal(21,2)").alias("mto_venta"),  # NB:616
-        precio_unitario_unidades(mto, cant, factor).alias("precio_unitario_unidades"),
         F.round(cant, 2).cast("decimal(21,2)").alias("cant_uni_medida"),  # NB:617
-        F.col("cod_unidad_medida"),
+        F.col("cod_uni_medida"),
         cant_unidades(cant, factor).alias("cant_unidades"),
         ind_rut.alias("ind_rutina"),
         ind_bon.alias("ind_bonificacion"),
@@ -199,13 +199,30 @@ def split_clean_quarantine(derived: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Null-split on motivo_obs (NB:635-637, 668-670).
 
     clean  = motivo_obs IS NULL, column dropped;
-    obs    = motivo_obs IS NOT NULL, every column cast to STRING
-             (type erasure, NB:655-667), motivo_obs kept last.
-    Invariant: clean ⊎ obs == input.
+    obs    = the reference's 12-column quarantine shape (NB:655-667):
+             the 9 business columns + motivo_obs (position 10) +
+             origen_datos + fec_actualizacion_registro, every column
+             cast to STRING (type erasure). Derived columns
+             (precio_unitario_unidades, cant_unidades, ind_*) are
+             explicitly excluded (NB:380-395 DDL).
+    Invariant: clean ⊎ obs == input (by row, modulo obs's projection).
     """
     clean = derived.filter(F.col("motivo_obs").isNull()).drop("motivo_obs")
-    obs = derived.filter(F.col("motivo_obs").isNotNull()).select(
-        *[F.col(c).cast("string").alias(c) for c in derived.columns if c != "motivo_obs"],
-        F.col("motivo_obs"),
-    )
+    obs_cols = [
+        "cod_pais",
+        "fec_proceso",
+        "cod_transporte",
+        "cod_ruta",
+        "cod_tipo_entrega",
+        "cod_material",
+        "mto_venta",
+        "cant_uni_medida",
+        "cod_uni_medida",
+        "motivo_obs",
+        "origen_datos",
+        "fec_actualizacion_registro",
+    ]
+    obs = derived.select(
+        *[F.col(c).cast("string").alias(c) for c in obs_cols]
+    ).filter(F.col("motivo_obs").isNotNull())
     return clean, obs

@@ -54,10 +54,10 @@ SILVER_SCHEMA = T.StructType(
         T.StructField("cod_ruta", T.StringType(), True),
         T.StructField("cod_tipo_entrega", T.StringType(), True),
         T.StructField("cod_material", T.StringType(), True),
-        T.StructField("mto_venta", T.DecimalType(21, 2), True),
         T.StructField("precio_unitario_unidades", T.DecimalType(21, 3), True),
+        T.StructField("mto_venta", T.DecimalType(21, 2), True),
         T.StructField("cant_uni_medida", T.DecimalType(21, 2), True),
-        T.StructField("cod_unidad_medida", T.StringType(), True),
+        T.StructField("cod_uni_medida", T.StringType(), True),
         T.StructField("cant_unidades", T.DecimalType(21, 2), True),
         T.StructField("ind_rutina", T.BooleanType(), True),
         T.StructField("ind_bonificacion", T.BooleanType(), True),
@@ -67,11 +67,28 @@ SILVER_SCHEMA = T.StructType(
 )
 
 # --- quarantine UDV.data_ventas_obs (NB:380-395) --------------------------
-# Same business columns but EVERY column type-erased to STRING (lossless
-# capture of invalid values) + pipe-joined motivo_obs reason column.
+# 12-column quarantine shape: the 9 business columns + motivo_obs in
+# position 10 + lineage columns, EVERY column type-erased to STRING
+# (lossless capture of invalid values). Derived columns
+# (precio_unitario_unidades, cant_unidades, ind_*) are excluded per DDL.
 OBS_SCHEMA = T.StructType(
-    [T.StructField(f.name, T.StringType(), True) for f in SILVER_SCHEMA.fields]
-    + [T.StructField("motivo_obs", T.StringType(), True)]
+    [
+        T.StructField(name, T.StringType(), True)
+        for name in (
+            "cod_pais",
+            "fec_proceso",
+            "cod_transporte",
+            "cod_ruta",
+            "cod_tipo_entrega",
+            "cod_material",
+            "mto_venta",
+            "cant_uni_medida",
+            "cod_uni_medida",
+            "motivo_obs",
+            "origen_datos",
+            "fec_actualizacion_registro",
+        )
+    ]
 )
 
 # Partition column per table (NB:312, 354, 395): always the process date.

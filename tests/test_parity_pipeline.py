@@ -46,7 +46,7 @@ derived AS (
               THEN CAST(round(precio / (cantidad * (CASE upper(trim(unidad)) WHEN 'CS' THEN 20.0 ELSE 1.0 END)), 3) AS DECIMAL(21,3))
          END AS precio_unitario_unidades,
          cantidad AS cant_uni_medida,
-         unidad AS cod_unidad_medida,
+         unidad AS cod_uni_medida,
          CASE WHEN upper(trim(unidad)) IN ('CS','ST') AND cantidad IS NOT NULL AND cantidad > 0
               THEN CAST(round(cantidad * (CASE upper(trim(unidad)) WHEN 'CS' THEN 20.0 ELSE 1.0 END), 2) AS DECIMAL(21,2))
          END AS cant_unidades,
@@ -61,7 +61,7 @@ derived AS (
            CASE WHEN cantidad IS NULL THEN 'ERR_CANT_NULL' END,
            CASE WHEN cantidad IS NOT NULL AND cantidad <= 0 THEN 'ERR_CANT_NO_POSITIVA' END,
            CASE WHEN material IS NULL THEN 'ERR_SIN_MATERIAL_CONOCIDO' END,
-           CASE WHEN upper(trim(unidad)) NOT IN ('CS','ST') THEN 'ERR_UNIDAD_DESCONOCIDA' END,
+           CASE WHEN unidad IS NULL OR upper(trim(unidad)) NOT IN ('CS','ST') THEN 'ERR_UNIDAD_DESCONOCIDA' END,
            CASE WHEN precio IS NOT NULL AND precio <= 0 THEN 'ERR_VENTA_NO_POSITIVA' END,
            CASE WHEN upper(trim(tipo_entrega)) NOT IN ('ZPRE','ZVE1','Z04','Z05')
                 THEN 'ERR_TIPO_ENTREGA_NO_CONSIDERADA' END
