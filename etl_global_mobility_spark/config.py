@@ -80,7 +80,18 @@ def _mini_yaml_load(text: str) -> dict:
         raw = lines[i]
         indent = len(raw) - len(raw.lstrip(" "))
         line = raw.strip()
-        while stack and indent <= stack[-1][0]:
+        is_item = line.startswith("- ")
+        # A list's items may sit at the SAME indent as the key that
+        # opened it (`params:` / `- country: ...` — the reference
+        # config's actual shape, CFG:4-8), so a list stays on the
+        # stack for same-indent `- ` lines; everything else pops on <=.
+        while stack and (
+            indent < stack[-1][0]
+            or (
+                indent == stack[-1][0]
+                and not (is_item and isinstance(stack[-1][1], list))
+            )
+        ):
             stack.pop()
         parent = stack[-1][1]
         if line.startswith("- "):

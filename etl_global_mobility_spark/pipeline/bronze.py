@@ -64,7 +64,12 @@ def write_bronze(df: DataFrame, path: str, country: str, start_date: str, end_da
         & (F.col("fecha_proceso") >= start_date)
         & (F.col("fecha_proceso") <= end_date)
     )
-    write_replace_where(df, path, "fecha_proceso", pred)
+    pred_sql = (
+        f"pais = '{country}' AND fecha_proceso >= DATE '{start_date}' "
+        f"AND fecha_proceso <= DATE '{end_date}'"
+    )  # NB:505 shape
+    write_replace_where(df, path, "fecha_proceso", pred,
+                        partition_bounds=(start_date, end_date), predicate_sql=pred_sql)
 
 
 def run_bronze(

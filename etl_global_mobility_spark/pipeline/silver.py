@@ -58,9 +58,19 @@ def run_silver(
             & (F.col("fec_proceso") >= start_date)
             & (F.col("fec_proceso") <= end_date)
         )
-        write_replace_where(clean, depurado_path, "fec_proceso", clean_pred)  # NB:639-645
+        clean_sql = (
+            f"cod_pais = '{country}' AND fec_proceso >= DATE '{start_date}' "
+            f"AND fec_proceso <= DATE '{end_date}'"
+        )  # NB:642 shape
+        write_replace_where(
+            clean, depurado_path, "fec_proceso", clean_pred,
+            partition_bounds=(start_date, end_date), predicate_sql=clean_sql
+        )  # NB:639-645
         if output_root:  # path copy of depurado (NB:647-653, RM:174)
-            write_replace_where(clean, output_root, "fec_proceso", clean_pred)
+            write_replace_where(
+                clean, output_root, "fec_proceso", clean_pred,
+                partition_bounds=(start_date, end_date), predicate_sql=clean_sql
+            )
 
         # obs is all-STRING; its date predicate compares stringified dates
         # lexicographically — valid because the format is yyyy-MM-dd (NB:675).
@@ -69,6 +79,13 @@ def run_silver(
             & (F.col("fec_proceso") >= start_date)
             & (F.col("fec_proceso") <= end_date)
         )
-        write_replace_where(obs, obs_path, "fec_proceso", obs_pred)  # NB:672-678
+        obs_sql = (
+            f"cod_pais = '{country}' AND fec_proceso >= '{start_date}' "
+            f"AND fec_proceso <= '{end_date}'"
+        )  # NB:675: stringified-date comparison
+        write_replace_where(
+            obs, obs_path, "fec_proceso", obs_pred,
+            partition_bounds=(start_date, end_date), predicate_sql=obs_sql
+        )  # NB:672-678
     finally:
         derived.unpersist()

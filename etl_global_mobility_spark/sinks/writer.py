@@ -9,21 +9,24 @@ countries/partitions untouched.
 delta-spark is not on the classpath here, so the engine abstracts the
 semantics behind one function:
 
-  * if delta is importable → the native `replaceWhere` writer;
-  * else (parquet fallback) → delete-matching + append, scoped to the
-    touched date partitions only:
-      1. read ONLY the date partitions the predicate covers (partition
-         pruning — at 100 TB this touches the re-processed range, never
-         the table),
-      2. keep rows NOT matching the predicate (the other countries
-         sharing those dates),
-      3. overwrite those partitions dynamically with keep ∪ new
-         (`partitionOverwriteMode=dynamic` leaves all other partitions
-         untouched).
+  * if delta is importable → the native `replaceWhere` writer, with the
+    predicate passed as a SQL string (built by the caller from its
+    country/date values, like the reference's f-string — NB:505, 642);
+  * else (parquet fallback) → a single-write partition swap, scoped to
+    the touched date partitions only:
+      1. list the date partitions the predicate covers in the existing
+         table (partition-pruned scan — at 100 TB this touches the
+         re-processed range, never the table),
+      2. survivors = rows in those partitions NOT matching the predicate
+         (other countries sharing the dates),
+      3. write survivors ∪ new ONCE to a staging dir, then atomically
+         swap the touched partition directories into place (metadata
+         renames, no second data write, no re-read of staging).
 
-The fallback is the standard big-data "partition merge" pattern: cost is
-proportional to the replaced date range, not table size, so it scales.
-It also fixes the reference defect where bronze `replaceWhere` covers
+Cost is one write proportional to the replaced date range. Partitions
+whose rows are all replaced by nothing (a corrected re-run producing
+zero rows) are deleted, matching Delta replaceWhere semantics. This also
+fixes the reference defect where bronze `replaceWhere` covers
 `pais = ...` but the table is partitioned only by date (NB:505-506) —
 here other countries' rows in the same dates genuinely survive.
 """
@@ -31,6 +34,8 @@ here other countries' rows in the same dates genuinely survive.
 from __future__ import annotations
 
 import os
+import shutil
+import uuid
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -52,69 +57,120 @@ def write_replace_where(
     path: str,
     partition_col: str,
     predicate: Column,
-    partition_values: list | None = None,
+    partition_bounds: tuple | None = None,
+    predicate_sql: str | None = None,
 ) -> None:
     """Write `df` to `path` replacing exactly the rows matching
     `predicate`, preserving everything else.
 
-    partition_values: the distinct `partition_col` values the predicate
-    can touch. If None they are computed from `df` (one small job over
-    the incoming frame — cheap relative to the write).
+    predicate_sql: SQL-string form of `predicate` for Delta's
+    `replaceWhere` option (a Column can't be rendered reliably —
+    `_jc.toString()` drops string-literal quotes and breaks under
+    Spark Connect). Callers build it from the same country/date values.
+
+    partition_bounds: (lo, hi) range the predicate constrains
+    `partition_col` to. Callers always know it (it IS the re-processed
+    date range), so no job over the incoming frame is needed; the
+    existing-table scans below are partition-pruned to this range —
+    cost ∝ replaced range, never table size.
     """
     spark = df.sparkSession
-    if _HAS_DELTA:  # pragma: no cover
+    if _HAS_DELTA and predicate_sql is not None:  # pragma: no cover
         (
             df.write.format("delta")
             .mode("overwrite")
-            .option("replaceWhere", predicate._jc.toString())
+            .option("replaceWhere", predicate_sql)
             .partitionBy(partition_col)
             .save(path)
         )
         return
 
-    if not _path_exists(spark, path):
+    fs = _fs(spark, path)
+    if not fs.exists(path):
         df.write.mode("overwrite").partitionBy(partition_col).parquet(path)
         return
 
-    if partition_values is None:
-        partition_values = [
-            r[0] for r in df.select(partition_col).distinct().collect()
-        ]
-    if not partition_values:
-        return
+    if partition_bounds is not None:
+        lo, hi = partition_bounds
+        in_range = (F.col(partition_col) >= lo) & (F.col(partition_col) <= hi)
+    else:  # degenerate fallback: whole-table rewrite range
+        in_range = F.lit(True)
+    existing = spark.read.parquet(path).filter(in_range)
 
-    # 1-2: survivors from the touched partitions only (partition-pruned scan)
-    existing = (
-        spark.read.parquet(path)
-        .filter(F.col(partition_col).isin(partition_values))
-        .filter(~predicate)
-    )
-    out = existing.unionByName(df)
-    # 3: dynamic overwrite replaces only the touched date partitions.
-    # Stage through a temp dir because out reads from `path` itself.
-    tmp = path.rstrip("/") + "__staging"
+    # Dates currently holding rows the predicate replaces — needed so a
+    # re-run producing ZERO rows for a date still deletes the stale ones
+    # (Delta replaceWhere parity). Pruned scan, bounded by #days.
+    matched_dirs = {
+        f"{partition_col}={_fmt_partition_value(r[0])}"
+        for r in existing.filter(predicate).select(partition_col).distinct().collect()
+    }
+
+    # Survivors: rows in the range NOT matching (other countries sharing
+    # the dates). One write of survivors ∪ new into staging, then swap
+    # partition dirs into place — metadata renames, no second data write.
+    out = existing.filter(~predicate).unionByName(df)
+    tmp = f"{path.rstrip('/')}__staging-{uuid.uuid4().hex[:8]}"
     out.write.mode("overwrite").partitionBy(partition_col).parquet(tmp)
-    staged = spark.read.parquet(tmp)
-    (
-        staged.write.mode("overwrite")
-        .partitionBy(partition_col)
-        .option("partitionOverwriteMode", "dynamic")
-        .parquet(path)
-    )
-    _rm_tree(tmp)
+    try:
+        staged = {
+            name: f"{tmp}/{name}"
+            for name in fs.listdir(tmp)
+            if name.startswith(f"{partition_col}=")
+        }
+        for name in sorted(set(staged) | matched_dirs):
+            dst = f"{path.rstrip('/')}/{name}"
+            fs.delete(dst)
+            if name in staged:
+                fs.rename(staged[name], dst)
+    finally:
+        fs.delete(tmp)
 
 
-def _path_exists(spark: SparkSession, path: str) -> bool:
-    if "://" not in path:
-        return os.path.exists(path)
-    jvm = spark.sparkContext._jvm  # pragma: no cover - remote FS
-    conf = spark.sparkContext._jsc.hadoopConfiguration()
-    p = jvm.org.apache.hadoop.fs.Path(path)
-    return p.getFileSystem(conf).exists(p)
+def _fmt_partition_value(v) -> str:
+    """Directory-name encoding of a partition value (Spark's format)."""
+    return "__HIVE_DEFAULT_PARTITION__" if v is None else str(v)
 
 
-def _rm_tree(path: str) -> None:
-    import shutil
+class _LocalFS:
+    def exists(self, p: str) -> bool:
+        return os.path.exists(p)
 
-    if "://" not in path:
-        shutil.rmtree(path, ignore_errors=True)
+    def listdir(self, p: str) -> list[str]:
+        return os.listdir(p)
+
+    def delete(self, p: str) -> None:
+        if os.path.isdir(p):
+            shutil.rmtree(p, ignore_errors=True)
+        elif os.path.exists(p):
+            os.remove(p)
+
+    def rename(self, src: str, dst: str) -> None:
+        os.replace(src, dst)
+
+
+class _HadoopFS:  # pragma: no cover - remote FS
+    """Thin wrapper over org.apache.hadoop.fs.FileSystem, so staging
+    swap/cleanup works on object stores too (no silent no-op)."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        jvm = spark.sparkContext._jvm
+        conf = spark.sparkContext._jsc.hadoopConfiguration()
+        self._Path = jvm.org.apache.hadoop.fs.Path
+        self._fs = self._Path(path).getFileSystem(conf)
+
+    def exists(self, p: str) -> bool:
+        return self._fs.exists(self._Path(p))
+
+    def listdir(self, p: str) -> list[str]:
+        return [s.getPath().getName() for s in self._fs.listStatus(self._Path(p))]
+
+    def delete(self, p: str) -> None:
+        if self.exists(p):
+            self._fs.delete(self._Path(p), True)
+
+    def rename(self, src: str, dst: str) -> None:
+        self._fs.rename(self._Path(src), self._Path(dst))
+
+
+def _fs(spark: SparkSession, path: str):
+    return _HadoopFS(spark, path) if "://" in path else _LocalFS()

@@ -94,3 +94,40 @@ def test_mini_yaml_nested(tmp_path):
     )
     d = load_yaml(str(p))
     assert d == {"a": {"b": 1, "c": "x"}, "lst": [{"k": 1, "m": "y"}, {"k": 2, "m": "z"}], "flow": ["A", "B"]}
+
+
+def test_mini_yaml_parses_verbatim_reference_shape(tmp_path):
+    """The reference config puts `- country:` items at the SAME indent as
+    the `params:` key (config/config.yaml:4-8) — the fallback parser must
+    accept that shape."""
+    from etl_global_mobility_spark.config import _mini_yaml_load
+
+    text = (
+        "paths:\n"
+        "  raw_csv: /data/raw/x.csv\n"
+        "  output_root: /data/processed\n"
+        "params:\n"
+        "- country: EC\n"
+        "  start_date: '2025-01-01'\n"
+        "  end_date: '2025-06-30'\n"
+        "  proccess: 'YES'\n"
+        "- country: PE\n"
+        "  start_date: '2025-01-01'\n"
+        "  end_date: '2025-06-30'\n"
+        "  proccess: 'NO'\n"
+        "delivery_types:\n"
+        "  routine:\n"
+        "  - ZPRE\n"
+        "  - ZVE1\n"
+        "  bonus:\n"
+        "  - Z04\n"
+        "  - Z05\n"
+        "unit_factors:\n"
+        "  CS: 20\n"
+        "  ST: 1\n"
+    )
+    cfg = _mini_yaml_load(text)
+    assert [p["country"] for p in cfg["params"]] == ["EC", "PE"]
+    assert cfg["params"][1]["proccess"] == "NO"
+    assert cfg["delivery_types"] == {"routine": ["ZPRE", "ZVE1"], "bonus": ["Z04", "Z05"]}
+    assert cfg["unit_factors"] == {"CS": 20, "ST": 1}
