@@ -1,0 +1,66 @@
+"""QuerySpec plumbing shared by the corpus modules.
+
+Determinism conventions (the driver hash-compares against DuckDB):
+
+* Aggregations over DOUBLE columns are computed in DECIMAL (exact,
+  order-independent) and only the FINAL value is cast to DOUBLE, so
+  Spark's and DuckDB's partial-aggregation orders can't produce
+  different floating-point sums.
+* Every computed column is aliased identically in the Spark plan and
+  the oracle SQL (the driver sorts columns by name before hashing).
+* Ties in top-k / window orderings are always broken by a unique key.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Parquet scan of one driver test table (TESTDATA.md)."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def spark_round_sql(expr: str, n: int) -> str:
+    """DuckDB SQL that reproduces Spark's ``F.round(double, n)`` /
+    ``CAST(double AS DECIMAL)`` bit-for-bit.
+
+    Spark rounds the SHORTEST decimal repr of the double (Java
+    ``BigDecimal.valueOf`` goes through ``Double.toString``), while
+    DuckDB's ``round(double, n)`` multiplies by 10^n in FP — they
+    disagree on edge values in both directions. DuckDB's double→VARCHAR
+    is shortest-repr, so VARCHAR → DECIMAL → round(HALF_UP) mirrors
+    Spark exactly (verified on 60k-row corpora).
+    """
+    return f"CAST(round(CAST(CAST(({expr}) AS VARCHAR) AS DECIMAL(38,15)), {n}) AS DECIMAL(21,{n}))"
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    """One declared query: Spark implementation + optional DuckDB oracle.
+
+    ``oracle`` is ANSI SQL over the pre-registered table views; ``None``
+    marks a genuinely non-SQL-expressible operator (approximate / ML /
+    stateful) for which the driver records a weaker rows-only check.
+    """
+
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    doc: str = ""
