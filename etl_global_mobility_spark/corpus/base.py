@@ -34,7 +34,22 @@ TABLES = (
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Parquet scan of one driver test table (TESTDATA.md)."""
+    if name == "events":
+        return load_events(spark, sf_dir)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores ``ts`` as TIMESTAMP(NANOS) parquet type,
+    which Spark's vectorized reader rejects. Read nanos as LONG and
+    rebuild a microsecond TimestampType column (integer div — the
+    values carry µs precision, and double math would overflow 2^53).
+    """
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def spark_round_sql(expr: str, n: int) -> str:

@@ -1,3 +1,624 @@
-"""placeholder — filled in incrementally."""
+"""§2B standard relational surface (SURVEY.md:197-215).
 
-SPECS: list = []
+The reference implements none of these (its only dataflow verbs are
+read/select/filter/drop/write — NB:469-686), so this module IS the
+engine's query capability layer: joins (all types + broadcast), exact
+and grouped aggregation (incl. rollup/cube/grouping sets), window
+functions, sort/limit top-k, set operations, the scalar function
+library (string/date/math/JSON over ``events.props``).
+
+Determinism: aggregates over DOUBLE inputs are computed in DECIMAL
+(exact, order-independent) and cast to DOUBLE only at the end; top-k
+orderings always carry a unique-key tiebreak.
+
+Scale notes (100 TB design): dimension joins (region/nation/part-by-key)
+use explicit ``F.broadcast`` so no shuffle of the fact side's join keys;
+fact-fact joins rely on sort-merge + AQE skew handling; top-k is
+orderBy+limit which Spark plans as TakeOrderedAndProject (no global
+sort materialization).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from etl_global_mobility_spark.corpus.base import QuerySpec, load_table
+
+# revenue in exact decimal: price*(1-disc) has ≤4 decimals; sum is exact
+_REV = "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))"
+
+
+def _rev_col() -> F.Column:
+    return F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    )
+
+
+# ------------------------------------------------------------- joins ----
+def q_join_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: lineitem ⋈ orders ⋈ customer ⋈ broadcast(nation),
+    revenue per nation. Dim side broadcast; fact joins shuffle on keys."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(_rev_col()).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q_join_left_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer: every customer, their order count + decimal-exact
+    total spend (NULL-safe: customers without orders count 0)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")), F.lit(0)
+            )
+            .cast("double")
+            .alias("total_spend"),
+        )
+    )
+
+
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left semi: customers having at least one URGENT order."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left anti: customers with no orders at all."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_mktsegment"
+    )
+
+
+def q_join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer: per-nation customer count vs supplier count (nations
+    may have only one side)."""
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy("s_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return c.join(s, c.c_nationkey == s.s_nationkey, "full").select(
+        F.coalesce("c_nationkey", "s_nationkey").alias("nationkey"),
+        F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+        F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+    )
+
+
+def q_join_right(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer: orders right-joined to lineitem keeps every lineitem
+    (all match — checks the join type wiring, not nulls)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber")
+    return o.join(li, o.o_orderkey == li.l_orderkey, "right").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("o_orderstatus").alias("status"),
+    )
+
+
+def q_join_broadcast_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broadcast dim chain: supplier ⋈ B(nation) ⋈ B(region) — counts per
+    region name. Both dims ship with the tasks; zero fact-side shuffle
+    until the final small aggregation."""
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)).alias("n_suppliers"))
+    )
+
+
+def q_join_nonequi_self(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi condition on top of an equi key: line pairs within an
+    order where the first line shipped strictly before the second."""
+    a = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("k"),
+        F.col("l_linenumber").alias("ln_a"),
+        F.col("l_shipdate").alias("ship_a"),
+    )
+    b = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("k2"),
+        F.col("l_linenumber").alias("ln_b"),
+        F.col("l_shipdate").alias("ship_b"),
+    )
+    return (
+        a.join(b, (a.k == b.k2) & (a.ship_a < b.ship_b))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+# ------------------------------------------------------- aggregation ----
+def q_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped: per (returnflag, linestatus) sums/avgs/counts,
+    decimal-exact then cast double."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.sum(price).cast("double").alias("sum_base_price"),
+            F.sum(_rev_col()).cast("double").alias("sum_disc_price"),
+            (F.sum(qty).cast("double") / F.count(F.lit(1))).alias("avg_qty"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact count-distinct per group (expands to two-phase agg)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct("l_partkey").alias("n_part"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP (returnflag, linestatus): subtotals + grand total."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("sum_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE (orderstatus, orderpriority): all grouping combinations."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("sum_price"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def q_agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via Spark SQL (by-segment, by-nation, total)."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    return spark.sql(
+        """
+        SELECT c_mktsegment, c_nationkey,
+               CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal,
+               count(*) AS n
+        FROM v_customer
+        GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+        """
+    )
+
+
+# ------------------------------------------------------------ window ----
+def q_window_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number over (custkey / totalprice desc, orderkey) → top 3
+    orders per customer. Tie-broken by unique orderkey."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("o_custkey", "rk", "o_orderkey", "o_totalprice")
+    )
+
+
+def q_window_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank + dense_rank over part size within brand (ties exist)."""
+    p = load_table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.col("p_size"), F.col("p_partkey"))
+    wt = Window.partitionBy("p_brand").orderBy(F.col("p_size"))
+    return p.select(
+        "p_partkey",
+        "p_brand",
+        "p_size",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(wt).alias("rnk"),
+        F.dense_rank().over(wt).alias("drnk"),
+    )
+
+
+def q_window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead of order dates per customer (analytic functions)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.lag("o_orderdate").over(w).alias("prev_date"),
+        F.lead("o_orderdate").over(w).alias("next_date"),
+    )
+
+
+def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Framed aggregate: running decimal-exact spend per customer,
+    rows UNBOUNDED PRECEDING → CURRENT ROW."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("running_spend"),
+    )
+
+
+# ----------------------------------------------------- sort / set ops ----
+def q_topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-10 by (totalprice desc, orderkey) — plans as
+    TakeOrderedAndProject, no full sort materialization."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION / INTERSECT / EXCEPT over customer key sets, tagged."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    with_urgent = (
+        o.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+        .distinct()
+    )
+    both = building.intersect(with_urgent).withColumn("tag", F.lit("both"))
+    only_b = building.exceptAll(with_urgent).withColumn("tag", F.lit("building_only"))
+    return both.unionByName(only_b)
+
+
+def q_dropduplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """distinct() over a projection (set-op dedup)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select("l_returnflag", "l_linestatus").distinct()
+
+
+# ------------------------------------------------ scalar function lib ----
+def q_scalar_string_date_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String/date/math built-ins over part+orders-ish columns."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper(F.col("p_brand")).alias("brand_upper"),
+        F.substring(F.col("p_name"), 1, 5).alias("name_pfx"),
+        F.length(F.col("p_name")).alias("name_len"),
+        F.concat_ws("::", F.col("p_brand"), F.col("p_type")).alias("brand_type"),
+        (F.col("p_size") % 7).alias("size_mod"),
+        F.abs(F.col("p_size") - 25).alias("size_dist"),
+        F.when(F.col("p_retailprice").cast("decimal(18,2)") > 1500, "premium")
+        .otherwise("standard")
+        .alias("tier"),
+    )
+
+
+def q_scalar_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date functions: trunc, extract, datediff from a fixed anchor."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.date_trunc("month", F.col("o_orderdate")).alias("order_month"),
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.datediff(F.lit("1998-12-31").cast("date"), F.col("o_orderdate").cast("date")).alias(
+            "days_to_eoy"
+        ),
+    )
+
+
+def q_json_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction over events.props + per-type decimal-exact sums."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        e.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+    )
+
+
+def q_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array functions over split part types (scalar outputs only)."""
+    p = load_table(spark, sf_dir, "part")
+    words = F.split(F.col("p_type"), " ")
+    return p.select(
+        "p_partkey",
+        F.size(words).alias("n_words"),
+        F.array_contains(words, "BRUSHED").alias("has_brushed"),
+        F.concat_ws("-", F.array_sort(words)).alias("sorted_words"),
+        F.element_at(words, 1).alias("first_word"),
+    )
+
+
+SPECS = [
+    QuerySpec(
+        "rel_join_revenue_by_nation",
+        q_join_revenue_by_nation,
+        f"""SELECT n_name,
+               CAST(sum({_REV}) AS DOUBLE) AS revenue,
+               count(*) AS n_items
+            FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation   ON c_nationkey = n_nationkey
+            GROUP BY n_name""",
+        doc="inner joins + broadcast dim + decimal-exact revenue",
+    ),
+    QuerySpec(
+        "rel_join_left_orders",
+        q_join_left_orders,
+        """SELECT c_custkey,
+               count(o_orderkey) AS n_orders,
+               CAST(coalesce(sum(CAST(o_totalprice AS DECIMAL(18,2))), 0) AS DOUBLE)
+                 AS total_spend
+            FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+            GROUP BY c_custkey""",
+        doc="left outer join",
+    ),
+    QuerySpec(
+        "rel_join_semi",
+        q_join_semi,
+        """SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey IN (SELECT o_custkey FROM orders
+                                WHERE o_orderpriority = '1-URGENT')""",
+        doc="left semi join",
+    ),
+    QuerySpec(
+        "rel_join_anti",
+        q_join_anti,
+        """SELECT c_custkey, c_mktsegment FROM customer
+            WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""",
+        doc="left anti join",
+    ),
+    QuerySpec(
+        "rel_join_full_outer",
+        q_join_full_outer,
+        """WITH c AS (SELECT c_nationkey, count(*) AS n_cust FROM customer GROUP BY 1),
+                s AS (SELECT s_nationkey, count(*) AS n_supp FROM supplier GROUP BY 1)
+            SELECT coalesce(c_nationkey, s_nationkey) AS nationkey,
+                   coalesce(n_cust, 0) AS n_cust,
+                   coalesce(n_supp, 0) AS n_supp
+            FROM c FULL OUTER JOIN s ON c_nationkey = s_nationkey""",
+        doc="full outer join",
+    ),
+    QuerySpec(
+        "rel_join_right",
+        q_join_right,
+        """SELECT l_orderkey, l_linenumber, o_orderstatus AS status
+            FROM (SELECT * FROM orders WHERE o_orderstatus = 'F') o
+            RIGHT JOIN lineitem ON o_orderkey = l_orderkey""",
+        doc="right outer join",
+    ),
+    QuerySpec(
+        "rel_join_broadcast_dims",
+        q_join_broadcast_dims,
+        """SELECT r_name, count(*) AS n_suppliers
+            FROM supplier
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY r_name""",
+        doc="broadcast dim chain",
+    ),
+    QuerySpec(
+        "rel_join_nonequi_self",
+        q_join_nonequi_self,
+        """SELECT a.l_orderkey AS k, count(*) AS n_pairs
+            FROM lineitem a JOIN lineitem b
+              ON a.l_orderkey = b.l_orderkey AND a.l_shipdate < b.l_shipdate
+            GROUP BY 1""",
+        doc="equi + non-equi self join",
+    ),
+    QuerySpec(
+        "rel_agg_pricing_summary",
+        q_agg_pricing_summary,
+        f"""SELECT l_returnflag, l_linestatus,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+               CAST(sum({_REV}) AS DOUBLE) AS sum_disc_price,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+               count(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus""",
+        doc="TPC-H Q1-shaped grouped aggregation",
+    ),
+    QuerySpec(
+        "rel_agg_count_distinct",
+        q_agg_count_distinct,
+        """SELECT l_returnflag,
+               count(DISTINCT l_suppkey) AS n_supp,
+               count(DISTINCT l_partkey) AS n_part,
+               count(*) AS n_rows
+            FROM lineitem GROUP BY l_returnflag""",
+        doc="exact count-distinct",
+    ),
+    QuerySpec(
+        "rel_agg_rollup",
+        q_agg_rollup,
+        """SELECT l_returnflag, l_linestatus,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               count(*) AS n
+            FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+        doc="rollup subtotals",
+    ),
+    QuerySpec(
+        "rel_agg_cube",
+        q_agg_cube,
+        """SELECT o_orderstatus, o_orderpriority,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+               count(*) AS n
+            FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
+        doc="cube",
+    ),
+    QuerySpec(
+        "rel_agg_grouping_sets",
+        q_agg_grouping_sets,
+        """SELECT c_mktsegment, c_nationkey,
+               CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal,
+               count(*) AS n
+            FROM customer
+            GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())""",
+        doc="grouping sets",
+    ),
+    QuerySpec(
+        "rel_window_topk_per_group",
+        q_window_topk_per_group,
+        """SELECT o_custkey, rk, o_orderkey, o_totalprice FROM (
+              SELECT o_custkey, o_orderkey, o_totalprice,
+                     row_number() OVER (PARTITION BY o_custkey
+                                        ORDER BY o_totalprice DESC, o_orderkey) AS rk
+              FROM orders) WHERE rk <= 3""",
+        doc="per-group top-k via row_number",
+    ),
+    QuerySpec(
+        "rel_window_rank_dense",
+        q_window_rank_dense,
+        """SELECT p_partkey, p_brand, p_size,
+               row_number() OVER (PARTITION BY p_brand ORDER BY p_size, p_partkey) AS rn,
+               rank()       OVER (PARTITION BY p_brand ORDER BY p_size) AS rnk,
+               dense_rank() OVER (PARTITION BY p_brand ORDER BY p_size) AS drnk
+            FROM part""",
+        doc="ranking window functions",
+    ),
+    QuerySpec(
+        "rel_window_lag_lead",
+        q_window_lag_lead,
+        """SELECT o_custkey, o_orderkey,
+               lag(o_orderdate)  OVER w AS prev_date,
+               lead(o_orderdate) OVER w AS next_date
+            FROM orders
+            WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""",
+        doc="lag/lead analytics",
+    ),
+    QuerySpec(
+        "rel_window_running_sum",
+        q_window_running_sum,
+        """SELECT o_custkey, o_orderkey,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                 AS running_spend
+            FROM orders""",
+        doc="framed running aggregate",
+    ),
+    QuerySpec(
+        "rel_topk_global",
+        q_topk_global,
+        """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+        doc="global top-k",
+    ),
+    QuerySpec(
+        "rel_set_ops",
+        q_set_ops,
+        """WITH building AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+                urgent AS (SELECT DISTINCT o_custkey AS c_custkey FROM orders
+                           WHERE o_orderpriority = '1-URGENT')
+            SELECT c_custkey, 'both' AS tag FROM building INTERSECT ALL
+              SELECT c_custkey, 'both' FROM urgent WHERE c_custkey IN (SELECT c_custkey FROM building)
+            UNION ALL
+            SELECT c_custkey, 'building_only' AS tag
+            FROM (SELECT c_custkey FROM building EXCEPT ALL SELECT c_custkey FROM urgent)""",
+        doc="intersect / except / union",
+    ),
+    QuerySpec(
+        "rel_dropduplicates",
+        q_dropduplicates,
+        "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+        doc="distinct projection",
+    ),
+    QuerySpec(
+        "rel_scalar_string_date_math",
+        q_scalar_string_date_math,
+        """SELECT p_partkey,
+               upper(p_brand) AS brand_upper,
+               substring(p_name, 1, 5) AS name_pfx,
+               length(p_name) AS name_len,
+               concat_ws('::', p_brand, p_type) AS brand_type,
+               p_size % 7 AS size_mod,
+               abs(p_size - 25) AS size_dist,
+               CASE WHEN CAST(p_retailprice AS DECIMAL(18,2)) > 1500
+                    THEN 'premium' ELSE 'standard' END AS tier
+            FROM part""",
+        doc="string/math scalar functions",
+    ),
+    QuerySpec(
+        "rel_scalar_dates",
+        q_scalar_dates,
+        """SELECT o_orderkey,
+               CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month,
+               CAST(year(o_orderdate) AS INT) AS yr,
+               CAST(month(o_orderdate) AS INT) AS mo,
+               CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS INT)
+                 AS days_to_eoy
+            FROM orders""",
+        doc="date scalar functions",
+    ),
+    QuerySpec(
+        "rel_json_events",
+        q_json_events,
+        """SELECT event_type,
+               sum(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+               count(*) AS n,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+            FROM events GROUP BY event_type""",
+        doc="JSON extraction over events.props",
+    ),
+    QuerySpec(
+        "rel_array_ops",
+        q_array_ops,
+        """SELECT p_partkey,
+               len(string_split(p_type, ' ')) AS n_words,
+               list_contains(string_split(p_type, ' '), 'BRUSHED') AS has_brushed,
+               array_to_string(list_sort(string_split(p_type, ' ')), '-') AS sorted_words,
+               string_split(p_type, ' ')[1] AS first_word
+            FROM part""",
+        doc="array functions (scalar outputs)",
+    ),
+]
