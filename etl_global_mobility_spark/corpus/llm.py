@@ -1,3 +1,448 @@
-"""placeholder — filled in incrementally."""
+"""§2C LLM-data-pipeline corpus: dedup, similarity, text analysis,
+multimodal plumbing over the ``documents`` / ``embeddings`` tables.
 
-SPECS: list = []
+Everything deterministic is oracle-checked — including MinHash and
+SimHash, which use md5-derived hashes precisely so an independent SQL
+engine can recompute them. Only the pandas-UDF multimodal features keep
+a reduced (metadata-only) oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_global_mobility_spark.corpus.base import QuerySpec, load_table
+from etl_global_mobility_spark.operators.dedup import (
+    exact_dedup,
+    minhash_near_duplicates,
+    ngram_jaccard_pairs,
+    simhash_fingerprint,
+)
+from etl_global_mobility_spark.operators.similarity import (
+    cosine_topk_exact,
+    lsh_ann_candidates,
+    random_hyperplanes,
+)
+from etl_global_mobility_spark.operators.text import (
+    doc_fingerprint,
+    language_id,
+    quality_score,
+    text_stats,
+    token_count,
+)
+
+# ------------------------------------------------ shared SQL fragments ----
+# DuckDB mirror of operators.text.tokenize
+TOKS = "list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> len(x) > 0)"
+
+
+def _shingles_sql(k: int = 3) -> str:
+    """DuckDB mirror of operators.dedup._word_shingles."""
+    return (
+        f"list_distinct(list_transform("
+        f"range(1, greatest(len({TOKS}) - {k - 1}, 0) + 1), "
+        f"i -> array_to_string(({TOKS})[i:i + {k - 1}], ' ')))"
+    )
+
+
+def _md5_hash_sql(expr: str, seed: int) -> str:
+    """DuckDB mirror of operators.dedup._md5_band_hash (60-bit int)."""
+    return f"CAST('0x' || substr(md5('{seed}:' || ({expr})), 1, 15) AS BIGINT)"
+
+
+# ------------------------------------------------------------- queries ----
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return exact_dedup(d).select("doc_id", "content_hash", "n_copies")
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", doc_fingerprint("text").alias("fp"))
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return text_stats(d).select(
+        "doc_id",
+        "n_chars_calc",
+        "n_tokens",
+        "avg_token_len",
+        "punct_ratio",
+        "digit_ratio",
+    )
+
+
+def q_token_count_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.withColumn("n_toks", token_count("text"))
+        .groupBy("lang")
+        .agg(
+            F.sum("n_toks").alias("total_tokens"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+
+
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.withColumn("detected", language_id("text"))
+        .groupBy("detected")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", quality_score("text").alias("quality"))
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return simhash_fingerprint(d, bits=32).withColumnRenamed("id", "doc_id")
+
+
+def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_near_duplicates(
+        d, n_hashes=16, bands=4, k=3, jaccard_threshold=0.25
+    )
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, k=2, threshold=0.25)
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 8)
+    return cosine_topk_exact(e, queries, k=5)
+
+
+def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 8)
+    return lsh_ann_candidates(e, queries, dim=64, n_planes=6, k=5)
+
+
+def q_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Majority label among the 10 exact nearest neighbors per query —
+    a classification-by-retrieval pipeline stage."""
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 8)
+    topk = cosine_topk_exact(e, queries, k=10)
+    labels = e.select(F.col("vec_id").alias("c_id"), F.col("label"))
+    return (
+        topk.join(labels, "c_id")
+        .groupBy("q_id", "label")
+        .agg(F.count(F.lit(1)).alias("votes"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                __import__("pyspark.sql.window", fromlist=["Window"]).Window.partitionBy(
+                    "q_id"
+                ).orderBy(F.col("votes").desc(), F.col("label"))
+            ),
+        )
+        .filter(F.col("rk") == 1)
+        .select("q_id", F.col("label").alias("majority_label"), "votes")
+    )
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary media plumbing: text bytes as opaque content → metadata →
+    Arrow-batched (mapInPandas) feature stub. Oracle checks the
+    JVM-computable metadata; the stub feature dims are asserted."""
+    from etl_global_mobility_spark.operators.multimodal import (
+        attach_media_metadata,
+        documents_as_media,
+        extract_features,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    media = attach_media_metadata(documents_as_media(d), mime="text/plain")
+    feats = extract_features(media, dim=16)
+    return feats.select(
+        F.col("media_id").alias("doc_id"),
+        "n_bytes",
+        F.size("feature").alias("n_dim"),
+    )
+
+
+# ------------------------------------------------------ oracle builders ----
+def _language_id_sql() -> str:
+    from etl_global_mobility_spark.operators.text import STOPWORDS
+
+    hits = {
+        lang: (
+            f"len(list_filter({TOKS}, t -> list_contains("
+            f"[{', '.join(repr(w) for w in words)}], t)))"
+        )
+        for lang, words in STOPWORDS.items()
+    }
+    # argmax with tie → greatest language name (mirror of array_max on
+    # (hits, lang) structs with langs sorted ascending)
+    h = {k: f"h_{k}" for k in hits}
+    return f"""
+    WITH scored AS (
+      SELECT doc_id, {', '.join(f"{v} AS {h[k]}" for k, v in hits.items())}
+      FROM documents
+    ), detected AS (
+      SELECT CASE
+        WHEN greatest({h['de']}, {h['en']}, {h['es']}, {h['fr']}) = 0 THEN 'und'
+        WHEN {h['fr']} >= {h['de']} AND {h['fr']} >= {h['en']} AND {h['fr']} >= {h['es']} THEN 'fr'
+        WHEN {h['es']} >= {h['de']} AND {h['es']} >= {h['en']} THEN 'es'
+        WHEN {h['en']} >= {h['de']} THEN 'en'
+        ELSE 'de' END AS detected
+      FROM scored
+    )
+    SELECT detected, count(*) AS n FROM detected GROUP BY detected
+    """
+
+
+def _simhash_sql(bits: int = 32) -> str:
+    tok_hash = _md5_hash_sql("tok", 0) + f" % {2**bits}"
+    bit_sums = ", ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
+        for j in range(bits)
+    )
+    fp = " + ".join(f"(CASE WHEN b{j} > 0 THEN {2**j} ELSE 0 END)" for j in range(bits))
+    return f"""
+    WITH exploded AS (
+      SELECT doc_id AS id, unnest({TOKS}) AS tok FROM documents
+    ), hashed AS (
+      SELECT id, {tok_hash} AS h FROM exploded
+    ), sums AS (
+      SELECT id, {bit_sums} FROM hashed GROUP BY id
+    )
+    SELECT id AS doc_id, CAST({fp} AS BIGINT) AS simhash FROM sums
+    """
+
+
+def _minhash_sql(n_hashes: int = 16, bands: int = 4, k: int = 3, thr: float = 0.25) -> str:
+    rows = n_hashes // bands
+    sig = ", ".join(
+        f"list_min(list_transform(shingles, s -> {_md5_hash_sql('s', i)})) AS s{i}"
+        for i in range(n_hashes)
+    )
+    sig_list = "[" + ", ".join(f"s{i}" for i in range(n_hashes)) + "]"
+    band_selects = " UNION ALL ".join(
+        f"SELECT id, sig, {b} AS band, md5(concat_ws(',', "
+        + ", ".join(f"sig[{b * rows + r + 1}]" for r in range(rows))
+        + ")) AS bucket FROM sigs"
+        for b in range(bands)
+    )
+    return f"""
+    WITH docs AS (
+      SELECT doc_id AS id, {_shingles_sql(k)} AS shingles FROM documents
+    ), sigged AS (
+      SELECT id, {sig} FROM docs
+    ), sigs AS (
+      SELECT id, {sig_list} AS sig FROM sigged
+    ), banded AS (
+      {band_selects}
+    ), pairs AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+             len(list_filter(range(1, {n_hashes + 1}),
+                             i -> a.sig[i] = b.sig[i])) / {float(n_hashes)} AS est_jaccard
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+    )
+    SELECT id_a, id_b, est_jaccard FROM pairs WHERE est_jaccard >= {thr}
+    """
+
+
+def _ngram_jaccard_sql(k: int = 2, thr: float = 0.25) -> str:
+    return f"""
+    WITH docs AS (
+      SELECT doc_id AS id, {_shingles_sql(k)} AS shingles FROM documents
+    ), sized AS (
+      SELECT id, shingles, len(shingles) AS n_shingles FROM docs
+    ), inv AS (
+      SELECT id, n_shingles, unnest(shingles) AS s FROM sized
+    ), inter AS (
+      SELECT a.id AS id_a, b.id AS id_b, a.n_shingles AS na, b.n_shingles AS nb,
+             count(*) AS inter
+      FROM inv a JOIN inv b ON a.s = b.s AND a.id < b.id
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT id_a, id_b, CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
+    FROM inter WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= {thr}
+    """
+
+
+_COS = (
+    "list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) / "
+    "(sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) * "
+    "sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))"
+)
+
+
+def _cosine_topk_sql(k: int = 5, n_queries: int = 8) -> str:
+    return f"""
+    WITH scored AS (
+      SELECT b.vec_id AS q_id, a.vec_id AS c_id, {_COS} AS score
+      FROM embeddings a, embeddings b
+      WHERE b.vec_id < {n_queries} AND a.vec_id <> b.vec_id
+    ), ranked AS (
+      SELECT q_id, c_id, score,
+             row_number() OVER (PARTITION BY q_id ORDER BY score DESC, c_id) AS rank
+      FROM scored
+    )
+    SELECT q_id, rank, c_id, score FROM ranked WHERE rank <= {k}
+    """
+
+
+def _lsh_ann_sql(dim: int = 64, n_planes: int = 6, k: int = 5, n_queries: int = 8) -> str:
+    planes = random_hyperplanes(dim, n_planes, seed=42)
+    terms = []
+    for i, p in enumerate(planes):
+        lit = "[" + ", ".join(repr(x) for x in p) + "]::DOUBLE[]"
+        terms.append(
+            f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {lit}) > 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+        )
+    bucket = " + ".join(terms)
+    return f"""
+    WITH bucketed AS (
+      SELECT vec_id, embedding, CAST({bucket} AS BIGINT) AS bucket FROM embeddings
+    ), scored AS (
+      SELECT b.vec_id AS q_id, a.vec_id AS c_id, {_COS} AS score
+      FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket
+      WHERE b.vec_id < {n_queries} AND a.vec_id <> b.vec_id
+    ), ranked AS (
+      SELECT q_id, c_id, score,
+             row_number() OVER (PARTITION BY q_id ORDER BY score DESC, c_id) AS rank
+      FROM scored
+    )
+    SELECT q_id, rank, c_id, score FROM ranked WHERE rank <= {k}
+    """
+
+
+def _knn_vote_sql(n_queries: int = 8, k: int = 10) -> str:
+    return f"""
+    WITH scored AS (
+      SELECT b.vec_id AS q_id, a.vec_id AS c_id, a.label, {_COS} AS score
+      FROM embeddings a, embeddings b
+      WHERE b.vec_id < {n_queries} AND a.vec_id <> b.vec_id
+    ), ranked AS (
+      SELECT q_id, c_id, label,
+             row_number() OVER (PARTITION BY q_id ORDER BY score DESC, c_id) AS rank
+      FROM scored
+    ), votes AS (
+      SELECT q_id, label, count(*) AS votes FROM ranked WHERE rank <= {k}
+      GROUP BY q_id, label
+    ), winner AS (
+      SELECT q_id, label, votes,
+             row_number() OVER (PARTITION BY q_id ORDER BY votes DESC, label) AS rk
+      FROM votes
+    )
+    SELECT q_id, label AS majority_label, votes FROM winner WHERE rk = 1
+    """
+
+
+SPECS = [
+    QuerySpec(
+        "llm_exact_dedup",
+        q_exact_dedup,
+        """WITH hashed AS (
+             SELECT doc_id, sha256(text) AS content_hash,
+                    row_number() OVER (PARTITION BY sha256(text) ORDER BY doc_id) AS rn,
+                    count(*) OVER (PARTITION BY sha256(text)) AS n_copies
+             FROM documents)
+           SELECT doc_id, content_hash, n_copies FROM hashed WHERE rn = 1""",
+        doc="exact content dedup via sha2-256 hash-groupBy",
+    ),
+    QuerySpec(
+        "llm_fingerprint",
+        q_fingerprint,
+        f"SELECT doc_id, substr(md5(array_to_string({TOKS}, ' ')), 1, 16) AS fp "
+        "FROM documents",
+        doc="md5 document fingerprint of normalized tokens",
+    ),
+    QuerySpec(
+        "llm_text_stats",
+        q_text_stats,
+        f"""SELECT doc_id,
+              len(text) AS n_chars_calc,
+              len({TOKS}) AS n_tokens,
+              CAST(list_sum(list_transform({TOKS}, t -> len(t))) AS DOUBLE)
+                / greatest(len({TOKS}), 1) AS avg_token_len,
+              CAST(len(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+                / greatest(len(text), 1) AS punct_ratio,
+              CAST(len(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+                / greatest(len(text), 1) AS digit_ratio
+            FROM documents""",
+        doc="per-document text statistics",
+    ),
+    QuerySpec(
+        "llm_token_count_by_lang",
+        q_token_count_by_lang,
+        f"""SELECT lang, sum(len({TOKS})) AS total_tokens, count(*) AS n_docs
+            FROM documents GROUP BY lang""",
+        doc="token totals per language",
+    ),
+    QuerySpec(
+        "llm_language_id",
+        q_language_id,
+        _language_id_sql(),
+        doc="stopword-ratio language heuristic",
+    ),
+    QuerySpec(
+        "llm_quality_score",
+        q_quality_score,
+        f"""SELECT doc_id,
+              (CASE WHEN len(text) >= 200 THEN 0.4::DOUBLE
+                    WHEN len(text) >= 50 THEN 0.2::DOUBLE ELSE 0.0::DOUBLE END
+               + CASE WHEN len({TOKS}) >= 30 THEN 0.3::DOUBLE
+                      WHEN len({TOKS}) >= 10 THEN 0.15::DOUBLE ELSE 0.0::DOUBLE END
+               + CASE WHEN CAST(len(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+                           / greatest(len(text), 1) <= 0.1 THEN 0.2::DOUBLE ELSE 0.0::DOUBLE END
+               + CASE WHEN CAST(len(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+                           / greatest(len(text), 1) <= 0.2 THEN 0.1::DOUBLE ELSE 0.0::DOUBLE END
+              ) AS quality
+            FROM documents""",
+        doc="heuristic quality score",
+    ),
+    QuerySpec("llm_simhash", q_simhash, _simhash_sql(32), doc="SimHash fingerprint (md5-based)"),
+    QuerySpec(
+        "llm_minhash_neardup",
+        q_minhash_neardup,
+        _minhash_sql(),
+        doc="MinHash+LSH banding near-dup candidates (md5-based, oracle-checked)",
+    ),
+    QuerySpec(
+        "llm_ngram_jaccard",
+        q_ngram_jaccard,
+        _ngram_jaccard_sql(),
+        doc="exact n-gram Jaccard via inverted-index join",
+    ),
+    QuerySpec(
+        "llm_cosine_topk",
+        q_cosine_topk,
+        _cosine_topk_sql(),
+        doc="exact cosine top-k similarity search",
+    ),
+    QuerySpec(
+        "llm_lsh_ann",
+        q_lsh_ann,
+        _lsh_ann_sql(),
+        doc="LSH-bucketed approximate nearest neighbors",
+    ),
+    QuerySpec(
+        "llm_knn_label_vote",
+        q_knn_label_vote,
+        _knn_vote_sql(),
+        doc="kNN majority-label vote",
+    ),
+    QuerySpec(
+        "llm_multimodal_features",
+        q_multimodal_features,
+        "SELECT doc_id, octet_length(encode(text)) AS n_bytes, 16 AS n_dim FROM documents",
+        doc="binary media plumbing + Arrow-batched feature stub",
+    ),
+]

@@ -1,3 +1,78 @@
-"""placeholder — filled in incrementally."""
+"""Streaming corpus: Structured Streaming queries run to completion
+(availableNow) so the final memory-sink table equals the batch answer —
+each is oracle-checked against plain SQL over the same events.
 
-SPECS: list = []
+These exercise: file-source streaming scan, watermarks, tumbling
+windows, session windows, and stateful dedup within the watermark.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from etl_global_mobility_spark.corpus.base import QuerySpec
+from etl_global_mobility_spark.streaming.ops import (
+    run_stream_to_memory,
+    session_window_counts,
+    stream_events,
+    streaming_dedup_keys,
+    tumbling_window_counts,
+)
+
+
+def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = stream_events(spark, sf_dir)
+    return run_stream_to_memory(tumbling_window_counts(ev), "complete")
+
+
+def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = stream_events(spark, sf_dir)
+    return run_stream_to_memory(session_window_counts(ev), "complete")
+
+
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = stream_events(spark, sf_dir)
+    return run_stream_to_memory(
+        streaming_dedup_keys(ev, ["user_id", "event_type"]), "append"
+    )
+
+
+SPECS = [
+    QuerySpec(
+        "stream_tumbling_counts",
+        q_stream_tumbling,
+        """SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS win_start,
+               CAST(date_trunc('hour', ts) + INTERVAL 1 HOUR AS TIMESTAMP) AS win_end,
+               event_type, count(*) AS n,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+            FROM events GROUP BY 1, 2, 3""",
+        doc="watermarked tumbling-window streaming aggregation",
+    ),
+    QuerySpec(
+        "stream_session_windows",
+        q_stream_session,
+        """WITH flagged AS (
+             SELECT user_id, ts,
+                    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                              > INTERVAL 5 MINUTE OR
+                              lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                         THEN 1 ELSE 0 END AS new_sess
+             FROM events
+           ), sessioned AS (
+             SELECT user_id, ts,
+                    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                        ROWS UNBOUNDED PRECEDING) AS sess_id
+             FROM flagged
+           )
+           SELECT CAST(min(ts) AS TIMESTAMP) AS sess_start, user_id,
+                  count(*) AS n_events
+           FROM sessioned GROUP BY user_id, sess_id""",
+        doc="session windows (5 min gap) vs SQL sessionization",
+    ),
+    QuerySpec(
+        "stream_dedup_keys",
+        q_stream_dedup,
+        "SELECT DISTINCT user_id, event_type FROM events",
+        doc="dropDuplicatesWithinWatermark stateful dedup",
+    ),
+]

@@ -1,0 +1,136 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media are opaque ``binary`` columns with a typed metadata struct. The
+Spark-side plumbing — schemas, ingestion, Arrow-batched UDF signatures,
+partitioning — is real and tested; the actual byte decoding is STUBBED
+(this environment has no image/audio libraries): ``decode_stub=True``
+produces a deterministic fake so tests are reproducible, and
+``decode_stub=False`` raises ``NotImplementedError`` where a real
+decoder (PIL/ffmpeg/torchaudio) would plug in.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("content", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType(), True),
+                    T.StructField("n_bytes", T.LongType(), True),
+                    T.StructField("sha256", T.StringType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("feature", T.ArrayType(T.FloatType()), True),
+        T.StructField("n_bytes", T.LongType(), True),
+    ]
+)
+
+
+def read_binary_dir(spark: SparkSession, path: str, glob: str | None = None) -> DataFrame:
+    """Ingest a directory of media files as binary rows via Spark's
+    binaryFile source (path, modificationTime, length, content)."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)
+
+
+def attach_media_metadata(
+    df: DataFrame, content_col: str = "content", mime: str = "application/octet-stream"
+) -> DataFrame:
+    """Add the typed metadata struct (mime, byte length, content sha256)
+    — JVM-side expressions, no UDF."""
+    c = F.col(content_col)
+    return df.withColumn(
+        "meta",
+        F.struct(
+            F.lit(mime).alias("mime"),
+            F.length(c).cast("long").alias("n_bytes"),
+            F.sha2(c, 256).alias("sha256"),
+        ),
+    )
+
+
+def _fake_feature(payload: bytes, dim: int) -> list[float]:
+    """Deterministic stand-in feature: normalized byte histogram folded
+    to `dim` buckets. Replace with a real decoder at deploy time."""
+    counts = [0] * dim
+    for byte in payload:
+        counts[byte % dim] += 1
+    total = max(len(payload), 1)
+    return [c / total for c in counts]
+
+
+def extract_features(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "media_id",
+    dim: int = 16,
+    decode_stub: bool = True,
+) -> DataFrame:
+    """Arrow-batched feature extraction over binary content via
+    ``mapInPandas`` — the shape a real image/audio featurizer uses
+    (per-batch decode, no per-row Python overhead, output schema fixed).
+
+    decode_stub=False marks where the real decoder goes (PIL decode →
+    resize → embed; audio → resample → fbank; video → frame-sample):
+    it raises ``NotImplementedError`` because those libraries are not
+    available in this environment.
+    """
+    if not decode_stub:
+        raise NotImplementedError(
+            "real media decoding requires PIL/ffmpeg/torchaudio — not in this env; "
+            "use decode_stub=True for the deterministic fake"
+        )
+
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("feature", T.ArrayType(T.FloatType()), True),
+            T.StructField("n_bytes", T.LongType(), True),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = pdf[content_col]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].astype("int64"),
+                    "feature": [
+                        _fake_feature(bytes(p) if p is not None else b"", dim)
+                        for p in payloads
+                    ],
+                    "n_bytes": [len(p) if p is not None else 0 for p in payloads],
+                }
+            )
+
+    return df.mapInPandas(batches, out_schema)
+
+
+def documents_as_media(df: DataFrame) -> DataFrame:
+    """Adapter: treat the documents table's text bytes as opaque media
+    content (exercises the binary plumbing against driver test data)."""
+    return df.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("content"),
+    )

@@ -1,0 +1,130 @@
+"""Vector similarity search over embedding columns (array<float>).
+
+Exact path: brute-force cosine top-k — deterministic, oracle-checkable;
+fine for a bounded query set (k queries × N corpus rows, distributed by
+corpus partition). Scale path: random-hyperplane LSH bucketing so only
+bucket-mates are compared (never all-pairs at 100 TB).
+
+All dot products run in DOUBLE over zipped arrays with sequential
+(index-order) accumulation — bit-identical across engines for the same
+float inputs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a, b) -> F.Column:
+    """Sequential-order double dot product of two array columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a) -> F.Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a, b) -> F.Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_topk_exact(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k: for every query vector, the k nearest corpus
+    vectors (self-matches excluded), rank 1..k.
+
+    The query side is broadcast (bounded query sets by contract), so the
+    corpus — the 100 TB side — streams through map tasks with no
+    shuffle; only the tiny (n_queries × k) result set shuffles for the
+    final per-query ordering. Ties break by corpus id ascending.
+    """
+    q = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec"))
+    from pyspark.sql import Window
+
+    scored = (
+        c.join(F.broadcast(q), F.col("q_id") != F.col("c_id"))
+        .withColumn("score", cosine(F.col("q_vec"), F.col("c_vec")))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("c_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", "c_id", "score")
+    )
+
+
+def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (python Random, seeded) —
+    no numpy dependency at plan-build time, reproducible across runs."""
+    import random
+
+    rng = random.Random(seed)
+    return [[rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def lsh_bucket(vec_col, planes: list[list[float]]) -> F.Column:
+    """Sign-of-projection LSH bucket id: bit i = 1 iff vec · plane_i > 0.
+    Near vectors (cosine) collide with high probability."""
+    bits = [
+        F.when(dot(vec_col, F.array(*[F.lit(x) for x in p])) > 0, F.lit(1 << i)).otherwise(
+            F.lit(0)
+        )
+        for i, p in enumerate(planes)
+    ]
+    return sum(bits, F.lit(0)).cast("bigint")
+
+
+def lsh_ann_candidates(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    n_planes: int = 8,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: exact ranking *within* the query's LSH bucket.
+
+    Corpus is bucketed once (map-side, no shuffle); the join key is the
+    bucket id, so each query only meets its bucket-mates — at 100 TB
+    this replaces an O(N·Q) cross join with O(N/2^planes · Q) per
+    bucket. Recall is tunable via n_planes (fewer planes → bigger
+    buckets → higher recall, more compute).
+    """
+    planes = random_hyperplanes(dim, n_planes, seed)
+    c = corpus.select(
+        F.col(id_col).alias("c_id"),
+        F.col(vec_col).alias("c_vec"),
+        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    from pyspark.sql import Window
+
+    scored = c.join(F.broadcast(q), on="bucket").filter(
+        F.col("q_id") != F.col("c_id")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("c_id"))
+    return (
+        scored.withColumn("score", cosine(F.col("q_vec"), F.col("c_vec")))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", "c_id", "score")
+    )

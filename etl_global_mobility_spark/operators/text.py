@@ -1,0 +1,128 @@
+"""Text-analysis operators for training-data pipelines.
+
+All hot-path expressions are JVM-side ``pyspark.sql.functions`` —
+no Python UDFs — so they stay inside whole-stage codegen and scale
+linearly with executors. Each returns Columns (composable) or a
+DataFrame transform.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword-ratio
+# language heuristic (deterministic, dependency-free).
+STOPWORDS = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "it"],
+    "es": ["el", "la", "de", "y", "que", "en", "un", "es"],
+    "fr": ["le", "la", "de", "et", "que", "en", "un", "est"],
+    "de": ["der", "die", "das", "und", "von", "zu", "ein", "ist"],
+}
+
+
+def tokenize(text: str | Column) -> Column:
+    """Whitespace tokenization with lowercase normalization; empty
+    strings removed (split on runs of whitespace)."""
+    col = F.col(text) if isinstance(text, str) else text
+    return F.filter(
+        F.split(F.lower(F.trim(col)), r"\s+"), lambda t: F.length(t) > 0
+    )
+
+
+def token_count(text: str | Column) -> Column:
+    """Whitespace token count (0 for empty/blank text)."""
+    return F.size(tokenize(text))
+
+
+def bpe_ish_token_count(text: str | Column) -> Column:
+    """BPE-ish token estimate: split on word boundaries AND digits/
+    punctuation runs (a cheap regex proxy for subword tokenizers)."""
+    col = F.col(text) if isinstance(text, str) else text
+    pieces = F.split(F.lower(F.trim(col)), r"[^a-z0-9]+|(?<=[a-z])(?=[0-9])")
+    return F.size(F.filter(pieces, lambda t: F.length(t) > 0))
+
+
+def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document statistics: chars, tokens, avg token length,
+    punctuation/whitespace/digit ratios."""
+    t = F.col(text_col)
+    toks = tokenize(t)
+    n_chars = F.length(t)
+    return df.withColumns(
+        {
+            "n_chars_calc": n_chars,
+            "n_tokens": F.size(toks),
+            "avg_token_len": (
+                F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x)).cast(
+                    "double"
+                )
+                / F.greatest(F.size(toks), F.lit(1))
+            ),
+            "punct_ratio": (
+                F.length(F.regexp_replace(t, r"[^.,;:!?]", "")).cast("double")
+                / F.greatest(n_chars, F.lit(1))
+            ),
+            "space_ratio": (
+                F.length(F.regexp_replace(t, r"[^ ]", "")).cast("double")
+                / F.greatest(n_chars, F.lit(1))
+            ),
+            "digit_ratio": (
+                F.length(F.regexp_replace(t, r"[^0-9]", "")).cast("double")
+                / F.greatest(n_chars, F.lit(1))
+            ),
+        }
+    )
+
+
+def stopword_hits(text: str | Column, lang: str) -> Column:
+    """Count of tokens that are stopwords of `lang`."""
+    toks = tokenize(text)
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+
+
+def language_id(text: str | Column) -> Column:
+    """Stopword-ratio language heuristic: the language whose stopword
+    list hits the most tokens; 'und' (undetermined) on zero hits.
+    Deterministic tie-break: language name ascending."""
+    scored = F.array(
+        *[
+            F.struct(
+                stopword_hits(text, lang).alias("hits"), F.lit(lang).alias("lang")
+            )
+            for lang in sorted(STOPWORDS)
+        ]
+    )
+    best = F.array_max(scored)  # struct compare: hits first, then lang
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def quality_score(text: str | Column) -> Column:
+    """Heuristic document quality in [0,1]: length band + token count +
+    moderate punctuation + low digit noise. Deterministic, JVM-only."""
+    col = F.col(text) if isinstance(text, str) else text
+    n_chars = F.length(col)
+    n_toks = token_count(col)
+    punct = F.length(F.regexp_replace(col, r"[^.,;:!?]", "")).cast("double") / F.greatest(
+        n_chars, F.lit(1)
+    )
+    digit = F.length(F.regexp_replace(col, r"[^0-9]", "")).cast("double") / F.greatest(
+        n_chars, F.lit(1)
+    )
+    score = (
+        F.when(n_chars >= 200, F.lit(0.4)).when(n_chars >= 50, F.lit(0.2)).otherwise(F.lit(0.0))
+        + F.when(n_toks >= 30, F.lit(0.3)).when(n_toks >= 10, F.lit(0.15)).otherwise(F.lit(0.0))
+        + F.when(punct <= 0.1, F.lit(0.2)).otherwise(F.lit(0.0))
+        + F.when(digit <= 0.2, F.lit(0.1)).otherwise(F.lit(0.0))
+    )
+    return score.cast("double")
+
+
+def doc_fingerprint(text: str | Column, n_hex: int = 16) -> Column:
+    """Deterministic document fingerprint: md5 of the token-normalized
+    text (lowercased, whitespace collapsed), first `n_hex` hex chars.
+    Cross-engine reproducible (md5 is standard everywhere)."""
+    col = F.col(text) if isinstance(text, str) else text
+    normalized = F.concat_ws(" ", tokenize(col))
+    return F.substring(F.md5(normalized), 1, n_hex)

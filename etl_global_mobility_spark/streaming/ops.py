@@ -1,0 +1,113 @@
+"""Streaming operators over the events table.
+
+Design notes (scale): file-source streams partition per file; watermarks
+bound state size (late data beyond the watermark is dropped rather than
+accumulating unbounded per-window state); ``availableNow`` gives
+replay-deterministic batch-equivalent results, which the tests and the
+corpus oracle rely on.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# events.parquet physical schema: ts is TIMESTAMP(NANOS) which Spark
+# reads as LONG only under nanosAsLong (see corpus.base.load_events).
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType(), True),
+        T.StructField("ts", T.LongType(), True),  # nanos since epoch
+        T.StructField("user_id", T.LongType(), True),
+        T.StructField("event_type", T.StringType(), True),
+        T.StructField("value", T.DoubleType(), True),
+        T.StructField("props", T.StringType(), True),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (one file → one
+    micro-batch under availableNow), nanos → microsecond timestamps."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_window_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Watermarked tumbling-window counts + decimal-exact value sums per
+    (window, event_type)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("win_start"),
+            F.col("window.end").alias("win_end"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def session_window_counts(
+    events: DataFrame, gap: str = "5 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Session windows per user: a session closes after `gap` of
+    inactivity (stateful, watermark-bounded)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap), F.col("user_id"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("session_window.start").alias("sess_start"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def streaming_dedup_keys(
+    events: DataFrame, keys: list[str], watermark: str = "10 minutes"
+) -> DataFrame:
+    """Stateful dedup on `keys` within the watermark horizon; emits the
+    key columns only, so the result is the distinct key set regardless
+    of which physical row was first encountered."""
+    return (
+        events.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(keys)
+        .select(*keys)
+    )
+
+
+def run_stream_to_memory(df: DataFrame, output_mode: str = "complete") -> DataFrame:
+    """Run a (bounded) streaming frame to completion with
+    Trigger.AvailableNow into a memory sink; return the final table.
+
+    complete mode re-emits full state at the last batch, so the result
+    equals the batch computation — the replay-determinism property the
+    corpus oracle checks.
+    """
+    name = f"mem_{uuid.uuid4().hex[:10]}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return df.sparkSession.table(name)
