@@ -224,10 +224,13 @@ def _simhash_sql(bits: int = 32) -> str:
 
 
 def _minhash_sql(n_hashes: int = 16, bands: int = 4, k: int = 3, thr: float = 0.25) -> str:
+    from etl_global_mobility_spark.operators.dedup import MINHASH_P, minhash_coeffs
+
     rows = n_hashes // bands
+    coeffs = minhash_coeffs(n_hashes)
     sig = ", ".join(
-        f"list_min(list_transform(shingles, s -> {_md5_hash_sql('s', i)})) AS s{i}"
-        for i in range(n_hashes)
+        f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {MINHASH_P})) AS s{i}"
+        for i, (a, b) in enumerate(coeffs)
     )
     sig_list = "[" + ", ".join(f"s{i}" for i in range(n_hashes)) + "]"
     band_selects = " UNION ALL ".join(
@@ -238,7 +241,10 @@ def _minhash_sql(n_hashes: int = 16, bands: int = 4, k: int = 3, thr: float = 0.
     )
     return f"""
     WITH docs AS (
-      SELECT doc_id AS id, {_shingles_sql(k)} AS shingles FROM documents
+      SELECT doc_id AS id,
+             list_transform({_shingles_sql(k)},
+                            s -> {_md5_hash_sql("s", 0)} % {MINHASH_P}) AS hs
+      FROM documents
     ), sigged AS (
       SELECT id, {sig} FROM docs
     ), sigs AS (
