@@ -96,34 +96,48 @@ def lsh_ann_candidates(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    n_tables: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: exact ranking *within* the query's LSH bucket.
+    """Approximate top-k: exact ranking within the union of the query's
+    LSH buckets across `n_tables` independent hash tables
+    (OR-construction: a candidate qualifies if it collides in ANY
+    table — the standard recall amplification).
 
-    Corpus is bucketed once (map-side, no shuffle); the join key is the
-    bucket id, so each query only meets its bucket-mates — at 100 TB
-    this replaces an O(N·Q) cross join with O(N/2^planes · Q) per
-    bucket. Recall is tunable via n_planes (fewer planes → bigger
-    buckets → higher recall, more compute).
+    Corpus is bucketed once per table (map-side, no shuffle); each join
+    key is a bucket id, so each query only meets bucket-mates — at
+    100 TB this replaces an O(N·Q) cross join with
+    O(n_tables · N/2^planes · Q) per bucket. Tune recall with fewer
+    planes (bigger buckets) or more tables (more unions).
     """
-    planes = random_hyperplanes(dim, n_planes, seed)
-    c = corpus.select(
-        F.col(id_col).alias("c_id"),
-        F.col(vec_col).alias("c_vec"),
-        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
-    )
-    q = queries.select(
-        F.col(id_col).alias("q_id"),
-        F.col(vec_col).alias("q_vec"),
-        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
-    )
     from pyspark.sql import Window
 
-    scored = c.join(F.broadcast(q), on="bucket").filter(
-        F.col("q_id") != F.col("c_id")
+    def bucketed(df: DataFrame, prefix: str) -> DataFrame:
+        cols = [
+            F.col(id_col).alias(f"{prefix}_id"),
+            F.col(vec_col).alias(f"{prefix}_vec"),
+        ]
+        for t in range(n_tables):
+            planes = random_hyperplanes(dim, n_planes, seed + 1000 * t)
+            cols.append(lsh_bucket(F.col(vec_col), planes).alias(f"bucket{t}"))
+        return df.select(*cols)
+
+    c = bucketed(corpus, "c")
+    q = bucketed(queries, "q")
+
+    cand = None
+    for t in range(n_tables):
+        hit = c.join(
+            F.broadcast(q.select("q_id", "q_vec", f"bucket{t}")),
+            on=f"bucket{t}",
+        ).select("q_id", "q_vec", "c_id", "c_vec")
+        cand = hit if cand is None else cand.unionByName(hit)
+    cand = cand.filter(F.col("q_id") != F.col("c_id")).dropDuplicates(
+        ["q_id", "c_id"]
     )
+
     w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("c_id"))
     return (
-        scored.withColumn("score", cosine(F.col("q_vec"), F.col("c_vec")))
+        cand.withColumn("score", cosine(F.col("q_vec"), F.col("c_vec")))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("q_id", "rank", "c_id", "score")

@@ -1,0 +1,145 @@
+"""Property tests for §2C operators (SURVEY §5: planted-duplicate
+recall for near-dup dedup, ANN recall@k vs exact, multimodal plumbing,
+streaming replay determinism)."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_global_mobility_spark.operators.dedup import (
+    exact_dedup,
+    minhash_near_duplicates,
+    ngram_jaccard_pairs,
+    simhash_fingerprint,
+)
+from etl_global_mobility_spark.operators.similarity import (
+    cosine_topk_exact,
+    lsh_ann_candidates,
+)
+
+VOCAB = (
+    "data spark batch stream query table row column join filter sort hash "
+    "merge window agg value key part line customer order small big fast slow"
+).split()
+
+
+def _mk_docs(spark, n=60, words=80, n_dups=8, seed=11):
+    """Corpus with planted near-duplicates: dup docs differ from their
+    source in ~5% of tokens."""
+    rng = random.Random(seed)
+    rows, planted = [], []
+    for i in range(n):
+        toks = [rng.choice(VOCAB) for _ in range(words)]
+        rows.append((i, " ".join(toks)))
+    for j in range(n_dups):
+        src_id, src_text = rows[j]
+        toks = src_text.split()
+        for _ in range(max(1, words // 20)):
+            toks[rng.randrange(words)] = rng.choice(VOCAB)
+        dup_id = n + j
+        rows.append((dup_id, " ".join(toks)))
+        planted.append((src_id, dup_id))
+    return spark.createDataFrame(rows, "doc_id long, text string"), planted
+
+
+def test_exact_dedup_keeps_lowest_id(spark):
+    df = spark.createDataFrame(
+        [(1, "aaa"), (5, "aaa"), (3, "bbb"), (9, "aaa")], "doc_id long, text string"
+    )
+    out = exact_dedup(df).select("doc_id", "n_copies").collect()
+    got = {(r.doc_id, r.n_copies) for r in out}
+    assert got == {(1, 3), (3, 1)}
+
+
+def test_minhash_recall_on_planted_duplicates(spark):
+    docs, planted = _mk_docs(spark)
+    pairs = minhash_near_duplicates(docs, jaccard_threshold=0.3)
+    found = {(r.id_a, r.id_b) for r in pairs.collect()}
+    recall = sum(1 for p in planted if p in found) / len(planted)
+    assert recall >= 0.75, f"planted-dup recall {recall}: found {found}"
+
+
+def test_ngram_jaccard_finds_planted_duplicates(spark):
+    docs, planted = _mk_docs(spark)
+    pairs = ngram_jaccard_pairs(docs, k=3, threshold=0.5)
+    found = {(r.id_a, r.id_b) for r in pairs.collect()}
+    recall = sum(1 for p in planted if p in found) / len(planted)
+    assert recall >= 0.9, f"exact-jaccard recall {recall}"
+
+
+def test_simhash_near_dups_have_small_hamming_distance(spark):
+    docs, planted = _mk_docs(spark)
+    fp = {r.id: r.simhash for r in simhash_fingerprint(docs).collect()}
+    rng = random.Random(3)
+    ids = sorted(fp)
+
+    def ham(a, b):
+        return bin(fp[a] ^ fp[b]).count("1")
+
+    dup_d = [ham(a, b) for a, b in planted]
+    rand_d = [ham(rng.choice(ids), rng.choice(ids)) for _ in range(50)]
+    assert max(dup_d) <= 8, f"planted dup hamming distances {dup_d}"
+    assert sum(rand_d) / len(rand_d) > max(dup_d), "random pairs not separated"
+
+
+def test_ann_recall_vs_exact(spark):
+    rng = random.Random(5)
+    rows = [
+        (i, [rng.gauss(0, 1) for _ in range(16)], 0) for i in range(200)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = cosine_topk_exact(emb, queries, k=5)
+    single = lsh_ann_candidates(emb, queries, dim=16, n_planes=3, k=5, n_tables=1)
+    multi = lsh_ann_candidates(emb, queries, dim=16, n_planes=3, k=5, n_tables=4)
+    e = {(r.q_id, r.c_id) for r in exact.collect()}
+    r1 = len(e & {(r.q_id, r.c_id) for r in single.collect()}) / len(e)
+    recall = len(e & {(r.q_id, r.c_id) for r in multi.collect()}) / len(e)
+    # OR-construction across 4 tables must amplify single-table recall
+    assert recall >= 0.6, f"multi-table ANN recall@5 {recall} (single {r1})"
+    assert recall >= r1
+    ann = multi
+    # every ANN hit must be a genuine bucket-mate ranked correctly:
+    # rank within each q_id strictly increasing from 1
+    for q in {r.q_id for r in ann.collect()}:
+        ranks = sorted(r.rank for r in ann.collect() if r.q_id == q)
+        assert ranks == list(range(1, len(ranks) + 1))
+
+
+def test_multimodal_feature_plumbing(spark):
+    from etl_global_mobility_spark.operators.multimodal import (
+        attach_media_metadata,
+        documents_as_media,
+        extract_features,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, "")], "doc_id long, text string"
+    )
+    media = attach_media_metadata(documents_as_media(docs), mime="text/plain")
+    meta = {r.media_id: r.meta for r in media.collect()}
+    assert meta[1].n_bytes == 11 and meta[1].mime == "text/plain"
+    feats = extract_features(media, dim=8).collect()
+    by_id = {r.media_id: r for r in feats}
+    assert len(by_id[1].feature) == 8
+    assert abs(sum(by_id[1].feature) - 1.0) < 1e-6  # histogram normalized
+    assert by_id[2].n_bytes == 0
+
+    with pytest.raises(NotImplementedError):
+        extract_features(media, decode_stub=False)
+
+
+def test_streaming_replay_determinism(spark):
+    """Two independent replays of the same bounded stream produce the
+    identical windowed aggregation (SURVEY §5 streaming property)."""
+    from etl_global_mobility_spark.corpus.streaming import q_stream_tumbling
+
+    sf_dir = "/root/testdata/sf0.001"
+    a = sorted(map(str, q_stream_tumbling(spark, sf_dir).collect()))
+    b = sorted(map(str, q_stream_tumbling(spark, sf_dir).collect()))
+    assert a == b and len(a) > 0
