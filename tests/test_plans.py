@@ -1,0 +1,115 @@
+"""Physical-plan audits (SURVEY §4): the scale properties are asserted,
+not assumed — predicate pushdown reaches the parquet scan, column
+pruning shrinks ReadSchema, dim joins broadcast, global top-k plans as
+TakeOrderedAndProject, aggregations are partial (map-side combine),
+and the hot expression paths stay inside WholeStageCodegen.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def final_plan_of(df) -> str:
+    """Plan AFTER execution — AQE finalizes (and codegen-wraps) the
+    plan only once a job has run — and the job must be THIS df's own
+    queryExecution (count()/write wrap it in a new one)."""
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    from etl_global_mobility_spark.corpus.parity import q_filter_eq_range
+
+    plan = plan_of(q_filter_eq_range(spark, SF))
+    assert "PushedFilters: [" in plan
+    assert "IsNotNull(l_returnflag)" in plan or "EqualTo(l_returnflag,R)" in plan
+
+
+def test_column_pruning_shrinks_read_schema(spark):
+    from etl_global_mobility_spark.corpus.parity import q_rename_project
+
+    plan = plan_of(q_rename_project(spark, SF))
+    # 4 of 11 lineitem columns read — the scan schema must not contain
+    # the unprojected measure columns
+    assert "l_extendedprice" not in plan
+    assert "l_quantity" not in plan
+
+
+def test_dim_join_broadcasts(spark):
+    from etl_global_mobility_spark.corpus.relational import (
+        q_join_broadcast_dims,
+        q_join_revenue_by_nation,
+    )
+
+    assert "BroadcastHashJoin" in plan_of(q_join_broadcast_dims(spark, SF))
+    assert "BroadcastHashJoin" in plan_of(q_join_revenue_by_nation(spark, SF))
+
+
+def test_semi_anti_join_types(spark):
+    from etl_global_mobility_spark.corpus.relational import q_join_anti, q_join_semi
+
+    assert "LeftSemi" in plan_of(q_join_semi(spark, SF))
+    assert "LeftAnti" in plan_of(q_join_anti(spark, SF))
+
+
+def test_global_topk_is_take_ordered(spark):
+    from etl_global_mobility_spark.corpus.relational import q_topk_global
+
+    assert "TakeOrderedAndProject" in plan_of(q_topk_global(spark, SF))
+
+
+def test_aggregation_is_partial(spark):
+    from etl_global_mobility_spark.corpus.relational import q_agg_pricing_summary
+
+    plan = plan_of(q_agg_pricing_summary(spark, SF))
+    # partial + final HashAggregate pair = map-side combine before shuffle
+    assert "partial_sum" in plan
+    assert plan.count("HashAggregate") >= 2
+    assert "*(" in final_plan_of(q_agg_pricing_summary(spark, SF))  # *(n) = WholeStageCodegen span
+
+
+def test_quality_engine_stays_in_codegen(spark):
+    """The 6-rule engine is pure JVM expressions — no Python workers in
+    the plan (BatchEvalPython/ArrowEvalPython would mean a UDF leaked
+    into the hot path)."""
+    from etl_global_mobility_spark.corpus.parity import q_quality_reasons
+
+    plan = final_plan_of(q_quality_reasons(spark, SF))
+    assert "EvalPython" not in plan
+    assert "*(" in plan  # *(n) = WholeStageCodegen span
+
+
+def test_exact_topk_broadcasts_query_side(spark):
+    """Brute-force cosine must broadcast the bounded query side so the
+    corpus side streams without a shuffle."""
+    from etl_global_mobility_spark.corpus.llm import q_cosine_topk
+
+    plan = plan_of(q_cosine_topk(spark, SF))
+    assert "Broadcast" in plan
+
+
+def test_partition_pruning_on_partitioned_table(spark, tmp_path):
+    """A date filter over a date-partitioned table scans only matching
+    partitions (the silver-table layout at 100 TB)."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "pt")
+    df = spark.range(100).select(
+        F.col("id"),
+        (F.col("id") % 5).cast("string").alias("day"),
+    )
+    df.write.partitionBy("day").parquet(path)
+    scan = spark.read.parquet(path).filter(F.col("day") == "3")
+    plan = plan_of(scan)
+    # the day predicate must land in PartitionFilters (metadata-only
+    # pruning), NOT in PushedFilters/data filters
+    assert "PartitionFilters: [isnotnull(day" in plan and "day#" in plan
+    assert "(day" in plan.split("PartitionFilters")[1].split("]")[0]
+    assert scan.count() == 20  # exactly one of five partitions
