@@ -13,10 +13,16 @@ from etl_global_mobility_spark.corpus.base import QuerySpec, load_table
 
 def all_queries() -> dict[str, QuerySpec]:
     """name → QuerySpec for every declared query, stable order."""
-    from etl_global_mobility_spark.corpus import llm, parity, relational, streaming
+    from etl_global_mobility_spark.corpus import (
+        llm,
+        parity,
+        relational,
+        streaming,
+        udfs,
+    )
 
     out: dict[str, QuerySpec] = {}
-    for mod in (parity, relational, llm, streaming):
+    for mod in (parity, relational, llm, streaming, udfs):
         for spec in mod.SPECS:
             if spec.name in out:
                 raise ValueError(f"duplicate query name: {spec.name}")

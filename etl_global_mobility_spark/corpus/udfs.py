@@ -1,0 +1,136 @@
+"""§2B UDF/UDAF surface: Arrow-vectorized pandas UDFs (SURVEY.md:215).
+
+Three shapes, each oracle-checked:
+  * scalar ``@pandas_udf`` — vectorized per-row compute (Arrow batches,
+    no per-row Python overhead);
+  * grouped-aggregate ``@pandas_udf`` — a UDAF over each group;
+  * grouped-map ``applyInPandas`` — whole-group transform.
+
+Determinism: only order-independent pandas ops (max/min, elementwise
+arithmetic) — a pandas ``sum``/``mean`` would depend on row order
+within the partition and break cross-engine comparison.
+
+These are deliberately NOT in the engine's relational hot path (plan
+audits assert no EvalPython there); they demonstrate the supported
+escape hatch for logic the built-ins can't express.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from etl_global_mobility_spark.corpus.base import QuerySpec, load_table
+
+
+# UDFs are built lazily inside each query: the @pandas_udf decorator
+# parses its DDL return type against the ACTIVE SparkContext, so
+# module-level decoration would make `import corpus` require a running
+# session (breaking the driver contract's sessionless queries() call).
+
+
+def _discounted_price():
+    @pandas_udf("double")
+    def udf(price: pd.Series, discount: pd.Series) -> pd.Series:
+        """Vectorized scalar: price*(1-discount) — two IEEE ops per
+        row, bit-identical to any engine's double arithmetic."""
+        return price * (1.0 - discount)
+
+    return udf
+
+
+def _range_udaf():
+    @pandas_udf("double")
+    def udf(v: pd.Series) -> float:
+        """Grouped-agg pandas UDAF: max-min spread (order-independent)."""
+        return float(v.max() - v.min())
+
+    return udf
+
+
+def _count_udaf():
+    @pandas_udf("long")
+    def udf(v: pd.Series) -> int:
+        """Grouped-agg pandas count (Spark disallows mixing pandas and
+        built-in aggregates in one agg)."""
+        return int(len(v))
+
+    return udf
+
+
+def q_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        _discounted_price()(F.col("l_extendedprice"), F.col("l_discount")).alias(
+            "disc_price"
+        ),
+    )
+
+
+def q_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_custkey").agg(
+        _range_udaf()(F.col("o_totalprice")).alias("price_spread"),
+        _count_udaf()(F.col("o_orderkey")).alias("n_orders"),
+    )
+
+
+def q_pandas_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas: per-customer min-anchored price delta (whole-group
+    transform; single-op subtraction per row → deterministic)."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("o_custkey", T.LongType()),
+            T.StructField("o_orderkey", T.LongType()),
+            T.StructField("delta_from_min", T.DoubleType()),
+        ]
+    )
+
+    def anchor(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "o_custkey": pdf["o_custkey"],
+                "o_orderkey": pdf["o_orderkey"],
+                "delta_from_min": pdf["o_totalprice"] - pdf["o_totalprice"].min(),
+            }
+        )
+
+    return o.groupBy("o_custkey").applyInPandas(anchor, schema)
+
+
+SPECS = [
+    QuerySpec(
+        "udf_pandas_scalar",
+        q_pandas_scalar,
+        "SELECT l_orderkey, l_linenumber, "
+        "l_extendedprice * (1.0 - l_discount) AS disc_price FROM lineitem",
+        doc="Arrow-vectorized scalar pandas UDF",
+    ),
+    QuerySpec(
+        "udf_pandas_grouped_agg",
+        q_pandas_grouped_agg,
+        """SELECT o_custkey,
+               CAST(max(o_totalprice) - min(o_totalprice) AS DOUBLE) AS price_spread,
+               count(*) AS n_orders
+            FROM orders GROUP BY o_custkey""",
+        doc="grouped-aggregate pandas UDAF",
+    ),
+    QuerySpec(
+        "udf_pandas_grouped_map",
+        q_pandas_grouped_map,
+        """SELECT o_custkey, o_orderkey,
+               o_totalprice - min(o_totalprice) OVER (PARTITION BY o_custkey)
+                 AS delta_from_min
+            FROM orders""",
+        doc="grouped-map applyInPandas transform",
+    ),
+]
