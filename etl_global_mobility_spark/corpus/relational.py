@@ -284,6 +284,34 @@ def q_window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: ntile / percent_rank / cume_dist
+    (+ first/last over a frame), tie-free via unique orderkey."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.first("o_orderkey").over(wf).alias("cheapest_key"),
+        F.last("o_orderkey").over(wf).alias("priciest_key"),
+    )
+
+
+def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++). Sketches are
+    engine-specific, so no SQL oracle — the property test bounds the
+    relative error against the exact count instead."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+
+
 # ----------------------------------------------------- sort / set ops ----
 def q_topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global top-10 by (totalprice desc, orderkey) — plans as
@@ -329,6 +357,13 @@ def q_scalar_string_date_math(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws("::", F.col("p_brand"), F.col("p_type")).alias("brand_type"),
         (F.col("p_size") % 7).alias("size_mod"),
         F.abs(F.col("p_size") - 25).alias("size_dist"),
+        F.sqrt(F.col("p_size").cast("double")).alias("size_sqrt"),
+        F.floor(F.col("p_retailprice")).cast("long").alias("price_floor"),
+        F.ceil(F.col("p_retailprice")).cast("long").alias("price_ceil"),
+        F.regexp_extract(F.col("p_name"), r"^(\w+)", 1).alias("first_name_word"),
+        F.coalesce(F.nullif(F.col("p_brand"), F.lit("Brand#13")), F.lit("OTHER")).alias(
+            "brand_or_other"
+        ),
         F.when(F.col("p_retailprice").cast("decimal(18,2)") > 1500, "premium")
         .otherwise("standard")
         .alias("tier"),
@@ -548,6 +583,29 @@ SPECS = [
         doc="framed running aggregate",
     ),
     QuerySpec(
+        "rel_window_distribution",
+        q_window_distribution,
+        """SELECT o_orderkey, o_orderpriority,
+               ntile(4)       OVER w AS quartile,
+               percent_rank() OVER w AS pct_rank,
+               cume_dist()    OVER w AS cume,
+               first(o_orderkey) OVER wf AS cheapest_key,
+               last(o_orderkey)  OVER wf AS priciest_key
+            FROM orders
+            WINDOW w AS (PARTITION BY o_orderpriority
+                         ORDER BY o_totalprice, o_orderkey),
+                   wf AS (PARTITION BY o_orderpriority
+                          ORDER BY o_totalprice, o_orderkey
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)""",
+        doc="ntile/percent_rank/cume_dist/first/last windows",
+    ),
+    QuerySpec(
+        "rel_agg_approx_distinct",
+        q_agg_approx_distinct,
+        None,  # HLL sketch values are engine-specific; see property test
+        doc="approx_count_distinct (HLL++), rows-only + error-bound test",
+    ),
+    QuerySpec(
         "rel_topk_global",
         q_topk_global,
         """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
@@ -583,6 +641,11 @@ SPECS = [
                concat_ws('::', p_brand, p_type) AS brand_type,
                p_size % 7 AS size_mod,
                abs(p_size - 25) AS size_dist,
+               sqrt(CAST(p_size AS DOUBLE)) AS size_sqrt,
+               CAST(floor(p_retailprice) AS BIGINT) AS price_floor,
+               CAST(ceil(p_retailprice) AS BIGINT) AS price_ceil,
+               regexp_extract(p_name, '^(\\w+)', 1) AS first_name_word,
+               coalesce(nullif(p_brand, 'Brand#13'), 'OTHER') AS brand_or_other,
                CASE WHEN CAST(p_retailprice AS DECIMAL(18,2)) > 1500
                     THEN 'premium' ELSE 'standard' END AS tier
             FROM part""",

@@ -143,3 +143,14 @@ def test_streaming_replay_determinism(spark):
     a = sorted(map(str, q_stream_tumbling(spark, sf_dir).collect()))
     b = sorted(map(str, q_stream_tumbling(spark, sf_dir).collect()))
     assert a == b and len(a) > 0
+
+
+def test_approx_count_distinct_error_bound(spark):
+    """HLL++ estimate within the configured 2% rsd (allow 3x slack)."""
+    from etl_global_mobility_spark.corpus.relational import q_agg_approx_distinct
+
+    rows = q_agg_approx_distinct(spark, "/root/testdata/sf0.01").collect()
+    assert rows
+    for r in rows:
+        rel_err = abs(r.approx_parts - r.exact_parts) / max(r.exact_parts, 1)
+        assert rel_err < 0.06, f"{r.l_returnflag}: {r.approx_parts} vs {r.exact_parts}"
