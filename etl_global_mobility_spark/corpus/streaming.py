@@ -14,6 +14,7 @@ from etl_global_mobility_spark.corpus.base import QuerySpec
 from etl_global_mobility_spark.streaming.ops import (
     run_stream_to_memory,
     session_window_counts,
+    sliding_window_counts,
     stream_events,
     streaming_dedup_keys,
     tumbling_window_counts,
@@ -28,6 +29,11 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = stream_events(spark, sf_dir)
     return run_stream_to_memory(session_window_counts(ev), "complete")
+
+
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = stream_events(spark, sf_dir)
+    return run_stream_to_memory(sliding_window_counts(ev), "complete")
 
 
 def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -68,6 +74,19 @@ SPECS = [
                   count(*) AS n_events
            FROM sessioned GROUP BY user_id, sess_id""",
         doc="session windows (5 min gap) vs SQL sessionization",
+    ),
+    QuerySpec(
+        "stream_sliding_counts",
+        q_stream_sliding,
+        """WITH starts AS (
+             SELECT event_type,
+                    unnest([date_trunc('hour', ts) - INTERVAL 1 HOUR,
+                            date_trunc('hour', ts)]) AS win_start
+             FROM events)
+           SELECT CAST(win_start AS TIMESTAMP) AS win_start, event_type,
+                  count(*) AS n
+           FROM starts GROUP BY 1, 2""",
+        doc="sliding 2h/1h windows (each event in 2 windows)",
     ),
     QuerySpec(
         "stream_dedup_keys",

@@ -63,6 +63,26 @@ def tumbling_window_counts(
     )
 
 
+def sliding_window_counts(
+    events: DataFrame,
+    window: str = "2 hours",
+    slide: str = "1 hour",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Sliding (overlapping) windows: each event lands in
+    window/slide windows (2 here)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide), F.col("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("window.start").alias("win_start"),
+            "event_type",
+            "n",
+        )
+    )
+
+
 def session_window_counts(
     events: DataFrame, gap: str = "5 minutes", watermark: str = "10 minutes"
 ) -> DataFrame:
