@@ -63,7 +63,10 @@ def spark_round_sql(expr: str, n: int) -> str:
     is shortest-repr, so VARCHAR → DECIMAL → round(HALF_UP) mirrors
     Spark exactly (verified on 60k-row corpora).
     """
-    return f"CAST(round(CAST(CAST(({expr}) AS VARCHAR) AS DECIMAL(38,15)), {n}) AS DECIMAL(21,{n}))"
+    # scale 20: a double's shortest repr carries ≤17 significant digits,
+    # so scale 15 truncates values like 3.7864999999999998 (16 fractional
+    # digits) into 3.7865 and flips the rounding — found at sf0.1.
+    return f"CAST(round(CAST(CAST(({expr}) AS VARCHAR) AS DECIMAL(38,20)), {n}) AS DECIMAL(21,{n}))"
 
 
 @dataclass(frozen=True)
