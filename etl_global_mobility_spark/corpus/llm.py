@@ -21,6 +21,7 @@ from etl_global_mobility_spark.operators.dedup import (
 )
 from etl_global_mobility_spark.operators.similarity import (
     cosine_topk_exact,
+    embedding_near_duplicates,
     lsh_ann_candidates,
     random_hyperplanes,
 )
@@ -127,6 +128,11 @@ def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < 8)
     return lsh_ann_candidates(e, queries, dim=64, n_planes=6, k=5)
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_duplicates(e, dim=64, threshold=0.3, n_planes=4)
 
 
 def q_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -329,6 +335,28 @@ def _lsh_ann_sql(dim: int = 64, n_planes: int = 6, k: int = 5, n_queries: int = 
     """
 
 
+def _embedding_neardup_sql(dim: int = 64, n_planes: int = 4, thr: float = 0.3) -> str:
+    planes = random_hyperplanes(dim, n_planes, seed=42)
+    terms = []
+    for i, p in enumerate(planes):
+        lit = "[" + ", ".join(repr(x) for x in p) + "]::DOUBLE[]"
+        terms.append(
+            f"(CASE WHEN list_dot_product(embedding::DOUBLE[], {lit}) > 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+        )
+    bucket = " + ".join(terms)
+    cos = _COS.replace("a.embedding", "x.embedding").replace("b.embedding", "y.embedding")
+    return f"""
+    WITH bucketed AS (
+      SELECT vec_id, embedding, CAST({bucket} AS BIGINT) AS bucket FROM embeddings
+    )
+    SELECT x.vec_id AS id_a, y.vec_id AS id_b, {cos} AS cos
+    FROM bucketed x JOIN bucketed y
+      ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+    WHERE {cos} >= {thr}
+    """
+
+
 def _knn_vote_sql(n_queries: int = 8, k: int = 10) -> str:
     return f"""
     WITH scored AS (
@@ -438,6 +466,12 @@ SPECS = [
         q_lsh_ann,
         _lsh_ann_sql(),
         doc="LSH-bucketed approximate nearest neighbors",
+    ),
+    QuerySpec(
+        "llm_embedding_neardup",
+        q_embedding_neardup,
+        _embedding_neardup_sql(),
+        doc="embedding-cosine near-dup dedup (LSH-bucketed candidates)",
     ),
     QuerySpec(
         "llm_knn_label_vote",

@@ -43,6 +43,21 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_stateful_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-user
+    running profile carried across micro-batches."""
+    from etl_global_mobility_spark.streaming.ops import EVENTS_RAW_SCHEMA
+    from etl_global_mobility_spark.streaming.stateful import user_profile_stream
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return run_stream_to_memory(user_profile_stream(raw), "update")
+
+
 SPECS = [
     QuerySpec(
         "stream_tumbling_counts",
@@ -93,5 +108,16 @@ SPECS = [
         q_stream_dedup,
         "SELECT DISTINCT user_id, event_type FROM events",
         doc="dropDuplicatesWithinWatermark stateful dedup",
+    ),
+    QuerySpec(
+        "stream_stateful_profile",
+        q_stream_stateful_profile,
+        """SELECT user_id,
+               count(*) AS n_events,
+               sum(CAST(floor(value * 1000 + 0.5) AS BIGINT)) AS total_value_millis,
+               min(epoch_ns(ts) // 1000) AS first_us,
+               max(epoch_ns(ts) // 1000) AS last_us
+            FROM events GROUP BY user_id""",
+        doc="custom stateful operator via applyInPandasWithState",
     ),
 ]

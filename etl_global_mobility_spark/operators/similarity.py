@@ -66,6 +66,43 @@ def cosine_topk_exact(
     )
 
 
+def embedding_near_duplicates(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.9,
+    n_planes: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, cos) with
+    cos ≥ threshold, id_a < id_b.
+
+    Candidates come from LSH bucket collisions (sign-of-projection
+    buckets), then the exact cosine verifies — at 100 TB the bucket
+    join replaces the quadratic all-pairs compare. High-cosine pairs
+    collide with probability (1 − θ/π)^planes, so few planes keep
+    near-duplicate recall high while still pruning the far pairs.
+    """
+    planes = random_hyperplanes(dim, n_planes, seed)
+    b = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    x = b.alias("x")
+    y = b.alias("y")
+    pairs = x.join(
+        y,
+        (F.col("x.bucket") == F.col("y.bucket")) & (F.col("x.id") < F.col("y.id")),
+    ).select(
+        F.col("x.id").alias("id_a"),
+        F.col("y.id").alias("id_b"),
+        cosine(F.col("x.vec"), F.col("y.vec")).alias("cos"),
+    )
+    return pairs.filter(F.col("cos") >= threshold)
+
+
 def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes (python Random, seeded) —
     no numpy dependency at plan-build time, reproducible across runs."""
