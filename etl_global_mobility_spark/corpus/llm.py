@@ -22,6 +22,7 @@ from etl_global_mobility_spark.operators.dedup import (
 from etl_global_mobility_spark.operators.similarity import (
     cosine_topk_exact,
     embedding_near_duplicates,
+    ivf_topk,
     lsh_ann_candidates,
     random_hyperplanes,
 )
@@ -128,6 +129,12 @@ def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < 8)
     return lsh_ann_candidates(e, queries, dim=64, n_planes=6, k=5)
+
+
+def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 8)
+    return ivf_topk(e, queries, n_cells=16, nprobe=2, k=5)
 
 
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -335,6 +342,39 @@ def _lsh_ann_sql(dim: int = 64, n_planes: int = 6, k: int = 5, n_queries: int = 
     """
 
 
+def _ivf_ann_sql(n_cells: int = 16, nprobe: int = 2, k: int = 5, n_queries: int = 8) -> str:
+    cos_ec = _COS.replace("a.embedding", "e.embedding").replace("b.embedding", "c.embedding")
+    cos_pa = _COS.replace("b.embedding", "p.q_emb")
+    return f"""
+    WITH cents AS (
+      SELECT vec_id AS cent_id, embedding FROM embeddings ORDER BY vec_id LIMIT {n_cells}
+    ), assign AS (
+      SELECT vec_id, embedding, cent_id FROM (
+        SELECT e.vec_id, e.embedding, c.cent_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {cos_ec} DESC, c.cent_id) AS rn
+        FROM embeddings e CROSS JOIN cents c
+      ) WHERE rn = 1
+    ), probe AS (
+      SELECT vec_id AS q_id, embedding AS q_emb, cent_id AS cell FROM (
+        SELECT e.vec_id, e.embedding, c.cent_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {cos_ec} DESC, c.cent_id) AS rn
+        FROM embeddings e CROSS JOIN cents c WHERE e.vec_id < {n_queries}
+      ) WHERE rn <= {nprobe}
+    ), scored AS (
+      SELECT p.q_id, a.vec_id AS c_id, {cos_pa} AS score
+      FROM assign a JOIN probe p ON a.cent_id = p.cell
+      WHERE p.q_id <> a.vec_id
+    ), ranked AS (
+      SELECT q_id, c_id, score,
+             row_number() OVER (PARTITION BY q_id ORDER BY score DESC, c_id) AS rank
+      FROM scored
+    )
+    SELECT q_id, rank, c_id, score FROM ranked WHERE rank <= {k}
+    """
+
+
 def _embedding_neardup_sql(dim: int = 64, n_planes: int = 4, thr: float = 0.3) -> str:
     planes = random_hyperplanes(dim, n_planes, seed=42)
     terms = []
@@ -466,6 +506,12 @@ SPECS = [
         q_lsh_ann,
         _lsh_ann_sql(),
         doc="LSH-bucketed approximate nearest neighbors",
+    ),
+    QuerySpec(
+        "llm_ivf_ann",
+        q_ivf_ann,
+        _ivf_ann_sql(),
+        doc="IVF approximate nearest neighbors (nprobe cell search)",
     ),
     QuerySpec(
         "llm_embedding_neardup",

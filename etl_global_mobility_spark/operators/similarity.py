@@ -12,6 +12,8 @@ float inputs.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -101,6 +103,89 @@ def embedding_near_duplicates(
         cosine(F.col("x.vec"), F.col("y.vec")).alias("cos"),
     )
     return pairs.filter(F.col("cos") >= threshold)
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_cells: int = 16,
+    nprobe: int = 2,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) approximate nearest neighbors: partition the
+    corpus into `n_cells` Voronoi cells around centroid vectors, then
+    answer each query by exact top-k over only the `nprobe` cells whose
+    centroids are nearest to the query.
+
+    Centroids here are the `n_cells` lowest-id corpus vectors — a
+    deterministic coarse quantizer so the result is oracle-checkable; a
+    production index trains k-means, but the *scale* machinery is
+    identical either way: the centroid table is tiny and collected to
+    the driver (bounded: n_cells rows), every cell assignment is a
+    map-only pass over literal centroids (no shuffle, no join), and the
+    only shuffle is the candidate top-k on the (n_queries × cell-size)
+    candidate set. At 100 TB the corpus is scanned once to build the
+    cell assignment and each query touches ~nprobe/n_cells of the data.
+    """
+    from pyspark.sql import Window
+
+    cents = [
+        (int(r[0]), [float(x) for x in r[1]])
+        for r in corpus.select(id_col, vec_col).orderBy(id_col).limit(n_cells).collect()
+    ]
+    # Python-side sequential fold == DuckDB list_dot_product == Spark
+    # F.aggregate — all three are in-order IEEE double chains.
+    norms = [math.sqrt(sum(x * x for x in v)) for _, v in cents]
+
+    def cell_scores(vec_name: str, nv_name: str):
+        """(cos, -cent_id) structs vs every centroid; norm of the data
+        vector is materialized once (no CSE inside the fan-out)."""
+        return F.array(
+            *[
+                F.struct(
+                    (
+                        dot(F.col(vec_name), F.array(*[F.lit(x) for x in v]))
+                        / (F.sqrt(F.col(nv_name)) * F.lit(n))
+                    ).alias("cos"),
+                    F.lit(-cid).alias("neg_id"),
+                )
+                for (cid, v), n in zip(cents, norms)
+            ]
+        )
+
+    c = corpus.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec"))
+    assigned = (
+        c.withColumn("nv", dot(F.col("c_vec"), F.col("c_vec")))
+        .withColumn("cell", -F.array_max(cell_scores("c_vec", "nv")).getField("neg_id"))
+        .select("c_id", "c_vec", "cell")
+    )
+    q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
+    probed = (
+        q.withColumn("nv", dot(F.col("q_vec"), F.col("q_vec")))
+        .withColumn(
+            "cell",
+            F.explode(
+                F.transform(
+                    F.slice(
+                        F.reverse(F.array_sort(cell_scores("q_vec", "nv"))), 1, nprobe
+                    ),
+                    lambda s: -s.getField("neg_id"),
+                )
+            ),
+        )
+        .select("q_id", "q_vec", "cell")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("c_id"))
+    return (
+        assigned.join(F.broadcast(probed), "cell")
+        .filter(F.col("q_id") != F.col("c_id"))
+        .withColumn("score", cosine(F.col("q_vec"), F.col("c_vec")))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", "c_id", "score")
+    )
 
 
 def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:

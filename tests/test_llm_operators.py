@@ -17,6 +17,7 @@ from etl_global_mobility_spark.operators.dedup import (
 )
 from etl_global_mobility_spark.operators.similarity import (
     cosine_topk_exact,
+    ivf_topk,
     lsh_ann_candidates,
 )
 
@@ -109,6 +110,25 @@ def test_ann_recall_vs_exact(spark):
     for q in {r.q_id for r in ann.collect()}:
         ranks = sorted(r.rank for r in ann.collect() if r.q_id == q)
         assert ranks == list(range(1, len(ranks) + 1))
+
+
+def test_ivf_recall_improves_with_nprobe(spark):
+    rng = random.Random(7)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(16)], 0) for i in range(200)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = cosine_topk_exact(emb, queries, k=5)
+    e = {(r.q_id, r.c_id) for r in exact.collect()}
+
+    def recall(nprobe):
+        got = ivf_topk(emb, queries, n_cells=8, nprobe=nprobe, k=5)
+        return len(e & {(r.q_id, r.c_id) for r in got.collect()}) / len(e)
+
+    r2, r8 = recall(2), recall(8)
+    # probing every cell IS the exact search; more probes → more recall
+    assert r8 == 1.0, f"full-probe recall {r8}"
+    assert r2 <= r8
+    assert r2 >= 0.3, f"nprobe=2 recall {r2}"
 
 
 def test_multimodal_feature_plumbing(spark):
