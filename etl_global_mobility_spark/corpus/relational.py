@@ -412,6 +412,138 @@ def q_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -------------------------------------------- pivot / reshape / stats ----
+def q_pivot_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: quantity sums by returnflag × linestatus, statuses as
+    columns. Values are given explicitly — at scale this skips the
+    extra distinct-value collection job pivot otherwise runs."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double"))
+    )
+
+
+def q_unpivot_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): wide part attributes → long (attr, val) rows."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("size"),
+        F.col("p_retailprice").cast("double").alias("retailprice"),
+    ).unpivot("p_partkey", ["size", "retailprice"], "attr", "val")
+
+
+def q_agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (mean/variance/stddev/correlation) built
+    from decimal-exact power sums, so partial-aggregation order can't
+    perturb the result — the scale-correct one-pass formulation (raw
+    stddev/corr over doubles is order-dependent across engines)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("decimal(18,2)")
+    d = F.col("l_discount").cast("decimal(4,2)")
+    agg = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(q).alias("sq"),
+        F.sum(q * q).alias("sq2"),
+        F.sum(d).alias("sd"),
+        F.sum(d * d).alias("sd2"),
+        F.sum(q * d).alias("sqd"),
+    )
+    n = F.col("n")
+    sq = F.col("sq").cast("double")
+    sq2 = F.col("sq2").cast("double")
+    sd = F.col("sd").cast("double")
+    sd2 = F.col("sd2").cast("double")
+    sqd = F.col("sqd").cast("double")
+    var_q = (sq2 - sq * sq / n) / (n - F.lit(1))
+    var_d = (sd2 - sd * sd / n) / (n - F.lit(1))
+    cov = (sqd - sq * sd / n) / (n - F.lit(1))
+    return agg.select(
+        "l_returnflag",
+        n.alias("n"),
+        (sq / n).alias("mean_qty"),
+        var_q.alias("var_qty"),
+        F.sqrt(var_q).alias("std_qty"),
+        (cov / (F.sqrt(var_q) * F.sqrt(var_d))).alias("corr_qty_disc"),
+    )
+
+
+# --------------------------------------------------------- subqueries ----
+def q_subquery_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS: orders containing a max-quantity (≥49) line."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_orderdate FROM v_orders o
+        WHERE EXISTS (SELECT 1 FROM v_lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49)
+        """
+    )
+
+
+def q_subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery: parts within 50 of the max retail
+    price (exact decimal compare)."""
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("v_part")
+    return spark.sql(
+        """
+        SELECT p_partkey, p_retailprice FROM v_part
+        WHERE CAST(p_retailprice AS DECIMAL(18,2)) >
+              (SELECT max(CAST(p_retailprice AS DECIMAL(18,2))) - 50 FROM v_part)
+        """
+    )
+
+
+def q_median_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete median (percentile_disc 0.5) per customer via window
+    composition — rank vs count, no interpolation, so it is exact and
+    engine-agnostic (interpolating percentile differs across engines)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    wc = Window.partitionBy("o_custkey")
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .withColumn("cnt", F.count(F.lit(1)).over(wc))
+        .filter(F.col("rn") == ((F.col("cnt") + 1) / 2).cast("long"))
+        .select("o_custkey", F.col("o_totalprice").alias("median_price"))
+    )
+
+
+def q_join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigation pattern: fact side salted (deterministic
+    data-derived salt), dim side exploded ×SALT so each hot key spreads
+    over SALT reducers. Result is identical to the unsalted join — the
+    oracle is the plain join — only the shuffle layout changes."""
+    SALT = 8
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "salt", (F.col("l_linenumber") % SALT).cast("int")
+    )
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "salt", F.explode(F.array(*[F.lit(i) for i in range(SALT)]))
+    )
+    return (
+        li.join(o, (li.l_orderkey == o.o_orderkey) & (li.salt == o.salt))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(_rev_col()).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q_collect_sorted_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation: per-nation sorted customer-key list (bounded
+    groups; sort_array makes the aggregation order-insensitive)."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey").agg(
+        F.sort_array(F.collect_list("c_custkey")).alias("cust_keys"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
 SPECS = [
     QuerySpec(
         "rel_join_revenue_by_nation",
@@ -630,6 +762,96 @@ SPECS = [
         q_dropduplicates,
         "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
         doc="distinct projection",
+    ),
+    QuerySpec(
+        "rel_pivot_linestatus",
+        q_pivot_linestatus,
+        """SELECT l_returnflag,
+               CAST(sum(CASE WHEN l_linestatus = 'F'
+                             THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS "F",
+               CAST(sum(CASE WHEN l_linestatus = 'O'
+                             THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS "O"
+            FROM lineitem GROUP BY l_returnflag""",
+        doc="pivot (explicit values, no distinct-collection job)",
+    ),
+    QuerySpec(
+        "rel_unpivot_part",
+        q_unpivot_part,
+        """SELECT p_partkey, 'size' AS attr, CAST(p_size AS DOUBLE) AS val FROM part
+            UNION ALL
+            SELECT p_partkey, 'retailprice' AS attr, CAST(p_retailprice AS DOUBLE) AS val
+            FROM part""",
+        doc="unpivot/melt wide attributes to long rows",
+    ),
+    QuerySpec(
+        "rel_agg_stats_moments",
+        q_agg_stats_moments,
+        """WITH sums AS (
+              SELECT l_returnflag, count(*) AS n,
+                 CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sq,
+                 CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+                          * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sq2,
+                 CAST(sum(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS sd,
+                 CAST(sum(CAST(l_discount AS DECIMAL(4,2))
+                          * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS sd2,
+                 CAST(sum(CAST(l_quantity AS DECIMAL(18,2))
+                          * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS sqd
+              FROM lineitem GROUP BY l_returnflag)
+            SELECT l_returnflag, n,
+               sq / n AS mean_qty,
+               (sq2 - sq * sq / n) / (n - 1) AS var_qty,
+               sqrt((sq2 - sq * sq / n) / (n - 1)) AS std_qty,
+               ((sqd - sq * sd / n) / (n - 1))
+                 / (sqrt((sq2 - sq * sq / n) / (n - 1))
+                    * sqrt((sd2 - sd * sd / n) / (n - 1))) AS corr_qty_disc
+            FROM sums""",
+        doc="mean/variance/stddev/corr from decimal-exact power sums",
+    ),
+    QuerySpec(
+        "rel_subquery_exists",
+        q_subquery_exists,
+        """SELECT o_orderkey, o_orderdate FROM orders o
+            WHERE EXISTS (SELECT 1 FROM lineitem l
+                          WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 49)""",
+        doc="correlated EXISTS subquery",
+    ),
+    QuerySpec(
+        "rel_subquery_scalar",
+        q_subquery_scalar,
+        """SELECT p_partkey, p_retailprice FROM part
+            WHERE CAST(p_retailprice AS DECIMAL(18,2)) >
+                  (SELECT max(CAST(p_retailprice AS DECIMAL(18,2))) - 50 FROM part)""",
+        doc="uncorrelated scalar subquery",
+    ),
+    QuerySpec(
+        "rel_median_disc",
+        q_median_disc,
+        """SELECT o_custkey, o_totalprice AS median_price FROM (
+              SELECT o_custkey, o_totalprice,
+                     row_number() OVER (PARTITION BY o_custkey
+                                        ORDER BY o_totalprice, o_orderkey) AS rn,
+                     count(*) OVER (PARTITION BY o_custkey) AS n
+              FROM orders) WHERE rn = (n + 1) // 2""",
+        doc="discrete median via window composition",
+    ),
+    QuerySpec(
+        "rel_join_salted_skew",
+        q_join_salted_skew,
+        f"""SELECT o_orderpriority,
+               CAST(sum({_REV}) AS DOUBLE) AS revenue,
+               count(*) AS n_items
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority""",
+        doc="salted skew join (oracle = unsalted equivalent)",
+    ),
+    QuerySpec(
+        "rel_collect_sorted_lists",
+        q_collect_sorted_lists,
+        """SELECT c_nationkey,
+               list(c_custkey ORDER BY c_custkey) AS cust_keys,
+               count(*) AS n
+            FROM customer GROUP BY c_nationkey""",
+        doc="sorted array aggregation (collect_list + sort_array)",
     ),
     QuerySpec(
         "rel_scalar_string_date_math",
