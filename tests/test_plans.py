@@ -113,3 +113,36 @@ def test_partition_pruning_on_partitioned_table(spark, tmp_path):
     assert "PartitionFilters: [isnotnull(day" in plan and "day#" in plan
     assert "(day" in plan.split("PartitionFilters")[1].split("]")[0]
     assert scan.count() == 20  # exactly one of five partitions
+
+
+def test_ivf_assignment_is_map_only(spark):
+    """IVF cell assignment runs over literal centroids — the corpus pass
+    must not shuffle: the whole query carries exactly ONE exchange (the
+    final per-query top-k), the probe join is broadcast, and the rank
+    filter prunes map-side (partial WindowGroupLimit)."""
+    from etl_global_mobility_spark.corpus.llm import q_ivf_ann
+
+    plan = plan_of(q_ivf_ann(spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "BroadcastHashJoin" in plan
+    assert "WindowGroupLimit" in plan and "Partial" in plan
+
+
+def test_median_windows_share_one_shuffle(spark):
+    """row_number and count windows over the same partition key must
+    reuse a single exchange, not shuffle twice."""
+    from etl_global_mobility_spark.corpus.relational import q_median_disc
+
+    plan = plan_of(q_median_disc(spark, SF))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Window [") == 2
+
+
+def test_salted_join_spreads_hot_keys(spark):
+    """The salted join must key the shuffle/build on (orderkey, salt) so
+    a hot orderkey spreads across SALT reducers."""
+    from etl_global_mobility_spark.corpus.relational import q_join_salted_skew
+
+    plan = plan_of(q_join_salted_skew(spark, SF))
+    join_line = next(l for l in plan.splitlines() if "Join [" in l or "Join(" in l or "HashJoin" in l)
+    assert "salt" in join_line, join_line
