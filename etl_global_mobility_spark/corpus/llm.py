@@ -186,6 +186,18 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling plumbing: binary rows → 1→N frame rows
+    through an Arrow-batched mapInPandas (decode stubbed to byte ranges)."""
+    from etl_global_mobility_spark.operators.multimodal import (
+        documents_as_media,
+        sample_frames,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return sample_frames(documents_as_media(d), frame_bytes=256, max_frames=8)
+
+
 # ------------------------------------------------------ oracle builders ----
 def _language_id_sql() -> str:
     from etl_global_mobility_spark.operators.text import STOPWORDS
@@ -530,5 +542,23 @@ SPECS = [
         q_multimodal_features,
         "SELECT doc_id, octet_length(encode(text)) AS n_bytes, 16 AS n_dim FROM documents",
         doc="binary media plumbing + Arrow-batched feature stub",
+    ),
+    QuerySpec(
+        "llm_frame_sample",
+        q_frame_sample,
+        """WITH sized AS (
+              SELECT doc_id AS media_id, octet_length(encode(text)) AS n_bytes
+              FROM documents
+           ), exploded AS (
+              SELECT media_id, n_bytes,
+                     unnest(range(0, least(8, CAST(ceil(n_bytes / 256.0) AS BIGINT))))
+                       AS frame_idx
+              FROM sized
+           )
+           SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
+                  frame_idx * 256 AS off_bytes,
+                  least(256, n_bytes - frame_idx * 256) AS frame_len
+           FROM exploded""",
+        doc="video-frame sampling stub (1-to-N mapInPandas explode)",
     ),
 ]

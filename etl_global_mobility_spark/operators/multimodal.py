@@ -127,6 +127,53 @@ def extract_features(
     return df.mapInPandas(batches, out_schema)
 
 
+def sample_frames(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "media_id",
+    frame_bytes: int = 256,
+    max_frames: int = 8,
+) -> DataFrame:
+    """Video-style frame sampling: one media row explodes into up to
+    ``max_frames`` frame rows (media_id, frame_idx, off_bytes,
+    frame_len) via ``mapInPandas`` — the 1→N Arrow-batched shape a real
+    frame sampler uses (ffmpeg seek + decode per frame). The decode is
+    stubbed to byte-range bookkeeping (no media libs in this env); the
+    Spark plumbing — output schema, batch fan-out, downstream
+    partitioning by (media_id, frame_idx) — is real and oracle-checked.
+    """
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("frame_idx", T.IntegerType(), False),
+            T.StructField("off_bytes", T.LongType(), False),
+            T.StructField("frame_len", T.LongType(), False),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, offs, lens = [], [], [], []
+            for mid, payload in zip(pdf[id_col], pdf[content_col]):
+                n = len(payload) if payload is not None else 0
+                n_frames = min(max_frames, -(-n // frame_bytes))
+                for i in range(n_frames):
+                    ids.append(int(mid))
+                    idxs.append(i)
+                    offs.append(i * frame_bytes)
+                    lens.append(min(frame_bytes, n - i * frame_bytes))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "off_bytes": pd.Series(offs, dtype="int64"),
+                    "frame_len": pd.Series(lens, dtype="int64"),
+                }
+            )
+
+    return df.mapInPandas(batches, out_schema)
+
+
 def documents_as_media(df: DataFrame) -> DataFrame:
     """Adapter: treat the documents table's text bytes as opaque media
     content (exercises the binary plumbing against driver test data)."""

@@ -113,6 +113,39 @@ def streaming_dedup_keys(
     )
 
 
+def run_stream_foreach_batch_parquet(
+    df: DataFrame, path: str, checkpoint: str
+) -> None:
+    """foreachBatch sink: append-mode stream → parquet, exactly-once.
+
+    Each micro-batch writes into its own ``_batch_id=N`` partition with
+    dynamic partition overwrite, so a batch replayed after a failure
+    (foreachBatch is at-least-once) overwrites its own partition instead
+    of duplicating rows — the standard idempotent-sink recipe when the
+    target isn't transactional (with Delta, ``txnVersion``/``txnAppId``
+    does this instead). Restart-safety comes from the checkpoint: a
+    finished stream restarted with the same checkpoint reprocesses
+    nothing.
+    """
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(path)
+        )
+
+    q = (
+        df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_stream_to_memory(df: DataFrame, output_mode: str = "complete") -> DataFrame:
     """Run a (bounded) streaming frame to completion with
     Trigger.AvailableNow into a memory sink; return the final table.

@@ -165,6 +165,55 @@ def test_streaming_replay_determinism(spark):
     assert a == b and len(a) > 0
 
 
+def test_foreach_batch_sink_exactly_once(spark, tmp_path):
+    """foreachBatch parquet sink over a 3-file stream (one file per
+    micro-batch): rows written exactly once; restarting the finished
+    stream on the same checkpoint reprocesses nothing; and replaying
+    one batch id overwrites (not duplicates) its partition."""
+    from etl_global_mobility_spark.streaming.ops import (
+        run_stream_foreach_batch_parquet,
+    )
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    batch = spark.range(90).select(
+        F.col("id").alias("event_id"), (F.col("id") % 7).alias("user_id")
+    )
+    batch.repartition(3).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema("event_id long, user_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    run_stream_foreach_batch_parquet(stream, out, ckpt)
+    got = spark.read.parquet(out)
+    assert got.select("_batch_id").distinct().count() >= 2  # multi-batch
+    assert sorted(r.event_id for r in got.collect()) == list(range(90))
+
+    # restart on the same checkpoint: nothing new to process, no dupes
+    stream2 = (
+        spark.readStream.schema("event_id long, user_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    run_stream_foreach_batch_parquet(stream2, out, ckpt)
+    assert spark.read.parquet(out).count() == 90
+
+    # simulate an at-least-once replay of batch 0: same rows, same id →
+    # dynamic overwrite of that partition keeps the row set identical
+    b0 = spark.read.parquet(out).filter("_batch_id = 0").drop("_batch_id")
+    (
+        b0.withColumn("_batch_id", F.lit(0))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("_batch_id")
+        .parquet(out)
+    )
+    assert spark.read.parquet(out).count() == 90
+
+
 def test_approx_count_distinct_error_bound(spark):
     """HLL++ estimate within the configured 2% rsd (allow 3x slack)."""
     from etl_global_mobility_spark.corpus.relational import q_agg_approx_distinct
