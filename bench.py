@@ -27,6 +27,10 @@ HEADLINE = [
     "rel_window_running_sum",
     "rel_topk_global",
     "rel_json_events",
+    "rel_pivot_linestatus",
+    "rel_agg_stats_moments",
+    "rel_median_disc",
+    "rel_join_salted_skew",
     "parity_quality_reasons",
     "parity_split_quarantine",
     "llm_exact_dedup",
@@ -34,7 +38,12 @@ HEADLINE = [
     "llm_minhash_neardup",
     "llm_cosine_topk",
     "llm_lsh_ann",
+    "llm_ivf_ann",
+    "llm_embedding_neardup",
+    "llm_asof_join",
+    "llm_frame_sample",
     "stream_tumbling_counts",
+    "stream_stateful_profile",
 ]
 
 

@@ -186,6 +186,38 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_asof_view_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join over the events stream: each purchase matched to the
+    same user's most recent view at-or-before it (backward inclusive,
+    ties to the larger event_id)."""
+    from etl_global_mobility_spark.operators.temporal import asof_join
+
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        "user_id",
+    )
+    views = e.filter(F.col("event_type") == "view").select(
+        "event_id", "ts", "user_id"
+    )
+    return asof_join(
+        purchases,
+        views,
+        on="user_id",
+        left_time="purchase_ts",
+        right_time="ts",
+        right_cols=["event_id", "ts"],
+        tiebreak="event_id",
+    ).select(
+        "purchase_id",
+        "purchase_ts",
+        "user_id",
+        F.col("asof_event_id").alias("view_id"),
+        F.col("asof_ts").alias("view_ts"),
+    )
+
+
 def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video-style frame sampling plumbing: binary rows → 1→N frame rows
     through an Arrow-batched mapInPandas (decode stubbed to byte ranges)."""
@@ -542,6 +574,25 @@ SPECS = [
         q_multimodal_features,
         "SELECT doc_id, octet_length(encode(text)) AS n_bytes, 16 AS n_dim FROM documents",
         doc="binary media plumbing + Arrow-batched feature stub",
+    ),
+    QuerySpec(
+        "llm_asof_join",
+        q_asof_view_before_purchase,
+        """WITH p AS (SELECT event_id, ts, user_id FROM events
+                      WHERE event_type = 'purchase'),
+                v AS (SELECT event_id, ts, user_id FROM events
+                      WHERE event_type = 'view'),
+                matched AS (
+                  SELECT p.event_id AS purchase_id, p.ts AS purchase_ts,
+                         p.user_id, v.event_id AS view_id, v.ts AS view_ts,
+                         row_number() OVER (PARTITION BY p.event_id
+                                            ORDER BY v.ts DESC, v.event_id DESC) AS rn
+                  FROM p LEFT JOIN v
+                    ON v.user_id = p.user_id AND v.ts <= p.ts
+                )
+           SELECT purchase_id, purchase_ts, user_id, view_id, view_ts
+           FROM matched WHERE rn = 1""",
+        doc="as-of join (merge-asof via union+window, no pair explosion)",
     ),
     QuerySpec(
         "llm_frame_sample",

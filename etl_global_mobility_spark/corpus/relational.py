@@ -544,6 +544,48 @@ def q_collect_sorted_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style rollup: event counts/sums at hour AND day
+    granularity in one pass via GROUPING SETS (the continuous-aggregate
+    pattern — at scale this is one shuffle, not one job per granularity)."""
+    load_table(spark, sf_dir, "events").createOrReplaceTempView("v_events")
+    return spark.sql(
+        """
+        SELECT date_trunc('day', ts)  AS day,
+               date_trunc('hour', ts) AS hour,
+               event_type,
+               count(*) AS n,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        FROM v_events
+        GROUP BY GROUPING SETS (
+          (date_trunc('day', ts), date_trunc('hour', ts), event_type),
+          (date_trunc('day', ts), event_type),
+          (date_trunc('day', ts))
+        )
+        """
+    )
+
+
+def q_range_join_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi range join: events against 5-day interval buckets.
+    The bucket side is tiny and broadcast, so the fact side streams
+    through a nested-loop probe with no shuffle."""
+    e = load_table(spark, sf_dir, "events")
+    buckets = spark.range(6).select(
+        F.col("id").cast("int").alias("bucket_id"),
+        (F.lit("2024-01-01").cast("timestamp") + F.make_interval(days=F.col("id") * 5)).alias("b_start"),
+        (F.lit("2024-01-01").cast("timestamp") + F.make_interval(days=(F.col("id") + 1) * 5)).alias("b_end"),
+    )
+    return (
+        e.join(
+            F.broadcast(buckets),
+            (e.ts >= buckets.b_start) & (e.ts < buckets.b_end),
+        )
+        .groupBy("bucket_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 SPECS = [
     QuerySpec(
         "rel_join_revenue_by_nation",
@@ -852,6 +894,37 @@ SPECS = [
                count(*) AS n
             FROM customer GROUP BY c_nationkey""",
         doc="sorted array aggregation (collect_list + sort_array)",
+    ),
+    QuerySpec(
+        "rel_time_rollup",
+        q_time_rollup,
+        """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP)  AS day,
+               CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+               event_type,
+               count(*) AS n,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+            FROM events
+            GROUP BY GROUPING SETS (
+              (date_trunc('day', ts), date_trunc('hour', ts), event_type),
+              (date_trunc('day', ts), event_type),
+              (date_trunc('day', ts))
+            )""",
+        doc="hypertable rollup: multi-granularity time aggregation in one pass",
+    ),
+    QuerySpec(
+        "rel_range_join_buckets",
+        q_range_join_buckets,
+        """WITH buckets AS (
+              SELECT CAST(i AS INT) AS bucket_id,
+                     TIMESTAMP '2024-01-01' + i * INTERVAL 5 DAY AS b_start,
+                     TIMESTAMP '2024-01-01' + (i + 1) * INTERVAL 5 DAY AS b_end
+              FROM unnest(range(0, 6)) AS t(i)
+           )
+           SELECT bucket_id, event_type, count(*) AS n
+           FROM events JOIN buckets
+             ON ts >= b_start AND ts < b_end
+           GROUP BY bucket_id, event_type""",
+        doc="non-equi range join onto broadcast interval buckets",
     ),
     QuerySpec(
         "rel_scalar_string_date_math",

@@ -1,0 +1,80 @@
+"""Temporal operators Spark lacks as built-ins: as-of join.
+
+The as-of join (pandas ``merge_asof``, kdb ``aj``, DuckDB ``ASOF JOIN``)
+matches each left row to the single most recent right row at-or-before
+its timestamp, per key. Spark has no native operator; the scalable
+formulation used here is the union+window merge: tag both sides, union,
+and carry the latest right-row payload forward with
+``last(..., ignorenulls=True)`` over a (key, time)-ordered window.
+
+Scale: ONE shuffle of left∪right on the join key and one sort per
+partition — the same cost as a sort-merge join, with no row explosion
+(the naive range-join + row_number formulation explodes to every
+(left, earlier-right) pair before pruning; this never materializes
+pairs). Skewed keys salt the same way any keyed shuffle does.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    right_cols: list[str],
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Backward-inclusive as-of join.
+
+    Every ``left`` row keeps all its columns plus ``right_cols`` from
+    the most recent ``right`` row with the same ``on`` key and
+    ``right_time <= left_time`` (NULLs when no such row). Right rows
+    sharing the maximal time tie-break to the largest ``tiebreak``
+    value (required for a deterministic result when times collide).
+
+    The right payload travels as ONE struct so all carried columns come
+    from the same matched row even if some are individually NULL.
+    """
+    payload = F.struct(*[F.col(c) for c in right_cols])
+    order_tb = [F.col("__tb")] if tiebreak else []
+
+    r = right.select(
+        F.col(on).alias("__k"),
+        F.col(right_time).alias("__t"),
+        F.lit(0).alias("__side"),
+        *(
+            [F.col(tiebreak).cast("long").alias("__tb")]
+            if tiebreak
+            else [F.lit(0).cast("long").alias("__tb")]
+        ),
+        payload.alias("__payload"),
+        *[F.lit(None).cast(f.dataType).alias(f"__l_{f.name}") for f in left.schema.fields],
+    )
+    l = left.select(
+        F.col(on).alias("__k"),
+        F.col(left_time).alias("__t"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast("long").alias("__tb"),
+        F.lit(None).cast(r.schema["__payload"].dataType).alias("__payload"),
+        *[F.col(f.name).alias(f"__l_{f.name}") for f in left.schema.fields],
+    )
+    # at equal time, right rows sort before left rows → inclusive match;
+    # among equal-time right rows the largest tiebreak lands nearest the
+    # left row and wins last()
+    w = (
+        Window.partitionBy("__k")
+        .orderBy(F.col("__t"), F.col("__side"), *order_tb)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    u = r.unionByName(l).withColumn(
+        "__match", F.last("__payload", ignorenulls=True).over(w)
+    )
+    return u.filter(F.col("__side") == 1).select(
+        *[F.col(f"__l_{f.name}").alias(f.name) for f in left.schema.fields],
+        *[F.col("__match").getField(c).alias(f"asof_{c}") for c in right_cols],
+    )

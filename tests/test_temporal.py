@@ -1,0 +1,63 @@
+"""as-of join semantics: backward-inclusive match, tie-break, no-match
+NULLs, struct-carried payload consistency, single-shuffle plan."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from etl_global_mobility_spark.operators.temporal import asof_join
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def test_asof_join_semantics(spark):
+    left = spark.createDataFrame(
+        [
+            (1, 10, _ts("2024-01-01 10:00:00")),  # matches r2 (exact tie, incl.)
+            (2, 10, _ts("2024-01-01 09:00:00")),  # matches r1
+            (3, 10, _ts("2024-01-01 08:00:00")),  # before all rights → NULL
+            (4, 20, _ts("2024-01-01 12:00:00")),  # key with no rights → NULL
+        ],
+        "lid long, k long, lt timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            (100, 10, _ts("2024-01-01 08:30:00"), "a"),
+            (101, 10, _ts("2024-01-01 10:00:00"), "b"),  # tie ts with lid=1
+            (102, 10, _ts("2024-01-01 10:00:00"), "c"),  # same ts, larger id wins
+            (103, 10, _ts("2024-01-01 11:00:00"), "d"),  # after every left
+        ],
+        "rid long, k long, rt timestamp, tag string",
+    )
+    out = asof_join(
+        left, right, on="k", left_time="lt", right_time="rt",
+        right_cols=["rid", "tag"], tiebreak="rid",
+    )
+    got = {r.lid: (r.asof_rid, r.asof_tag) for r in out.collect()}
+    assert got == {
+        1: (102, "c"),   # inclusive at equal ts; rid 102 > 101 wins the tie
+        2: (100, "a"),
+        3: (None, None),
+        4: (None, None),
+    }
+    assert out.count() == 4  # every left row survives exactly once
+
+
+def test_asof_join_single_shuffle(spark):
+    """The merge-asof must cost one exchange on the key (plus the
+    union), never a pair-exploding range join."""
+    left = spark.range(10).selectExpr(
+        "id AS lid", "id % 3 AS k", "timestamp_micros(id * 1000000) AS lt"
+    )
+    right = spark.range(10).selectExpr(
+        "id AS rid", "id % 3 AS k", "timestamp_micros(id * 500000) AS rt"
+    )
+    out = asof_join(
+        left, right, on="k", left_time="lt", right_time="rt",
+        right_cols=["rid"], tiebreak="rid",
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan  # union+window, not a join
