@@ -586,6 +586,34 @@ def q_range_join_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hof_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions: transform / filter / aggregate /
+    zip_with / sequence — all JVM-side lambdas, no Python. (Spark does
+    no CSE inside HOFs, so the lens array is materialized once as a
+    column instead of recomputed per consumer.)"""
+    p = load_table(spark, sf_dir, "part")
+    words = F.split(F.col("p_type"), " ")
+    base = p.select("p_partkey", "p_size", words.alias("words")).withColumn(
+        "word_lens", F.transform(F.col("words"), lambda w: F.length(w).cast("long"))
+    )
+    return base.select(
+        "p_partkey",
+        "word_lens",
+        F.filter(F.col("words"), lambda w: F.length(w) > 5).alias("long_words"),
+        F.aggregate(
+            F.col("word_lens"), F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("total_len"),
+        F.zip_with(
+            F.col("words"),
+            F.col("word_lens"),
+            lambda w, l: F.concat_ws(":", w, l.cast("string")),
+        ).alias("tagged"),
+        F.sequence(
+            F.lit(1).cast("long"), ((F.col("p_size") % 5) + 1).cast("long")
+        ).alias("seq"),
+    )
+
+
 SPECS = [
     QuerySpec(
         "rel_join_revenue_by_nation",
@@ -925,6 +953,27 @@ SPECS = [
              ON ts >= b_start AND ts < b_end
            GROUP BY bucket_id, event_type""",
         doc="non-equi range join onto broadcast interval buckets",
+    ),
+    QuerySpec(
+        "rel_hof_arrays",
+        q_hof_arrays,
+        """WITH base AS (
+              SELECT p_partkey, p_size, string_split(p_type, ' ') AS words FROM part
+           ), w2 AS (
+              SELECT p_partkey, p_size, words,
+                     list_transform(words, w -> CAST(len(w) AS BIGINT)) AS word_lens
+              FROM base
+           )
+           SELECT p_partkey,
+              word_lens,
+              list_filter(words, w -> len(w) > 5) AS long_words,
+              CAST(list_aggregate(word_lens, 'sum') AS BIGINT) AS total_len,
+              list_transform(range(1, len(words) + 1),
+                             i -> words[i] || ':' || CAST(word_lens[i] AS VARCHAR))
+                AS tagged,
+              range(1, (p_size % 5 + 1) + 1) AS seq
+           FROM w2""",
+        doc="higher-order array functions (transform/filter/aggregate/zip_with/sequence)",
     ),
     QuerySpec(
         "rel_scalar_string_date_math",

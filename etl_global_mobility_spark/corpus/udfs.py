@@ -107,7 +107,40 @@ def q_pandas_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.groupBy("o_custkey").applyInPandas(anchor, schema)
 
 
+def q_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (table function) in a LATERAL join: one part row →
+    one row per type-word. Row-at-a-time Python — the supported escape
+    hatch for 1→N logic SQL can't express, NOT a hot-path tool (the
+    vectorized 1→N shape is mapInPandas, see operators/multimodal.py)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="word_idx int, word string")
+    class SplitWords:
+        def eval(self, text: str):
+            for i, w in enumerate((text or "").split(" ")):
+                yield i, w
+
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("v_part_udtf")
+    spark.udtf.register("split_words", SplitWords)
+    return spark.sql(
+        """
+        SELECT p_partkey, t.word_idx, t.word
+        FROM v_part_udtf, LATERAL split_words(p_type) t
+        """
+    )
+
+
 SPECS = [
+    QuerySpec(
+        "udf_python_udtf",
+        q_python_udtf,
+        """WITH w AS (SELECT p_partkey, string_split(p_type, ' ') AS words FROM part),
+                e AS (SELECT p_partkey, words,
+                             unnest(range(1, len(words) + 1)) AS i FROM w)
+           SELECT p_partkey, CAST(i - 1 AS INT) AS word_idx, words[i] AS word
+           FROM e""",
+        doc="Python UDTF via LATERAL join (1-to-N table function)",
+    ),
     QuerySpec(
         "udf_pandas_scalar",
         q_pandas_scalar,
