@@ -270,7 +270,33 @@ def q_split_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_catalog_table_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A21+A2: executed DDL (CREATE DATABASE / CREATE TABLE) and a
+    read-back by table NAME through the catalog — the reference's
+    metastore path (``spark.read.table("RDV.data_ventas")``, NB:582;
+    DDL NB:275-395), here as an external parquet table."""
+    spark.sql("CREATE DATABASE IF NOT EXISTS corpus_cat")
+    spark.sql("DROP TABLE IF EXISTS corpus_cat.nation_ext")
+    spark.sql(
+        f"""CREATE TABLE corpus_cat.nation_ext
+            USING PARQUET LOCATION '{sf_dir}/nation.parquet'"""
+    )
+    n = spark.read.table("corpus_cat.nation_ext")
+    return n.groupBy("n_regionkey").agg(
+        F.count(F.lit(1)).alias("n_nations"),
+        F.sort_array(F.collect_list("n_name")).alias("names"),
+    )
+
+
 SPECS = [
+    QuerySpec(
+        "parity_catalog_table_scan",
+        q_catalog_table_scan,
+        """SELECT n_regionkey, count(*) AS n_nations,
+               list(n_name ORDER BY n_name) AS names
+            FROM nation GROUP BY n_regionkey""",
+        doc="A21+A2: executed DDL + read-by-table-name catalog round-trip",
+    ),
     QuerySpec(
         "parity_rename_project",
         q_rename_project,
