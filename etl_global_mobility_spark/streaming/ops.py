@@ -146,21 +146,39 @@ def run_stream_foreach_batch_parquet(
     q.awaitTermination()
 
 
-def run_stream_to_memory(df: DataFrame, output_mode: str = "complete") -> DataFrame:
+def run_stream_to_memory(
+    df: DataFrame, output_mode: str = "complete", state_partitions: int | None = 8
+) -> DataFrame:
     """Run a (bounded) streaming frame to completion with
     Trigger.AvailableNow into a memory sink; return the final table.
 
     complete mode re-emits full state at the last batch, so the result
     equals the batch computation — the replay-determinism property the
     corpus oracle checks.
+
+    ``state_partitions`` sizes the state store: each shuffle partition
+    of a stateful stream carries its own state-store instance (and, for
+    applyInPandasWithState, its own Python worker round per batch), so
+    partitions ≫ distinct keys is pure per-batch overhead — measured
+    8.7s → 1.8s at sf0.1 going 32 → 8 for 150 keys. At cluster scale
+    SIZE IT UP to throughput instead; it is fixed per checkpoint once
+    chosen. The conf is set only for this bounded run and restored
+    (state partitioning binds at stream start, not plan build).
     """
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
     name = f"mem_{uuid.uuid4().hex[:10]}"
-    q = (
-        df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    try:
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return df.sparkSession.table(name)
