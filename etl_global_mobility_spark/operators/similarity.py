@@ -146,7 +146,7 @@ def ivf_topk(
             *[
                 F.struct(
                     (
-                        dot(F.col(vec_name), F.array(*[F.lit(x) for x in v]))
+                        dot(F.col(vec_name), F.lit(v))
                         / (F.sqrt(F.col(nv_name)) * F.lit(n))
                     ).alias("cos"),
                     F.lit(-cid).alias("neg_id"),
@@ -200,10 +200,10 @@ def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[flo
 def lsh_bucket(vec_col, planes: list[list[float]]) -> F.Column:
     """Sign-of-projection LSH bucket id: bit i = 1 iff vec · plane_i > 0.
     Near vectors (cosine) collide with high probability."""
+    # one array literal per plane (a 64-element F.array of F.lit nodes
+    # costs real plan-build + codegen time; a literal array is one node)
     bits = [
-        F.when(dot(vec_col, F.array(*[F.lit(x) for x in p])) > 0, F.lit(1 << i)).otherwise(
-            F.lit(0)
-        )
+        F.when(dot(vec_col, F.lit(list(p))) > 0, F.lit(1 << i)).otherwise(F.lit(0))
         for i, p in enumerate(planes)
     ]
     return sum(bits, F.lit(0)).cast("bigint")
