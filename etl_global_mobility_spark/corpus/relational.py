@@ -586,6 +586,25 @@ def q_range_join_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame (value-based, vs the ROWS frame elsewhere): for each
+    part, how many parts of the same brand are within ±5 of its size,
+    and their count-weighted size sum — exact integer outputs."""
+    p = load_table(spark, sf_dir, "part")
+    w = (
+        Window.partitionBy("p_brand")
+        .orderBy(F.col("p_size").cast("long"))
+        .rangeBetween(-5, 5)
+    )
+    return p.select(
+        "p_partkey",
+        "p_brand",
+        "p_size",
+        F.count(F.lit(1)).over(w).alias("n_near"),
+        F.sum(F.col("p_size").cast("long")).over(w).alias("near_size_sum"),
+    )
+
+
 def q_hof_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Higher-order array functions: transform / filter / aggregate /
     zip_with / sequence — all JVM-side lambdas, no Python. (Spark does
@@ -953,6 +972,17 @@ SPECS = [
              ON ts >= b_start AND ts < b_end
            GROUP BY bucket_id, event_type""",
         doc="non-equi range join onto broadcast interval buckets",
+    ),
+    QuerySpec(
+        "rel_window_range_frame",
+        q_window_range_frame,
+        """SELECT p_partkey, p_brand, p_size,
+               count(*) OVER w AS n_near,
+               sum(CAST(p_size AS BIGINT)) OVER w AS near_size_sum
+            FROM part
+            WINDOW w AS (PARTITION BY p_brand ORDER BY CAST(p_size AS BIGINT)
+                         RANGE BETWEEN 5 PRECEDING AND 5 FOLLOWING)""",
+        doc="value-based RANGE window frame",
     ),
     QuerySpec(
         "rel_hof_arrays",

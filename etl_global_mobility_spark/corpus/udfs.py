@@ -107,6 +107,27 @@ def q_pandas_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.groupBy("o_custkey").applyInPandas(anchor, schema)
 
 
+def q_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow: zero-copy Arrow RecordBatch iterator — the leanest
+    Python batch hook (no pandas conversion). Computes per-row name
+    byte-lengths; integer ops, deterministic."""
+    import pyarrow as pa
+
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_name")
+
+    def batches(it):
+        for rb in it:
+            yield pa.RecordBatch.from_arrays(
+                [
+                    rb.column(0),
+                    pa.compute.binary_length(rb.column(1)).cast(pa.int64()),
+                ],
+                names=["p_partkey", "name_bytes"],
+            )
+
+    return p.mapInArrow(batches, "p_partkey long, name_bytes long")
+
+
 def q_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Python UDTF (table function) in a LATERAL join: one part row →
     one row per type-word. Row-at-a-time Python — the supported escape
@@ -131,6 +152,13 @@ def q_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SPECS = [
+    QuerySpec(
+        "udf_map_in_arrow",
+        q_map_in_arrow,
+        "SELECT p_partkey, CAST(octet_length(encode(p_name)) AS BIGINT) AS name_bytes "
+        "FROM part",
+        doc="mapInArrow zero-copy Arrow batch transform",
+    ),
     QuerySpec(
         "udf_python_udtf",
         q_python_udtf,
