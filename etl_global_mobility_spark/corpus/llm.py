@@ -319,14 +319,20 @@ def _minhash_sql(n_hashes: int = 16, bands: int = 4, k: int = 3, thr: float = 0.
     """
 
 
-def _ngram_jaccard_sql(k: int = 2, thr: float = 0.25) -> str:
+def _ngram_jaccard_sql(k: int = 2, thr: float = 0.25, df_max: int = 10_000) -> str:
+    # df_max mirrors ngram_jaccard_pairs' document-frequency cap (shingle
+    # df > df_max dropped; set sizes recomputed on the capped universe).
     return f"""
     WITH docs AS (
       SELECT doc_id AS id, {_shingles_sql(k)} AS shingles FROM documents
-    ), sized AS (
-      SELECT id, shingles, len(shingles) AS n_shingles FROM docs
+    ), inv0 AS (
+      SELECT id, unnest(shingles) AS s FROM docs
+    ), capped AS (
+      SELECT id, s FROM (
+        SELECT id, s, count(*) OVER (PARTITION BY s) AS s_df FROM inv0
+      ) WHERE s_df <= {df_max}
     ), inv AS (
-      SELECT id, n_shingles, unnest(shingles) AS s FROM sized
+      SELECT id, s, count(*) OVER (PARTITION BY id) AS n_shingles FROM capped
     ), inter AS (
       SELECT a.id AS id_a, b.id AS id_b, a.n_shingles AS na, b.n_shingles AS nb,
              count(*) AS inter
@@ -500,7 +506,8 @@ SPECS = [
     QuerySpec(
         "llm_token_count_by_lang",
         q_token_count_by_lang,
-        f"""SELECT lang, sum(len({TOKS})) AS total_tokens, count(*) AS n_docs
+        f"""SELECT lang, CAST(sum(len({TOKS})) AS BIGINT) AS total_tokens,
+               count(*) AS n_docs
             FROM documents GROUP BY lang""",
         doc="token totals per language",
     ),

@@ -270,6 +270,45 @@ def q_split_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: explicit-schema CSV scan — the reference's entry point reads
+    the delivery file as CSV with a declared StructType (no
+    inferSchema: schema inference is an extra full pass over the data,
+    never acceptable at scale; NB:477-480).
+
+    The fixture CSV is round-tripped from ``nation`` into a repo-local
+    gitignored tmp dir (bounded: 25 rows/SF-invariant), then read back
+    with the explicit schema — exercising the CSV writer AND the
+    schema'd reader in one query. The oracle reads the original table,
+    so any quoting/parse defect breaks the hash.
+    """
+    import os
+
+    from pyspark.sql import types as T
+
+    out = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".tmp",
+        "csv_nation",
+    )
+    n = load_table(spark, sf_dir, "nation")
+    n.coalesce(1).write.mode("overwrite").option("header", True).csv(out)
+    schema = T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("n_regionkey", T.IntegerType()),
+        ]
+    )
+    df = spark.read.schema(schema).option("header", True).csv(out)
+    return df.select(
+        "n_nationkey",
+        "n_name",
+        "n_regionkey",
+        F.length("n_name").alias("name_len"),
+    )
+
+
 def q_catalog_table_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A21+A2: executed DDL (CREATE DATABASE / CREATE TABLE) and a
     read-back by table NAME through the catalog — the reference's
@@ -282,18 +321,28 @@ def q_catalog_table_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             USING PARQUET LOCATION '{sf_dir}/nation.parquet'"""
     )
     n = spark.read.table("corpus_cat.nation_ext")
+    # Arrays are serialized at the query boundary (array_join) — the
+    # driver's pandas canonicalizer cannot hash list-typed cells.
     return n.groupBy("n_regionkey").agg(
         F.count(F.lit(1)).alias("n_nations"),
-        F.sort_array(F.collect_list("n_name")).alias("names"),
+        F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias("names"),
     )
 
 
 SPECS = [
     QuerySpec(
+        "parity_csv_scan",
+        q_csv_scan,
+        """SELECT n_nationkey, n_name, n_regionkey,
+               CAST(len(n_name) AS INT) AS name_len
+            FROM nation""",
+        doc="A1: explicit-schema CSV scan (write+read round-trip)",
+    ),
+    QuerySpec(
         "parity_catalog_table_scan",
         q_catalog_table_scan,
         """SELECT n_regionkey, count(*) AS n_nations,
-               list(n_name ORDER BY n_name) AS names
+               array_to_string(list(n_name ORDER BY n_name), ',') AS names
             FROM nation GROUP BY n_regionkey""",
         doc="A21+A2: executed DDL + read-by-table-name catalog round-trip",
     ),

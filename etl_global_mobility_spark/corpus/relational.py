@@ -538,8 +538,16 @@ def q_collect_sorted_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array aggregation: per-nation sorted customer-key list (bounded
     groups; sort_array makes the aggregation order-insensitive)."""
     c = load_table(spark, sf_dir, "customer")
+    # array_join at the boundary: the driver's pandas canonicalizer
+    # cannot hash list-typed cells (the collect/sort logic is unchanged).
     return c.groupBy("c_nationkey").agg(
-        F.sort_array(F.collect_list("c_custkey")).alias("cust_keys"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list("c_custkey")),
+                lambda k: k.cast("string"),
+            ),
+            ",",
+        ).alias("cust_keys"),
         F.count(F.lit(1)).alias("n"),
     )
 
@@ -615,20 +623,32 @@ def q_hof_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = p.select("p_partkey", "p_size", words.alias("words")).withColumn(
         "word_lens", F.transform(F.col("words"), lambda w: F.length(w).cast("long"))
     )
+    # Each HOF result is computed as a real array, then serialized with
+    # array_join at the query boundary (the driver's pandas canonicalizer
+    # cannot hash list cells) — the lambdas stay JVM-side either way.
+    str_join = lambda col: F.array_join(  # noqa: E731
+        F.transform(col, lambda x: x.cast("string")), ","
+    )
     return base.select(
         "p_partkey",
-        "word_lens",
-        F.filter(F.col("words"), lambda w: F.length(w) > 5).alias("long_words"),
+        str_join(F.col("word_lens")).alias("word_lens"),
+        str_join(F.filter(F.col("words"), lambda w: F.length(w) > 5)).alias(
+            "long_words"
+        ),
         F.aggregate(
             F.col("word_lens"), F.lit(0).cast("long"), lambda acc, x: acc + x
         ).alias("total_len"),
-        F.zip_with(
-            F.col("words"),
-            F.col("word_lens"),
-            lambda w, l: F.concat_ws(":", w, l.cast("string")),
+        str_join(
+            F.zip_with(
+                F.col("words"),
+                F.col("word_lens"),
+                lambda w, l: F.concat_ws(":", w, l.cast("string")),
+            )
         ).alias("tagged"),
-        F.sequence(
-            F.lit(1).cast("long"), ((F.col("p_size") % 5) + 1).cast("long")
+        str_join(
+            F.sequence(
+                F.lit(1).cast("long"), ((F.col("p_size") % 5) + 1).cast("long")
+            )
         ).alias("seq"),
     )
 
@@ -937,7 +957,7 @@ SPECS = [
         "rel_collect_sorted_lists",
         q_collect_sorted_lists,
         """SELECT c_nationkey,
-               list(c_custkey ORDER BY c_custkey) AS cust_keys,
+               array_to_string(list(c_custkey ORDER BY c_custkey), ',') AS cust_keys,
                count(*) AS n
             FROM customer GROUP BY c_nationkey""",
         doc="sorted array aggregation (collect_list + sort_array)",
@@ -978,7 +998,7 @@ SPECS = [
         q_window_range_frame,
         """SELECT p_partkey, p_brand, p_size,
                count(*) OVER w AS n_near,
-               sum(CAST(p_size AS BIGINT)) OVER w AS near_size_sum
+               CAST(sum(CAST(p_size AS BIGINT)) OVER w AS BIGINT) AS near_size_sum
             FROM part
             WINDOW w AS (PARTITION BY p_brand ORDER BY CAST(p_size AS BIGINT)
                          RANGE BETWEEN 5 PRECEDING AND 5 FOLLOWING)""",
@@ -995,13 +1015,15 @@ SPECS = [
               FROM base
            )
            SELECT p_partkey,
-              word_lens,
-              list_filter(words, w -> len(w) > 5) AS long_words,
+              array_to_string(word_lens, ',') AS word_lens,
+              coalesce(array_to_string(list_filter(words, w -> len(w) > 5), ','), '')
+                AS long_words,
               CAST(list_aggregate(word_lens, 'sum') AS BIGINT) AS total_len,
-              list_transform(range(1, len(words) + 1),
-                             i -> words[i] || ':' || CAST(word_lens[i] AS VARCHAR))
-                AS tagged,
-              range(1, (p_size % 5 + 1) + 1) AS seq
+              array_to_string(
+                list_transform(range(1, len(words) + 1),
+                               i -> words[i] || ':' || CAST(word_lens[i] AS VARCHAR)),
+                ',') AS tagged,
+              array_to_string(range(1, (p_size % 5 + 1) + 1), ',') AS seq
            FROM w2""",
         doc="higher-order array functions (transform/filter/aggregate/zip_with/sequence)",
     ),
@@ -1041,7 +1063,8 @@ SPECS = [
         "rel_json_events",
         q_json_events,
         """SELECT event_type,
-               sum(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+               CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT)
+                 AS sum_k,
                count(*) AS n,
                CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
             FROM events GROUP BY event_type""",

@@ -75,7 +75,7 @@ SPECS = [
         """WITH flagged AS (
              SELECT user_id, ts,
                     CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
-                              > INTERVAL 5 MINUTE OR
+                              >= INTERVAL 5 MINUTE OR
                               lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
                          THEN 1 ELSE 0 END AS new_sess
              FROM events
@@ -114,7 +114,8 @@ SPECS = [
         q_stream_stateful_profile,
         """SELECT user_id,
                count(*) AS n_events,
-               sum(CAST(floor(value * 1000 + 0.5) AS BIGINT)) AS total_value_millis,
+               CAST(sum(CAST(floor(value * 1000 + 0.5) AS BIGINT)) AS BIGINT)
+                 AS total_value_millis,
                min(epoch_ns(ts) // 1000) AS first_us,
                max(epoch_ns(ts) // 1000) AS last_us
             FROM events GROUP BY user_id""",

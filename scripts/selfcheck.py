@@ -5,6 +5,20 @@ parquet tables, then compares row count, column names, and an
 order-insensitive stringified value multiset (stricter than a hash:
 shows the first differing rows).
 
+Both result sets are fetched as **pandas DataFrames** (Spark
+``toPandas()``, DuckDB ``.df()``) and canonicalized with
+``sort_values`` over the name-sorted columns — the same shape as the
+driver's canonicalizer — so driver-only artifacts show up locally:
+
+* DuckDB HUGEINT (uncast integer ``sum()``) lands as float64 →
+  ``"123.0"`` vs Spark's int64 ``"123"`` (CORRECTNESS_r02
+  ``rel_window_range_frame``);
+* array-typed cells make ``sort_values`` raise ``unhashable type:
+  'list'`` exactly like the driver (r02 ``parity_catalog_table_scan``).
+
+(The previous fetchall()-based compare saw Python ints/lists and was
+structurally blind to both failure modes.)
+
 Usage: python scripts/selfcheck.py [sf_dir] [name_filter ...]
 """
 
@@ -24,29 +38,52 @@ from etl_global_mobility_spark.corpus import all_queries
 from etl_global_mobility_spark.corpus.base import TABLES
 
 
-def canon(v) -> str:
-    if v is None:
+def canon_cell(v) -> str:
+    """One pandas cell → canonical string (mirrors driver semantics)."""
+    import pandas as pd
+
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        # The driver's sort_values raises on these; keep the same
+        # contract violation visible rather than silently stringifying.
+        raise TypeError(f"unhashable array-typed cell: {v!r}")
+    if v is None or (isinstance(v, float) and math.isnan(v)):
         return "<null>"
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "nan"
-        return repr(v)
-    if isinstance(v, decimal.Decimal):
-        return str(v)
+    try:
+        if pd.isna(v):
+            return "<null>"
+    except (TypeError, ValueError):
+        pass
+    if isinstance(v, pd.Timestamp):
+        return v.isoformat(sep=" ")
     if isinstance(v, _dt.datetime):
         return v.isoformat(sep=" ")
     if isinstance(v, _dt.date):
-        return v.isoformat()
-    if isinstance(v, bool):
+        # DuckDB DATE arrives as midnight datetime64; Spark DateType as
+        # datetime.date — normalize to the timestamp rendering.
+        return v.isoformat() + " 00:00:00"
+    if isinstance(v, decimal.Decimal):
+        return str(v)
+    if isinstance(v, bool) or type(v).__name__ == "bool_":
         return "true" if v else "false"
-    if isinstance(v, (list, tuple)):
-        return "[" + ",".join(canon(x) for x in v) + "]"
     return str(v)
 
 
-def rows_canon(cols: list[str], rows) -> list[tuple[str, ...]]:
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(canon(r[i]) for i in order) for r in rows)
+def canon_pdf(pdf) -> list[tuple[str, ...]]:
+    """pandas frame → sorted list of canonical row tuples.
+
+    Columns are name-sorted, rows sorted by all columns — raises on
+    list-typed cells, like the driver's canonicalizer.
+    """
+    cols = sorted(pdf.columns)
+    pdf = pdf[cols]
+    if len(pdf):
+        pdf = pdf.sort_values(cols, kind="mergesort").reset_index(drop=True)
+    rows = [
+        tuple(canon_cell(v) for v in row)
+        for row in pdf.itertuples(index=False, name=None)
+    ]
+    rows.sort()  # canon strings, not raw values → total order even with nulls
+    return rows
 
 
 def main() -> int:
@@ -79,34 +116,41 @@ def main() -> int:
         t0 = time.time()
         try:
             df = spec.fn(spark, sf_dir)
-            scols = df.columns
-            srows = df.collect()
+            spdf = df.toPandas()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {e}")
             n_fail += 1
             continue
         if spec.oracle is None:
-            print(f"ROWS  {name}: {len(srows)} rows (no oracle) [{time.time()-t0:.1f}s]")
+            print(
+                f"ROWS  {name}: {len(spdf)} rows (no oracle) [{time.time()-t0:.1f}s]"
+            )
             n_noracle += 1
             continue
         try:
-            cur = con.execute(spec.oracle)
-            ocols = [d[0] for d in cur.description]
-            orows = cur.fetchall()
+            opdf = con.execute(spec.oracle).df()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: oracle error: {e}")
             n_fail += 1
             continue
         ok = True
-        if sorted(scols) != sorted(ocols):
-            print(f"FAIL  {name}: columns {sorted(scols)} vs oracle {sorted(ocols)}")
+        if sorted(spdf.columns) != sorted(opdf.columns):
+            print(
+                f"FAIL  {name}: columns {sorted(spdf.columns)} "
+                f"vs oracle {sorted(opdf.columns)}"
+            )
             ok = False
-        elif len(srows) != len(orows):
-            print(f"FAIL  {name}: rowcount {len(srows)} vs oracle {len(orows)}")
+        elif len(spdf) != len(opdf):
+            print(f"FAIL  {name}: rowcount {len(spdf)} vs oracle {len(opdf)}")
             ok = False
         else:
-            a = rows_canon(scols, [[r[c] for c in scols] for r in srows])
-            b = rows_canon(ocols, orows)
+            try:
+                a = canon_pdf(spdf)
+                b = canon_pdf(opdf)
+            except Exception as e:  # noqa: BLE001
+                print(f"FAIL  {name}: canonicalizer error (driver would ERR): {e}")
+                n_fail += 1
+                continue
             if a != b:
                 diffs = [(x, y) for x, y in zip(a, b) if x != y][:3]
                 print(f"FAIL  {name}: value mismatch; first diffs (spark vs oracle):")
@@ -114,7 +158,7 @@ def main() -> int:
                     print(f"        {x}\n     vs {y}")
                 ok = False
         if ok:
-            print(f"PASS  {name}: {len(srows)} rows [{time.time()-t0:.1f}s]")
+            print(f"PASS  {name}: {len(spdf)} rows [{time.time()-t0:.1f}s]")
             n_pass += 1
         else:
             n_fail += 1

@@ -71,6 +71,30 @@ def test_ngram_jaccard_finds_planted_duplicates(spark):
     assert recall >= 0.9, f"exact-jaccard recall {recall}"
 
 
+def test_ngram_jaccard_df_cap_is_lossless_below_threshold(spark):
+    """With no shingle over the cap, df_max must not change results."""
+    docs, _ = _mk_docs(spark)
+    uncapped = {
+        (r.id_a, r.id_b, round(r.jaccard, 9))
+        for r in ngram_jaccard_pairs(docs, k=3, threshold=0.5, df_max=None).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b, round(r.jaccard, 9))
+        for r in ngram_jaccard_pairs(docs, k=3, threshold=0.5, df_max=10_000).collect()
+    }
+    assert capped == uncapped
+
+
+def test_ngram_jaccard_df_cap_drops_hot_shingles(spark):
+    """A shingle shared by every doc must not create pairs once its
+    document frequency exceeds the cap (the 100 TB skew guard)."""
+    hot = "the quick fox"
+    rows = [(i, f"{hot} unique{i} token{i} word{i}") for i in range(12)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = ngram_jaccard_pairs(docs, k=3, threshold=0.01, df_max=5)
+    assert pairs.count() == 0  # only the hot shingle was shared
+
+
 def test_simhash_near_dups_have_small_hamming_distance(spark):
     docs, planted = _mk_docs(spark)
     fp = {r.id: r.simhash for r in simhash_fingerprint(docs).collect()}
