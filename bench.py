@@ -117,7 +117,41 @@ def main() -> None:
             }
         )
     )
+    _warn_regressions(times, sf)
     spark.stop()
+
+
+#: Round-2 per-query seconds at sf0.1 / local[32] (BENCH_r02.json) — the
+#: operative regression baseline. A query >2× its baseline prints a
+#: stderr warning (stdout stays the driver's single JSON line).
+BASELINE_R2 = {
+    "rel_join_revenue_by_nation": 2.182, "rel_join_left_orders": 0.845,
+    "rel_join_nonequi_self": 1.555, "rel_agg_pricing_summary": 0.842,
+    "rel_agg_count_distinct": 0.981, "rel_window_topk_per_group": 0.623,
+    "rel_window_running_sum": 1.025, "rel_topk_global": 0.222,
+    "rel_json_events": 0.665, "rel_pivot_linestatus": 0.699,
+    "rel_agg_stats_moments": 1.159, "rel_median_disc": 0.689,
+    "rel_join_salted_skew": 2.246, "parity_quality_reasons": 2.174,
+    "parity_split_quarantine": 1.949, "llm_exact_dedup": 0.338,
+    "llm_simhash": 1.644, "llm_minhash_neardup": 5.417,
+    "llm_cosine_topk": 0.719, "llm_lsh_ann": 1.487, "llm_ivf_ann": 3.582,
+    "llm_embedding_neardup": 2.216, "llm_asof_join": 0.623,
+    "llm_frame_sample": 1.643, "stream_tumbling_counts": 2.082,
+    "stream_stateful_profile": 1.802,
+}
+
+
+def _warn_regressions(times: dict[str, float], sf: float) -> None:
+    if abs(sf - 0.1) > 1e-9:  # baseline only holds at its own SF
+        return
+    for name, t in times.items():
+        base = BASELINE_R2.get(name)
+        if base and t > 2.0 * base + 0.5:
+            print(
+                f"bench: REGRESSION {name}: {t:.2f}s vs r2 baseline "
+                f"{base:.2f}s (>2x)",
+                file=sys.stderr,
+            )
 
 
 if __name__ == "__main__":

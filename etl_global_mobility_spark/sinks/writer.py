@@ -19,9 +19,14 @@ semantics behind one function:
          re-processed range, never the table),
       2. survivors = rows in those partitions NOT matching the predicate
          (other countries sharing the dates),
-      3. write survivors ∪ new ONCE to a staging dir, then atomically
-         swap the touched partition directories into place (metadata
-         renames, no second data write, no re-read of staging).
+      3. write survivors ∪ new ONCE to a staging dir, then swap the
+         touched partition directories into place via paired renames
+         (no second data write, no re-read of staging). Each old dir
+         is parked inside the staging dir before its replacement is
+         renamed in, so a crash mid-swap never loses a partition: old
+         data stays recoverable under the staging dir until the swap
+         completes, at which point staging (and the parked dirs) are
+         deleted.
 
 Cost is one write proportional to the replaced date range. Partitions
 whose rows are all replaced by nothing (a corrected re-run producing
@@ -117,9 +122,17 @@ def write_replace_where(
             for name in fs.listdir(tmp)
             if name.startswith(f"{partition_col}=")
         }
+        # Swap order matters for crash safety: the old partition dir is
+        # renamed ASIDE (into the staging dir) before the replacement is
+        # renamed in, so at no point does a partition's data exist
+        # nowhere — a crash mid-swap leaves the old data recoverable
+        # under <staging>/__old__/ and the replacement in <staging>/.
+        # The happy path deletes the staging dir (and the parked old
+        # dirs with it) once every swap has completed.
         for name in sorted(set(staged) | matched_dirs):
             dst = f"{path.rstrip('/')}/{name}"
-            fs.delete(dst)
+            if fs.exists(dst):
+                fs.rename(dst, f"{tmp}/__old__{name}")
             if name in staged:
                 fs.rename(staged[name], dst)
     finally:

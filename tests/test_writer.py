@@ -1,0 +1,151 @@
+"""Contract tests for the selective-overwrite sink (sinks/writer.py).
+
+The Delta branch can't execute here (delta-spark is not on the
+classpath), so its writer-chain contract is pinned with a recording
+stub: the reference's exact write shape —
+``format("delta").mode("overwrite").option("replaceWhere", sql)
+.partitionBy(col).save(path)`` (NB:502-507) — must be produced
+verbatim. The parquet fallback's behavior is covered end-to-end by
+tests/test_parity_pipeline.py (idempotent re-run, other-country
+survival); here we add the crash-safety property of the swap: old
+partition dirs are parked in staging before replacements move in.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from etl_global_mobility_spark.sinks import writer as writer_mod
+
+
+class _RecordingWriter:
+    def __init__(self, calls: list):
+        self._calls = calls
+
+    def format(self, fmt):
+        self._calls.append(("format", fmt))
+        return self
+
+    def mode(self, m):
+        self._calls.append(("mode", m))
+        return self
+
+    def option(self, k, v):
+        self._calls.append(("option", k, v))
+        return self
+
+    def partitionBy(self, col):
+        self._calls.append(("partitionBy", col))
+        return self
+
+    def save(self, path):
+        self._calls.append(("save", path))
+
+
+class _FakeDF:
+    def __init__(self):
+        self.calls: list = []
+        self.sparkSession = None
+
+    @property
+    def write(self):
+        return _RecordingWriter(self.calls)
+
+
+def test_delta_branch_emits_reference_replacewhere_chain(spark, monkeypatch):
+    monkeypatch.setattr(writer_mod, "_HAS_DELTA", True)
+    df = _FakeDF()
+    pred_sql = (
+        "pais = 'EC' AND fecha_proceso >= DATE '2025-01-01' "
+        "AND fecha_proceso <= DATE '2025-01-31'"
+    )
+    writer_mod.write_replace_where(
+        df,
+        "/data/bronze",
+        "fecha_proceso",
+        F.lit(True),
+        partition_bounds=("2025-01-01", "2025-01-31"),
+        predicate_sql=pred_sql,
+    )
+    assert df.calls == [
+        ("format", "delta"),
+        ("mode", "overwrite"),
+        ("option", "replaceWhere", pred_sql),
+        ("partitionBy", "fecha_proceso"),
+        ("save", "/data/bronze"),
+    ]
+
+
+def test_delta_branch_requires_predicate_sql(spark, monkeypatch):
+    """Without predicate_sql the delta branch must NOT run (a rendered
+    Column is unreliable); the parquet fallback handles it instead."""
+    monkeypatch.setattr(writer_mod, "_HAS_DELTA", True)
+    df = _FakeDF()
+
+    class _NoFS:
+        def exists(self, p):
+            return False
+
+    monkeypatch.setattr(writer_mod, "_fs", lambda spark, path: _NoFS())
+
+    class _PlainWriter(_RecordingWriter):
+        def parquet(self, path):
+            self._calls.append(("parquet", path))
+
+    class _PlainDF(_FakeDF):
+        @property
+        def write(self):
+            return _PlainWriter(self.calls)
+
+    df = _PlainDF()
+    writer_mod.write_replace_where(
+        df, "/data/bronze", "fecha_proceso", F.lit(True)
+    )
+    assert ("format", "delta") not in df.calls
+    assert df.calls[-1] == ("parquet", "/data/bronze")
+
+
+def test_parquet_swap_parks_old_dirs_before_replacing(spark, tmp_path):
+    """Crash-safety ordering: for every replaced partition dir, the old
+    dir is renamed aside (into staging) before the staged replacement is
+    renamed in — never delete-then-copy."""
+    events: list[tuple[str, str]] = []
+    real_fs = writer_mod._LocalFS()
+
+    class _TracingFS(writer_mod._LocalFS):
+        def rename(self, src, dst):
+            events.append(("rename", src, dst))
+            real_fs.rename(src, dst)
+
+        def delete(self, p):
+            events.append(("delete", p))
+            real_fs.delete(p)
+
+    orig = writer_mod._fs
+    writer_mod._fs = lambda sp, path: _TracingFS()
+    try:
+        path = str(tmp_path / "t")
+        df1 = spark.createDataFrame(
+            [("EC", "2025-01-01", 1), ("PE", "2025-01-01", 2)], "pais string, d string, v int"
+        )
+        writer_mod.write_replace_where(
+            df1, path, "d", F.col("pais") == "XX", partition_bounds=("2025-01-01", "2025-01-01")
+        )
+        df2 = spark.createDataFrame([("EC", "2025-01-01", 9)], "pais string, d string, v int")
+        writer_mod.write_replace_where(
+            df2, path, "d", F.col("pais") == "EC", partition_bounds=("2025-01-01", "2025-01-01")
+        )
+    finally:
+        writer_mod._fs = orig
+
+    part = f"{path}/d=2025-01-01"
+    # the destination dir must never be a bare delete target: it is
+    # renamed aside (into the staging dir) and the staged dir renamed in
+    renames_of_dst = [e for e in events if e[0] == "rename" and e[1] == part]
+    renames_into_dst = [e for e in events if e[0] == "rename" and e[2] == part]
+    deletes_of_dst = [e for e in events if e[0] == "delete" and e[1] == part]
+    assert renames_of_dst and renames_into_dst and not deletes_of_dst
+    assert events.index(renames_of_dst[0]) < events.index(renames_into_dst[0])
+
+    got = {(r.pais, r.v) for r in spark.read.parquet(path).collect()}
+    assert got == {("EC", 9), ("PE", 2)}
