@@ -14,7 +14,9 @@ from etl_global_mobility_spark.operators.dedup import (
 )
 from etl_global_mobility_spark.operators.similarity import (
     cosine_topk_exact,
+    ivf_topk,
     lsh_ann_candidates,
+    train_ivf_centroids,
 )
 from etl_global_mobility_spark.operators.text import (
     doc_fingerprint,
@@ -30,7 +32,9 @@ __all__ = [
     "ngram_jaccard_pairs",
     "simhash_fingerprint",
     "cosine_topk_exact",
+    "ivf_topk",
     "lsh_ann_candidates",
+    "train_ivf_centroids",
     "doc_fingerprint",
     "language_id",
     "quality_score",

@@ -134,28 +134,37 @@ def ivf_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate nearest neighbors: partition the
     corpus into `n_cells` Voronoi cells around centroid vectors, then
     answer each query by exact top-k over only the `nprobe` cells whose
     centroids are nearest to the query.
 
-    Centroids here are the `n_cells` lowest-id corpus vectors — a
-    deterministic coarse quantizer so the result is oracle-checkable; a
-    production index trains k-means, but the *scale* machinery is
-    identical either way: the centroid table is tiny and collected to
-    the driver (bounded: n_cells rows), every cell assignment is a
-    map-only pass over literal centroids (no shuffle, no join), and the
-    only shuffle is the candidate top-k on the (n_queries × cell-size)
-    candidate set. At 100 TB the corpus is scanned once to build the
-    cell assignment and each query touches ~nprobe/n_cells of the data.
+    The default coarse quantizer is the `n_cells` lowest-id corpus
+    vectors — deterministic, so the result is oracle-checkable. Pass
+    ``centroids`` (e.g. from :func:`train_ivf_centroids`) for a trained
+    quantizer; cell ids are then centroid list indices. The *scale*
+    machinery is identical either way: the centroid table is tiny and
+    collected to the driver (bounded: n_cells rows), every cell
+    assignment is a map-only pass over literal centroids (no shuffle,
+    no join), and the only shuffle is the candidate top-k on the
+    (n_queries × cell-size) candidate set. At 100 TB the corpus is
+    scanned once to build the cell assignment and each query touches
+    ~nprobe/n_cells of the data.
     """
     from pyspark.sql import Window
 
-    cents = [
-        (int(r[0]), [float(x) for x in r[1]])
-        for r in corpus.select(id_col, vec_col).orderBy(id_col).limit(n_cells).collect()
-    ]
+    if centroids is not None:
+        cents = [(i, [float(x) for x in v]) for i, v in enumerate(centroids)]
+    else:
+        cents = [
+            (int(r[0]), [float(x) for x in r[1]])
+            for r in corpus.select(id_col, vec_col)
+            .orderBy(id_col)
+            .limit(n_cells)
+            .collect()
+        ]
     # Python-side sequential fold == DuckDB list_dot_product == Spark
     # F.aggregate — all three are in-order IEEE double chains.
     norms = [math.sqrt(sum(x * x for x in v)) for _, v in cents]
@@ -215,6 +224,71 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", "rank", "c_id", "score")
     )
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    n_iters: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Spherical k-means (Lloyd's) trainer for the IVF coarse quantizer:
+    assign by max cosine, update each centroid to the member mean.
+
+    Scale shape per iteration: one MAP-ONLY assignment pass over literal
+    centroids (no join, no shuffle of the corpus), then ONE shuffle of
+    (cell, dim-position) partial averages — map-side combined, so the
+    exchanged data is O(n_cells × dim × partitions), independent of
+    corpus size. Only n_cells × dim aggregate rows ever reach the
+    driver. Initialization is the deterministic lowest-id seed set
+    (same as ivf_topk's default quantizer), so training is reproducible
+    up to float partial-sum order; the trained centroids feed
+    ``ivf_topk(..., centroids=...)``, while the oracle-checked corpus
+    query keeps the deterministic default.
+
+    Empty cells keep their previous centroid (the standard Lloyd's
+    degenerate-cell rule).
+    """
+    cents = [
+        [float(x) for x in r[1]]
+        for r in corpus.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(n_cells)
+        .collect()
+    ]
+    c = corpus.select(F.col(vec_col).alias("vec")).withColumn(
+        "nv", dot(F.col("vec"), F.col("vec"))
+    )
+    for _ in range(n_iters):
+        norms = [math.sqrt(sum(x * x for x in v)) for v in cents]
+        scores = F.array(
+            *[
+                F.struct(
+                    (
+                        dot(F.col("vec"), F.lit(v))
+                        / (F.sqrt(F.col("nv")) * F.lit(n))
+                    ).alias("cos"),
+                    F.lit(-cid).alias("neg_id"),
+                )
+                for cid, (v, n) in enumerate(zip(cents, norms))
+            ]
+        )
+        assigned = c.withColumn("cell", -F.array_max(scores).getField("neg_id"))
+        means = (
+            assigned.select("cell", F.posexplode("vec").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        new_cents = [list(v) for v in cents]  # empty cells keep position
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cell.setdefault(int(r["cell"]), {})[int(r["pos"])] = float(r["m"])
+        for cid, dims in by_cell.items():
+            new_cents[cid] = [dims[i] for i in range(len(dims))]
+        cents = new_cents
+    return cents
 
 
 def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:

@@ -155,6 +155,47 @@ def test_ivf_recall_improves_with_nprobe(spark):
     assert r2 >= 0.3, f"nprobe=2 recall {r2}"
 
 
+def test_kmeans_trainer_recovers_planted_clusters(spark):
+    """4 well-separated direction clusters → each true direction must
+    have a trained centroid at cosine ≥ 0.9, and a trained quantizer
+    must beat the degenerate lowest-id quantizer at nprobe=1."""
+    from etl_global_mobility_spark.operators.similarity import train_ivf_centroids
+
+    rng = random.Random(13)
+    axes = [
+        [10.0 if d == a else 0.0 for d in range(8)] for a in range(4)
+    ]  # 4 orthogonal directions
+    rows = []
+    for i in range(160):
+        base = axes[i % 4]
+        rows.append((i, [x + rng.gauss(0, 0.5) for x in base], i % 4))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+    cents = train_ivf_centroids(emb, n_cells=4, n_iters=4)
+
+    def cos(a, b):
+        dp = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(x * x for x in b) ** 0.5
+        return dp / (na * nb)
+
+    for axis in axes:
+        best = max(cos(axis, c) for c in cents)
+        assert best >= 0.9, f"no trained centroid near axis {axis}: {best}"
+
+    queries = emb.filter(F.col("vec_id") < 8)
+    e = {(r.q_id, r.c_id) for r in cosine_topk_exact(emb, queries, k=5).collect()}
+
+    def recall(centroids):
+        got = ivf_topk(emb, queries, n_cells=4, nprobe=1, k=5, centroids=centroids)
+        return len(e & {(r.q_id, r.c_id) for r in got.collect()}) / len(e)
+
+    r_trained = recall(cents)
+    r_default = recall(None)
+    assert r_trained >= 0.9, f"trained-quantizer recall@5 {r_trained}"
+    assert r_trained >= r_default, (r_trained, r_default)
+
+
 def test_multimodal_feature_plumbing(spark):
     from etl_global_mobility_spark.operators.multimodal import (
         attach_media_metadata,
