@@ -41,3 +41,31 @@ def test_contract_surface_is_complete():
     assert set(qs) == set(specs)
     assert set(osql) == {k for k, s in specs.items() if s.oracle is not None}
     assert len(qs) >= 50
+
+
+def test_driver_window_invariants():
+    """The driver checks the FIRST 50 registered queries (ordering
+    policy in corpus/__init__.py). Pin what must stay inside:
+
+    * the window is exactly 50 names and registration starts with it;
+    * every llm_*/stream_*/udf_* query is inside (they had zero driver
+      evidence in round 2 purely from ordering);
+    * everything in the window carries a DuckDB oracle (no rows-only
+      checks spending a window slot).
+    """
+    sys.path.insert(0, REPO)
+    from etl_global_mobility_spark.corpus import DRIVER_WINDOW, all_queries
+
+    specs = all_queries()
+    names = list(specs)
+    assert len(DRIVER_WINDOW) == 50
+    assert tuple(names[:50]) == tuple(DRIVER_WINDOW)
+
+    novel = {
+        n for n in specs if n.startswith(("llm_", "stream_", "udf_"))
+    }
+    outside = novel - set(DRIVER_WINDOW)
+    assert not outside, f"novel operators outside the driver window: {outside}"
+
+    no_oracle = [n for n in DRIVER_WINDOW if specs[n].oracle is None]
+    assert not no_oracle, f"rows-only queries inside the window: {no_oracle}"
