@@ -534,6 +534,40 @@ def q_join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed co-located fact-fact join: lineitem and orders written
+    once pre-hashed into the same 8 buckets on the join key, then joined
+    with NO Exchange on either side (the write pays the shuffle once;
+    tests/test_plans.py asserts the shuffle-free join plan). At 100 TB
+    this is the difference between shuffling both fact tables per query
+    and never shuffling them again. The oracle joins the original
+    tables — bucketing must not change a single row."""
+    from etl_global_mobility_spark.sinks.bucketing import (
+        read_bucketed,
+        write_bucketed,
+    )
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS corpus_cat")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    write_bucketed(li, "corpus_cat.lineitem_bkt", "l_orderkey", 8)
+    write_bucketed(o, "corpus_cat.orders_bkt", "o_orderkey", 8)
+    lib = read_bucketed(spark, "corpus_cat.lineitem_bkt")
+    ob = read_bucketed(spark, "corpus_cat.orders_bkt")
+    return (
+        lib.join(ob, lib.l_orderkey == ob.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_qty"),
+        )
+    )
+
+
 def q_collect_sorted_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array aggregation: per-nation sorted customer-key list (bounded
     groups; sort_array makes the aggregation order-insensitive)."""
@@ -952,6 +986,15 @@ SPECS = [
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY o_orderpriority""",
         doc="salted skew join (oracle = unsalted equivalent)",
+    ),
+    QuerySpec(
+        "rel_bucketed_join",
+        q_bucketed_join,
+        """SELECT o_orderpriority, count(*) AS n_items,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY o_orderpriority""",
+        doc="bucketed co-located join (write-once shuffle, join shuffle-free)",
     ),
     QuerySpec(
         "rel_collect_sorted_lists",

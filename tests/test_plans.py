@@ -138,6 +138,47 @@ def test_median_windows_share_one_shuffle(spark):
     assert plan.count("Window [") == 2
 
 
+def test_bucketed_join_is_shuffle_free(spark):
+    """Two tables bucketed on the join key with equal bucket counts must
+    sort-merge join with ZERO exchanges — the write paid the shuffle
+    once (the 100 TB fact-fact co-location strategy)."""
+    from pyspark.sql import functions as F
+
+    from etl_global_mobility_spark.corpus.base import load_table
+    from etl_global_mobility_spark.sinks.bucketing import (
+        read_bucketed,
+        write_bucketed,
+    )
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS corpus_cat")
+    li = load_table(spark, SF, "lineitem").select("l_orderkey", "l_quantity")
+    o = load_table(spark, SF, "orders").select("o_orderkey", "o_orderpriority")
+    write_bucketed(li, "corpus_cat.li_plan_bkt", "l_orderkey", 4)
+    write_bucketed(o, "corpus_cat.o_plan_bkt", "o_orderkey", 4)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        lib = read_bucketed(spark, "corpus_cat.li_plan_bkt")
+        ob = read_bucketed(spark, "corpus_cat.o_plan_bkt")
+        joined = lib.join(ob, lib.l_orderkey == ob.o_orderkey)
+        plan = plan_of(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, plan
+        assert "Bucketed: true" in plan
+        # sanity: same rows as the path-based join
+        expected = (
+            load_table(spark, SF, "lineitem")
+            .join(
+                load_table(spark, SF, "orders"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .count()
+        )
+        assert joined.count() == expected
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
 def test_salted_join_spreads_hot_keys(spark):
     """The salted join must key the shuffle/build on (orderkey, salt) so
     a hot orderkey spreads across SALT reducers."""
