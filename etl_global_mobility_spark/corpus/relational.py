@@ -24,6 +24,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from etl_global_mobility_spark.corpus.base import QuerySpec, load_table
+from etl_global_mobility_spark.operators.layout import (
+    zorder_key_sql as _zorder_key_sql,
+)
 
 # revenue in exact decimal: price*(1-disc) has ≤4 decimals; sum is exact
 _REV = "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))"
@@ -568,6 +571,24 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_zorder_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton (Z-order) clustering key over (p_size, p_partkey mod 1024)
+    — the multi-dimensional data-skipping layout key
+    (operators/layout.py). Pure codegen bit arithmetic; the oracle
+    recomputes the identical interleave in SQL."""
+    from etl_global_mobility_spark.operators.layout import zorder_key
+
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        "p_size",
+        zorder_key(
+            [F.col("p_size").cast("long"), (F.col("p_partkey") % 1024).cast("long")],
+            bits=10,
+        ).alias("zkey"),
+    )
+
+
 def q_collect_sorted_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array aggregation: per-nation sorted customer-key list (bounded
     groups; sort_array makes the aggregation order-insensitive)."""
@@ -986,6 +1007,14 @@ SPECS = [
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             GROUP BY o_orderpriority""",
         doc="salted skew join (oracle = unsalted equivalent)",
+    ),
+    QuerySpec(
+        "rel_zorder_key",
+        q_zorder_key,
+        f"""SELECT p_partkey, p_size,
+               {_zorder_key_sql(['p_size', '(p_partkey % 1024)'], bits=10)} AS zkey
+            FROM part""",
+        doc="Morton/Z-order clustering key (multi-dim data skipping)",
     ),
     QuerySpec(
         "rel_bucketed_join",

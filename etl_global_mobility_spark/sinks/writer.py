@@ -151,6 +151,9 @@ class _LocalFS:
     def listdir(self, p: str) -> list[str]:
         return os.listdir(p)
 
+    def size(self, p: str) -> int:
+        return os.path.getsize(p)
+
     def delete(self, p: str) -> None:
         if os.path.isdir(p):
             shutil.rmtree(p, ignore_errors=True)
@@ -176,6 +179,9 @@ class _HadoopFS:  # pragma: no cover - remote FS
 
     def listdir(self, p: str) -> list[str]:
         return [s.getPath().getName() for s in self._fs.listStatus(self._Path(p))]
+
+    def size(self, p: str) -> int:
+        return self._fs.getFileStatus(self._Path(p)).getLen()
 
     def delete(self, p: str) -> None:
         if self.exists(p):
