@@ -39,12 +39,13 @@ DRIVER_WINDOW = (
     "llm_multimodal_features",
     "llm_asof_join",
     "llm_frame_sample",
-    # Structured Streaming (5)
+    # Structured Streaming (6)
     "stream_tumbling_counts",
     "stream_session_windows",
     "stream_sliding_counts",
     "stream_dedup_keys",
     "stream_stateful_profile",
+    "stream_stream_join",
     # UDF / UDAF / UDTF shapes (5)
     "udf_pandas_scalar",
     "udf_pandas_grouped_agg",
@@ -62,12 +63,13 @@ DRIVER_WINDOW = (
     "rel_window_range_frame",
     # new in r3 (1)
     "parity_csv_scan",
-    # §2A representatives (7)
+    # §2A representatives (6; parity_map_lookup yielded its slot to
+    # stream_stream_join — its round-2 driver row is green and the
+    # local oracle gate still covers it)
     "parity_rename_project",
     "parity_filter_eq_range",
     "parity_split_quarantine",
     "parity_date_parse",
-    "parity_map_lookup",
     "parity_unit_price",
     "parity_quality_reasons",
     # §2B representatives (8)

@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from etl_global_mobility_spark.corpus.base import QuerySpec
 from etl_global_mobility_spark.streaming.ops import (
+    interval_join_streams,
     run_stream_to_memory,
     session_window_counts,
     sliding_window_counts,
@@ -41,6 +42,15 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_memory(
         streaming_dedup_keys(ev, ["user_id", "event_type"]), "append"
     )
+
+
+def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: view events joined to the same
+    user's purchase events within 6 hours (two independent file-source
+    streams; watermark + range condition bound the join state)."""
+    a = stream_events(spark, sf_dir).filter("event_type = 'view'")
+    b = stream_events(spark, sf_dir).filter("event_type = 'purchase'")
+    return run_stream_to_memory(interval_join_streams(a, b), "append")
 
 
 def q_stream_stateful_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -108,6 +118,18 @@ SPECS = [
         q_stream_dedup,
         "SELECT DISTINCT user_id, event_type FROM events",
         doc="dropDuplicatesWithinWatermark stateful dedup",
+    ),
+    QuerySpec(
+        "stream_stream_join",
+        q_stream_stream_join,
+        """SELECT a.user_id,
+               CAST(a.ts AS TIMESTAMP) AS a_ts,
+               CAST(b.ts AS TIMESTAMP) AS b_ts
+            FROM events a JOIN events b
+              ON a.user_id = b.user_id
+             AND a.event_type = 'view' AND b.event_type = 'purchase'
+             AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 6 HOUR""",
+        doc="watermarked stream-stream interval join (state bounded by gap)",
     ),
     QuerySpec(
         "stream_stateful_profile",

@@ -113,6 +113,44 @@ def streaming_dedup_keys(
     )
 
 
+def interval_join_streams(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    max_gap: str = "6 hours",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked stream-stream INNER interval join: pairs of events
+    with the same ``key`` where the right event lands in
+    ``[left.ts, left.ts + max_gap]``.
+
+    The watermark plus the explicit time-range condition is what makes
+    this feasible at scale: Spark derives a state eviction bound from
+    them (a buffered left row can be dropped once the right watermark
+    passes ``left.ts + max_gap``), so join state is bounded by the gap
+    window instead of growing with the stream. Inner-join matches emit
+    as soon as both sides arrive — the completed bounded run equals the
+    batch join (the corpus oracle checks exactly that).
+    """
+    a = left.withWatermark("ts", watermark).select(
+        F.col(key).alias("a_key"),
+        F.col("ts").alias("a_ts"),
+        F.col("event_type").alias("a_type"),
+    )
+    b = right.withWatermark("ts", watermark).select(
+        F.col(key).alias("b_key"),
+        F.col("ts").alias("b_ts"),
+        F.col("event_type").alias("b_type"),
+    )
+    return a.join(
+        b,
+        (F.col("a_key") == F.col("b_key"))
+        & (F.col("b_ts") >= F.col("a_ts"))
+        & (F.col("b_ts") <= F.col("a_ts") + F.expr(f"INTERVAL {max_gap}")),
+        "inner",
+    ).select(F.col("a_key").alias("user_id"), "a_ts", "b_ts")
+
+
 def run_stream_foreach_batch_parquet(
     df: DataFrame, path: str, checkpoint: str
 ) -> None:
