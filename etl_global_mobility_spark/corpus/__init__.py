@@ -21,7 +21,9 @@ from etl_global_mobility_spark.corpus.base import QuerySpec, load_table
 
 #: First 50 registered names — the driver's correctness window.
 DRIVER_WINDOW = (
-    # §2C LLM-pipeline operators (17)
+    # §2C LLM-pipeline operators (19)
+    "llm_dedup_components",
+    "llm_hash_split",
     "llm_exact_dedup",
     "llm_fingerprint",
     "llm_text_stats",
@@ -63,23 +65,23 @@ DRIVER_WINDOW = (
     "rel_window_range_frame",
     # new in r3 (1)
     "parity_csv_scan",
-    # §2A representatives (6; parity_map_lookup yielded its slot to
-    # stream_stream_join — its round-2 driver row is green and the
-    # local oracle gate still covers it)
+    # §2A representatives (5; parity_map_lookup and parity_date_parse
+    # yielded their slots to the new stream_stream_join and
+    # llm_dedup_components — both evictees have green round-2 driver
+    # rows and stay under the local oracle gate)
     "parity_rename_project",
     "parity_filter_eq_range",
     "parity_split_quarantine",
-    "parity_date_parse",
     "parity_unit_price",
     "parity_quality_reasons",
-    # §2B representatives (8)
+    # §2B representatives (7; rel_set_ops yielded its slot to
+    # llm_hash_split — green round-2 driver row, local gate keeps it)
     "rel_join_revenue_by_nation",
     "rel_join_anti",
     "rel_agg_pricing_summary",
     "rel_agg_rollup",
     "rel_window_topk_per_group",
     "rel_topk_global",
-    "rel_set_ops",
     "rel_scalar_string_date_math",
 )
 

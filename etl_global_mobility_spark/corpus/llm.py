@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from etl_global_mobility_spark.corpus.base import QuerySpec, load_table
 from etl_global_mobility_spark.operators.dedup import (
+    dedup_components,
     exact_dedup,
     minhash_near_duplicates,
     ngram_jaccard_pairs,
@@ -117,6 +118,29 @@ def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(d, k=2, threshold=0.25)
+
+
+def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/valid/test split via a stable md5
+    bucket of doc_id (operators/splits.py): reproducible on any cluster
+    size, immune to partition layout — counts per (split, lang)."""
+    from etl_global_mobility_spark.operators.splits import hash_split
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        hash_split(d)
+        .groupBy("split", "lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster resolution: connected components over the exact
+    n-gram Jaccard pair graph — each clustered document labeled with its
+    cluster's minimum doc_id (the canonical representative)."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, k=2, threshold=0.25)
+    return dedup_components(pairs).select(F.col("id").alias("doc_id"), "component")
 
 
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -539,6 +563,38 @@ SPECS = [
         q_minhash_neardup,
         _minhash_sql(),
         doc="MinHash+LSH banding near-dup candidates (md5-based, oracle-checked)",
+    ),
+    QuerySpec(
+        "llm_hash_split",
+        q_hash_split,
+        f"""SELECT CASE
+                 WHEN {_md5_hash_sql("CAST(doc_id AS VARCHAR)", 0)} % 100 < 80
+                   THEN 'train'
+                 WHEN {_md5_hash_sql("CAST(doc_id AS VARCHAR)", 0)} % 100 < 90
+                   THEN 'valid'
+                 ELSE 'test' END AS split,
+               lang, count(*) AS n_docs
+            FROM documents GROUP BY 1, 2""",
+        doc="deterministic md5-bucket train/valid/test split",
+    ),
+    QuerySpec(
+        "llm_dedup_components",
+        q_dedup_components,
+        f"""WITH RECURSIVE pairs AS (
+              SELECT id_a, id_b FROM ({_ngram_jaccard_sql()})
+           ), edges AS (
+              SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION ALL
+              SELECT id_b, id_a FROM pairs
+           ), reach AS (
+              SELECT DISTINCT src AS id, src AS r FROM edges
+              UNION
+              SELECT e.src AS id, reach.r FROM edges e
+              JOIN reach ON reach.id = e.dst
+           )
+           SELECT id AS doc_id, min(r) AS component
+           FROM reach GROUP BY id""",
+        doc="near-dup connected components (canonical = min doc_id)",
     ),
     QuerySpec(
         "llm_ngram_jaccard",

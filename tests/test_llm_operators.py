@@ -10,6 +10,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from etl_global_mobility_spark.operators.dedup import (
+    dedup_components,
     exact_dedup,
     minhash_near_duplicates,
     ngram_jaccard_pairs,
@@ -69,6 +70,49 @@ def test_ngram_jaccard_finds_planted_duplicates(spark):
     found = {(r.id_a, r.id_b) for r in pairs.collect()}
     recall = sum(1 for p in planted if p in found) / len(planted)
     assert recall >= 0.9, f"exact-jaccard recall {recall}"
+
+
+def test_hash_split_is_stable_and_partition_invariant(spark):
+    """The same id must get the same split regardless of partition
+    layout (randomSplit fails this), and fractions must roughly hold."""
+    from etl_global_mobility_spark.operators.splits import hash_split
+
+    df = spark.range(2000).select(F.col("id").alias("doc_id"))
+    a = {r.doc_id: r.split for r in hash_split(df).collect()}
+    b = {
+        r.doc_id: r.split
+        for r in hash_split(df.repartition(17, "doc_id")).collect()
+    }
+    assert a == b
+    from collections import Counter
+
+    c = Counter(a.values())
+    assert 0.75 <= c["train"] / 2000 <= 0.85
+    assert 0.05 <= c["valid"] / 2000 <= 0.15
+    assert 0.05 <= c["test"] / 2000 <= 0.15
+
+    with __import__("pytest").raises(ValueError):
+        from etl_global_mobility_spark.operators.splits import split_column
+
+        split_column("doc_id", (("a", 50), ("b", 40)))
+
+
+def test_dedup_components_labels_clusters_with_min_id(spark):
+    """Chain 1-2-3 and pair 10-11 → two components labeled by min id;
+    a transitive chain needs >1 propagation round (diameter 2)."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    got = {(r.id, r.component) for r in dedup_components(pairs).collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
+
+
+def test_dedup_components_raises_when_not_converged(spark):
+    import pytest
+
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(8)], "id_a long, id_b long")
+    with pytest.raises(RuntimeError, match="converge"):
+        dedup_components(pairs, max_iters=1)  # chain of 9 has diameter 8
 
 
 def test_ngram_jaccard_df_cap_is_lossless_below_threshold(spark):
