@@ -21,13 +21,15 @@ from etl_global_mobility_spark.corpus.base import QuerySpec, load_table
 
 #: First 50 registered names — the driver's correctness window.
 DRIVER_WINDOW = (
-    # §2C LLM-pipeline operators (19)
+    # §2C LLM-pipeline operators (22 of 24; llm_token_count_by_lang and
+    # llm_salient_terms sit outside — the text-analysis component keeps
+    # four in-window representatives: text_stats, language_id,
+    # quality_score, fingerprint)
     "llm_dedup_components",
     "llm_hash_split",
     "llm_exact_dedup",
     "llm_fingerprint",
     "llm_text_stats",
-    "llm_token_count_by_lang",
     "llm_language_id",
     "llm_quality_score",
     "llm_simhash",
@@ -41,10 +43,14 @@ DRIVER_WINDOW = (
     "llm_multimodal_features",
     "llm_asof_join",
     "llm_frame_sample",
-    # Structured Streaming (6)
+    "llm_repetition_signals",
+    "llm_contamination",
+    "llm_pii_redact",
+    "llm_stratified_sample",
+    # Structured Streaming (5 of 6; stream_sliding_counts outside — the
+    # windowed-agg mechanism keeps tumbling + session in-window)
     "stream_tumbling_counts",
     "stream_session_windows",
-    "stream_sliding_counts",
     "stream_dedup_keys",
     "stream_stateful_profile",
     "stream_stream_join",
@@ -54,10 +60,11 @@ DRIVER_WINDOW = (
     "udf_pandas_grouped_map",
     "udf_map_in_arrow",
     "udf_python_udtf",
-    # relational tail never driver-checked in r2 (3)
+    # relational scalar tail never driver-checked in r2 (2;
+    # rel_array_ops outside — higher-order array functions keep
+    # rel_hof_arrays in-window)
     "rel_scalar_dates",
     "rel_json_events",
-    "rel_array_ops",
     # repaired in r3: array outputs stringified / oracle sum cast (4)
     "parity_catalog_table_scan",
     "rel_collect_sorted_lists",
@@ -65,24 +72,25 @@ DRIVER_WINDOW = (
     "rel_window_range_frame",
     # new in r3 (1)
     "parity_csv_scan",
-    # §2A representatives (5; parity_map_lookup and parity_date_parse
-    # yielded their slots to the new stream_stream_join and
-    # llm_dedup_components — both evictees have green round-2 driver
-    # rows and stay under the local oracle gate)
+    # §2A representatives (5): parity_derived_all carries A9-A16 in one
+    # projection, so the individual micro-queries (membership, casts,
+    # date_parse, map_lookup, unit_conversion, unit_price, rounding,
+    # indicators — all green in round 2) moved past the window.
     "parity_rename_project",
     "parity_filter_eq_range",
     "parity_split_quarantine",
-    "parity_unit_price",
+    "parity_derived_all",
     "parity_quality_reasons",
-    # §2B representatives (7; rel_set_ops yielded its slot to
-    # llm_hash_split — green round-2 driver row, local gate keeps it)
+    # §2B representatives (6): one per category — join, agg, rollup,
+    # top-k, set ops, MERGE (evictees rel_join_anti /
+    # rel_window_topk_per_group / rel_scalar_string_date_math have
+    # green round-2 rows; windows/scalars keep other in-window reps)
     "rel_join_revenue_by_nation",
-    "rel_join_anti",
     "rel_agg_pricing_summary",
     "rel_agg_rollup",
-    "rel_window_topk_per_group",
     "rel_topk_global",
-    "rel_scalar_string_date_math",
+    "rel_set_ops",
+    "rel_merge_upsert",
 )
 
 

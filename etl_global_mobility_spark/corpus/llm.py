@@ -190,6 +190,94 @@ def q_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals: top-token fraction,
+    duplicate-2-gram fraction, top-2-gram fraction per document."""
+    from etl_global_mobility_spark.operators.signals import repetition_signals
+
+    d = load_table(spark, sf_dir, "documents")
+    return repetition_signals(d, k=2)
+
+
+def q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: docs whose 2-gram shingle sets overlap
+    a held-out 'benchmark' slice (doc_id % 50 == 0) above 60% — the
+    pre-training hygiene step that keeps eval data out of the corpus."""
+    from etl_global_mobility_spark.operators.signals import contamination_check
+
+    d = load_table(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 50 == 0)
+    corpus = d.filter(F.col("doc_id") % 50 != 0)
+    return contamination_check(corpus, bench, k=2, threshold=0.6)
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: deterministic synthetic emails/phones are injected
+    into a slice of documents, then redacted to <EMAIL>/<PHONE> tokens.
+    The oracle recomputes injection + regex pipeline independently, so
+    counts AND the md5 of every redacted text must match."""
+    from etl_global_mobility_spark.operators.text import pii_counts, redact_pii
+
+    d = load_table(spark, sf_dir, "documents")
+    injected = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    ).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" call +1 555 "),
+                F.lpad((F.col("doc_id") % 10_000).cast("string"), 4, "0"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    n_emails, n_phones = pii_counts("text")
+    return injected.select(
+        "doc_id",
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+        F.md5(redact_pii("text")).alias("redacted_md5"),
+    )
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified corpus rebalancing: downsample each
+    language at its own rate via a stable md5 bucket of doc_id."""
+    from etl_global_mobility_spark.operators.splits import stratified_hash_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    return stratified_hash_sample(
+        d,
+        strata_col="lang",
+        rates={"en": 0.5, "es": 0.3, "fr": 0.2},
+        default_rate=0.1,
+        seed=1,
+    ).select("doc_id", "lang")
+
+
+def q_salient_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 df-normalized salient terms per language (tf/df score —
+    see operators.text.salient_terms for why not ln-idf here)."""
+    from etl_global_mobility_spark.operators.text import salient_terms
+
+    d = load_table(spark, sf_dir, "documents")
+    return salient_terms(d, group_col="lang", top_k=5)
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media plumbing: text bytes as opaque content → metadata →
     Arrow-batched (mapInPandas) feature stub. Oracle checks the
@@ -255,6 +343,135 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ------------------------------------------------------ oracle builders ----
+def _shingles_all_sql(k: int) -> str:
+    """DuckDB mirror of operators.signals._word_shingles_all (duplicates
+    kept, unlike _shingles_sql's distinct-set semantics)."""
+    return (
+        f"list_transform("
+        f"range(1, greatest(len({TOKS}) - {k - 1}, 0) + 1), "
+        f"i -> array_to_string(({TOKS})[i:i + {k - 1}], ' '))"
+    )
+
+
+def _repetition_sql(k: int = 2) -> str:
+    return f"""
+    WITH toks AS (
+      SELECT doc_id AS id, unnest({TOKS}) AS t FROM documents
+    ), tc AS (
+      SELECT id, t, count(*) AS c FROM toks GROUP BY 1, 2
+    ), ts AS (
+      SELECT id, CAST(sum(c) AS BIGINT) AS n_tokens, max(c) AS top_tok
+      FROM tc GROUP BY 1
+    ), grams AS (
+      SELECT doc_id AS id, unnest({_shingles_all_sql(k)}) AS g FROM documents
+    ), gc AS (
+      SELECT id, g, count(*) AS c FROM grams GROUP BY 1, 2
+    ), gs AS (
+      SELECT id, CAST(sum(c) AS BIGINT) AS n_grams,
+             count(*) AS n_distinct, max(c) AS top_gram
+      FROM gc GROUP BY 1
+    )
+    SELECT ts.id AS doc_id, ts.n_tokens,
+           CAST(ts.top_tok AS DOUBLE) / ts.n_tokens AS top_token_frac,
+           gs.n_grams,
+           CAST(1 AS DOUBLE) - CAST(gs.n_distinct AS DOUBLE) / gs.n_grams
+             AS dup_gram_frac,
+           CAST(gs.top_gram AS DOUBLE) / gs.n_grams AS top_gram_frac
+    FROM ts LEFT JOIN gs ON ts.id = gs.id
+    """
+
+
+def _contamination_sql(k: int = 2, thr: float = 0.6, bench_mod: int = 50) -> str:
+    return f"""
+    WITH cinv0 AS (
+      SELECT doc_id AS c_id, unnest({_shingles_sql(k)}) AS s
+      FROM documents WHERE doc_id % {bench_mod} <> 0
+    ), cinv AS (
+      SELECT c_id, s, count(*) OVER (PARTITION BY c_id) AS n_shingles
+      FROM cinv0
+    ), binv AS (
+      SELECT doc_id AS bench_id, unnest({_shingles_sql(k)}) AS s
+      FROM documents WHERE doc_id % {bench_mod} = 0
+    ), hits AS (
+      SELECT c_id, bench_id, n_shingles, count(*) AS n_hits
+      FROM cinv JOIN binv USING (s) GROUP BY 1, 2, 3
+    ), best AS (
+      SELECT c_id, bench_id,
+             CAST(n_hits AS DOUBLE) / n_shingles AS overlap_frac,
+             row_number() OVER (
+               PARTITION BY c_id
+               ORDER BY CAST(n_hits AS DOUBLE) / n_shingles DESC, bench_id
+             ) AS rn
+      FROM hits
+    )
+    SELECT c_id AS doc_id, bench_id, overlap_frac
+    FROM best WHERE rn = 1 AND overlap_frac >= {thr}
+    """
+
+
+def _pii_sql() -> str:
+    from etl_global_mobility_spark.operators.text import PII_EMAIL_RE, PII_PHONE_RE
+
+    return f"""
+    WITH injected AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 11 = 0 THEN base || ' call +1 555 ' ||
+                    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                  ELSE base END AS text
+      FROM (
+        SELECT doc_id,
+               CASE WHEN doc_id % 7 = 0 THEN text || ' contact user' ||
+                      CAST(doc_id AS VARCHAR) || '@example.com'
+                    ELSE text END AS base
+        FROM documents
+      )
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{PII_EMAIL_RE}')) AS INT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(text, '{PII_PHONE_RE}')) AS INT)
+             AS n_phones,
+           md5(regexp_replace(
+                 regexp_replace(text, '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                 '{PII_PHONE_RE}', '<PHONE>', 'g')) AS redacted_md5
+    FROM injected
+    """
+
+
+def _stratified_sample_sql(
+    rates: dict[str, float], default_rate: float, seed: int
+) -> str:
+    cases = " ".join(
+        f"WHEN '{lang}' THEN {int(round(r * 10_000))}" for lang, r in rates.items()
+    )
+    bucket = _md5_hash_sql("CAST(doc_id AS VARCHAR)", seed)
+    return f"""
+    SELECT doc_id, lang FROM documents
+    WHERE {bucket} % 10000 <
+          (CASE lang {cases} ELSE {int(round(default_rate * 10_000))} END)
+    """
+
+
+def _salient_terms_sql(top_k: int = 5) -> str:
+    return f"""
+    WITH toks AS (
+      SELECT doc_id AS id, lang AS grp, unnest({TOKS}) AS t FROM documents
+    ), tf AS (
+      SELECT grp, t, count(*) AS tf FROM toks GROUP BY 1, 2
+    ), dfq AS (
+      SELECT t, count(*) AS df
+      FROM (SELECT DISTINCT id, t FROM toks) GROUP BY 1
+    ), scored AS (
+      SELECT grp, t, tf, df, CAST(tf AS DOUBLE) / df AS score
+      FROM tf JOIN dfq USING (t)
+    ), ranked AS (
+      SELECT grp, t, tf, df, score,
+             row_number() OVER (PARTITION BY grp ORDER BY score DESC, t) AS rank
+      FROM scored
+    )
+    SELECT grp AS lang, CAST(rank AS INT) AS rank, t AS term, tf, df, score
+    FROM ranked WHERE rank <= {top_k}
+    """
 def _language_id_sql() -> str:
     from etl_global_mobility_spark.operators.text import STOPWORDS
 
@@ -631,6 +848,36 @@ SPECS = [
         q_knn_label_vote,
         _knn_vote_sql(),
         doc="kNN majority-label vote",
+    ),
+    QuerySpec(
+        "llm_repetition_signals",
+        q_repetition_signals,
+        _repetition_sql(2),
+        doc="Gopher-style repetition quality signals (top-token/dup-2-gram fractions)",
+    ),
+    QuerySpec(
+        "llm_contamination",
+        q_contamination,
+        _contamination_sql(),
+        doc="benchmark decontamination via 2-gram shingle overlap (broadcast bench index)",
+    ),
+    QuerySpec(
+        "llm_pii_redact",
+        q_pii_redact,
+        _pii_sql(),
+        doc="PII scrub: inject deterministic emails/phones, redact, count + hash",
+    ),
+    QuerySpec(
+        "llm_stratified_sample",
+        q_stratified_sample,
+        _stratified_sample_sql({"en": 0.5, "es": 0.3, "fr": 0.2}, 0.1, seed=1),
+        doc="deterministic per-language stratified sample (stable md5 buckets)",
+    ),
+    QuerySpec(
+        "llm_salient_terms",
+        q_salient_terms,
+        _salient_terms_sql(5),
+        doc="top df-normalized salient terms per language",
     ),
     QuerySpec(
         "llm_multimodal_features",

@@ -60,6 +60,11 @@ def delivery_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(" st "))
         .alias("unidad"),
         F.concat(F.col("l_returnflag"), F.col("l_linestatus")).alias("tipo"),
+        # compact yyyyMMdd date string with stray whitespace, as the
+        # reference's CSV feed delivers dates (NB:482-492)
+        F.concat(
+            F.lit("  "), F.date_format("l_shipdate", "yyyyMMdd"), F.lit(" ")
+        ).alias("fec_txt"),
     )
 
 
@@ -79,7 +84,8 @@ WITH delivery AS (
               WHEN l_returnflag = 'A' THEN 'ST'
               WHEN l_linenumber = 1 THEN 'zz'
               ELSE ' st ' END AS unidad,
-         l_returnflag || l_linestatus AS tipo
+         l_returnflag || l_linestatus AS tipo,
+         '  ' || strftime(l_shipdate, '%Y%m%d') || ' ' AS fec_txt
   FROM lineitem
 )
 """
@@ -222,6 +228,40 @@ def q_indicators(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "cod_pedido",
         "num_linea",
+        ind_rut.alias("ind_rutina"),
+        ind_bon.alias("ind_bonificacion"),
+    )
+
+
+def q_derived_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9-A16 in one wide projection — the reference silver layer's full
+    derivation block (NB:588-633) as a single query: membership
+    indicator (A9), casts/string erasure (A10), compact date parse
+    (A11), factor map lookup (A12), unit conversion (A13), unit price
+    (A14), rounding normalization (A15), indicator pair (A16).
+
+    One codegen stage over the scan — the point at scale: N derived
+    columns cost one pass, not N."""
+    from etl_global_mobility_spark.pipeline.quality import (
+        cant_unidades,
+        precio_unitario_unidades,
+    )
+
+    d = delivery_frame(spark, sf_dir)
+    factor = factor_lookup("unidad", FACTORS)
+    ind_rut, ind_bon = indicator_pair(F.col("tipo"), ROUTINE, BONUS)
+    return d.select(
+        "cod_pedido",
+        "num_linea",
+        norm("unidad").isin("CS", "ST").alias("is_known_unit"),
+        F.col("cant").cast("string").alias("cant_str"),
+        parse_compact_date(F.col("fec_txt")).alias("fec_parsed"),
+        factor.alias("factor"),
+        cant_unidades(F.col("cant"), factor).cast("double").alias("cant_unidades"),
+        precio_unitario_unidades(F.col("mto"), F.col("cant"), factor)
+        .cast("double")
+        .alias("precio_unitario"),
+        F.round(F.col("mto"), 2).cast("decimal(21,2)").cast("double").alias("mto_rounded"),
         ind_rut.alias("ind_rutina"),
         ind_bon.alias("ind_bonificacion"),
     )
@@ -439,6 +479,31 @@ SPECS = [
                  WHEN upper(trim(tipo)) IN ('NO') THEN false END AS ind_bonificacion
             FROM delivery""",
         doc="A16 indicator pair",
+    ),
+    QuerySpec(
+        "parity_derived_all",
+        q_derived_all,
+        DELIVERY_CTE
+        + f"""SELECT cod_pedido, num_linea,
+            upper(trim(unidad)) IN ('CS','ST') AS is_known_unit,
+            CAST(cant AS VARCHAR) AS cant_str,
+            CAST(strptime(regexp_replace(fec_txt, '\\s+', '', 'g'), '%Y%m%d')
+                 AS DATE) AS fec_parsed,
+            {FACTOR_SQL} AS factor,
+            CAST(CASE WHEN ({FACTOR_SQL}) IS NOT NULL AND cant IS NOT NULL AND cant > 0
+                 THEN CAST(round(cant * ({FACTOR_SQL}), 2) AS DECIMAL(21,2)) END
+                 AS DOUBLE) AS cant_unidades,
+            CAST(CASE WHEN ({FACTOR_SQL}) IS NOT NULL AND cant IS NOT NULL AND cant > 0
+                      AND mto IS NOT NULL
+                 THEN {spark_round_sql("CAST(mto AS DOUBLE) / (CAST(cant AS DOUBLE) * CAST((" + FACTOR_SQL + ") AS DOUBLE))", 3)}
+                 END AS DOUBLE) AS precio_unitario,
+            CAST(CAST(round(mto, 2) AS DECIMAL(21,2)) AS DOUBLE) AS mto_rounded,
+            CASE WHEN upper(trim(tipo)) IN ('NO') THEN true
+                 WHEN upper(trim(tipo)) IN ('RF') THEN false END AS ind_rutina,
+            CASE WHEN upper(trim(tipo)) IN ('RF') THEN true
+                 WHEN upper(trim(tipo)) IN ('NO') THEN false END AS ind_bonificacion
+            FROM delivery""",
+        doc="A9-A16 combined: the silver layer's full derivation block in one projection",
     ),
     QuerySpec(
         "parity_quality_reasons",

@@ -708,6 +708,39 @@ def q_hof_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch MERGE (operators/merge.py): a deterministic changeset —
+    updates (keys % 10 == 0: +10.00 price, status 'U') plus inserts
+    (fresh keys offset by 10M) — upserted into ``orders``; result
+    audited as per-status counts and decimal-exact price sums. The
+    'U'/'N' groups isolate updated/inserted rows in the output."""
+    from etl_global_mobility_spark.operators.merge import upsert
+
+    o = load_table(spark, sf_dir, "orders")
+    updates = o.filter(F.col("o_orderkey") % 10 == 0).withColumns(
+        {
+            "o_totalprice": F.col("o_totalprice") + F.lit(10.0),
+            "o_orderstatus": F.lit("U"),
+        }
+    )
+    inserts = o.filter(F.col("o_orderkey") % 97 == 0).withColumns(
+        {
+            "o_orderkey": F.col("o_orderkey") + F.lit(10_000_000),
+            "o_totalprice": (
+                F.lit(100.0) + (F.col("o_orderkey") % 50).cast("double")
+            ),
+            "o_orderstatus": F.lit("N"),
+        }
+    )
+    merged = upsert(o, updates.unionByName(inserts), keys=["o_orderkey"])
+    return merged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_total"),
+    )
+
+
 SPECS = [
     QuerySpec(
         "rel_join_revenue_by_nation",
@@ -1152,5 +1185,32 @@ SPECS = [
                string_split(p_type, ' ')[1] AS first_word
             FROM part""",
         doc="array functions (scalar outputs)",
+    ),
+    QuerySpec(
+        "rel_merge_upsert",
+        q_merge_upsert,
+        """WITH source AS (
+             SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+                    o_totalprice + 10.0 AS o_totalprice,
+                    o_orderdate, o_orderpriority
+             FROM orders WHERE o_orderkey % 10 = 0
+             UNION ALL
+             SELECT o_orderkey + 10000000, o_custkey, 'N',
+                    100.0 + CAST(o_orderkey % 50 AS DOUBLE),
+                    o_orderdate, o_orderpriority
+             FROM orders WHERE o_orderkey % 97 = 0
+           ), merged AS (
+             SELECT * FROM source
+             UNION ALL
+             SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                    o_orderdate, o_orderpriority
+             FROM orders
+             WHERE o_orderkey NOT IN (SELECT o_orderkey FROM source)
+           )
+           SELECT o_orderstatus, count(*) AS n_orders,
+                  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                    AS sum_total
+           FROM merged GROUP BY o_orderstatus""",
+        doc="batch MERGE/upsert (anti-join + union), per-status audit",
     ),
 ]

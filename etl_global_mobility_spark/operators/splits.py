@@ -52,3 +52,39 @@ def hash_split(
 ) -> DataFrame:
     """Attach a deterministic ``split`` column (map-side, no shuffle)."""
     return df.withColumn("split", split_column(id_col, fractions, seed))
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    strata_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    id_col: str = "doc_id",
+    seed: int = 1,
+) -> DataFrame:
+    """Deterministic stratified sampling: keep a row iff its stable md5
+    bucket (0‥9999) falls under its stratum's rate — e.g. downsample
+    over-represented languages while keeping rare ones whole, the
+    standard corpus-rebalancing step before training.
+
+    Unlike ``df.sampleBy``, the decision is a pure function of the row
+    id: reproducible across runs, cluster sizes, and partition layouts,
+    and engine-portable (md5). Map-side filter — no shuffle, and with a
+    distinct ``seed`` per sampling purpose, decisions are independent
+    of :func:`hash_split` buckets (reusing one hash for both would make
+    "the sample" and "the test split" correlated subsets).
+
+    Rates are resolved per-row from a map literal; strata not listed in
+    ``rates`` fall back to ``default_rate``.
+    """
+    for name, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate out of [0,1] for {name!r}: {r}")
+    bucket = _md5_band_hash(F.col(id_col).cast("string"), seed) % 10_000
+    rate_map = F.create_map(
+        *[F.lit(x) for kv in rates.items() for x in kv]
+    )
+    rate = F.coalesce(
+        F.element_at(rate_map, F.col(strata_col)), F.lit(float(default_rate))
+    )
+    return df.filter(bucket < (rate * 10_000).cast("bigint"))

@@ -8,7 +8,7 @@ DataFrame transform.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Tiny per-language stopword lists for the n-gram/stopword-ratio
@@ -117,6 +117,92 @@ def quality_score(text: str | Column) -> Column:
         + F.when(digit <= 0.2, F.lit(0.1)).otherwise(F.lit(0.0))
     )
     return score.cast("double")
+
+
+# PII patterns — deliberately restricted to syntax shared by Java
+# regex (Spark) and RE2-ish engines (DuckDB): character classes,
+# bounded repeats, no lookaround. Conservative by design: a training-
+# data scrubber prefers false positives ('<EMAIL>' tokens are harmless
+# to a tokenizer) over leaked addresses.
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE_RE = r"\+[0-9]{1,3} [0-9]{3} [0-9]{3,4}"
+
+
+def pii_counts(text: str | Column) -> tuple[Column, Column]:
+    """(n_emails, n_phones) match counts — JVM-side regexp_count."""
+    col = F.col(text) if isinstance(text, str) else text
+    return (
+        F.regexp_count(col, F.lit(PII_EMAIL_RE)),
+        F.regexp_count(col, F.lit(PII_PHONE_RE)),
+    )
+
+
+def redact_pii(text: str | Column) -> Column:
+    """Replace email addresses and international-format phone numbers
+    with '<EMAIL>' / '<PHONE>' placeholder tokens.
+
+    Pure ``regexp_replace`` chain — codegen-resident, no Python in the
+    hot path, linear scan per document. Emails are replaced first so a
+    phone-looking digit run inside an address can't be half-redacted.
+    """
+    col = F.col(text) if isinstance(text, str) else text
+    no_email = F.regexp_replace(col, PII_EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(no_email, PII_PHONE_RE, "<PHONE>")
+
+
+def salient_terms(
+    df: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 5,
+) -> DataFrame:
+    """Top-``top_k`` salient terms per group, ranked by document-
+    frequency-normalized term frequency: score = tf / df, where tf is
+    the term's total occurrences within the group and df the number of
+    corpus documents containing it. High tf alone surfaces stopwords;
+    dividing by df surfaces the terms characteristic of the group —
+    the standard corpus-analysis step before building language filters.
+
+    Classic TF-IDF weights by ln(N/df); that is deliberately not used
+    here because transcendental libm results differ between engines in
+    the last ulp and would break the bit-exact oracle. ``score`` is a
+    single IEEE division of two integers — portable — and the (tf, df)
+    columns let callers apply any idf curve downstream.
+
+    Shape: explode → two hash-aggregations (term frequencies keyed on
+    (group, term); document frequencies on term) → broadcastable join
+    of the per-group tf frame with the df frame → per-group top-k
+    window. All shuffle keys are uniform.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.col(group_col).alias("grp"),
+        F.explode(tokenize(text_col)).alias("t"),
+    )
+    tf = toks.groupBy("grp", "t").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = toks.select("id", "t").distinct().groupBy("t").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    scored = tf.join(dfreq, "t").withColumn(
+        "score", F.col("tf").cast("double") / F.col("df")
+    )
+    ranked = scored.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("grp").orderBy(
+                F.col("score").desc(), F.col("t")
+            )
+        ),
+    )
+    return ranked.filter(F.col("rank") <= top_k).select(
+        F.col("grp").alias(group_col),
+        "rank",
+        F.col("t").alias("term"),
+        "tf",
+        "df",
+        "score",
+    )
 
 
 def doc_fingerprint(text: str | Column, n_hex: int = 16) -> Column:

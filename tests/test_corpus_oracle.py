@@ -43,13 +43,26 @@ def test_contract_surface_is_complete():
     assert len(qs) >= 50
 
 
+#: Novel (llm_/stream_/udf_) queries deliberately registered PAST the
+#: driver's 50-query window. Every entry must name the in-window query
+#: that evidences the same component — additions without a listed
+#: representative fail the invariant below.
+ALLOWED_OUTSIDE_WINDOW = {
+    "llm_token_count_by_lang": "llm_text_stats",  # text analysis
+    "llm_salient_terms": "llm_text_stats",  # text analysis
+    "stream_sliding_counts": "stream_tumbling_counts",  # windowed agg
+}
+
+
 def test_driver_window_invariants():
     """The driver checks the FIRST 50 registered queries (ordering
     policy in corpus/__init__.py). Pin what must stay inside:
 
     * the window is exactly 50 names and registration starts with it;
     * every llm_*/stream_*/udf_* query is inside (they had zero driver
-      evidence in round 2 purely from ordering);
+      evidence in round 2 purely from ordering), except the curated
+      ALLOWED_OUTSIDE_WINDOW variants whose component has another
+      in-window representative;
     * everything in the window carries a DuckDB oracle (no rows-only
       checks spending a window slot).
     """
@@ -64,8 +77,13 @@ def test_driver_window_invariants():
     novel = {
         n for n in specs if n.startswith(("llm_", "stream_", "udf_"))
     }
-    outside = novel - set(DRIVER_WINDOW)
+    outside = novel - set(DRIVER_WINDOW) - set(ALLOWED_OUTSIDE_WINDOW)
     assert not outside, f"novel operators outside the driver window: {outside}"
+    for variant, representative in ALLOWED_OUTSIDE_WINDOW.items():
+        assert representative in DRIVER_WINDOW, (
+            f"{variant} allowed outside only because {representative} is "
+            "inside — but it is not"
+        )
 
     no_oracle = [n for n in DRIVER_WINDOW if specs[n].oracle is None]
     assert not no_oracle, f"rows-only queries inside the window: {no_oracle}"

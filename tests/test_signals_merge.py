@@ -1,0 +1,148 @@
+"""Unit/property tests for the round-3 training-data operators:
+repetition signals, contamination check, PII redaction, stratified
+sampling, salient terms, and batch MERGE."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_global_mobility_spark.operators.merge import upsert
+from etl_global_mobility_spark.operators.signals import (
+    contamination_check,
+    repetition_signals,
+)
+from etl_global_mobility_spark.operators.splits import stratified_hash_sample
+from etl_global_mobility_spark.operators.text import redact_pii, salient_terms
+
+
+def test_repetition_signals_flags_repeated_text(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam"),  # pure repetition
+            (2, "one two three four five six"),  # all distinct
+            (3, "x"),  # 1 token → no 2-grams
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in repetition_signals(df, k=2).collect()}
+    assert out[1].top_token_frac == 1.0
+    assert out[1].dup_gram_frac == pytest.approx(0.8)  # 5 grams, 1 distinct
+    assert out[1].top_gram_frac == 1.0
+    assert out[2].top_token_frac == pytest.approx(1 / 6)
+    assert out[2].dup_gram_frac == 0.0
+    assert out[3].n_tokens == 1 and out[3].n_grams is None
+    assert out[3].dup_gram_frac is None
+
+
+def test_contamination_flags_only_overlapping_docs(spark):
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over a sleepy cat"),  # heavy overlap
+            (2, "completely unrelated words about spark engines"),
+        ],
+        "doc_id long, text string",
+    )
+    out = contamination_check(corpus, bench, k=3, threshold=0.3).collect()
+    assert [r.doc_id for r in out] == [1]
+    assert out[0].bench_id == 100
+    # doc 1: 7 distinct 3-gram shingles, 4 shared with the benchmark
+    assert out[0].overlap_frac == pytest.approx(4 / 7)
+
+
+def test_pii_redaction_scrubs_emails_and_phones(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "reach me at alice.smith+work@corp.example.org today"),
+            (2, "call +44 123 4567 before noon"),
+            (3, "no pii here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r.red
+        for r in df.select("doc_id", redact_pii("text").alias("red")).collect()
+    }
+    assert out[1] == "reach me at <EMAIL> today"
+    assert out[2] == "call <PHONE> before noon"
+    assert out[3] == "no pii here"
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    rows = [(i, "en" if i % 2 == 0 else "zh") for i in range(4000)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    sampled = stratified_hash_sample(
+        df, "lang", rates={"en": 0.5}, default_rate=0.05
+    )
+    counts = {
+        r.lang: r.n
+        for r in sampled.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert counts["en"] == pytest.approx(1000, rel=0.15)
+    assert counts["zh"] == pytest.approx(100, rel=0.5)
+    # determinism across partition layouts
+    a = {r.doc_id for r in sampled.collect()}
+    b = {
+        r.doc_id
+        for r in stratified_hash_sample(
+            df.repartition(13), "lang", rates={"en": 0.5}, default_rate=0.05
+        ).collect()
+    }
+    assert a == b
+
+
+def test_stratified_sample_rejects_bad_rate(spark):
+    df = spark.createDataFrame([(1, "en")], "doc_id long, lang string")
+    with pytest.raises(ValueError, match="rate out of"):
+        stratified_hash_sample(df, "lang", rates={"en": 1.5})
+
+
+def test_salient_terms_surfaces_group_specific_terms(spark):
+    # 'commun' appears everywhere (high df → low score); each group has
+    # its own marker term appearing twice in-group only.
+    rows = [
+        (1, "a", "commun alpha alpha"),
+        (2, "a", "commun filler"),
+        (3, "b", "commun beta beta"),
+        (4, "b", "commun filler"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = salient_terms(df, group_col="lang", top_k=1).collect()
+    best = {r.lang: r.term for r in out}
+    assert best == {"a": "alpha", "b": "beta"}
+
+
+def test_upsert_replaces_matched_inserts_new_keeps_rest(spark):
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "k long, v string, x double"
+    )
+    source = spark.createDataFrame(
+        [(2, "B", 99.0), (4, "d", 40.0)], "k long, v string, x double"
+    )
+    got = {(r.k, r.v, r.x) for r in upsert(target, source, ["k"]).collect()}
+    assert got == {(1, "a", 10.0), (2, "B", 99.0), (3, "c", 30.0), (4, "d", 40.0)}
+
+
+def test_shingles_tolerate_docs_shorter_than_k(spark):
+    """Regression: sequence(1, 0) is descending in Spark, so sub-k docs
+    used to crash slice() with start=0 in every shingle-based operator."""
+    from etl_global_mobility_spark.operators.dedup import ngram_jaccard_pairs
+
+    df = spark.createDataFrame(
+        [(1, "ab"), (2, ""), (3, "one two three four one two three four")],
+        "doc_id long, text string",
+    )
+    assert ngram_jaccard_pairs(df, k=3, threshold=0.1).count() == 0
+    sig = repetition_signals(df, k=3).collect()
+    assert {r.doc_id for r in sig} == {1, 3}  # empty doc: no tokens at all
+
+
+def test_upsert_validates_keys(spark):
+    target = spark.createDataFrame([(1, "a")], "k long, v string")
+    source = spark.createDataFrame([(1, "a")], "k long, v string")
+    with pytest.raises(ValueError, match="missing"):
+        upsert(target, source, ["nope"])
