@@ -90,6 +90,23 @@ def main() -> None:
         .mode("overwrite")
         .save()
     )
+    # Warm the Arrow/pandas Python-worker pool across all cores: the
+    # first pandas import per worker costs ~0.5s, and a cold 32-way
+    # mapInPandas query would absorb 32 of them at once.
+    import pandas as _pd
+
+    def _identity(it):
+        for pdf in it:
+            yield pdf
+
+    (
+        spark.range(int(cpus) * 10)
+        .repartition(int(cpus))
+        .mapInPandas(_identity, "id long")
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
 
     specs = all_queries()
     times: dict[str, float] = {}

@@ -86,6 +86,7 @@ def extract_features(
     id_col: str = "media_id",
     dim: int = 16,
     decode_stub: bool = True,
+    min_parallelism: int | str | None = None,
 ) -> DataFrame:
     """Arrow-batched feature extraction over binary content via
     ``mapInPandas`` — the shape a real image/audio featurizer uses
@@ -101,6 +102,16 @@ def extract_features(
             "real media decoding requires PIL/ffmpeg/torchaudio — not in this env; "
             "use decode_stub=True for the deterministic fake"
         )
+    # Fan-out is OFF by default here, unlike the JVM-side operators:
+    # each extra partition forks an Arrow worker whose pandas import
+    # dwarfs the stubbed per-row work (measured 1.6 s -> 5.8 s at
+    # sf0.1 with 32-way fan-out). A REAL decoder inverts that ratio —
+    # callers plugging one in should pass min_parallelism="auto".
+    from etl_global_mobility_spark.operators.parallelism import (
+        ensure_compute_parallelism,
+    )
+
+    df = ensure_compute_parallelism(df, min_parallelism)
 
     out_schema = T.StructType(
         [
@@ -133,6 +144,7 @@ def sample_frames(
     id_col: str = "media_id",
     frame_bytes: int = 256,
     max_frames: int = 8,
+    min_parallelism: int | str | None = None,
 ) -> DataFrame:
     """Video-style frame sampling: one media row explodes into up to
     ``max_frames`` frame rows (media_id, frame_idx, off_bytes,
@@ -142,6 +154,11 @@ def sample_frames(
     Spark plumbing — output schema, batch fan-out, downstream
     partitioning by (media_id, frame_idx) — is real and oracle-checked.
     """
+    from etl_global_mobility_spark.operators.parallelism import (
+        ensure_compute_parallelism,
+    )
+
+    df = ensure_compute_parallelism(df, min_parallelism)
     out_schema = T.StructType(
         [
             T.StructField("media_id", T.LongType(), False),

@@ -1,0 +1,48 @@
+"""Compute-parallelism guard for CPU-heavy map phases.
+
+Spark sizes file-scan partitions by BYTES (``maxPartitionBytes``), which
+is right for I/O-bound relational work but wrong for compute-bound
+operators: a 1 MB single-row-group parquet file of 5k documents arrives
+as ONE partition, and a minhash/regex/dot-product pass over it runs on
+one core while 31 idle (measured: the sf0.1 ``documents`` table is one
+row group → the whole MinHash pipeline was single-threaded, 6.5 s vs
+3.6 s after fanning out).
+
+``ensure_compute_parallelism`` round-robin-repartitions an input UP to
+the cluster's default parallelism — and is an explicit no-op when the
+input already has at least that many partitions, which is the normal
+state at 100 TB (thousands of file splits ≫ cores). So the guard only
+ever fires in the small-input + heavy-compute corner, where the extra
+exchange costs a few MB of shuffle and buys a cores-times speedup.
+
+Round-robin (not hash) partitioning on purpose: the goal is balance,
+not co-location, and every operator using this guard is
+partition-layout-invariant by construction (asserted by tests).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+#: Sentinel: size the fan-out to ``sparkContext.defaultParallelism``.
+AUTO = "auto"
+
+
+def ensure_compute_parallelism(
+    df: DataFrame, min_parallelism: int | str | None = AUTO
+) -> DataFrame:
+    """Repartition ``df`` up to ``min_parallelism`` slices if (and only
+    if) it currently has fewer. ``None`` disables the guard (used by
+    plan tests that pin the at-scale, no-extra-exchange shape);
+    :data:`AUTO` targets the session's default parallelism.
+    """
+    if min_parallelism is None:
+        return df
+    target = (
+        df.sparkSession.sparkContext.defaultParallelism
+        if min_parallelism == AUTO
+        else int(min_parallelism)
+    )
+    if target <= 1 or df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)

@@ -18,6 +18,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from etl_global_mobility_spark.operators.parallelism import (
+    AUTO,
+    ensure_compute_parallelism,
+)
 from etl_global_mobility_spark.operators.text import tokenize
 
 
@@ -32,7 +36,11 @@ def _word_shingles_all(text_col: str, k: int) -> F.Column:
 
 
 def repetition_signals(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = 2
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 2,
+    min_parallelism: int | str | None = AUTO,
 ) -> DataFrame:
     """Per-document repetition statistics (the Gopher/MassiveText-style
     quality filters for machine-generated or boilerplate text):
@@ -53,6 +61,7 @@ def repetition_signals(
     keys, linear in corpus size.
     """
     tid = F.col(id_col).alias("id")
+    df = ensure_compute_parallelism(df, min_parallelism)  # tokenize+shingle ×2 passes
 
     toks = df.select(tid, F.explode(tokenize(text_col)).alias("t"))
     tok_stats = (
@@ -97,6 +106,7 @@ def contamination_check(
     id_col: str = "doc_id",
     k: int = 3,
     threshold: float = 0.5,
+    min_parallelism: int | str | None = AUTO,
 ) -> DataFrame:
     """Benchmark-contamination detection: for each corpus document, the
     fraction of its distinct k-gram shingles that also occur in some
@@ -115,7 +125,7 @@ def contamination_check(
     """
     from etl_global_mobility_spark.operators.dedup import _word_shingles
 
-    corpus_inv = corpus.select(
+    corpus_inv = ensure_compute_parallelism(corpus, min_parallelism).select(
         F.col(id_col).alias("c_id"),
         F.explode(_word_shingles(text_col, k)).alias("s"),
     ).withColumn("n_shingles", F.count(F.lit(1)).over(Window.partitionBy("c_id")))

@@ -17,6 +17,11 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from etl_global_mobility_spark.operators.parallelism import (
+    AUTO,
+    ensure_compute_parallelism,
+)
+
 
 def dot(a, b) -> F.Column:
     """Sequential-order double dot product of two array columns."""
@@ -41,6 +46,7 @@ def cosine_topk_exact(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    min_parallelism: int | str | None = AUTO,
 ) -> DataFrame:
     """Exact cosine top-k: for every query vector, the k nearest corpus
     vectors (self-matches excluded), rank 1..k.
@@ -60,7 +66,7 @@ def cosine_topk_exact(
         F.col(vec_col).alias("q_vec"),
         l2_norm(F.col(vec_col)).alias("q_nrm"),
     )
-    c = corpus.select(
+    c = ensure_compute_parallelism(corpus, min_parallelism).select(
         F.col(id_col).alias("c_id"),
         F.col(vec_col).alias("c_vec"),
         l2_norm(F.col(vec_col)).alias("c_nrm"),
@@ -90,6 +96,7 @@ def embedding_near_duplicates(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    min_parallelism: int | str | None = AUTO,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a, id_b, cos) with
     cos ≥ threshold, id_a < id_b.
@@ -101,6 +108,7 @@ def embedding_near_duplicates(
     near-duplicate recall high while still pruning the far pairs.
     """
     planes = random_hyperplanes(dim, n_planes, seed)
+    df = ensure_compute_parallelism(df, min_parallelism)
     # Per-row norm materialized before the self-join: the bucket join is
     # the quadratic stage, so each candidate pair costs one array fold
     # (the cross dot), not three. Identical IEEE value to cosine().
@@ -135,6 +143,7 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: list[list[float]] | None = None,
+    min_parallelism: int | str | None = AUTO,
 ) -> DataFrame:
     """IVF (inverted-file) approximate nearest neighbors: partition the
     corpus into `n_cells` Voronoi cells around centroid vectors, then
@@ -189,7 +198,9 @@ def ivf_topk(
     # through the join so the candidate scoring pays one array fold per
     # pair (the cross dot) — sqrt(nv) is the same IEEE value l2_norm()
     # would recompute from scratch.
-    c = corpus.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec"))
+    c = ensure_compute_parallelism(corpus, min_parallelism).select(
+        F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec")
+    )
     assigned = (
         c.withColumn("nv", dot(F.col("c_vec"), F.col("c_vec")))
         .withColumn("cell", -F.array_max(cell_scores("c_vec", "nv")).getField("neg_id"))
@@ -322,6 +333,7 @@ def lsh_ann_candidates(
     vec_col: str = "embedding",
     seed: int = 42,
     n_tables: int = 1,
+    min_parallelism: int | str | None = AUTO,
 ) -> DataFrame:
     """Approximate top-k: exact ranking within the union of the query's
     LSH buckets across `n_tables` independent hash tables
@@ -349,7 +361,7 @@ def lsh_ann_candidates(
             cols.append(lsh_bucket(F.col(vec_col), planes).alias(f"bucket{t}"))
         return df.select(*cols)
 
-    c = bucketed(corpus, "c")
+    c = bucketed(ensure_compute_parallelism(corpus, min_parallelism), "c")
     q = bucketed(queries, "q")
 
     cand = None

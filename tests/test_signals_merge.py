@@ -141,6 +141,26 @@ def test_shingles_tolerate_docs_shorter_than_k(spark):
     assert {r.doc_id for r in sig} == {1, 3}  # empty doc: no tokens at all
 
 
+def test_ensure_compute_parallelism_guard(spark):
+    """Fans a 1-partition input out to defaultParallelism; no-op when
+    the input is already at least that wide (the 100 TB state) or when
+    disabled with None."""
+    from etl_global_mobility_spark.operators.parallelism import (
+        ensure_compute_parallelism,
+    )
+
+    one = spark.range(100).coalesce(1)
+    target = spark.sparkContext.defaultParallelism
+    assert ensure_compute_parallelism(one).rdd.getNumPartitions() == target
+    assert ensure_compute_parallelism(one, None).rdd.getNumPartitions() == 1
+    wide = spark.range(100).repartition(target + 4)
+    assert ensure_compute_parallelism(wide).rdd.getNumPartitions() == target + 4
+    # results are unchanged, only layout
+    assert sorted(
+        r.id for r in ensure_compute_parallelism(one).collect()
+    ) == list(range(100))
+
+
 def test_upsert_validates_keys(spark):
     target = spark.createDataFrame([(1, "a")], "k long, v string")
     source = spark.createDataFrame([(1, "a")], "k long, v string")
