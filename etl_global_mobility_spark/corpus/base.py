@@ -40,16 +40,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores ``ts`` as TIMESTAMP(NANOS) parquet type,
-    which Spark's vectorized reader rejects. Read nanos as LONG and
-    rebuild a microsecond TimestampType column (integer div — the
-    values carry µs precision, and double math would overflow 2^53).
+    """Schema-adaptive scan of events.parquet, normalizing ``ts`` to a
+    session-zone TimestampType column.
+
+    The driver has shipped two physical layouts for ``ts``:
+
+    * TIMESTAMP(NANOS), which Spark's vectorized reader rejects — read
+      nanos as LONG (legacy conf) and rebuild microseconds with integer
+      div (double math would overflow 2^53);
+    * plain timestamp[us], which arrives as TIMESTAMP_NTZ — cast to
+      TimestampType (identical wall-clock under the UTC session zone
+      every entrypoint pins).
     """
     from pyspark.sql import functions as F
+    from pyspark.sql import types as T
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def spark_round_sql(expr: str, n: int) -> str:

@@ -56,16 +56,12 @@ def q_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_stream_stateful_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator (applyInPandasWithState): per-user
     running profile carried across micro-batches."""
-    from etl_global_mobility_spark.streaming.ops import EVENTS_RAW_SCHEMA
+    from pyspark.sql import functions as F
+
     from etl_global_mobility_spark.streaming.stateful import user_profile_stream
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
-    return run_stream_to_memory(user_profile_stream(raw), "update")
+    ev = stream_events(spark, sf_dir).withColumn("ts_us", F.unix_micros("ts"))
+    return run_stream_to_memory(user_profile_stream(ev), "update")
 
 
 SPECS = [

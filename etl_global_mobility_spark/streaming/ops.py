@@ -15,30 +15,28 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# events.parquet physical schema: ts is TIMESTAMP(NANOS) which Spark
-# reads as LONG only under nanosAsLong (see corpus.base.load_events).
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType(), True),
-        T.StructField("ts", T.LongType(), True),  # nanos since epoch
-        T.StructField("user_id", T.LongType(), True),
-        T.StructField("event_type", T.StringType(), True),
-        T.StructField("value", T.DoubleType(), True),
-        T.StructField("props", T.StringType(), True),
-    ]
-)
-
-
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet (one file → one
-    micro-batch under availableNow), nanos → microsecond timestamps."""
+    micro-batch under availableNow), ``ts`` normalized to TimestampType.
+
+    readStream requires an explicit schema, but the driver has shipped
+    two physical layouts for ``ts`` (TIMESTAMP(NANOS) → LONG under the
+    legacy conf, vs plain timestamp[us] → TIMESTAMP_NTZ), so probe the
+    footer with a batch read (driver-side, footer-only) and mirror
+    whatever layout this sf_dir actually has — the normalization logic
+    lives in :func:`~etl_global_mobility_spark.corpus.base.load_events`.
+    """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(batch.schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ts_type = batch.schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def tumbling_window_counts(

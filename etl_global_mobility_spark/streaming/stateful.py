@@ -59,7 +59,7 @@ def _update_profile(
         total_millis += int(
             np.floor(pdf["value"].astype("float64").mul(1000).add(0.5)).sum()
         )
-        ts_us = (pdf["ts"].astype("int64") // 1000).tolist()
+        ts_us = pdf["ts_us"].astype("int64").tolist()
         lo, hi = min(ts_us), max(ts_us)
         first_us = lo if first_us is None else min(first_us, lo)
         last_us = hi if last_us is None else max(last_us, hi)
@@ -76,13 +76,15 @@ def _update_profile(
     )
 
 
-def user_profile_stream(events_raw: DataFrame) -> DataFrame:
-    """events (raw: ts still LONG nanos) → per-user stateful profile.
+def user_profile_stream(events: DataFrame) -> DataFrame:
+    """events (with a ``ts_us`` LONG column: µs since epoch, computed
+    Spark-side via ``unix_micros``) → per-user stateful profile.
 
-    Expects the RAW stream (before timestamp rebuild) so state math
-    stays integer end-to-end.
+    Taking the epoch integer as a column — rather than decoding pandas
+    datetime64 in the UDF — keeps the state math integer end-to-end and
+    independent of the pandas/Arrow timestamp unit of the batch.
     """
-    return events_raw.groupBy("user_id").applyInPandasWithState(
+    return events.groupBy("user_id").applyInPandasWithState(
         _update_profile,
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
