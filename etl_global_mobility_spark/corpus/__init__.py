@@ -21,7 +21,7 @@ from etl_global_mobility_spark.corpus.base import QuerySpec, load_table
 
 #: First 50 registered names — the driver's correctness window.
 DRIVER_WINDOW = (
-    # §2C LLM-pipeline operators (22 of 24; llm_token_count_by_lang and
+    # §2C LLM-pipeline operators (25 of 27; llm_token_count_by_lang and
     # llm_salient_terms sit outside — the text-analysis component keeps
     # four in-window representatives: text_stats, language_id,
     # quality_score, fingerprint)
@@ -47,6 +47,9 @@ DRIVER_WINDOW = (
     "llm_contamination",
     "llm_pii_redact",
     "llm_stratified_sample",
+    "llm_pack_sequences",
+    "llm_chunk_documents",
+    "llm_strip_boilerplate",
     # Structured Streaming (5 of 6; stream_sliding_counts outside — the
     # windowed-agg mechanism keeps tumbling + session in-window)
     "stream_tumbling_counts",
@@ -60,10 +63,10 @@ DRIVER_WINDOW = (
     "udf_pandas_grouped_map",
     "udf_map_in_arrow",
     "udf_python_udtf",
-    # relational scalar tail never driver-checked in r2 (2;
-    # rel_array_ops outside — higher-order array functions keep
-    # rel_hof_arrays in-window)
-    "rel_scalar_dates",
+    # relational scalar tail never driver-checked in r2 (1;
+    # rel_array_ops and rel_scalar_dates outside — the scalar category
+    # keeps rel_json_events, rel_hof_arrays, rel_collect_sorted_lists
+    # in-window)
     "rel_json_events",
     # repaired in r3: array outputs stringified / oracle sum cast (4)
     "parity_catalog_table_scan",
@@ -72,12 +75,13 @@ DRIVER_WINDOW = (
     "rel_window_range_frame",
     # new in r3 (1)
     "parity_csv_scan",
-    # §2A representatives (5): parity_derived_all carries A9-A16 in one
+    # §2A representatives (3): parity_derived_all carries A9-A16 in one
     # projection, so the individual micro-queries (membership, casts,
     # date_parse, map_lookup, unit_conversion, unit_price, rounding,
-    # indicators — all green in round 2) moved past the window.
-    "parity_rename_project",
-    "parity_filter_eq_range",
+    # indicators — all green in round 2) sit past the window, as do
+    # parity_rename_project (A5) and parity_filter_eq_range (A7), both
+    # green in round 2, evicted for the r3 packing/chunking/boilerplate
+    # operators.
     "parity_split_quarantine",
     "parity_derived_all",
     "parity_quality_reasons",

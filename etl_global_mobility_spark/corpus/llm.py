@@ -278,6 +278,91 @@ def q_salient_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salient_terms(d, group_col="lang", top_k=5)
 
 
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing (budget=256 tokens) per source
+    shard; one summary row per training sequence."""
+    from etl_global_mobility_spark.operators.packing import pack_sequences
+
+    d = load_table(spark, sf_dir, "documents")
+    packed = pack_sequences(d, budget=256, shard_col="source", order_col="doc_id")
+    return packed.groupBy("source", "seq_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("seq_tokens"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
+
+
+def _pack_sequences_sql(budget: int) -> str:
+    return f"""WITH toks AS (
+             SELECT doc_id, source, CAST(len({TOKS}) AS BIGINT) AS n_tokens
+             FROM documents),
+           packed AS (
+             SELECT source, doc_id, n_tokens,
+                    CAST(floor((greatest(sum(n_tokens) OVER (
+                        PARTITION BY source ORDER BY doc_id), 1) - 1)
+                      / {budget}) AS BIGINT) AS seq_id
+             FROM toks)
+           SELECT source, seq_id, count(*) AS n_docs,
+                  CAST(sum(n_tokens) AS BIGINT) AS seq_tokens,
+                  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+           FROM packed GROUP BY source, seq_id"""
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (size=32, stride=24): one row
+    per chunk, map-only explode."""
+    from etl_global_mobility_spark.operators.packing import chunk_documents
+
+    d = load_table(spark, sf_dir, "documents")
+    return chunk_documents(d, chunk_size=32, stride=24)
+
+
+def _chunk_documents_sql(chunk_size: int, stride: int) -> str:
+    return f"""WITH toks AS (SELECT doc_id, {TOKS} AS t FROM documents),
+           starts AS (
+             SELECT doc_id, t, unnest(range(0, len(t), {stride})) AS cs
+             FROM toks)
+           SELECT doc_id, CAST(cs AS BIGINT) AS chunk_start,
+                  array_to_string(list_slice(t, cs + 1, cs + {chunk_size}), ' ')
+                    AS chunk_text,
+                  CAST(len(list_slice(t, cs + 1, cs + {chunk_size})) AS BIGINT)
+                    AS chunk_tokens
+           FROM starts"""
+
+
+def q_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-level boilerplate removal (line-level dedup analogue):
+    drop 3-token segments appearing in > 5 distinct docs, reassemble."""
+    from etl_global_mobility_spark.operators.dedup import strip_boilerplate
+
+    d = load_table(spark, sf_dir, "documents")
+    return strip_boilerplate(d, seg_len=3, df_max=5)
+
+
+def _strip_boilerplate_sql(seg_len: int, df_max: int) -> str:
+    return f"""WITH toks AS (SELECT doc_id, {TOKS} AS t FROM documents),
+           seg2 AS (
+             SELECT doc_id, CAST(ss AS BIGINT) AS seg_start,
+                    array_to_string(list_slice(t, ss + 1, ss + {seg_len}), ' ')
+                      AS seg
+             FROM (SELECT doc_id, t, unnest(range(0, len(t), {seg_len})) AS ss
+                   FROM toks)),
+           hot AS (SELECT seg FROM seg2 GROUP BY seg
+                   HAVING count(DISTINCT doc_id) > {df_max}),
+           kept AS (SELECT * FROM seg2
+                    WHERE seg NOT IN (SELECT seg FROM hot)),
+           rebuilt AS (
+             SELECT doc_id, string_agg(seg, ' ' ORDER BY seg_start) AS clean_text,
+                    count(*) AS n_kept
+             FROM kept GROUP BY doc_id),
+           totals AS (SELECT doc_id, count(*) AS n_segs FROM seg2 GROUP BY doc_id)
+           SELECT t.doc_id, coalesce(r.clean_text, '') AS clean_text,
+                  CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+                  CAST(t.n_segs - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed
+           FROM totals t LEFT JOIN rebuilt r USING (doc_id)"""
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media plumbing: text bytes as opaque content → metadata →
     Arrow-batched (mapInPandas) feature stub. Oracle checks the
@@ -878,6 +963,24 @@ SPECS = [
         q_salient_terms,
         _salient_terms_sql(5),
         doc="top df-normalized salient terms per language",
+    ),
+    QuerySpec(
+        "llm_pack_sequences",
+        q_pack_sequences,
+        _pack_sequences_sql(256),
+        doc="concat-and-chunk sequence packing: per-shard window cumsum, budget=256",
+    ),
+    QuerySpec(
+        "llm_chunk_documents",
+        q_chunk_documents,
+        _chunk_documents_sql(32, 24),
+        doc="overlapping token-window chunking (32/24), map-only explode",
+    ),
+    QuerySpec(
+        "llm_strip_boilerplate",
+        q_strip_boilerplate,
+        _strip_boilerplate_sql(3, 5),
+        doc="segment-level boilerplate dedup: df>5 3-token segments dropped, docs rebuilt",
     ),
     QuerySpec(
         "llm_multimodal_features",

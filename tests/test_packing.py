@@ -1,0 +1,105 @@
+"""Unit tests for sequence packing, chunking, and segment-level
+boilerplate dedup (the oracle gate covers end-to-end parity; these pin
+the operator semantics on hand-built edge cases)."""
+
+from __future__ import annotations
+
+import pytest
+
+from etl_global_mobility_spark.operators.dedup import strip_boilerplate
+from etl_global_mobility_spark.operators.packing import (
+    chunk_documents,
+    pack_sequences,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    )
+
+
+def test_pack_sequences_budget_boundaries(spark):
+    # 4 tokens each, budget 8: docs pack pairwise into sequences 0,0,1,1.
+    rows = [(i, "a b c d", "s") for i in range(4)]
+    out = pack_sequences(_docs(spark, rows), budget=8).orderBy("doc_id").collect()
+    assert [r.seq_id for r in out] == [0, 0, 1, 1]
+    assert [r.cum_tokens for r in out] == [4, 8, 12, 16]
+
+
+def test_pack_sequences_doc_spanning_boundary_lands_in_ending_seq(spark):
+    # 5-token doc after 6 tokens with budget 8: tokens 7-11 span the
+    # 8-token cut; the doc belongs to the sequence of its LAST token.
+    rows = [(0, "a b c d e f", "s"), (1, "a b c d e", "s")]
+    out = pack_sequences(_docs(spark, rows), budget=8).orderBy("doc_id").collect()
+    assert [r.seq_id for r in out] == [0, 1]
+
+
+def test_pack_sequences_empty_doc_attaches_to_current_seq(spark):
+    rows = [(0, "", "s"), (1, "a b", "s")]
+    out = pack_sequences(_docs(spark, rows), budget=8).orderBy("doc_id").collect()
+    assert [r.n_tokens for r in out] == [0, 2]
+    assert [r.seq_id for r in out] == [0, 0]  # no negative seq for empty head
+
+
+def test_pack_sequences_shards_are_independent(spark):
+    rows = [(0, "a b c", "s1"), (1, "a b c", "s2")]
+    out = pack_sequences(_docs(spark, rows), budget=4).collect()
+    assert {(r.source, r.seq_id) for r in out} == {("s1", 0), ("s2", 0)}
+
+
+def test_pack_sequences_rejects_bad_budget(spark):
+    with pytest.raises(ValueError):
+        pack_sequences(_docs(spark, [(0, "a", "s")]), budget=0)
+
+
+def test_chunk_documents_overlap_and_tail(spark):
+    toks = " ".join(f"t{i}" for i in range(10))
+    out = (
+        chunk_documents(_docs(spark, [(0, toks, "s")]), chunk_size=4, stride=3)
+        .orderBy("chunk_start")
+        .collect()
+    )
+    assert [r.chunk_start for r in out] == [0, 3, 6, 9]
+    assert out[0].chunk_text == "t0 t1 t2 t3"
+    assert out[1].chunk_text == "t3 t4 t5 t6"  # 1-token overlap
+    assert out[-1].chunk_text == "t9"  # short tail kept
+    assert [r.chunk_tokens for r in out] == [4, 4, 4, 1]
+
+
+def test_chunk_documents_empty_doc_yields_no_chunks(spark):
+    out = chunk_documents(
+        _docs(spark, [(0, "", "s"), (1, "x y", "s")]), chunk_size=4, stride=3
+    ).collect()
+    assert {r.doc_id for r in out} == {1}
+
+
+def test_strip_boilerplate_removes_planted_segment(spark):
+    # "cookie banner text" planted as the head segment of every doc;
+    # unique payloads survive, the hot segment is dropped everywhere.
+    rows = [
+        (i, f"cookie banner text unique{i} payload{i} words{i}", "s")
+        for i in range(8)
+    ]
+    out = (
+        strip_boilerplate(_docs(spark, rows), seg_len=3, df_max=4)
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert all(r.n_removed == 1 for r in out)
+    assert all(r.clean_text == f"unique{i} payload{i} words{i}" for i, r in enumerate(out))
+
+
+def test_strip_boilerplate_below_threshold_is_lossless(spark):
+    rows = [(i, f"alpha{i} beta{i} gamma{i} delta{i}", "s") for i in range(5)]
+    out = strip_boilerplate(_docs(spark, rows), seg_len=2, df_max=4).collect()
+    assert all(r.n_removed == 0 for r in out)
+    # reassembly preserves token order exactly (text is lowercase already)
+    by_id = {r.doc_id: r.clean_text for r in out}
+    assert by_id[3] == "alpha3 beta3 gamma3 delta3"
+
+
+def test_strip_boilerplate_all_boilerplate_doc_goes_empty(spark):
+    rows = [(i, "same same same", "s") for i in range(6)]
+    out = strip_boilerplate(_docs(spark, rows), seg_len=3, df_max=2).collect()
+    assert all(r.clean_text == "" and r.n_kept == 0 and r.n_removed == 1 for r in out)
