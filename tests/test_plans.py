@@ -187,3 +187,42 @@ def test_salted_join_spreads_hot_keys(spark):
     plan = plan_of(q_join_salted_skew(spark, SF))
     join_line = next(l for l in plan.splitlines() if "Join [" in l or "Join(" in l or "HashJoin" in l)
     assert "salt" in join_line, join_line
+
+
+def test_chunk_documents_is_map_only(spark):
+    """Chunking must not shuffle: sequence+explode+slice runs where the
+    row lives, entirely inside codegen."""
+    from etl_global_mobility_spark.corpus.base import load_table
+    from etl_global_mobility_spark.operators.packing import chunk_documents
+
+    plan = plan_of(chunk_documents(load_table(spark, SF, "documents")))
+    assert "Exchange" not in plan
+    assert "Generate explode" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pack_sequences_single_shard_shuffle(spark):
+    """Packing is one hash exchange on the shard column + per-shard
+    sort; the token math is map-side expressions."""
+    from etl_global_mobility_spark.corpus.base import load_table
+    from etl_global_mobility_spark.operators.packing import pack_sequences
+
+    plan = plan_of(pack_sequences(load_table(spark, SF, "documents")))
+    assert plan.count("Exchange") == 1
+    assert "hashpartitioning(source" in plan
+    assert "Window" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_strip_boilerplate_hot_set_broadcasts(spark):
+    """The df-hot segment set (tiny by construction: it IS the
+    boilerplate) must broadcast into the anti-join — a shuffled anti
+    join on segment text would re-shuffle the whole exploded corpus."""
+    from etl_global_mobility_spark.corpus.base import load_table
+    from etl_global_mobility_spark.operators.dedup import strip_boilerplate
+
+    plan = plan_of(strip_boilerplate(load_table(spark, SF, "documents")))
+    assert "BroadcastHashJoin LeftAnti BuildRight" in plan.replace("\n", " ") or (
+        "LeftAnti" in plan and "BroadcastExchange" in plan
+    )
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
