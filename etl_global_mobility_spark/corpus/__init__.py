@@ -21,7 +21,7 @@ from etl_global_mobility_spark.corpus.base import QuerySpec, load_table
 
 #: First 50 registered names — the driver's correctness window.
 DRIVER_WINDOW = (
-    # §2C LLM-pipeline operators (25 of 27; llm_token_count_by_lang and
+    # §2C LLM-pipeline operators (26 of 28; llm_token_count_by_lang and
     # llm_salient_terms sit outside — the text-analysis component keeps
     # four in-window representatives: text_stats, language_id,
     # quality_score, fingerprint)
@@ -50,6 +50,7 @@ DRIVER_WINDOW = (
     "llm_pack_sequences",
     "llm_chunk_documents",
     "llm_strip_boilerplate",
+    "llm_pq_ann",
     # Structured Streaming (5 of 6; stream_sliding_counts outside — the
     # windowed-agg mechanism keeps tumbling + session in-window)
     "stream_tumbling_counts",
@@ -79,10 +80,10 @@ DRIVER_WINDOW = (
     # projection, so the individual micro-queries (membership, casts,
     # date_parse, map_lookup, unit_conversion, unit_price, rounding,
     # indicators — all green in round 2) sit past the window, as do
-    # parity_rename_project (A5) and parity_filter_eq_range (A7), both
-    # green in round 2, evicted for the r3 packing/chunking/boilerplate
+    # parity_rename_project (A5), parity_filter_eq_range (A7), and
+    # parity_split_quarantine (A8, green ×2 in r2 with split_clean) sit
+    # outside too, evicted for the r3 packing/chunking/boilerplate/PQ
     # operators.
-    "parity_split_quarantine",
     "parity_derived_all",
     "parity_quality_reasons",
     # §2B representatives (6): one per category — join, agg, rollup,

@@ -161,6 +161,90 @@ def q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(e, queries, n_cells=16, nprobe=2, k=5)
 
 
+def q_pq_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN: map-only encode (8 subspaces × 32
+    centroids), ADC shortlist of 40 via m table lookups per pair,
+    exact squared-L2 re-rank of the shortlist only."""
+    from etl_global_mobility_spark.operators.similarity import (
+        pq_codebook_from_corpus,
+        pq_topk,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 8)
+    book = pq_codebook_from_corpus(e, dim=64, m=8, k=32)
+    return pq_topk(e, queries, book, k=5, rerank=40)
+
+
+def _pq_ann_sql(
+    dim: int = 64,
+    m: int = 8,
+    kc: int = 32,
+    rerank: int = 40,
+    k: int = 5,
+    n_queries: int = 8,
+) -> str:
+    """DuckDB mirror of pq_codebook_from_corpus + pq_topk: the codebook
+    is rebuilt from the table (k lowest-id rows' subvectors), codes are
+    per-(row, subspace) argmins, and the ADC sum is the same fixed-order
+    left fold Spark unrolls (FP addition is order-sensitive)."""
+    sub = dim // m
+    sl_c = f"list_slice(c.emb, j.j*{sub}+1, j.j*{sub}+{sub})"
+    sl_s = f"list_slice(s.emb, j.j*{sub}+1, j.j*{sub}+{sub})"
+    fold = f"CAST(0.0 AS DOUBLE)"
+    for j in range(m):
+        fold = f"({fold} + max(CASE WHEN j = {j} THEN d END))"
+    return f"""
+    WITH corpus AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+    seeds AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, emb
+      FROM (SELECT vec_id, embedding::DOUBLE[] AS emb
+            FROM embeddings ORDER BY vec_id LIMIT {kc})
+    ), subd AS (
+      -- shift-invariant score ||c||^2 - 2 s.c (the row's own ||s||^2
+      -- is constant per (row, subspace) so it cancels in both the
+      -- encode argmin and every per-query ADC ranking; Spark drops it
+      -- the same way)
+      SELECT c.vec_id, s.cid, j.j,
+             list_dot_product({sl_s}, {sl_s})
+             - 2 * list_dot_product({sl_c}, {sl_s}) AS d
+      FROM corpus c
+      CROSS JOIN seeds s
+      CROSS JOIN (SELECT unnest(range({m})) AS j) j
+    ), enc AS (
+      SELECT vec_id, j, cid AS code FROM (
+        SELECT vec_id, j, cid,
+               row_number() OVER (PARTITION BY vec_id, j ORDER BY d, cid) AS rn
+        FROM subd) WHERE rn = 1
+    ), adc AS (
+      SELECT e.vec_id AS c_id, t.vec_id AS q_id, e.j, t.d
+      FROM enc e JOIN subd t
+        ON t.j = e.j AND t.cid = e.code
+       AND t.vec_id < {n_queries} AND t.vec_id <> e.vec_id
+    ), shortlist AS (
+      SELECT q_id, c_id FROM (
+        SELECT q_id, c_id,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY approx_dist, c_id) AS rn
+        FROM (SELECT q_id, c_id, {fold} AS approx_dist
+              FROM adc GROUP BY q_id, c_id)
+      ) WHERE rn <= {rerank}
+    ), rer AS (
+      SELECT sh.q_id, sh.c_id,
+             list_dot_product(ce.emb, ce.emb)
+             - 2 * list_dot_product(ce.emb, qe.emb)
+             + list_dot_product(qe.emb, qe.emb) AS dist
+      FROM shortlist sh
+      JOIN corpus ce ON ce.vec_id = sh.c_id
+      JOIN corpus qe ON qe.vec_id = sh.q_id
+    )
+    SELECT q_id, rank, c_id, dist FROM (
+      SELECT q_id, c_id, dist,
+             row_number() OVER (PARTITION BY q_id ORDER BY dist, c_id) AS rank
+      FROM rer) WHERE rank <= {k}
+    """
+
+
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     return embedding_near_duplicates(e, dim=64, threshold=0.3, n_planes=4)
@@ -921,6 +1005,12 @@ SPECS = [
         q_ivf_ann,
         _ivf_ann_sql(),
         doc="IVF approximate nearest neighbors (nprobe cell search)",
+    ),
+    QuerySpec(
+        "llm_pq_ann",
+        q_pq_ann,
+        _pq_ann_sql(),
+        doc="product-quantization ANN: ADC shortlist + exact re-rank",
     ),
     QuerySpec(
         "llm_embedding_neardup",

@@ -385,3 +385,223 @@ def lsh_ann_candidates(
         .filter(F.col("rank") <= k)
         .select("q_id", "rank", "c_id", "score")
     )
+
+
+# ------------------------------------------------------------------ PQ ----
+def pq_codebook_from_corpus(
+    corpus: DataFrame,
+    dim: int,
+    m: int = 8,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Deterministic data-derived PQ codebook: subspace ``j``'s ``k``
+    centroids are the ``j``-th subvectors of the ``k`` lowest-id corpus
+    rows (bounded k-row collect — the same deterministic-seed rule as
+    the IVF coarse quantizer, so the DuckDB oracle can rebuild the
+    identical codebook from the table itself). A pseudo-random codebook
+    is NOT usable here: embeddings live far from gauss noise, every
+    subvector snaps to the same centroid, and ADC degenerates to a
+    constant (measured recall@5 0.025 vs 0.75+ for data-derived).
+    :func:`train_pq_codebook` refines with Lloyd iterations."""
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    seeds = [
+        [float(x) for x in r[1]]
+        for r in corpus.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
+    ]
+    if len(seeds) < k:
+        raise ValueError(f"corpus has {len(seeds)} rows < k={k}")
+    return [
+        [seeds[c][j * sub : (j + 1) * sub] for c in range(k)] for j in range(m)
+    ]
+
+
+def _pq_sub(vec_col, j: int, sub: int) -> F.Column:
+    return F.slice(vec_col, j * sub + 1, sub)
+
+
+def _pq_scores(vec_col: str, cents: list[list[float]], j: int, sub: int) -> F.Column:
+    """Array of k shift-invariant subspace-j scores ``||c||² - 2·(s·c)``
+    (the row's own ``||s||²`` is constant across centroids AND across a
+    query's candidates, so dropping it changes neither the encode
+    argmin nor any per-query ADC ranking). One ``transform`` over
+    index + two literal arrays — O(1) expression nodes per subspace
+    instead of O(k) (a struct-per-centroid build cost 33 s of py4j
+    plan assembly at m=8, k=32)."""
+    # One parsed SQL expression: F.lit on a nested 32×8 list costs
+    # ~250 ms of py4j conversion EACH (16 call sites → 8 s of plan
+    # build); parsing the same literals as SQL text is ~1 ms. The
+    # arithmetic mirrors dot(): double casts, sequential left-fold.
+    k = len(cents)
+    ccs = "array(" + ",".join(f"{float(sum(x * x for x in c))!r}D" for c in cents) + ")"
+    vecs = (
+        "array("
+        + ",".join(
+            "array(" + ",".join(f"{float(x)!r}D" for x in c) + ")" for c in cents
+        )
+        + ")"
+    )
+    s = f"slice({vec_col}, {j * sub + 1}, {sub})"
+    return F.expr(
+        f"transform(sequence(0, {k - 1}), i -> element_at({ccs}, i + 1) - "
+        f"2.0D * aggregate(zip_with({s}, element_at({vecs}, i + 1), "
+        f"(x, y) -> double(x) * y), 0.0D, (acc, v) -> acc + v))"
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    codebook: list[list[list[float]]],
+    vec_col: str = "embedding",
+    out_col: str = "pq_codes",
+) -> DataFrame:
+    """Map-only PQ encoding: per subspace, the argmin-distance centroid
+    id (ties → lowest id). ``m`` int codes replace ``dim`` floats —
+    the 100 TB story is 32× memory compression for the candidate
+    scan, with no shuffle at encode time."""
+    sub = len(codebook[0][0])
+    codes = []
+    for j, cents in enumerate(codebook):
+        scores = _pq_scores(vec_col, cents, j, sub)
+        # first-minimum position = lowest centroid id on ties (the
+        # min value compares bit-equal to itself, so array_position
+        # is exact)
+        codes.append((F.array_position(scores, F.array_min(scores)) - 1).cast("int"))
+    return df.withColumn(out_col, F.array(*codes))
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebook: list[list[list[float]]],
+    k: int = 5,
+    rerank: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) PQ top-k, optionally with an exact
+    re-rank stage (the production shape: ADC shortlists ``rerank``
+    candidates with m table lookups per pair, then only the shortlist
+    pays a full d-float distance).
+
+    Plan shape: encode is map-only; each query precomputes its m×k
+    distance table ONCE (bounded side, broadcast); the corpus side then
+    streams map-only through the broadcast join — no shuffle of corpus
+    data, same scale story as ``cosine_topk_exact`` but with the
+    per-pair cost collapsed from O(dim) multiplies to O(m) lookups.
+    The re-rank join broadcasts the (queries × rerank)-bounded
+    shortlist into a corpus-streaming join.
+
+    Without ``rerank``: returns ``(q_id, rank, c_id, approx_dist)``.
+    With it: ``(q_id, rank, c_id, dist)`` where dist is exact squared
+    L2. The ADC sum is a static left-fold (fixed FP order) so an
+    independent engine reproduces it bit-for-bit.
+    """
+    from pyspark.sql import Window
+
+    m = len(codebook)
+    sub = len(codebook[0][0])
+    enc = pq_encode(corpus, codebook, vec_col=vec_col).select(
+        F.col(id_col).alias("c_id"), "pq_codes"
+    )
+    qdt = F.array(
+        *[
+            _pq_scores(vec_col, cents, j, sub)
+            for j, cents in enumerate(codebook)
+        ]
+    )
+    q = queries.select(F.col(id_col).alias("q_id"), qdt.alias("qdt"))
+    # static unroll: m element_at lookups stay in codegen (no HOF fold)
+    score = sum(
+        (
+            F.element_at(F.element_at(F.col("qdt"), j + 1),
+                         F.element_at(F.col("pq_codes"), j + 1) + 1)
+            for j in range(m)
+        ),
+        F.lit(0.0),
+    )
+    scored = (
+        enc.join(F.broadcast(q), F.col("q_id") != F.col("c_id"))
+        .withColumn("approx_dist", score)
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("approx_dist").asc(), F.col("c_id"))
+    ranked = scored.withColumn("rank", F.row_number().over(w))
+    if rerank is None:
+        return ranked.filter(F.col("rank") <= k).select(
+            "q_id", "rank", "c_id", "approx_dist"
+        )
+
+    short = ranked.filter(F.col("rank") <= rerank).select("q_id", "c_id")
+    ce = corpus.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("_ce"))
+    qe = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("_qe"))
+    exact = (
+        ce.join(F.broadcast(short), "c_id")
+        .join(F.broadcast(qe), "q_id")
+        .withColumn(
+            "dist",
+            dot(F.col("_ce"), F.col("_ce"))
+            - 2.0 * dot(F.col("_ce"), F.col("_qe"))
+            + dot(F.col("_qe"), F.col("_qe")),
+        )
+    )
+    w2 = Window.partitionBy("q_id").orderBy(F.col("dist").asc(), F.col("c_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("q_id", "rank", "c_id", "dist")
+    )
+
+
+def train_pq_codebook(
+    corpus: DataFrame,
+    dim: int,
+    m: int = 8,
+    k: int = 16,
+    n_iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Lloyd's refinement of the data-derived codebook, all m subspaces
+    trained in ONE pass per iteration: a single map-only assignment
+    computes every subspace's nearest-centroid code, then one shuffle
+    of (subspace, cell, dim-position) partial means — exchanged data is
+    O(m × k × dim/m × partitions), independent of corpus size. Empty
+    cells keep their previous centroid."""
+    book = pq_codebook_from_corpus(corpus, dim, m, k, id_col=id_col, vec_col=vec_col)
+    sub = dim // m
+    c = corpus.select(F.col(vec_col).alias("vec"))
+    for _ in range(n_iters):
+        enc = pq_encode(c, book, vec_col="vec")
+        parts = (
+            enc.select(
+                F.explode(
+                    F.array(
+                        *[
+                            F.struct(
+                                F.lit(j).alias("j"),
+                                F.element_at("pq_codes", j + 1).alias("cell"),
+                                _pq_sub(F.col("vec"), j, sub).alias("s"),
+                            )
+                            for j in range(m)
+                        ]
+                    )
+                ).alias("e")
+            )
+            .select("e.j", "e.cell", F.posexplode("e.s").alias("pos", "x"))
+            .groupBy("j", "cell", "pos")
+            .agg(F.avg("x").alias("mu"))
+            .collect()
+        )
+        new_book = [[list(cent) for cent in cents] for cents in book]
+        acc: dict[tuple[int, int], dict[int, float]] = {}
+        for r in parts:
+            acc.setdefault((int(r["j"]), int(r["cell"])), {})[int(r["pos"])] = float(
+                r["mu"]
+            )
+        for (j, cell), dims in acc.items():
+            new_book[j][cell] = [dims[i] for i in range(sub)]
+        book = new_book
+    return book

@@ -332,3 +332,108 @@ def test_approx_count_distinct_error_bound(spark):
     for r in rows:
         rel_err = abs(r.approx_parts - r.exact_parts) / max(r.exact_parts, 1)
         assert rel_err < 0.06, f"{r.l_returnflag}: {r.approx_parts} vs {r.exact_parts}"
+
+
+# ----------------------------------------------------------------- PQ ----
+def _pq_fixture(spark, n=120, dim=16, n_clusters=6, seed=5):
+    """Clustered vectors: cluster centers + small noise, unit-normalized
+    — PQ must beat chance comfortably on clustered data."""
+    rng = random.Random(seed)
+    centers = [
+        [rng.gauss(0.0, 1.0) for _ in range(dim)] for _ in range(n_clusters)
+    ]
+    rows = []
+    for i in range(n):
+        c = centers[i % n_clusters]
+        v = [x + rng.gauss(0.0, 0.15) for x in c]
+        nrm = sum(x * x for x in v) ** 0.5
+        rows.append((i, [float(x / nrm) for x in v]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_pq_codebook_shape_and_validation(spark):
+    from etl_global_mobility_spark.operators.similarity import (
+        pq_codebook_from_corpus,
+    )
+
+    e = _pq_fixture(spark)
+    book = pq_codebook_from_corpus(e, dim=16, m=4, k=8)
+    assert len(book) == 4 and len(book[0]) == 8 and len(book[0][0]) == 4
+    with pytest.raises(ValueError):
+        pq_codebook_from_corpus(e, dim=16, m=5, k=8)  # 16 % 5 != 0
+
+
+def test_pq_encode_is_deterministic_and_bounded(spark):
+    from etl_global_mobility_spark.operators.similarity import (
+        pq_codebook_from_corpus,
+        pq_encode,
+    )
+
+    e = _pq_fixture(spark)
+    book = pq_codebook_from_corpus(e, dim=16, m=4, k=8)
+    a = pq_encode(e, book).select("vec_id", "pq_codes").collect()
+    b = pq_encode(e.repartition(7), book).select("vec_id", "pq_codes").collect()
+    assert {r.vec_id: r.pq_codes for r in a} == {r.vec_id: r.pq_codes for r in b}
+    assert all(0 <= c < 8 for r in a for c in r.pq_codes)
+    assert all(len(r.pq_codes) == 4 for r in a)
+
+
+def test_pq_adc_rerank_recall_beats_chance(spark):
+    from etl_global_mobility_spark.operators.similarity import (
+        cosine_topk_exact,
+        pq_codebook_from_corpus,
+        pq_topk,
+    )
+
+    e = _pq_fixture(spark)
+    q = e.filter(F.col("vec_id") < 6)
+    book = pq_codebook_from_corpus(e, dim=16, m=4, k=8)
+    exact = cosine_topk_exact(e, q, k=5).collect()
+    got = pq_topk(e, q, book, k=5, rerank=30).collect()
+    ex: dict[int, set] = {}
+    for r in exact:
+        ex.setdefault(r.q_id, set()).add(r.c_id)
+    hits = sum(1 for r in got if r.c_id in ex[r.q_id])
+    recall = hits / len(got)
+    # chance level is 5/119 ≈ 0.04; clustered data should be far above
+    assert recall >= 0.5, f"PQ rerank recall {recall}"
+    # rerank output is exact squared L2 — non-negative, sorted per query
+    by_q: dict[int, list] = {}
+    for r in sorted(got, key=lambda r: (r.q_id, r.rank)):
+        by_q.setdefault(r.q_id, []).append(r.dist)
+    for dists in by_q.values():
+        assert dists == sorted(dists) and all(d >= -1e-12 for d in dists)
+
+
+def test_pq_training_reduces_quantization_error(spark):
+    from etl_global_mobility_spark.operators.similarity import (
+        dot,
+        pq_codebook_from_corpus,
+        pq_encode,
+        train_pq_codebook,
+    )
+
+    e = _pq_fixture(spark)
+
+    def qerr(book):
+        m, sub = len(book), len(book[0][0])
+        enc = pq_encode(e, book)
+        err = None
+        for j in range(m):
+            s = F.slice("embedding", j * sub + 1, sub)
+            cents = F.expr(
+                "array("
+                + ",".join(
+                    "array(" + ",".join(repr(float(x)) + "D" for x in c) + ")"
+                    for c in book[j]
+                )
+                + ")"
+            )
+            c = F.element_at(cents, F.element_at("pq_codes", j + 1) + 1)
+            d = dot(s, s) - 2.0 * dot(s, c) + dot(c, c)
+            err = d if err is None else err + d
+        return enc.select(F.sum(err).alias("e")).collect()[0]["e"]
+
+    base = qerr(pq_codebook_from_corpus(e, dim=16, m=4, k=8))
+    trained = qerr(train_pq_codebook(e, dim=16, m=4, k=8, n_iters=2))
+    assert trained <= base * 1.0001, (trained, base)
