@@ -21,7 +21,7 @@ from etl_global_mobility_spark.corpus.base import QuerySpec, load_table
 
 #: First 50 registered names — the driver's correctness window.
 DRIVER_WINDOW = (
-    # §2C LLM-pipeline operators (26 of 28; llm_token_count_by_lang and
+    # §2C LLM-pipeline operators (27 of 29; llm_token_count_by_lang and
     # llm_salient_terms sit outside — the text-analysis component keeps
     # four in-window representatives: text_stats, language_id,
     # quality_score, fingerprint)
@@ -51,6 +51,7 @@ DRIVER_WINDOW = (
     "llm_chunk_documents",
     "llm_strip_boilerplate",
     "llm_pq_ann",
+    "llm_vocab_oov",
     # Structured Streaming (5 of 6; stream_sliding_counts outside — the
     # windowed-agg mechanism keeps tumbling + session in-window)
     "stream_tumbling_counts",
@@ -81,18 +82,17 @@ DRIVER_WINDOW = (
     # date_parse, map_lookup, unit_conversion, unit_price, rounding,
     # indicators — all green in round 2) sit past the window, as do
     # parity_rename_project (A5), parity_filter_eq_range (A7), and
-    # parity_split_quarantine (A8, green ×2 in r2 with split_clean) sit
-    # outside too, evicted for the r3 packing/chunking/boilerplate/PQ
+    # parity_split_quarantine (A8, green ×2 in r2 with split_clean),
+    # evicted for the r3 packing/chunking/boilerplate/PQ/vocab
     # operators.
     "parity_derived_all",
     "parity_quality_reasons",
-    # §2B representatives (6): one per category — join, agg, rollup,
-    # top-k, set ops, MERGE (evictees rel_join_anti /
+    # §2B representatives (5): one per category — join, agg, top-k,
+    # set ops, MERGE (evictees rel_join_anti / rel_agg_rollup /
     # rel_window_topk_per_group / rel_scalar_string_date_math have
     # green round-2 rows; windows/scalars keep other in-window reps)
     "rel_join_revenue_by_nation",
     "rel_agg_pricing_summary",
-    "rel_agg_rollup",
     "rel_topk_global",
     "rel_set_ops",
     "rel_merge_upsert",

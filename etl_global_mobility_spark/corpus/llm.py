@@ -447,6 +447,33 @@ def _strip_boilerplate_sql(seg_len: int, df_max: int) -> str:
            FROM totals t LEFT JOIN rebuilt r USING (doc_id)"""
 
 
+def q_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-16 corpus vocabulary (frequency, lexicographic ties) and the
+    per-document OOV token fraction against it."""
+    from etl_global_mobility_spark.operators.text import build_vocabulary, oov_rates
+
+    d = load_table(spark, sf_dir, "documents")
+    return oov_rates(d, build_vocabulary(d, top_k=16))
+
+
+def _vocab_oov_sql(top_k: int = 16) -> str:
+    return f"""WITH tok AS (
+             SELECT doc_id, unnest({TOKS}) AS term FROM documents),
+           vocab AS (
+             SELECT term FROM (
+               SELECT term, count(*) AS n FROM tok GROUP BY term
+               ORDER BY n DESC, term LIMIT {top_k})),
+           per AS (
+             SELECT t.doc_id, count(*) AS n_tokens,
+                    sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS n_oov
+             FROM tok t LEFT JOIN vocab v USING (term)
+             GROUP BY t.doc_id)
+           SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                  CAST(n_oov AS BIGINT) AS n_oov,
+                  CAST(n_oov AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS oov_rate
+           FROM per"""
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media plumbing: text bytes as opaque content → metadata →
     Arrow-batched (mapInPandas) feature stub. Oracle checks the
@@ -1053,6 +1080,12 @@ SPECS = [
         q_salient_terms,
         _salient_terms_sql(5),
         doc="top df-normalized salient terms per language",
+    ),
+    QuerySpec(
+        "llm_vocab_oov",
+        q_vocab_oov,
+        _vocab_oov_sql(),
+        doc="top-k vocabulary build + per-doc OOV fraction (broadcast vocab)",
     ),
     QuerySpec(
         "llm_pack_sequences",

@@ -212,3 +212,56 @@ def doc_fingerprint(text: str | Column, n_hex: int = 16) -> Column:
     col = F.col(text) if isinstance(text, str) else text
     normalized = F.concat_ws(" ", tokenize(col))
     return F.substring(F.md5(normalized), 1, n_hex)
+
+
+def build_vocabulary(
+    docs: DataFrame, top_k: int = 16, text_col: str = "text"
+) -> DataFrame:
+    """Top-``top_k`` corpus vocabulary by token frequency (ties break
+    lexicographically) — the tokenizer-training prep stage.
+
+    Scale shape: one hash aggregation over exploded tokens (map-side
+    combined, output bounded by DISTINCT terms, not corpus size), then
+    a distributed TakeOrderedAndProject for the top-k — no
+    single-partition window. Real deployments add a min-count threshold
+    before the ordering so the agg output stays small; the selection
+    logic is unchanged.
+    """
+    return (
+        docs.select(F.explode(tokenize(text_col)).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("term"))
+        .limit(top_k)
+    )
+
+
+def oov_rates(
+    docs: DataFrame,
+    vocab: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document out-of-vocabulary token fraction against a bounded
+    vocabulary (broadcast join — the corpus side never shuffles until
+    the per-doc aggregation). Zero-token documents produce no row."""
+    tok = docs.select(F.col(id_col), F.explode(tokenize(text_col)).alias("term"))
+    v = vocab.select("term", F.lit(True).alias("_in_vocab"))
+    per = (
+        tok.join(F.broadcast(v), "term", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("_in_vocab").isNull(), 1).otherwise(0)).alias(
+                "n_oov"
+            ),
+        )
+    )
+    return per.select(
+        id_col,
+        "n_tokens",
+        "n_oov",
+        (F.col("n_oov").cast("double") / F.col("n_tokens").cast("double")).alias(
+            "oov_rate"
+        ),
+    )

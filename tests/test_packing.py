@@ -103,3 +103,31 @@ def test_strip_boilerplate_all_boilerplate_doc_goes_empty(spark):
     rows = [(i, "same same same", "s") for i in range(6)]
     out = strip_boilerplate(_docs(spark, rows), seg_len=3, df_max=2).collect()
     assert all(r.clean_text == "" and r.n_kept == 0 and r.n_removed == 1 for r in out)
+
+
+def test_vocabulary_tie_break_and_topk(spark):
+    from etl_global_mobility_spark.operators.text import build_vocabulary
+
+    rows = [(0, "b b a a c", "s"), (1, "a b d", "s")]
+    v = build_vocabulary(_docs(spark, rows), top_k=2).collect()
+    # a:3, b:3, c:1, d:1 → ties at n=3 break lexicographically: a, b
+    assert [(r.term, r.n) for r in v] == [("a", 3), ("b", 3)]
+
+
+def test_oov_rates_counts(spark):
+    from etl_global_mobility_spark.operators.text import build_vocabulary, oov_rates
+
+    rows = [(0, "a a b zz", "s"), (1, "a qq rr ss", "s"), (2, "", "s")]
+    vocab = build_vocabulary(_docs(spark, rows), top_k=2)  # a, b
+    out = {r.doc_id: r for r in oov_rates(_docs(spark, rows), vocab).collect()}
+    assert out[0].n_tokens == 4 and out[0].n_oov == 1 and out[0].oov_rate == 0.25
+    assert out[1].n_oov == 3 and out[1].oov_rate == 0.75
+    assert 2 not in out  # zero-token docs produce no row
+
+
+def test_vocabulary_plans_distributed_topk(spark):
+    from etl_global_mobility_spark.operators.text import build_vocabulary
+    from tests.test_plans import plan_of
+
+    plan = plan_of(build_vocabulary(_docs(spark, [(0, "a b", "s")]), top_k=4))
+    assert "TakeOrderedAndProject" in plan  # no single-partition window
