@@ -180,19 +180,24 @@ def ivf_topk(
 
     def cell_scores(vec_name: str, nv_name: str):
         """(cos, -cent_id) structs vs every centroid; norm of the data
-        vector is materialized once (no CSE inside the fan-out)."""
-        return F.array(
-            *[
-                F.struct(
-                    (
-                        dot(F.col(vec_name), F.lit(v))
-                        / (F.sqrt(F.col(nv_name)) * F.lit(n))
-                    ).alias("cos"),
-                    F.lit(-cid).alias("neg_id"),
-                )
-                for (cid, v), n in zip(cents, norms)
-            ]
-        )
+        vector is materialized once (no CSE inside the fan-out). Built
+        as ONE parsed SQL expression: per-centroid F.lit arrays cost
+        ~100 ms of py4j conversion each (measured 5 s of plan build per
+        ivf_topk at n_cells=16 — two call sites), parsing is ~1 ms.
+        The arithmetic is unchanged: sequential double fold, then
+        dot / (sqrt(nv) · ||centroid||)."""
+        parts = []
+        for (cid, v), n in zip(cents, norms):
+            arr = "array(" + ",".join(f"{float(x)!r}D" for x in v) + ")"
+            d = (
+                f"aggregate(zip_with({vec_name}, {arr}, "
+                f"(x, y) -> double(x) * y), 0.0D, (acc, v) -> acc + v)"
+            )
+            parts.append(
+                f"named_struct('cos', {d} / (sqrt({nv_name}) * {float(n)!r}D), "
+                f"'neg_id', {-cid})"
+            )
+        return F.expr("array(" + ",".join(parts) + ")")
 
     # The squared norm (`nv`) computed for cell assignment is carried
     # through the join so the candidate scoring pays one array fold per
