@@ -741,7 +741,75 @@ def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _roundtrip_dir(name: str) -> str:
+    import os
+
+    return os.path.join(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+        ".tmp",
+        name,
+    )
+
+
+def q_source_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines source with explicit schema: supplier round-tripped
+    through the JSON writer then read back schema'd (no inference pass
+    — schema inference is a full extra scan, never acceptable at
+    scale). Doubles survive textually (shortest-repr round-trip); the
+    oracle reads the original parquet, so any serialization defect
+    breaks the hash."""
+    from pyspark.sql import types as T
+
+    out = _roundtrip_dir("json_supplier")
+    s = load_table(spark, sf_dir, "supplier")
+    s.coalesce(1).write.mode("overwrite").json(out)
+    schema = T.StructType(
+        [
+            T.StructField("s_suppkey", T.LongType()),
+            T.StructField("s_name", T.StringType()),
+            T.StructField("s_nationkey", T.IntegerType()),
+            T.StructField("s_acctbal", T.DoubleType()),
+        ]
+    )
+    df = spark.read.schema(schema).json(out)
+    return df.select(
+        "s_suppkey",
+        "s_name",
+        "s_nationkey",
+        "s_acctbal",
+        F.length("s_name").alias("name_len"),
+    )
+
+
+def q_source_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source: supplier round-tripped through the ORC writer/reader
+    (columnar binary — types survive natively, unlike the JSON text
+    path), then a filtered projection the reader should push down."""
+    out = _roundtrip_dir("orc_supplier")
+    s = load_table(spark, sf_dir, "supplier")
+    s.coalesce(1).write.mode("overwrite").orc(out)
+    df = spark.read.orc(out)
+    return df.filter(F.col("s_acctbal") > 0).select(
+        "s_suppkey", "s_nationkey", "s_acctbal"
+    )
+
+
 SPECS = [
+    QuerySpec(
+        "rel_source_json",
+        q_source_json,
+        """SELECT s_suppkey, s_name, s_nationkey, s_acctbal,
+               CAST(length(s_name) AS INT) AS name_len
+           FROM supplier""",
+        doc="JSON-lines source round-trip, explicit schema (no inference)",
+    ),
+    QuerySpec(
+        "rel_source_orc",
+        q_source_orc,
+        """SELECT s_suppkey, s_nationkey, s_acctbal
+           FROM supplier WHERE s_acctbal > 0""",
+        doc="ORC source round-trip with pushed-down filter",
+    ),
     QuerySpec(
         "rel_join_revenue_by_nation",
         q_join_revenue_by_nation,
