@@ -794,7 +794,43 @@ def q_source_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (p25/p50/p75) of extendedprice
+    per returnflag — Spark's `percentile` and DuckDB's `quantile_cont`
+    share the (n-1)·p linear-interpolation definition, and the binary
+    fractions 0.25/0.5/0.75 keep the rank arithmetic FP-exact, so raw
+    doubles hash-match (verified at sf0.01)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                "percentile(l_extendedprice, array(0.25D, 0.5D, 0.75D))"
+            ).alias("p"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .select(
+            "l_returnflag",
+            F.element_at("p", 1).alias("p25"),
+            F.element_at("p", 2).alias("p50"),
+            F.element_at("p", 3).alias("p75"),
+            "n_items",
+        )
+    )
+
+
 SPECS = [
+    QuerySpec(
+        "rel_percentiles_exact",
+        q_percentiles_exact,
+        """SELECT l_returnflag,
+               quantile_cont(l_extendedprice, 0.25) AS p25,
+               quantile_cont(l_extendedprice, 0.5) AS p50,
+               quantile_cont(l_extendedprice, 0.75) AS p75,
+               count(*) AS n_items
+           FROM lineitem GROUP BY l_returnflag""",
+        doc="exact interpolated percentiles per group (percentile / quantile_cont)",
+    ),
     QuerySpec(
         "rel_source_json",
         q_source_json,
