@@ -171,6 +171,10 @@ BASELINE_R2 = {
     "llm_embedding_neardup": 2.216, "llm_asof_join": 0.623,
     "llm_frame_sample": 1.643, "stream_tumbling_counts": 2.082,
     "stream_stateful_profile": 1.802,
+    # r3 additions — best observed at sf0.1 / local[32] on a quiet
+    # host (no r2 numbers exist for these)
+    "llm_pack_sequences": 1.2, "llm_chunk_documents": 1.2,
+    "llm_strip_boilerplate": 2.2, "llm_pq_ann": 2.7,
 }
 
 

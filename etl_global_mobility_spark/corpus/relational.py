@@ -315,6 +315,30 @@ def q_agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketches (Apache DataSketches via
+    ``hll_sketch_agg``): per-nation customer sketches, re-aggregated
+    into a global estimate by UNIONING THE SKETCHES — the scale-native
+    pattern (sketch once per partition/day, merge cheaply for any
+    rollup, never rescan). Engine-specific binaries → rows-only; the
+    property test bounds every estimate against exact counts."""
+    c = load_table(spark, sf_dir, "customer")
+    per = c.groupBy("c_nationkey").agg(
+        F.hll_sketch_agg("c_custkey").alias("sk"),
+        F.count_distinct("c_custkey").alias("exact_custs"),
+    )
+    per_nation = per.select(
+        F.col("c_nationkey").cast("bigint").alias("grp"),
+        F.hll_sketch_estimate("sk").alias("est_custs"),
+        "exact_custs",
+    )
+    union_row = per.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_custs"),
+        F.sum("exact_custs").alias("exact_custs"),
+    ).select(F.lit(-1).cast("bigint").alias("grp"), "est_custs", "exact_custs")
+    return per_nation.unionByName(union_row)
+
+
 # ----------------------------------------------------- sort / set ops ----
 def q_topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global top-10 by (totalprice desc, orderkey) — plans as
@@ -1037,6 +1061,12 @@ SPECS = [
         q_agg_approx_distinct,
         None,  # HLL sketch values are engine-specific; see property test
         doc="approx_count_distinct (HLL++), rows-only + error-bound test",
+    ),
+    QuerySpec(
+        "rel_hll_sketch_union",
+        q_hll_sketch_union,
+        None,  # DataSketches binaries are engine-specific; property test
+        doc="mergeable HLL sketches: per-group + sketch-union rollup, rows-only",
     ),
     QuerySpec(
         "rel_topk_global",

@@ -131,3 +131,24 @@ def test_vocabulary_plans_distributed_topk(spark):
 
     plan = plan_of(build_vocabulary(_docs(spark, [(0, "a b", "s")]), top_k=4))
     assert "TakeOrderedAndProject" in plan  # no single-partition window
+
+
+def test_hll_sketch_union_error_bounds(spark):
+    """Sketch estimates stay within HLL error of exact counts, and the
+    union-of-sketches estimate equals the sketch-of-everything estimate
+    (mergeability — the property that makes sketches scale)."""
+    from pyspark.sql import functions as F
+
+    from etl_global_mobility_spark.corpus.relational import q_hll_sketch_union
+
+    out = {r.grp: r for r in q_hll_sketch_union(spark, "/root/testdata/sf0.001").collect()}
+    for grp, r in out.items():
+        assert abs(r.est_custs - r.exact_custs) <= max(3, 0.05 * r.exact_custs), (
+            grp,
+            r,
+        )
+    c = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    direct = c.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("c_custkey")).alias("e")
+    ).collect()[0]["e"]
+    assert out[-1].est_custs == direct  # union of per-group == global sketch
