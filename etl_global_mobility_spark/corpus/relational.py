@@ -339,6 +339,36 @@ def q_hll_sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_nation.unionByName(union_row)
 
 
+def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view refresh: a per-customer sum/count
+    aggregate table built from 6/7 of orders is folded together with
+    the remaining 1/7 as a raw delta batch — WITHOUT rescanning the
+    base rows. The oracle is the full re-aggregation over all orders,
+    so any drift in the merge arithmetic breaks the hash. Sums ride in
+    DECIMAL (exact, order-independent) and only the final value casts
+    to DOUBLE."""
+    from etl_global_mobility_spark.operators.merge import incremental_agg_update
+
+    o = load_table(spark, sf_dir, "orders")
+    tp = F.col("o_totalprice").cast("decimal(18,2)")
+    base = (
+        o.filter(F.col("o_orderkey") % 7 != 0)
+        .groupBy("o_custkey")
+        .agg(F.sum(tp).alias("sum_total"), F.count(F.lit(1)).alias("n_orders"))
+    )
+    delta = o.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_custkey", tp.alias("sum_total")
+    )
+    upd = incremental_agg_update(
+        base, delta, keys=["o_custkey"], sums=["sum_total"], counts=["n_orders"]
+    )
+    return upd.select(
+        "o_custkey",
+        F.col("sum_total").cast("double").alias("sum_total"),
+        "n_orders",
+    )
+
+
 # ----------------------------------------------------- sort / set ops ----
 def q_topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global top-10 by (totalprice desc, orderkey) — plans as
@@ -1067,6 +1097,16 @@ SPECS = [
         q_hll_sketch_union,
         None,  # DataSketches binaries are engine-specific; property test
         doc="mergeable HLL sketches: per-group + sketch-union rollup, rows-only",
+    ),
+    QuerySpec(
+        "rel_incremental_agg",
+        q_incremental_agg,
+        """SELECT o_custkey,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS sum_total,
+               count(*) AS n_orders
+           FROM orders GROUP BY o_custkey""",
+        doc="incremental aggregate maintenance: delta fold == full recompute",
     ),
     QuerySpec(
         "rel_topk_global",

@@ -166,3 +166,33 @@ def test_upsert_validates_keys(spark):
     source = spark.createDataFrame([(1, "a")], "k long, v string")
     with pytest.raises(ValueError, match="missing"):
         upsert(target, source, ["nope"])
+
+
+def test_incremental_agg_update_semantics(spark):
+    from pyspark.sql import functions as F
+
+    from etl_global_mobility_spark.operators.merge import incremental_agg_update
+
+    base = spark.createDataFrame(
+        [(1, 10, 2), (2, 5, 1)], "k long, s long, n long"
+    )
+    delta = spark.createDataFrame(
+        [(2, 7), (3, 4), (3, 6)], "k long, s long"
+    )
+    out = {
+        r.k: (r.s, r.n)
+        for r in incremental_agg_update(
+            base, delta, keys=["k"], sums=["s"], counts=["n"]
+        ).collect()
+    }
+    assert out[1] == (10, 2)  # untouched key carried through
+    assert out[2] == (12, 2)  # 5+7, 1+1
+    assert out[3] == (10, 2)  # new key inserted from delta alone
+
+
+def test_incremental_agg_update_validates(spark):
+    from etl_global_mobility_spark.operators.merge import incremental_agg_update
+
+    df = spark.createDataFrame([(1, 2)], "k long, s long")
+    with pytest.raises(ValueError):
+        incremental_agg_update(df, df, keys=["k"])
