@@ -369,6 +369,16 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly gap-fill + forward fill of each user's event-value series
+    (users 0-7): one row per hour between the user's first and last
+    hour, carrying the latest observation at or before the instant."""
+    from etl_global_mobility_spark.operators.temporal import resample_ffill
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id") < 8)
+    return resample_ffill(ev)
+
+
 # ----------------------------------------------------- sort / set ops ----
 def q_topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global top-10 by (totalprice desc, orderkey) — plans as
@@ -1097,6 +1107,35 @@ SPECS = [
         q_hll_sketch_union,
         None,  # DataSketches binaries are engine-specific; property test
         doc="mergeable HLL sketches: per-group + sketch-union rollup, rows-only",
+    ),
+    QuerySpec(
+        "rel_resample_ffill",
+        q_resample_ffill,
+        """WITH obs AS (
+             SELECT user_id, ts, value, event_id FROM events
+             WHERE user_id < 8),
+           bounds AS (
+             SELECT user_id, date_trunc('hour', min(ts)) AS lo,
+                    date_trunc('hour', max(ts)) AS hi
+             FROM obs GROUP BY user_id),
+           grid AS (
+             SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+                      AS ts
+             FROM bounds),
+           unioned AS (
+             SELECT user_id, ts, value AS v, 0 AS flag, event_id FROM obs
+             UNION ALL
+             SELECT user_id, ts, NULL, 1, NULL FROM grid),
+           filled AS (
+             SELECT user_id, ts, flag,
+                    last_value(v IGNORE NULLS) OVER (
+                      PARTITION BY user_id ORDER BY ts, flag, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS value_ffill
+             FROM unioned)
+           SELECT user_id, CAST(ts AS TIMESTAMP) AS grid_ts, value_ffill
+           FROM filled WHERE flag = 1""",
+        doc="hourly resample + forward fill (union+window, no per-pair explosion)",
     ),
     QuerySpec(
         "rel_incremental_agg",

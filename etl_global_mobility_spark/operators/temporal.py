@@ -78,3 +78,65 @@ def asof_join(
         *[F.col(f"__l_{f.name}").alias(f.name) for f in left.schema.fields],
         *[F.col("__match").getField(c).alias(f"asof_{c}") for c in right_cols],
     )
+
+
+def resample_ffill(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    step: str = "1 hour",
+) -> DataFrame:
+    """Resample an irregular event series onto a fixed time grid with
+    forward fill: per key, one row per ``step`` between the key's first
+    and last observed period, carrying the latest observation at or
+    before each grid instant (NULL before the first observation).
+
+    Same union+window shape as :func:`asof_join` — no per-pair
+    explosion: the grid rows (bounded: span/step per key) union with
+    the observations, ONE per-key sort orders them, and
+    ``last(value, ignorenulls)`` propagates forward. Ties at the same
+    instant resolve observation-before-grid, then by ``id_col`` so the
+    fill is deterministic under any partitioning.
+    """
+    grid = (
+        events.groupBy(key_col)
+        .agg(
+            F.date_trunc("hour", F.min(ts_col)).alias("_lo"),
+            F.date_trunc("hour", F.max(ts_col)).alias("_hi"),
+        )
+        .select(
+            key_col,
+            F.explode(
+                F.sequence("_lo", "_hi", F.expr(f"interval {step}"))
+            ).alias(ts_col),
+        )
+    )
+    obs = events.select(
+        key_col,
+        ts_col,
+        F.col(value_col).alias("_v"),
+        F.lit(0).alias("_flag"),
+        F.col(id_col).alias("_id"),
+    )
+    g = grid.select(
+        key_col,
+        ts_col,
+        F.lit(None).cast("double").alias("_v"),
+        F.lit(1).alias("_flag"),
+        F.lit(None).cast("long").alias("_id"),
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(ts_col, "_flag", "_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    filled = obs.unionByName(g).withColumn(
+        "_fv", F.last("_v", ignorenulls=True).over(w)
+    )
+    return filled.filter(F.col("_flag") == 1).select(
+        key_col,
+        F.col(ts_col).alias("grid_ts"),
+        F.col("_fv").alias("value_ffill"),
+    )

@@ -61,3 +61,31 @@ def test_asof_join_single_shuffle(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 1
     assert "Join" not in plan  # union+window, not a join
+
+
+def test_resample_ffill_semantics(spark):
+    """Hand-built series: grid bounds, carry-forward, exact-instant
+    observation wins at its own grid point, leading NULL before the
+    first observation."""
+    from etl_global_mobility_spark.operators.temporal import resample_ffill
+
+    rows = [
+        # user 1: obs at 00:30 (v=1.0), 02:00 sharp (v=2.0), 02:45 (v=3.0)
+        (1, "2024-01-01 00:30:00", 1.0, 10),
+        (1, "2024-01-01 02:00:00", 2.0, 11),
+        (1, "2024-01-01 02:45:00", 3.0, 12),
+    ]
+    from pyspark.sql import functions as F
+
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts string, value double, event_id long"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = {
+        str(r.grid_ts): r.value_ffill
+        for r in resample_ffill(ev).collect()
+    }
+    assert out == {
+        "2024-01-01 00:00:00": None,  # grid starts at trunc(min); no obs yet
+        "2024-01-01 01:00:00": 1.0,  # carried forward
+        "2024-01-01 02:00:00": 2.0,  # obs at the exact instant wins
+    }
