@@ -379,6 +379,24 @@ def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     return resample_ffill(ev)
 
 
+def q_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch gaps-and-islands sessionization (5-minute gap) summarized
+    per session — the batch twin of stream_session_windows (same
+    >=-gap boundary as Spark's exclusive session_window end)."""
+    from etl_global_mobility_spark.operators.temporal import sessionize
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        sessionize(ev, gap="5 minutes")
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("sess_start"),
+            F.max("ts").alias("sess_end"),
+        )
+    )
+
+
 # ----------------------------------------------------- sort / set ops ----
 def q_topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global top-10 by (totalprice desc, orderkey) — plans as
@@ -1107,6 +1125,28 @@ SPECS = [
         q_hll_sketch_union,
         None,  # DataSketches binaries are engine-specific; property test
         doc="mergeable HLL sketches: per-group + sketch-union rollup, rows-only",
+    ),
+    QuerySpec(
+        "rel_sessionize_batch",
+        q_sessionize_batch,
+        """WITH marked AS (
+             SELECT user_id, ts,
+                    CASE WHEN lag(ts) OVER w IS NULL
+                           OR ts - lag(ts) OVER w >= INTERVAL 5 MINUTE
+                         THEN 1 ELSE 0 END AS new_sess
+             FROM events
+             WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+           numbered AS (
+             SELECT user_id, ts,
+                    sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts) - 1
+                      AS session_id
+             FROM marked)
+           SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+                  count(*) AS n_events,
+                  CAST(min(ts) AS TIMESTAMP) AS sess_start,
+                  CAST(max(ts) AS TIMESTAMP) AS sess_end
+           FROM numbered GROUP BY user_id, session_id""",
+        doc="batch gaps-and-islands sessionization (single exchange, stacked windows)",
     ),
     QuerySpec(
         "rel_resample_ffill",

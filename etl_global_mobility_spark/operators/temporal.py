@@ -140,3 +140,35 @@ def resample_ffill(
         F.col(ts_col).alias("grid_ts"),
         F.col("_fv").alias("value_ffill"),
     )
+
+
+def sessionize(
+    events: DataFrame,
+    gap: str = "5 minutes",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Batch sessionization (gaps-and-islands): a new session starts at
+    the first event of a key and whenever the gap since the previous
+    event is >= ``gap`` (matching Structured Streaming's exclusive
+    ``session_window`` end — see streaming/ops.py for the stream twin).
+
+    One per-key sort, two stacked window passes (lag → running sum of
+    session starts) over the SAME shuffle partitioning — Catalyst plans
+    a single Exchange. Returns the input plus ``session_id`` (0-based
+    per key, dense in event-time order).
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col)
+    gap_expr = F.expr(f"interval {gap}")
+    new_sess = F.when(
+        F.lag(ts_col).over(w).isNull()
+        | (F.col(ts_col) >= F.lag(ts_col).over(w) + gap_expr),
+        1,
+    ).otherwise(0)
+    return events.withColumn(
+        "session_id",
+        F.sum(new_sess).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        - 1,
+    )

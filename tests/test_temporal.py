@@ -89,3 +89,25 @@ def test_resample_ffill_semantics(spark):
         "2024-01-01 01:00:00": 1.0,  # carried forward
         "2024-01-01 02:00:00": 2.0,  # obs at the exact instant wins
     }
+
+
+def test_sessionize_single_exchange_and_boundary(spark):
+    """Stacked lag+cumsum windows share one shuffle, and an event at
+    exactly `gap` after the previous one starts a NEW session (matching
+    Spark's exclusive session_window end)."""
+    from pyspark.sql import functions as F
+
+    from etl_global_mobility_spark.operators.temporal import sessionize
+    from tests.test_plans import plan_of
+
+    rows = [
+        (1, "2024-01-01 00:00:00"),
+        (1, "2024-01-01 00:04:59"),  # < gap → same session
+        (1, "2024-01-01 00:09:59"),  # exactly 5 min after → NEW session
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts string").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    out = sessionize(ev, gap="5 minutes").orderBy("ts").collect()
+    assert [r.session_id for r in out] == [0, 0, 1]
+    assert plan_of(sessionize(ev)).count("Exchange") == 1
