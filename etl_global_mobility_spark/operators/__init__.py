@@ -7,26 +7,62 @@ column plumbing — all designed bucketed-not-all-pairs for 100 TB scale.
 """
 
 from etl_global_mobility_spark.operators.dedup import (
+    dedup_components,
     exact_dedup,
     minhash_near_duplicates,
     ngram_jaccard_pairs,
     simhash_fingerprint,
+    strip_boilerplate,
+)
+from etl_global_mobility_spark.operators.merge import (
+    incremental_agg_update,
+    upsert,
+)
+from etl_global_mobility_spark.operators.packing import (
+    chunk_documents,
+    pack_sequences,
+)
+from etl_global_mobility_spark.operators.temporal import (
+    asof_join,
+    resample_ffill,
+    sessionize,
 )
 from etl_global_mobility_spark.operators.similarity import (
     cosine_topk_exact,
     ivf_topk,
     lsh_ann_candidates,
+    pq_codebook_from_corpus,
+    pq_encode,
+    pq_topk,
     train_ivf_centroids,
+    train_pq_codebook,
 )
 from etl_global_mobility_spark.operators.text import (
+    build_vocabulary,
     doc_fingerprint,
     language_id,
+    oov_rates,
     quality_score,
     text_stats,
     tokenize,
 )
 
 __all__ = [
+    "dedup_components",
+    "strip_boilerplate",
+    "upsert",
+    "incremental_agg_update",
+    "chunk_documents",
+    "pack_sequences",
+    "asof_join",
+    "resample_ffill",
+    "sessionize",
+    "pq_codebook_from_corpus",
+    "pq_encode",
+    "pq_topk",
+    "train_pq_codebook",
+    "build_vocabulary",
+    "oov_rates",
     "exact_dedup",
     "minhash_near_duplicates",
     "ngram_jaccard_pairs",
