@@ -21,7 +21,7 @@ from etl_global_mobility_spark.corpus.base import QuerySpec, load_table
 
 #: First 50 registered names — the driver's correctness window.
 DRIVER_WINDOW = (
-    # §2C LLM-pipeline operators (27 of 29; llm_token_count_by_lang and
+    # §2C LLM-pipeline operators (28 of 30; llm_token_count_by_lang and
     # llm_salient_terms sit outside — the text-analysis component keeps
     # four in-window representatives: text_stats, language_id,
     # quality_score, fingerprint)
@@ -52,6 +52,7 @@ DRIVER_WINDOW = (
     "llm_strip_boilerplate",
     "llm_pq_ann",
     "llm_vocab_oov",
+    "llm_feature_hash",
     # Structured Streaming (5 of 6; stream_sliding_counts outside — the
     # windowed-agg mechanism keeps tumbling + session in-window)
     "stream_tumbling_counts",
@@ -87,13 +88,12 @@ DRIVER_WINDOW = (
     # operators.
     "parity_derived_all",
     "parity_quality_reasons",
-    # §2B representatives (5): one per category — join, agg, top-k,
-    # set ops, MERGE (evictees rel_join_anti / rel_agg_rollup /
+    # §2B representatives (4): one per category — join, agg,
+    # set ops, MERGE (evictees rel_join_anti / rel_agg_rollup / rel_topk_global /
     # rel_window_topk_per_group / rel_scalar_string_date_math have
     # green round-2 rows; windows/scalars keep other in-window reps)
     "rel_join_revenue_by_nation",
     "rel_agg_pricing_summary",
-    "rel_topk_global",
     "rel_set_ops",
     "rel_merge_upsert",
 )

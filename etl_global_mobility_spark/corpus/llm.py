@@ -474,6 +474,30 @@ def _vocab_oov_sql(top_k: int = 16) -> str:
            FROM per"""
 
 
+def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick vectorization: sparse L2-normalized 64-bucket
+    term-frequency vectors, one row per non-zero bucket."""
+    from etl_global_mobility_spark.operators.text import feature_hash_vectors
+
+    d = load_table(spark, sf_dir, "documents")
+    return feature_hash_vectors(d, n_buckets=64)
+
+
+def _feature_hash_sql(n_buckets: int = 64, seed: int = 0) -> str:
+    bucket = _md5_hash_sql("term", seed) + f" % {n_buckets}"
+    return f"""WITH tok AS (
+             SELECT doc_id, unnest({TOKS}) AS term FROM documents),
+           cnt AS (
+             SELECT doc_id, {bucket} AS bucket, count(*) AS c
+             FROM tok GROUP BY doc_id, bucket),
+           normed AS (
+             SELECT doc_id, bucket, c,
+                    sqrt(sum(c * c) OVER (PARTITION BY doc_id)) AS nrm
+             FROM cnt)
+           SELECT doc_id, bucket, CAST(c AS DOUBLE) / nrm AS weight
+           FROM normed"""
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary media plumbing: text bytes as opaque content → metadata →
     Arrow-batched (mapInPandas) feature stub. Oracle checks the
@@ -1086,6 +1110,12 @@ SPECS = [
         q_vocab_oov,
         _vocab_oov_sql(),
         doc="top-k vocabulary build + per-doc OOV fraction (broadcast vocab)",
+    ),
+    QuerySpec(
+        "llm_feature_hash",
+        q_feature_hash,
+        _feature_hash_sql(),
+        doc="hashing-trick vectorization: sparse L2-normalized tf vectors",
     ),
     QuerySpec(
         "llm_pack_sequences",

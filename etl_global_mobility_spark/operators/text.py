@@ -265,3 +265,45 @@ def oov_rates(
             "oov_rate"
         ),
     )
+
+
+def feature_hash_vectors(
+    docs: DataFrame,
+    n_buckets: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 0,
+) -> DataFrame:
+    """Hashing-trick text vectorization (HashingVectorizer): each token
+    maps to ``md5(token) mod n_buckets``; a document becomes a SPARSE
+    L2-normalized term-frequency vector, one row per non-zero bucket —
+    the bridge from raw text to a similarity-searchable embedding with
+    no vocabulary state to train, ship, or keep consistent.
+
+    All integer/IEEE-exact arithmetic (counts, sqrt of an integer sum
+    of squares), so an independent engine reproduces every weight
+    bit-for-bit. Scale shape: explode → one hash agg on (doc, bucket)
+    → one window per doc for the norm; sparse output keeps shuffle
+    volume ∝ non-zeros, never docs × n_buckets.
+    """
+    from etl_global_mobility_spark.operators.dedup import _md5_band_hash
+
+    tok = docs.select(
+        F.col(id_col), F.explode(tokenize(text_col)).alias("_term")
+    )
+    cnt = (
+        tok.withColumn("bucket", _md5_band_hash(F.col("_term"), seed) % n_buckets)
+        .groupBy(id_col, "bucket")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+    )
+    w = Window.partitionBy(id_col)
+    return (
+        cnt.withColumn(
+            "_norm", F.sqrt(F.sum(F.col("_cnt") * F.col("_cnt")).over(w))
+        )
+        .select(
+            id_col,
+            "bucket",
+            (F.col("_cnt").cast("double") / F.col("_norm")).alias("weight"),
+        )
+    )

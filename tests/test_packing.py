@@ -152,3 +152,30 @@ def test_hll_sketch_union_error_bounds(spark):
         F.hll_sketch_estimate(F.hll_sketch_agg("c_custkey")).alias("e")
     ).collect()[0]["e"]
     assert out[-1].est_custs == direct  # union of per-group == global sketch
+
+
+def test_feature_hash_vectors_are_unit_norm_and_stable(spark):
+    from pyspark.sql import functions as F
+
+    from etl_global_mobility_spark.operators.text import feature_hash_vectors
+
+    rows = [(0, "a b a c", "s"), (1, "zz", "s")]
+    v = feature_hash_vectors(_docs(spark, rows), n_buckets=8)
+    norms = (
+        v.groupBy("doc_id")
+        .agg(F.sum(F.col("weight") * F.col("weight")).alias("n2"))
+        .collect()
+    )
+    assert all(abs(r.n2 - 1.0) < 1e-12 for r in norms)  # L2-normalized
+    # partition-layout invariant (hash depends only on token text)
+    a = sorted(map(tuple, v.collect()))
+    b = sorted(
+        map(
+            tuple,
+            feature_hash_vectors(
+                _docs(spark, rows).repartition(5), n_buckets=8
+            ).collect(),
+        )
+    )
+    assert a == b
+    assert all(0 <= r[1] < 8 for r in a)
