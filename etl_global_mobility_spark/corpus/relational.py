@@ -397,6 +397,27 @@ def q_sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (Greenwald-Khanna sketch) beside the exact
+    interpolated percentile: mergeable across partitions, bounded rank
+    error (accuracy=1000 → ±0.1% rank). Sketch values are
+    engine-specific → rows-only; the property test bounds the rank
+    error against the exact distribution."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr(
+            "approx_percentile(l_extendedprice, array(0.5D, 0.9D), 1000)"
+        ).alias("approx_p"),
+        F.expr("percentile(l_extendedprice, array(0.5D, 0.9D))").alias("exact_p"),
+    ).select(
+        "l_returnflag",
+        F.element_at("approx_p", 1).alias("ap50"),
+        F.element_at("approx_p", 2).alias("ap90"),
+        F.element_at("exact_p", 1).alias("p50"),
+        F.element_at("exact_p", 2).alias("p90"),
+    )
+
+
 # ----------------------------------------------------- sort / set ops ----
 def q_topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global top-10 by (totalprice desc, orderkey) — plans as
@@ -1125,6 +1146,12 @@ SPECS = [
         q_hll_sketch_union,
         None,  # DataSketches binaries are engine-specific; property test
         doc="mergeable HLL sketches: per-group + sketch-union rollup, rows-only",
+    ),
+    QuerySpec(
+        "rel_agg_approx_percentile",
+        q_agg_approx_percentile,
+        None,  # GK-sketch output is engine-specific; rank-error property test
+        doc="approx_percentile (GK sketch) vs exact, rows-only + error bound",
     ),
     QuerySpec(
         "rel_sessionize_batch",

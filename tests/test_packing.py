@@ -179,3 +179,20 @@ def test_feature_hash_vectors_are_unit_norm_and_stable(spark):
     )
     assert a == b
     assert all(0 <= r[1] < 8 for r in a)
+
+
+def test_approx_percentile_rank_error_bound(spark):
+    """GK-sketch percentiles stay within the configured rank error of
+    the exact interpolated percentiles (value-compared via the exact
+    distribution's neighborhood)."""
+    from etl_global_mobility_spark.corpus.relational import (
+        q_agg_approx_percentile,
+    )
+
+    rows = q_agg_approx_percentile(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        # accuracy=1000 → ±0.1% rank error; on this distribution that
+        # maps to well under 2% relative value error
+        assert abs(r.ap50 - r.p50) <= 0.02 * abs(r.p50) + 1e-9, r
+        assert abs(r.ap90 - r.p90) <= 0.02 * abs(r.p90) + 1e-9, r
