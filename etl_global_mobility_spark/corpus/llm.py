@@ -930,6 +930,129 @@ def _knn_vote_sql(n_queries: int = 8, k: int = 10) -> str:
     """
 
 
+def q_filter_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_global_mobility_spark.operators.quality_rules import filter_rules
+
+    d = load_table(spark, sf_dir, "documents")
+    return filter_rules(d).select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        "distinct_ratio",
+        "r_min_words",
+        "r_max_words",
+        "r_word_length",
+        "r_digit_ratio",
+        "r_symbol_ratio",
+        "r_no_stopwords",
+        "r_repetitive",
+        "keep",
+        "reasons",
+    )
+
+
+def _filter_rules_sql() -> str:
+    """DuckDB mirror of operators.quality_rules.filter_rules
+    (thresholds = quality_rules.DEFAULTS)."""
+    sw = "['the', 'a', 'of', 'to', 'and', 'in']"
+    return f"""WITH m AS (
+      SELECT doc_id,
+             CAST(len({TOKS}) AS INT) AS n_words,
+             CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
+               / greatest(len({TOKS}), 1) AS mean_word_len,
+             CAST(len(list_distinct({TOKS})) AS DOUBLE)
+               / greatest(len({TOKS}), 1) AS distinct_ratio,
+             CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+               / greatest(length(text), 1) AS digit_ratio,
+             CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+               / greatest(length(text), 1) AS symbol_ratio,
+             len(list_intersect({TOKS}, {sw})) > 0 AS has_sw
+      FROM documents
+    ), r AS (
+      SELECT doc_id, n_words, mean_word_len, distinct_ratio,
+             n_words < 20 AS r_min_words,
+             n_words > 5000 AS r_max_words,
+             mean_word_len < 3.0 OR mean_word_len > 10.0 AS r_word_length,
+             digit_ratio > 0.20 AS r_digit_ratio,
+             symbol_ratio > 0.10 AS r_symbol_ratio,
+             NOT has_sw AS r_no_stopwords,
+             distinct_ratio < 0.35 AS r_repetitive
+      FROM m
+    )
+    SELECT doc_id, n_words, mean_word_len, distinct_ratio,
+           r_min_words, r_max_words, r_word_length, r_digit_ratio,
+           r_symbol_ratio, r_no_stopwords, r_repetitive,
+           NOT (r_min_words OR r_max_words OR r_word_length OR r_digit_ratio
+                OR r_symbol_ratio OR r_no_stopwords OR r_repetitive) AS keep,
+           concat_ws('|',
+             CASE WHEN r_min_words THEN 'min_words' END,
+             CASE WHEN r_max_words THEN 'max_words' END,
+             CASE WHEN r_word_length THEN 'word_length' END,
+             CASE WHEN r_digit_ratio THEN 'digit_ratio' END,
+             CASE WHEN r_symbol_ratio THEN 'symbol_ratio' END,
+             CASE WHEN r_no_stopwords THEN 'no_stopwords' END,
+             CASE WHEN r_repetitive THEN 'repetitive' END) AS reasons
+    FROM r"""
+
+
+#: BM25 probe: one high-df term, one mid, one lower — exercises the
+#: idf spread on the synthetic corpus.
+BM25_TERMS = ("the", "spark", "customer")
+
+
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_global_mobility_spark.operators.retrieval import bm25_topk
+
+    d = load_table(spark, sf_dir, "documents")
+    return bm25_topk(d, BM25_TERMS, top_k=20)
+
+
+def _bm25_sql(k1: float = 1.2, b: float = 0.75, top_k: int = 20) -> str:
+    """DuckDB mirror of operators.retrieval.bm25_topk — identical
+    expression tree (rational idf, fixed-order term sum) so IEEE
+    doubles hash-match."""
+    terms = ", ".join(f"'{t}'" for t in BM25_TERMS)
+    per_term_cols = ",\n             ".join(
+        f"coalesce(max(CASE WHEN t = '{t}' THEN s END), 0.0) AS s_{i}"
+        for i, t in enumerate(BM25_TERMS)
+    )
+    score = " + ".join(f"s_{i}" for i in range(len(BM25_TERMS)))
+    return f"""WITH tok AS (
+      SELECT doc_id AS id, unnest({TOKS}) AS t FROM documents
+    ), dl AS (
+      SELECT id, count(*) AS dl FROM tok GROUP BY id
+    ), stats AS (
+      SELECT count(*) AS n_docs, sum(dl) AS sum_dl FROM dl
+    ), tf AS (
+      SELECT id, t, count(*) AS tf FROM tok
+      WHERE t IN ({terms}) GROUP BY id, t
+    ), dfreq AS (
+      SELECT t, count(*) AS df FROM tf GROUP BY t
+    ), scored AS (
+      SELECT tf.id, tf.t,
+             ((CAST(n_docs - df AS DOUBLE) + 0.5)
+              / (CAST(df AS DOUBLE) + 0.5))
+             * ((CAST(tf AS DOUBLE) * {k1 + 1.0!r})
+                / (CAST(tf AS DOUBLE)
+                   + {k1!r} * (1.0 - {b!r}
+                               + {b!r} * (CAST(dl AS DOUBLE)
+                                          / (CAST(sum_dl AS DOUBLE)
+                                             / CAST(n_docs AS DOUBLE)))))) AS s
+      FROM tf JOIN dfreq USING (t) JOIN dl USING (id) CROSS JOIN stats
+    ), pivoted AS (
+      SELECT id,
+             {per_term_cols},
+             count(*) AS n_terms_hit
+      FROM scored GROUP BY id
+    ), topk AS (
+      SELECT id, n_terms_hit, ({score}) AS score
+      FROM pivoted ORDER BY score DESC, id LIMIT {top_k}
+    )
+    SELECT CAST(row_number() OVER (ORDER BY score DESC, id) AS INT) AS rank,
+           id AS doc_id, n_terms_hit, score
+    FROM topk"""
+
+
 SPECS = [
     QuerySpec(
         "llm_exact_dedup",
@@ -1177,5 +1300,18 @@ SPECS = [
                   least(256, n_bytes - frame_idx * 256) AS frame_len
            FROM exploded""",
         doc="video-frame sampling stub (1-to-N mapInPandas explode)",
+    ),
+    QuerySpec(
+        "llm_filter_rules",
+        q_filter_rules,
+        _filter_rules_sql(),
+        doc="Gopher/C4-style rule engine: named flags + keep + reasons "
+        "(the reference's quality-quarantine pattern, NB:561-678)",
+    ),
+    QuerySpec(
+        "llm_bm25",
+        q_bm25,
+        _bm25_sql(),
+        doc="BM25 lexical top-k (rational idf for cross-engine FP parity)",
     ),
 ]

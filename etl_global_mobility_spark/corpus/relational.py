@@ -897,6 +897,69 @@ def q_source_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_source_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``binaryFile`` source: the multimodal ingestion path. Documents
+    are materialized as one raw ``.bin`` file each (UTF-8 bytes of the
+    text — a stand-in for image/audio payloads), then read back with
+    ``spark.read.format("binaryFile")`` and verified content-exact via
+    sha2 against the oracle's ``sha256(encode(text))``.
+
+    The fixture write is a bounded driver-side loop (first 100 docs by
+    doc_id — test scaffolding, not the operator); the *read* is the
+    real distributed path: Spark lists and scans the files in
+    parallel, and at scale the same plan runs against an object store
+    bucket of media blobs.
+    """
+    import os
+
+    out = _roundtrip_dir("binary_docs")
+    os.makedirs(out, exist_ok=True)
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 100)
+        .select("doc_id", "text")
+        .collect()  # bounded: exactly 100 rows, fixture setup only
+    )
+    for row in docs:
+        with open(os.path.join(out, f"doc_{row['doc_id']:06d}.bin"), "wb") as f:
+            f.write(row["text"].encode("utf-8"))
+    df = spark.read.format("binaryFile").load(f"{out}/*.bin")
+    return df.select(
+        F.regexp_extract(F.col("path"), r"doc_(\d+)\.bin", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.length(F.col("content")).alias("n_bytes"),
+        F.sha2(F.col("content"), 256).alias("sha"),
+    )
+
+
+def q_histogram_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of ``l_extendedprice``: bucket index from
+    closed-form FP arithmetic (map-side), one hash aggregation on the
+    bounded bucket key — the canonical distributed histogram. No
+    ``width_bucket`` dependency (DuckDB lacks it); the explicit
+    ``floor((x - lo) / w)`` form is engine-portable and clamps into
+    [0, n_buckets-1]."""
+    li = load_table(spark, sf_dir, "lineitem")
+    lo, width, n_buckets = 0.0, 10000.0, 12
+    bucket = F.least(
+        F.greatest(
+            F.floor((F.col("l_extendedprice") - F.lit(lo)) / F.lit(width)),
+            F.lit(0),
+        ),
+        F.lit(n_buckets - 1),
+    ).cast("long")
+    return (
+        li.withColumn("bucket", bucket)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.min("l_extendedprice").alias("min_price"),
+            F.max("l_extendedprice").alias("max_price"),
+        )
+    )
+
+
 def q_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles (p25/p50/p75) of extendedprice
     per returnflag — Spark's `percentile` and DuckDB's `quantile_cont`
@@ -948,6 +1011,27 @@ SPECS = [
         """SELECT s_suppkey, s_nationkey, s_acctbal
            FROM supplier WHERE s_acctbal > 0""",
         doc="ORC source round-trip with pushed-down filter",
+    ),
+    QuerySpec(
+        "rel_source_binaryfile",
+        q_source_binaryfile,
+        """SELECT doc_id,
+               octet_length(encode(text)) AS n_bytes,
+               sha256(text) AS sha
+           FROM documents WHERE doc_id < 100""",
+        doc="binaryFile source (multimodal ingestion), sha256 content-exact",
+    ),
+    QuerySpec(
+        "rel_histogram_prices",
+        q_histogram_prices,
+        """SELECT CAST(least(greatest(
+                    floor((l_extendedprice - 0.0) / 10000.0), 0), 11) AS BIGINT)
+                  AS bucket,
+               count(*) AS n_items,
+               min(l_extendedprice) AS min_price,
+               max(l_extendedprice) AS max_price
+           FROM lineitem GROUP BY 1""",
+        doc="fixed-width distributed histogram (map-side bucketing)",
     ),
     QuerySpec(
         "rel_join_revenue_by_nation",

@@ -37,6 +37,11 @@ from etl_global_mobility_spark.operators.similarity import (
     train_ivf_centroids,
     train_pq_codebook,
 )
+from etl_global_mobility_spark.operators.quality_rules import (
+    filter_rules,
+    split_quarantine,
+)
+from etl_global_mobility_spark.operators.retrieval import bm25_topk
 from etl_global_mobility_spark.operators.text import (
     build_vocabulary,
     doc_fingerprint,
@@ -71,6 +76,9 @@ __all__ = [
     "ivf_topk",
     "lsh_ann_candidates",
     "train_ivf_centroids",
+    "filter_rules",
+    "split_quarantine",
+    "bm25_topk",
     "doc_fingerprint",
     "language_id",
     "quality_score",

@@ -1,0 +1,143 @@
+"""Lexical ranked retrieval (BM25) over a document corpus.
+
+The similarity-search side of the engine (operators/similarity.py)
+covers dense/embedding retrieval; this module adds the sparse/lexical
+counterpart a training-data pipeline uses for benchmark-contamination
+sweeps and quality-targeted sampling: score every document against a
+bag of query terms with BM25 (Robertson & Walker 1994; the Okapi
+formulation) and return the global top-k.
+
+Scale design — pure relational, three hash aggregations and two
+broadcastable joins, no Python:
+
+1. tokenize + explode (map-only, fused with the scan);
+2. per-document length ``dl`` (hash agg keyed on doc_id — uniform);
+3. term frequencies for the *query terms only* (the token stream is
+   filtered to the handful of query terms BEFORE the shuffle, so the
+   agg input is a tiny fraction of the corpus);
+4. per-term document frequencies (bounded by |query|, broadcast);
+5. corpus stats N / total dl (single-row aggregate, broadcast);
+6. a conditional-aggregation pivot to one row per document with a
+   FIXED-ORDER floating-point sum over the query terms.
+
+At 100 TB the only corpus-sized shuffle is (2); everything else is
+proportional to |query terms| or |matching docs|.
+
+Oracle portability: the classic ln-based idf is replaced by its
+rational core ``(N - df + 0.5) / (df + 0.5)`` — ln() differs between
+libm implementations in the last ulp, while +,*,/ are exactly rounded
+IEEE ops that hash-match across engines when the expression tree is
+mirrored (same discipline as operators/text.py salient_terms). The
+rational idf is a monotone transform of the standard one, so rankings
+agree; callers wanting the textbook value can take ``ln(idf)``
+downstream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from etl_global_mobility_spark.operators.text import tokenize
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: tuple[str, ...],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 20,
+) -> DataFrame:
+    """Global BM25 top-k: (rank, doc_id, n_terms_hit, score).
+
+    ``score`` is the fixed-order sum of per-term BM25 contributions
+    (term order = ``query_terms`` order); ties break on ascending
+    doc_id via the row_number window.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(tokenize(text_col)).alias("t")
+    )
+    dl = toks.groupBy("id").agg(F.count(F.lit(1)).alias("dl"))
+    # Corpus stats as exact integers; the single division is done once,
+    # explicitly, in double (identical in the oracle).
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+
+    qlits = F.array(*[F.lit(t) for t in query_terms])
+    tf = (
+        toks.filter(F.array_contains(qlits, F.col("t")))
+        .groupBy("id", "t")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+
+    scored = (
+        tf.join(F.broadcast(dfreq), "t")
+        .join(dl, "id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn("avgdl", F.col("sum_dl").cast("double") / F.col("n_docs").cast("double"))
+        .withColumn(
+            "idf",
+            (
+                (F.col("n_docs") - F.col("df")).cast("double") + F.lit(0.5)
+            )
+            / (F.col("df").cast("double") + F.lit(0.5)),
+        )
+        .withColumn(
+            "s",
+            F.col("idf")
+            * (
+                (F.col("tf").cast("double") * F.lit(k1 + 1.0))
+                / (
+                    F.col("tf").cast("double")
+                    + F.lit(k1)
+                    * (
+                        F.lit(1.0)
+                        - F.lit(b)
+                        + F.lit(b) * (F.col("dl").cast("double") / F.col("avgdl"))
+                    )
+                )
+            ),
+        )
+    )
+
+    # Pivot to one row per doc with a deterministic per-term column,
+    # then sum in FIXED term order (FP addition is order-sensitive;
+    # a plain sum() aggregates in partition order and would not
+    # hash-match an independent engine).
+    per_term = scored.groupBy("id").agg(
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("t") == t, F.col("s"))), F.lit(0.0)
+            ).alias(f"s_{i}")
+            for i, t in enumerate(query_terms)
+        ],
+        F.count(F.lit(1)).alias("n_terms_hit"),
+    )
+    score = F.col("s_0")
+    for i in range(1, len(query_terms)):
+        score = score + F.col(f"s_{i}")
+    # Global top-k via orderBy+limit → TakeOrderedAndProject (each task
+    # keeps k rows, the driver merges k·tasks) — NOT a row_number window
+    # over the full match set, which would be a single-task sort. The
+    # rank window then runs over only k rows.
+    topk = (
+        per_term.withColumn("score", score)
+        .orderBy(F.col("score").desc(), F.col("id"))
+        .limit(top_k)
+    )
+    return topk.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.col("score").desc(), F.col("id"))),
+    ).select(
+        "rank",
+        F.col("id").alias("doc_id"),
+        "n_terms_hit",
+        "score",
+    )

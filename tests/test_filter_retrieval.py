@@ -1,0 +1,144 @@
+"""Unit tests: Gopher/C4 filter-rules engine + BM25 retrieval on
+hand-built documents (edge semantics the corpus oracle can't isolate)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from etl_global_mobility_spark.operators.quality_rules import (
+    filter_rules,
+    split_quarantine,
+)
+from etl_global_mobility_spark.operators.retrieval import bm25_topk
+
+GOOD = (
+    "the quick brown fox jumps over a lazy dog and then runs off to "
+    "find more of the meadow where many other small animals live in peace"
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_clean_doc_keeps(spark):
+    row = filter_rules(_docs(spark, [(1, GOOD)])).first()
+    assert row["keep"] is True
+    assert row["reasons"] == ""
+
+
+def test_short_doc_flags_min_words(spark):
+    row = filter_rules(_docs(spark, [(1, "too short to keep")])).first()
+    assert row["r_min_words"] is True
+    assert row["keep"] is False
+    assert "min_words" in row["reasons"]
+
+
+def test_repetitive_doc_flags(spark):
+    text = " ".join(["the spam"] * 40)  # 80 words, 2 distinct
+    row = filter_rules(_docs(spark, [(1, text)])).first()
+    assert row["r_repetitive"] is True
+    assert row["distinct_ratio"] == pytest.approx(2 / 80)
+
+
+def test_no_stopword_flags(spark):
+    text = " ".join(f"word{i}" for i in range(30))
+    row = filter_rules(_docs(spark, [(1, text)])).first()
+    assert row["r_no_stopwords"] is True
+    assert row["keep"] is False
+
+
+def test_digit_and_symbol_ratio_rules(spark):
+    digits = "the " + " ".join(["12345 678"] * 10)
+    symbols = "the " + " ".join(["@#$%^ &*!?"] * 10) + " " + GOOD
+    out = {
+        r["doc_id"]: r
+        for r in filter_rules(_docs(spark, [(1, digits), (2, symbols)])).collect()
+    }
+    assert out[1]["r_digit_ratio"] is True
+    assert out[2]["r_symbol_ratio"] is True
+
+
+def test_reasons_fixed_order(spark):
+    # short AND no stopwords AND repetitive -> pipe order is rule order
+    row = filter_rules(_docs(spark, [(1, "spam spam spam")])).first()
+    assert row["reasons"] == "min_words|no_stopwords|repetitive"
+
+
+def test_split_quarantine_partitions_corpus(spark):
+    df = _docs(spark, [(1, GOOD), (2, "tiny")])
+    clean, quarantine = split_quarantine(df)
+    assert [r["doc_id"] for r in clean.collect()] == [1]
+    assert [r["doc_id"] for r in quarantine.collect()] == [2]
+
+
+# ------------------------------------------------------------- BM25 ----
+
+
+def _bm25_reference(docs, terms, k1=1.2, b=0.75):
+    """Plain-Python BM25 with the same rational idf."""
+    toks = {i: t.lower().split() for i, t in docs}
+    n = len(toks)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    scores = {}
+    for i, words in toks.items():
+        s = 0.0
+        for term in terms:
+            tf = words.count(term)
+            if tf == 0:
+                continue
+            df = sum(1 for w in toks.values() if term in w)
+            idf = (n - df + 0.5) / (df + 0.5)
+            s += idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * len(words) / avgdl))
+        scores[i] = s
+    return scores
+
+
+def test_bm25_matches_reference_scores(spark):
+    rows = [
+        (1, "spark shuffles data across the cluster"),
+        (2, "spark spark spark tuning guide for spark"),
+        (3, "a totally unrelated document about cooking pasta"),
+        (4, "cluster management and data locality in the scheduler"),
+    ]
+    out = bm25_topk(
+        _docs(spark, rows), ("spark", "cluster"), top_k=10
+    ).collect()
+    ref = _bm25_reference(rows, ("spark", "cluster"))
+    got = {r["doc_id"]: r["score"] for r in out}
+    # doc 3 matches nothing -> absent
+    assert 3 not in got
+    for doc_id, score in got.items():
+        assert math.isclose(score, ref[doc_id], rel_tol=1e-12)
+    # ranking matches the reference ordering (BM25 saturates tf, so the
+    # two-term doc 1 outranks the spark-spam doc 2)
+    want = sorted(got, key=lambda d: (-ref[d], d))
+    assert [r["doc_id"] for r in out] == want
+
+
+def test_bm25_tie_breaks_on_doc_id(spark):
+    rows = [(7, "alpha beta"), (3, "alpha beta"), (9, "alpha beta")]
+    out = bm25_topk(_docs(spark, rows), ("alpha",), top_k=3).collect()
+    assert [r["doc_id"] for r in out] == [3, 7, 9]
+    assert [r["rank"] for r in out] == [1, 2, 3]
+
+
+def test_bm25_topk_truncates(spark):
+    rows = [(i, "needle in haystack") for i in range(30)]
+    out = bm25_topk(_docs(spark, rows), ("needle",), top_k=5).collect()
+    assert len(out) == 5
+
+
+def test_bm25_plan_is_take_ordered(spark):
+    """The global top-k must be TakeOrderedAndProject (distributed
+    partial top-k), not a single-task global-sort window."""
+    df = _docs(spark, [(1, "x y"), (2, "x z")])
+    plan = bm25_topk(df, ("x",), top_k=5)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_bm25_rejects_empty_query(spark):
+    with pytest.raises(ValueError):
+        bm25_topk(_docs(spark, [(1, "a")]), ())
