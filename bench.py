@@ -46,6 +46,10 @@ HEADLINE = [
     "llm_chunk_documents",
     "llm_strip_boilerplate",
     "llm_pq_ann",
+    "llm_filter_rules",
+    "llm_bm25",
+    "rel_decayed_activity",
+    "rel_histogram_prices",
     "stream_tumbling_counts",
     "stream_stateful_profile",
 ]
@@ -175,6 +179,8 @@ BASELINE_R2 = {
     # host (no r2 numbers exist for these)
     "llm_pack_sequences": 1.2, "llm_chunk_documents": 1.2,
     "llm_strip_boilerplate": 2.2, "llm_pq_ann": 2.7,
+    "llm_filter_rules": 0.6, "llm_bm25": 0.7,
+    "rel_decayed_activity": 0.4, "rel_histogram_prices": 0.2,
 }
 
 

@@ -21,17 +21,20 @@ from etl_global_mobility_spark.corpus.base import QuerySpec, load_table
 
 #: First 50 registered names — the driver's correctness window.
 DRIVER_WINDOW = (
-    # §2C LLM-pipeline operators (28 of 30; llm_token_count_by_lang and
-    # llm_salient_terms sit outside — the text-analysis component keeps
-    # four in-window representatives: text_stats, language_id,
-    # quality_score, fingerprint)
+    # §2C LLM-pipeline operators (28 of 33; outside with in-window
+    # representatives of the same component: llm_token_count_by_lang /
+    # llm_salient_terms (text analysis → text_stats, language_id,
+    # fingerprint), llm_quality_score (quality → filter_rules, its
+    # rule-engine superset), llm_knn_label_vote (similarity → the five
+    # ANN/top-k reps), llm_stratified_sample (sampling → mix_sources,
+    # which derives its rates from data, + hash_split)
     "llm_dedup_components",
     "llm_hash_split",
     "llm_exact_dedup",
     "llm_fingerprint",
     "llm_text_stats",
     "llm_language_id",
-    "llm_quality_score",
+    "llm_filter_rules",
     "llm_simhash",
     "llm_minhash_neardup",
     "llm_ngram_jaccard",
@@ -39,14 +42,14 @@ DRIVER_WINDOW = (
     "llm_lsh_ann",
     "llm_ivf_ann",
     "llm_embedding_neardup",
-    "llm_knn_label_vote",
+    "llm_bm25",
     "llm_multimodal_features",
     "llm_asof_join",
     "llm_frame_sample",
     "llm_repetition_signals",
     "llm_contamination",
     "llm_pii_redact",
-    "llm_stratified_sample",
+    "llm_mix_sources",
     "llm_pack_sequences",
     "llm_chunk_documents",
     "llm_strip_boilerplate",

@@ -995,6 +995,59 @@ def _filter_rules_sql() -> str:
     FROM r"""
 
 
+#: Mixing targets: boost the first five sources 2:1 over the rest —
+#: mirrors a "quality-weighted" corpus mixture table.
+MIX_WEIGHTS = {f"src{i}": (2.0 if i < 5 else 1.0) for i in range(20)}
+
+
+def q_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_global_mobility_spark.operators.splits import mix_sources
+
+    d = load_table(spark, sf_dir, "documents")
+    kept = mix_sources(d, MIX_WEIGHTS, target_fraction=0.5, seed=2)
+    return kept.groupBy("source").agg(
+        F.max("rate").alias("rate"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("tokens_kept"),
+    )
+
+
+def _mix_sources_sql(target_fraction: float = 0.5, seed: int = 2) -> str:
+    """DuckDB mirror of operators.splits.mix_sources — identical
+    expression tree so rates (and hence the md5 sample) match
+    bit-for-bit."""
+    total_w = sum(MIX_WEIGHTS.values())
+    cases = " ".join(
+        f"WHEN '{s}' THEN CAST({w / total_w!r} AS DOUBLE)"
+        for s, w in MIX_WEIGHTS.items()
+    )
+    bucket = _md5_hash_sql("CAST(doc_id AS VARCHAR)", seed)
+    return f"""WITH tok AS (
+      SELECT doc_id, source, CAST(len({TOKS}) AS INT) AS n_tokens
+      FROM documents
+    ), per AS (
+      SELECT source, CAST(sum(n_tokens) AS BIGINT) AS src_tokens
+      FROM tok GROUP BY source
+    ), grand AS (
+      SELECT CAST(sum(src_tokens) AS BIGINT) AS total_tokens FROM per
+    ), rates AS (
+      SELECT source,
+             least(CAST(1.0 AS DOUBLE),
+                   ((CAST({target_fraction!r} AS DOUBLE)
+                     * CAST(total_tokens AS DOUBLE))
+                    * (CASE source {cases} ELSE CAST(0.0 AS DOUBLE) END))
+                   / CAST(src_tokens AS DOUBLE)) AS rate
+      FROM per CROSS JOIN grand
+    ), kept AS (
+      SELECT t.source, t.n_tokens, r.rate
+      FROM tok t JOIN rates r USING (source)
+      WHERE CAST(({bucket} % 10000) AS DOUBLE) / 10000.0 < r.rate
+    )
+    SELECT source, max(rate) AS rate, count(*) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS tokens_kept
+    FROM kept GROUP BY source"""
+
+
 #: BM25 probe: one high-df term, one mid, one lower — exercises the
 #: idf spread on the synthetic corpus.
 BM25_TERMS = ("the", "spark", "customer")
@@ -1313,5 +1366,12 @@ SPECS = [
         q_bm25,
         _bm25_sql(),
         doc="BM25 lexical top-k (rational idf for cross-engine FP parity)",
+    ),
+    QuerySpec(
+        "llm_mix_sources",
+        q_mix_sources,
+        _mix_sources_sql(),
+        doc="data mixing: data-derived per-source rates toward a target "
+        "token mixture + deterministic md5 sample",
     ),
 ]

@@ -732,6 +732,131 @@ def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_decayed_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed activity feature per user: a fixed-
+    depth lag chain ``sum_{k=0..7} value[i-k] * 0.5^k`` over the
+    per-user event sequence — the standard recency-weighted engagement
+    signal for training-data curation.
+
+    Portability/scale notes: the decay 0.5 makes every weight an exact
+    binary fraction, and the 8-term sum is written as one explicit
+    left-to-right expression, so IEEE doubles match any engine that
+    mirrors the tree (a running-window EWMA would depend on the
+    engine's incremental-sum order). The lag window is one shuffle on
+    user_id; the chain itself is codegen arithmetic, depth bounded."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    decayed = F.coalesce(F.col("value"), F.lit(0.0))
+    for k in range(1, 8):
+        decayed = decayed + F.coalesce(F.lag("value", k).over(w), F.lit(0.0)) * F.lit(
+            0.5**k
+        )
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        decayed.alias("decayed_activity"),
+    )
+
+
+def q_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (quantile) binning: ntile(8) per event_type over a
+    totally-ordered value axis, then per-bin count/min/max — the
+    complement of the fixed-width histogram (rel_histogram_prices) for
+    skewed distributions. ntile's integer bucket arithmetic is exact
+    and engine-portable; the (value, event_id) tie-break makes the
+    assignment deterministic."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        e.withColumn("bin", F.ntile(8).over(w))
+        .groupBy("event_type", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+    )
+
+
+def q_minmax_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group min-max feature normalization: (v - min) / (max - min)
+    over each event_type — the standard ML-prep scaling pass. One
+    window (or broadcast-joined aggregate) per group; here the window
+    form keeps it a single shuffle on the group key. min/max are exact
+    selections and the single IEEE division is portable (unlike
+    stddev-based z-scores, whose accumulation order differs across
+    engines)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type")
+    lo, hi = F.min("value").over(w), F.max("value").over(w)
+    # constant-group guard: Spark x/0.0 is NULL while DuckDB is ±inf —
+    # pin the degenerate case to 0.5 in both engines.
+    norm = F.when(hi == lo, F.lit(0.5)).otherwise(
+        (F.col("value") - lo) / (hi - lo)
+    )
+    return e.select("event_id", "event_type", "value", norm.alias("value_norm"))
+
+
+def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy self-match (record linkage): supplier names within
+    edit distance 1, candidate pairs generated per block — never
+    all-pairs. The block key is the name minus its last two chars, so
+    block size stays bounded (≤100 members) no matter how many
+    suppliers exist — the property that makes the shape scale; real
+    entity resolution would block on phonetic codes or name-token
+    minhashes, but the plan is the same: block → within-block
+    self-join → exact levenshtein filter. Both engines implement
+    classic Levenshtein, so the integer distances are oracle-exact."""
+    s = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        "s_name",
+        F.expr("substring(s_name, 1, length(s_name) - 2)").alias("blk"),
+    )
+    a, b = s.alias("a"), s.alias("b")
+    return (
+        a.join(b, "blk")
+        .filter(F.col("a.s_suppkey") < F.col("b.s_suppkey"))
+        .withColumn(
+            "dist", F.levenshtein(F.col("a.s_name"), F.col("b.s_name"))
+        )
+        .filter(F.col("dist") <= 1)
+        .select(
+            F.col("a.s_suppkey").alias("suppkey_a"),
+            F.col("b.s_suppkey").alias("suppkey_b"),
+            F.col("a.s_name").alias("name_a"),
+            F.col("b.s_name").alias("name_b"),
+            "dist",
+        )
+    )
+
+
+def q_recursive_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (Spark 4.x `WITH RECURSIVE`): per-key halving
+    chain to the root — the iterative-traversal shape (org charts,
+    BOM explosions, graph reachability) expressed declaratively so
+    the engine handles per-step distribution. Bounded: 256 anchor
+    keys × ≤9 halvings. Complements the hash-min-propagation loop in
+    operators/dedup.py:dedup_components, which handles the unbounded
+    variant with explicit convergence control."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    return spark.sql(
+        """
+        WITH RECURSIVE chain AS (
+          SELECT c_custkey AS start_key, c_custkey AS cur, 0 AS depth
+          FROM v_customer WHERE c_custkey <= 256
+          UNION ALL
+          SELECT start_key, cur DIV 2 AS cur, depth + 1 AS depth
+          FROM chain WHERE cur > 0
+        )
+        SELECT start_key, max(depth) AS depth_to_root,
+               count(*) AS chain_len, sum(cur) AS key_path_sum
+        FROM chain GROUP BY start_key
+        """
+    )
+
+
 def q_range_join_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Non-equi range join: events against 5-day interval buckets.
     The bucket side is tiny and broadcast, so the fact side streams
@@ -1020,6 +1145,79 @@ SPECS = [
                sha256(text) AS sha
            FROM documents WHERE doc_id < 100""",
         doc="binaryFile source (multimodal ingestion), sha256 content-exact",
+    ),
+    QuerySpec(
+        "rel_recursive_chain",
+        q_recursive_chain,
+        """WITH RECURSIVE chain AS (
+             SELECT c_custkey AS start_key, c_custkey AS cur, 0 AS depth
+             FROM customer WHERE c_custkey <= 256
+             UNION ALL
+             SELECT start_key, cur // 2 AS cur, depth + 1 AS depth
+             FROM chain WHERE cur > 0
+           )
+           SELECT start_key, max(depth) AS depth_to_root,
+                  count(*) AS chain_len,
+                  CAST(sum(cur) AS BIGINT) AS key_path_sum
+           FROM chain GROUP BY start_key""",
+        doc="recursive CTE traversal (WITH RECURSIVE, Spark 4.x)",
+    ),
+    QuerySpec(
+        "rel_minmax_normalize",
+        q_minmax_normalize,
+        """SELECT event_id, event_type, value,
+               CASE WHEN max(value) OVER w = min(value) OVER w
+                    THEN CAST(0.5 AS DOUBLE)
+                    ELSE (value - min(value) OVER w) /
+                         (max(value) OVER w - min(value) OVER w)
+               END AS value_norm
+           FROM events WINDOW w AS (PARTITION BY event_type)""",
+        doc="per-group min-max normalization (portable IEEE division)",
+    ),
+    QuerySpec(
+        "rel_fuzzy_match",
+        q_fuzzy_match,
+        """WITH s AS (SELECT s_suppkey, s_name,
+                         substr(s_name, 1, length(s_name) - 2) AS blk
+                      FROM supplier)
+           SELECT a.s_suppkey AS suppkey_a, b.s_suppkey AS suppkey_b,
+                  a.s_name AS name_a, b.s_name AS name_b,
+                  CAST(levenshtein(a.s_name, b.s_name) AS INT) AS dist
+           FROM s a JOIN s b ON a.blk = b.blk AND a.s_suppkey < b.s_suppkey
+           WHERE levenshtein(a.s_name, b.s_name) <= 1""",
+        doc="blocked fuzzy self-match (record linkage), exact edit distance",
+    ),
+    QuerySpec(
+        "rel_decayed_activity",
+        q_decayed_activity,
+        """SELECT event_id, user_id, ts, value,
+               coalesce(value, CAST(0.0 AS DOUBLE))
+               + coalesce(lag(value, 1) OVER w, CAST(0.0 AS DOUBLE)) * CAST(0.5 AS DOUBLE)
+               + coalesce(lag(value, 2) OVER w, CAST(0.0 AS DOUBLE)) * CAST(0.25 AS DOUBLE)
+               + coalesce(lag(value, 3) OVER w, CAST(0.0 AS DOUBLE)) * CAST(0.125 AS DOUBLE)
+               + coalesce(lag(value, 4) OVER w, CAST(0.0 AS DOUBLE)) * CAST(0.0625 AS DOUBLE)
+               + coalesce(lag(value, 5) OVER w, CAST(0.0 AS DOUBLE)) * CAST(0.03125 AS DOUBLE)
+               + coalesce(lag(value, 6) OVER w, CAST(0.0 AS DOUBLE)) * CAST(0.015625 AS DOUBLE)
+               + coalesce(lag(value, 7) OVER w, CAST(0.0 AS DOUBLE)) * CAST(0.0078125 AS DOUBLE)
+                 AS decayed_activity
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+        doc="exponential time-decay feature (exact binary weights, "
+        "fixed-order lag chain — portable IEEE arithmetic)",
+    ),
+    QuerySpec(
+        "rel_equidepth_bins",
+        q_equidepth_bins,
+        """WITH binned AS (
+             SELECT event_type, value,
+                    ntile(8) OVER (PARTITION BY event_type
+                                   ORDER BY value, event_id) AS bin
+             FROM events)
+           SELECT event_type, CAST(bin AS INT) AS bin,
+                  count(*) AS n_events,
+                  min(value) AS lo, max(value) AS hi
+           FROM binned GROUP BY event_type, bin""",
+        doc="equi-depth (quantile) binning via ntile, deterministic tie-break",
     ),
     QuerySpec(
         "rel_histogram_prices",

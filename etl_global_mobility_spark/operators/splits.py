@@ -88,3 +88,83 @@ def stratified_hash_sample(
         F.element_at(rate_map, F.col(strata_col)), F.lit(float(default_rate))
     )
     return df.filter(bucket < (rate * 10_000).cast("bigint"))
+
+
+def mix_sources(
+    df: DataFrame,
+    weights: dict[str, float],
+    target_fraction: float = 0.5,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    token_count_col: Column | None = None,
+    seed: int = 2,
+) -> DataFrame:
+    """Data mixing: compute per-source sampling rates that reshape the
+    corpus toward a target token mixture, then apply them with the
+    deterministic md5 sample — the curation step that turns "what we
+    crawled" into "what we train on" (cf. the published mixture tables
+    of Gopher/LLaMA-class training sets).
+
+    Given target weights w_s and a global token budget
+    ``target_fraction × total_tokens``, each source's rate is
+    ``min(1, budget·w_s/Σw / tokens_s)`` — over-represented sources are
+    downsampled toward their share, under-represented ones are kept
+    whole (rates are capped at 1; this op never upsamples).
+
+    Scale shape: one hash aggregation over the bounded source key for
+    the token totals, a single-row grand-total aggregate, a broadcast
+    join of the tiny per-source rate frame back onto the corpus, and a
+    map-side hash filter. No corpus-sized shuffle at any step.
+
+    Normalized weights are computed driver-side in Python (they are
+    configuration, not data); everything data-dependent uses exact
+    BIGINT token sums and single IEEE divisions, so an independent
+    engine reproduces rates — and therefore the sample — bit-for-bit.
+
+    Returns the kept rows with ``n_tokens``, ``rate`` attached.
+    """
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    if not 0.0 < target_fraction <= 1.0:
+        raise ValueError(f"target_fraction out of (0,1]: {target_fraction}")
+    total_w = sum(weights.values())
+    wn = {s: w / total_w for s, w in weights.items()}
+
+    from etl_global_mobility_spark.operators.text import token_count
+
+    n_tokens = (
+        token_count("text") if token_count_col is None else token_count_col
+    )
+    with_tok = df.withColumn("n_tokens", n_tokens)
+    per_source = with_tok.groupBy(source_col).agg(
+        F.sum("n_tokens").alias("src_tokens")
+    )
+    grand = per_source.agg(F.sum("src_tokens").alias("total_tokens"))
+    # map literal pairwise: key, value, key, value, ...
+    pairs = []
+    for s, w in wn.items():
+        pairs.append(F.lit(s))
+        pairs.append(F.lit(float(w)))
+    w_map = F.create_map(*pairs)
+    rates = (
+        per_source.crossJoin(F.broadcast(grand))
+        .withColumn("w", F.coalesce(F.element_at(w_map, F.col(source_col)), F.lit(0.0)))
+        .withColumn(
+            "rate",
+            F.least(
+                F.lit(1.0),
+                (
+                    F.lit(float(target_fraction))
+                    * F.col("total_tokens").cast("double")
+                    * F.col("w")
+                )
+                / F.col("src_tokens").cast("double"),
+            ),
+        )
+        .select(source_col, "rate")
+    )
+    bucket = _md5_band_hash(F.col(id_col).cast("string"), seed) % 10_000
+    return (
+        with_tok.join(F.broadcast(rates), source_col)
+        .filter(bucket.cast("double") / F.lit(10_000.0) < F.col("rate"))
+    )

@@ -51,6 +51,9 @@ ALLOWED_OUTSIDE_WINDOW = {
     "llm_token_count_by_lang": "llm_text_stats",  # text analysis
     "llm_salient_terms": "llm_text_stats",  # text analysis
     "stream_sliding_counts": "stream_tumbling_counts",  # windowed agg
+    "llm_quality_score": "llm_filter_rules",  # quality (rule-engine superset)
+    "llm_knn_label_vote": "llm_cosine_topk",  # similarity (same top-k core)
+    "llm_stratified_sample": "llm_mix_sources",  # md5 sampling (data-derived rates)
 }
 
 
