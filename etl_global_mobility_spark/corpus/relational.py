@@ -1085,6 +1085,30 @@ def q_histogram_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_source_python_ds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python Data Source (Spark 4.x API): the deterministic
+    synthetic-events generator from sources/pysource.py, aggregated
+    per bucket. Every cell is closed-form arithmetic in the global row
+    id and values are dyadic rationals (k/8), so double sums are exact
+    under ANY addition order — which is what lets a custom *Python*
+    source still be oracle-checked bit-for-bit."""
+    from etl_global_mobility_spark.sources.pysource import register
+
+    register(spark)
+    df = (
+        spark.read.format("synthetic_events")
+        .option("n_rows", 10_000)
+        .option("n_partitions", 8)
+        .load()
+    )
+    return df.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.sum("value").alias("sum_value"),
+        F.max("event_id").alias("max_id"),
+    )
+
+
 def q_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles (p25/p50/p75) of extendedprice
     per returnflag — Spark's `percentile` and DuckDB's `quantile_cont`
@@ -1136,6 +1160,17 @@ SPECS = [
         """SELECT s_suppkey, s_nationkey, s_acctbal
            FROM supplier WHERE s_acctbal > 0""",
         doc="ORC source round-trip with pushed-down filter",
+    ),
+    QuerySpec(
+        "rel_source_python_ds",
+        q_source_python_ds,
+        """SELECT CAST(i % 8 AS INT) AS bucket,
+               count(*) AS n_events,
+               count(DISTINCT i % 97) AS n_users,
+               sum(CAST((i * 31) % 1000 AS DOUBLE) / 8.0) AS sum_value,
+               CAST(max(i) AS BIGINT) AS max_id
+           FROM range(10000) t(i) GROUP BY 1""",
+        doc="custom Python Data Source (Spark 4.x API), closed-form rows",
     ),
     QuerySpec(
         "rel_source_binaryfile",

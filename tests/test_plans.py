@@ -226,3 +226,45 @@ def test_strip_boilerplate_hot_set_broadcasts(spark):
         "LeftAnti" in plan and "BroadcastExchange" in plan
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_filter_rules_is_map_only(spark):
+    """The rule engine must fuse into the scan: no Exchange, no Python
+    eval — a single codegen stage at any scale."""
+    from etl_global_mobility_spark.corpus.llm import q_filter_rules
+
+    plan = plan_of(q_filter_rules(spark, SF))
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_mix_sources_rates_broadcast(spark):
+    """mix_sources joins the tiny per-source rate frame back onto the
+    corpus — that join must broadcast (never shuffle the corpus on
+    source), and the keep-filter must stay JVM-side."""
+    from etl_global_mobility_spark.corpus.llm import q_mix_sources
+
+    plan = plan_of(q_mix_sources(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "EvalPython" not in plan
+
+
+def test_decayed_activity_single_window_exchange(spark):
+    """The lag chain is one window over one shuffle on user_id; the
+    8-term arithmetic itself must not add exchanges."""
+    from etl_global_mobility_spark.corpus.relational import q_decayed_activity
+
+    plan = final_plan_of(q_decayed_activity(spark, SF))
+    final = plan.split("== Initial Plan ==")[0]  # AQE prints both plans
+    assert final.count("Exchange hashpartitioning") == 1
+    assert "Window" in final
+
+
+def test_histogram_aggregation_is_partial(spark):
+    """Fixed-width histogram: map-side partial agg on the bounded
+    bucket key before the exchange."""
+    from etl_global_mobility_spark.corpus.relational import q_histogram_prices
+
+    plan = plan_of(q_histogram_prices(spark, SF))
+    assert "partial" in plan.lower()
+    assert "EvalPython" not in plan
