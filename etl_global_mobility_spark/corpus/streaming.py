@@ -64,6 +64,33 @@ def q_stream_stateful_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_memory(user_profile_stream(ev), "update")
 
 
+def q_stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python Data Source STREAM (sources/pysource.py): the
+    deterministic generator read as offset-tracked micro-batches and
+    drained; complete-mode aggregation equals the batch answer —
+    values are dyadic rationals (k/8), so the sums are exact under any
+    batch split."""
+    from pyspark.sql import functions as F
+
+    from etl_global_mobility_spark.sources.pysource import register
+    from etl_global_mobility_spark.streaming.ops import run_stream_until_idle
+
+    register(spark)
+    sdf = (
+        spark.readStream.format("synthetic_events")
+        .option("n_rows", 10_000)
+        .option("batch_size", 2_500)
+        .load()
+    )
+    return run_stream_until_idle(
+        sdf.groupBy("bucket").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        ),
+        "complete",
+    )
+
+
 SPECS = [
     QuerySpec(
         "stream_tumbling_counts",
@@ -138,5 +165,15 @@ SPECS = [
                max(epoch_ns(ts) // 1000) AS last_us
             FROM events GROUP BY user_id""",
         doc="custom stateful operator via applyInPandasWithState",
+    ),
+    QuerySpec(
+        "stream_python_source",
+        q_stream_python_source,
+        """SELECT CAST(i % 8 AS INT) AS bucket,
+               count(*) AS n_events,
+               sum(CAST((i * 31) % 1000 AS DOUBLE) / 8.0) AS sum_value
+           FROM range(10000) t(i) GROUP BY 1""",
+        doc="custom Python streaming source (offset-tracked micro-batches, "
+        "replayable readBetweenOffsets) drained to its batch answer",
     ),
 ]

@@ -26,9 +26,19 @@ map-side-trivial, and Spark applies residual filters after the scan.
 
 from __future__ import annotations
 
+import json
+import os
 from collections.abc import Iterator, Sequence
+from dataclasses import dataclass
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+    WriterCommitMessage,
+)
 
 SCHEMA_DDL = "event_id BIGINT, user_id BIGINT, bucket INT, value DOUBLE"
 
@@ -61,9 +71,97 @@ class SyntheticEventsReader(DataSourceReader):
             yield (i, i % 97, i % 8, (i * 31 % 1000) / 8.0)
 
 
+class SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
+    """Streaming half of the source: the same closed-form rows emitted
+    in offset-tracked micro-batches. Offsets are plain row positions
+    ({"pos": n}), so
+
+    * ``read(start)`` advances by ``batch_size`` rows and never past
+      ``n_rows`` (a bounded stream — Trigger.AvailableNow drains it);
+    * ``readBetweenOffsets`` re-derives any batch from its offset pair
+      alone — the replay contract that gives exactly-once downstream
+      (rows are a pure function of position; no side state to lose).
+    """
+
+    def __init__(self, options: dict) -> None:
+        self.n_rows = int(options.get("n_rows", 1000))
+        self.batch_size = int(options.get("batch_size", 100))
+
+    def initialOffset(self) -> dict:
+        return {"pos": 0}
+
+    def _rows(self, start: int, end: int) -> Iterator[tuple]:
+        # a LIST iterator, not a generator: Spark's prefetch cache both
+        # advances (next) and copies (copy.copy) the returned iterator —
+        # list_iterator supports both, generators neither
+        return iter(
+            [
+                (i, i % 97, i % 8, (i * 31 % 1000) / 8.0)
+                for i in range(start, end)
+            ]
+        )
+
+    def read(self, start: dict):
+        pos = start["pos"]
+        end = min(pos + self.batch_size, self.n_rows)
+        return self._rows(pos, end), {"pos": end}
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+        return self._rows(start["pos"], end["pos"])
+
+
+@dataclass
+class _WroteFile(WriterCommitMessage):
+    path: str
+    n_rows: int
+
+
+class JsonDirWriter(DataSourceWriter):
+    """Writer half of the Data Source API with the two-phase commit
+    contract made visible: each task writes a ``.part-*.json.tmp``
+    file and reports it in its commit message; ``commit`` atomically
+    renames every reported temp file into place and drops a
+    ``_SUCCESS`` manifest; ``abort`` removes the temps. A reader that
+    ignores ``*.tmp`` therefore never observes a partial write — the
+    same staged-rename idempotency recipe as sinks/writer.py's
+    replaceWhere fallback (reference NB:502-507).
+    """
+
+    def __init__(self, options: dict) -> None:
+        self.path = options["path"]
+
+    def write(self, it: Iterator) -> _WroteFile:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(self.path, f".part-{pid:05d}.json.tmp")
+        n = 0
+        with open(tmp, "w") as f:
+            for row in it:
+                f.write(json.dumps(row.asDict()) + "\n")
+                n += 1
+        return _WroteFile(path=tmp, n_rows=n)
+
+    def commit(self, messages: Sequence[_WroteFile]) -> None:
+        total = 0
+        for m in messages:
+            final = m.path.replace(".tmp", "").replace("/.part-", "/part-")
+            os.replace(m.path, final)
+            total += m.n_rows
+        with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
+            f.write(json.dumps({"n_rows": total}))
+
+    def abort(self, messages: Sequence[_WroteFile]) -> None:
+        for m in messages:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)
+
+
 class SyntheticEventsSource(DataSource):
     """``spark.read.format("synthetic_events")`` after
-    ``spark.dataSource.register(SyntheticEventsSource)``."""
+    ``spark.dataSource.register(SyntheticEventsSource)`` — batch read,
+    streaming read (offset-tracked), and two-phase-commit write."""
 
     @classmethod
     def name(cls) -> str:
@@ -74,6 +172,12 @@ class SyntheticEventsSource(DataSource):
 
     def reader(self, schema) -> SyntheticEventsReader:
         return SyntheticEventsReader(self.options)
+
+    def simpleStreamReader(self, schema) -> SyntheticEventsStreamReader:
+        return SyntheticEventsStreamReader(self.options)
+
+    def writer(self, schema, overwrite: bool) -> JsonDirWriter:
+        return JsonDirWriter(self.options)
 
 
 def register(spark) -> None:

@@ -218,3 +218,68 @@ def run_stream_to_memory(
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return df.sparkSession.table(name)
+
+
+def run_stream_until_idle(
+    df: DataFrame,
+    output_mode: str = "complete",
+    state_partitions: int | None = 8,
+    idle_batches: int = 2,
+    timeout_s: float = 120.0,
+) -> DataFrame:
+    """Drain a BOUNDED micro-batch stream whose source advances one
+    offset-batch per trigger (e.g. a Python Data Source
+    SimpleDataSourceStreamReader), then return the memory-sink table.
+
+    Trigger.AvailableNow snapshots the offsets visible at start — for a
+    pull-per-trigger source that is a single batch — so instead the
+    query runs on a continuous zero-interval trigger and is stopped
+    after ``idle_batches`` consecutive empty micro-batches (the bounded
+    source has reported "no new rows" repeatedly → drained). The final
+    state is deterministic regardless of how the rows split into
+    batches; only the batch COUNT is timing-dependent.
+    """
+    import json as _json
+    import time as _time
+
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    name = f"mem_{uuid.uuid4().hex[:10]}"
+    try:
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+        q = (
+            df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        deadline = _time.time() + timeout_s
+        quiet = 0
+        seen_any = False
+        while quiet < idle_batches:
+            if _time.time() > deadline:  # pragma: no cover - hang guard
+                q.stop()
+                raise TimeoutError(f"stream not drained in {timeout_s}s")
+            p = q.lastProgress
+            if p is not None and p["numInputRows"] > 0:
+                seen_any = True
+            st = q.status
+            # drained = data has flowed, and the engine reports nothing
+            # pending twice in a row (it skips triggers with no new
+            # offsets, so empty batches never materialize)
+            if (
+                seen_any
+                and not st["isDataAvailable"]
+                and not st["isTriggerActive"]
+            ):
+                quiet += 1
+            else:
+                quiet = 0
+            _time.sleep(0.1)
+        q.stop()
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table(name)

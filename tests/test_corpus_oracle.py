@@ -54,6 +54,7 @@ ALLOWED_OUTSIDE_WINDOW = {
     "llm_quality_score": "llm_filter_rules",  # quality (rule-engine superset)
     "llm_knn_label_vote": "llm_cosine_topk",  # similarity (same top-k core)
     "llm_stratified_sample": "llm_mix_sources",  # md5 sampling (data-derived rates)
+    "stream_python_source": "stream_tumbling_counts",  # streamed agg-to-memory
 }
 
 

@@ -50,3 +50,99 @@ def test_partition_count_does_not_change_content(spark):
     a = sorted(map(tuple, _load(spark, 300, 2).collect()))
     b = sorted(map(tuple, _load(spark, 300, 7).collect()))
     assert a == b
+
+
+def test_streaming_source_drains_across_batches(spark):
+    """The stream advances one offset-batch per trigger; the drained
+    complete-mode aggregate must equal the batch read's — proving
+    offsets never skip or replay rows."""
+    from etl_global_mobility_spark.streaming.ops import run_stream_until_idle
+
+    register(spark)
+    sdf = (
+        spark.readStream.format("synthetic_events")
+        .option("n_rows", 500)
+        .option("batch_size", 120)  # 5 micro-batches (120x4 + 20)
+        .load()
+    )
+    out = run_stream_until_idle(sdf.groupBy("bucket").count(), "complete")
+    got = {r["bucket"]: r["count"] for r in out.collect()}
+    want = {
+        r["bucket"]: r["count"]
+        for r in _load(spark, 500, 4).groupBy("bucket").count().collect()
+    }
+    assert got == want
+    assert sum(got.values()) == 500
+
+
+def test_stream_reader_offsets_are_replayable():
+    """readBetweenOffsets must re-derive exactly the rows read()
+    produced for the same offset pair (the exactly-once contract)."""
+    from etl_global_mobility_spark.sources.pysource import (
+        SyntheticEventsStreamReader,
+    )
+
+    r = SyntheticEventsStreamReader({"n_rows": "50", "batch_size": "20"})
+    start = r.initialOffset()
+    first, mid = r.read(start)
+    assert mid == {"pos": 20}
+    assert list(r.readBetweenOffsets(start, mid)) == list(
+        r.read(start)[0]
+    )
+    # bounded: offsets stop advancing at n_rows
+    _, end = r.read({"pos": 40})
+    assert end == {"pos": 50}
+    _, end2 = r.read(end)
+    assert end2 == {"pos": 50}
+
+
+def test_writer_two_phase_commit(spark, tmp_path):
+    import json
+    import os
+
+    register(spark)
+    out = str(tmp_path / "sink")
+    df = _load(spark, 100, 3)
+    df.write.format("synthetic_events").option("path", out).mode("append").save()
+    files = sorted(os.listdir(out))
+    assert "_SUCCESS" in files
+    assert [f for f in files if f.startswith("part-")] and not [
+        f for f in files if f.endswith(".tmp")
+    ]
+    rows = []
+    for f in files:
+        if f.startswith("part-"):
+            with open(os.path.join(out, f)) as fh:
+                rows += [json.loads(line) for line in fh]
+    assert len(rows) == 100
+    with open(os.path.join(out, "_SUCCESS")) as fh:
+        assert json.load(fh)["n_rows"] == 100
+    assert sorted(r["event_id"] for r in rows) == list(range(100))
+
+
+def test_writer_abort_leaves_no_visible_files(spark, tmp_path):
+    """A failing task must abort the write: temp files removed, no
+    _SUCCESS manifest, nothing a tmp-ignoring reader would see."""
+    import os
+
+    import pytest as _pytest
+
+    register(spark)
+    out = str(tmp_path / "sink_abort")
+    from pyspark.sql.functions import udf
+    from pyspark.sql.types import LongType
+
+    @udf(LongType())
+    def boom(x):
+        if x == 30:
+            raise RuntimeError("boom")
+        return x
+
+    bad = _load(spark, 50, 2).withColumn("event_id", boom("event_id"))
+    with _pytest.raises(Exception):
+        bad.write.format("synthetic_events").option("path", out).mode(
+            "append"
+        ).save()
+    leftover = os.listdir(out) if os.path.exists(out) else []
+    assert "_SUCCESS" not in leftover
+    assert not [f for f in leftover if f.startswith("part-")]
