@@ -780,6 +780,27 @@ def q_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Navigation window functions over the full partition frame:
+    first/last/nth order price per customer (ROWS UNBOUNDED PRECEDING
+    AND UNBOUNDED FOLLOWING — last_value under the default frame would
+    just echo the current row). Deterministic total order via the
+    (date, key) tie-break."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first_value("o_totalprice").over(w).alias("first_price"),
+        F.last_value("o_totalprice").over(w).alias("last_price"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+    )
+
+
 def q_minmax_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group min-max feature normalization: (v - min) / (max - min)
     over each event_type — the standard ML-prep scaling pass. One
@@ -1196,6 +1217,20 @@ SPECS = [
                   CAST(sum(cur) AS BIGINT) AS key_path_sum
            FROM chain GROUP BY start_key""",
         doc="recursive CTE traversal (WITH RECURSIVE, Spark 4.x)",
+    ),
+    QuerySpec(
+        "rel_window_first_last",
+        q_window_first_last,
+        """SELECT o_custkey, o_orderkey,
+               first_value(o_totalprice) OVER w AS first_price,
+               last_value(o_totalprice) OVER w AS last_price,
+               nth_value(o_totalprice, 2) OVER w AS second_price
+           FROM orders
+           WINDOW w AS (PARTITION BY o_custkey
+                        ORDER BY o_orderdate, o_orderkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND UNBOUNDED FOLLOWING)""",
+        doc="navigation window functions (first/last/nth_value, full frame)",
     ),
     QuerySpec(
         "rel_minmax_normalize",

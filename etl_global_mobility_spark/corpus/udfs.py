@@ -151,7 +151,77 @@ def q_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cogroup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """cogroup(...).applyInPandas: the two-frame grouped hook — each
+    user's view events and purchase events arrive as SEPARATE pandas
+    frames in one call (vs a pre-join, which would materialize the
+    pair product; vs two applyInPandas passes, which would shuffle
+    twice). Integer outputs only (counts + value millis), so the
+    result is engine-exact."""
+    from etl_global_mobility_spark.corpus.base import load_table as _lt
+
+    ev = _lt(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select("user_id", "value")
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "value"
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("n_views", T.LongType()),
+            T.StructField("n_buys", T.LongType()),
+            T.StructField("view_value_millis", T.LongType()),
+            T.StructField("buy_value_millis", T.LongType()),
+        ]
+    )
+
+    def profile(key, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        import math
+
+        def millis(s):
+            return int(sum(math.floor(v * 1000 + 0.5) for v in s))
+
+        return pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_views": [len(left)],
+                "n_buys": [len(right)],
+                "view_value_millis": [millis(left["value"])],
+                "buy_value_millis": [millis(right["value"])],
+            }
+        )
+
+    return (
+        views.groupBy("user_id")
+        .cogroup(buys.groupBy("user_id"))
+        .applyInPandas(profile, schema)
+    )
+
+
 SPECS = [
+    QuerySpec(
+        "udf_cogroup_profile",
+        q_cogroup_profile,
+        """WITH v AS (
+             SELECT user_id, count(*) AS n_views,
+                    CAST(sum(CAST(floor(value * 1000 + 0.5) AS BIGINT)) AS BIGINT)
+                      AS view_value_millis
+             FROM events WHERE event_type = 'view' GROUP BY user_id
+           ), b AS (
+             SELECT user_id, count(*) AS n_buys,
+                    CAST(sum(CAST(floor(value * 1000 + 0.5) AS BIGINT)) AS BIGINT)
+                      AS buy_value_millis
+             FROM events WHERE event_type = 'purchase' GROUP BY user_id
+           )
+           SELECT coalesce(v.user_id, b.user_id) AS user_id,
+                  coalesce(n_views, 0) AS n_views,
+                  coalesce(n_buys, 0) AS n_buys,
+                  coalesce(view_value_millis, 0) AS view_value_millis,
+                  coalesce(buy_value_millis, 0) AS buy_value_millis
+           FROM v FULL OUTER JOIN b ON v.user_id = b.user_id""",
+        doc="cogrouped applyInPandas (two-frame grouped transform)",
+    ),
     QuerySpec(
         "udf_map_in_arrow",
         q_map_in_arrow,

@@ -37,3 +37,27 @@ def close_logger(logger: logging.Logger) -> None:
         h.flush()
         h.close()
         logger.removeHandler(h)
+
+
+def observe_counts(df, name: str, *, value_col: str | None = None):
+    """Attach free run metrics to a DataFrame via ``df.observe``:
+    row count (+ null count of ``value_col`` if given), collected as a
+    side effect of whatever action executes the frame — NO second scan,
+    unlike a separate ``df.count()``, which at 100 TB doubles the read.
+
+    Returns ``(df, observation)``; read ``observation.get`` AFTER an
+    action has run. The reference logs row counts per stage (NB:88-90)
+    by re-counting; this is the scan-free production equivalent.
+    """
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    obs = Observation(name)
+    metrics = [F.count(F.lit(1)).alias("n_rows")]
+    if value_col is not None:
+        metrics.append(
+            F.sum(F.col(value_col).isNull().cast("long")).alias(
+                f"n_null_{value_col}"
+            )
+        )
+    return df.observe(obs, *metrics), obs

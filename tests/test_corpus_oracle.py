@@ -55,6 +55,7 @@ ALLOWED_OUTSIDE_WINDOW = {
     "llm_knn_label_vote": "llm_cosine_topk",  # similarity (same top-k core)
     "llm_stratified_sample": "llm_mix_sources",  # md5 sampling (data-derived rates)
     "stream_python_source": "stream_tumbling_counts",  # streamed agg-to-memory
+    "udf_cogroup_profile": "udf_pandas_grouped_map",  # grouped pandas hook
 }
 
 

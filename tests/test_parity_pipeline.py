@@ -218,3 +218,16 @@ def test_compat_config_state_rewrite(tmp_path, pipeline_run):
     cfg2 = lc(cfg_path)
     assert {p.country: p.proccess for p in cfg2.params}["EC"] == "YES"
     assert {p.country: p.proccess for p in cfg2.params}["PE"] == "NO"
+
+
+def test_observe_counts_no_second_scan(spark, tmp_path):
+    """observe() metrics arrive with the action itself — counts match
+    the data without an extra count() job."""
+    from etl_global_mobility_spark.logging_utils import observe_counts
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "c"), (4, None)], "id long, v string"
+    )
+    observed, obs = observe_counts(df, "stage_metrics", value_col="v")
+    observed.write.mode("overwrite").parquet(str(tmp_path / "out"))
+    assert obs.get == {"n_rows": 4, "n_null_v": 2}
