@@ -48,6 +48,7 @@ HEADLINE = [
     "llm_pq_ann",
     "llm_filter_rules",
     "llm_bm25",
+    "llm_e2e_curation",
     "rel_decayed_activity",
     "rel_histogram_prices",
     "stream_tumbling_counts",
@@ -179,7 +180,7 @@ BASELINE_R2 = {
     # host (no r2 numbers exist for these)
     "llm_pack_sequences": 1.2, "llm_chunk_documents": 1.2,
     "llm_strip_boilerplate": 2.2, "llm_pq_ann": 2.7,
-    "llm_filter_rules": 0.6, "llm_bm25": 0.7,
+    "llm_filter_rules": 0.6, "llm_bm25": 0.7, "llm_e2e_curation": 1.2,
     "rel_decayed_activity": 0.4, "rel_histogram_prices": 0.2,
 }
 

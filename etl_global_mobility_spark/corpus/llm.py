@@ -951,11 +951,12 @@ def q_filter_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _filter_rules_sql() -> str:
-    """DuckDB mirror of operators.quality_rules.filter_rules
-    (thresholds = quality_rules.DEFAULTS)."""
+def _filter_rules_cte_block() -> str:
+    """filter_rules as a CTE chain ending in ``fr`` (doc_id + metrics
+    + rule flags + keep + reasons) — shared by the standalone mirror
+    and the composed end-to-end pipeline oracle."""
     sw = "['the', 'a', 'of', 'to', 'and', 'in']"
-    return f"""WITH m AS (
+    return f"""fr_m AS (
       SELECT doc_id,
              CAST(len({TOKS}) AS INT) AS n_words,
              CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
@@ -968,7 +969,7 @@ def _filter_rules_sql() -> str:
                / greatest(length(text), 1) AS symbol_ratio,
              len(list_intersect({TOKS}, {sw})) > 0 AS has_sw
       FROM documents
-    ), r AS (
+    ), fr_r AS (
       SELECT doc_id, n_words, mean_word_len, distinct_ratio,
              n_words < 20 AS r_min_words,
              n_words > 5000 AS r_max_words,
@@ -977,9 +978,9 @@ def _filter_rules_sql() -> str:
              symbol_ratio > 0.10 AS r_symbol_ratio,
              NOT has_sw AS r_no_stopwords,
              distinct_ratio < 0.35 AS r_repetitive
-      FROM m
-    )
-    SELECT doc_id, n_words, mean_word_len, distinct_ratio,
+      FROM fr_m
+    ), fr AS (
+      SELECT doc_id, n_words, mean_word_len, distinct_ratio,
            r_min_words, r_max_words, r_word_length, r_digit_ratio,
            r_symbol_ratio, r_no_stopwords, r_repetitive,
            NOT (r_min_words OR r_max_words OR r_word_length OR r_digit_ratio
@@ -992,7 +993,18 @@ def _filter_rules_sql() -> str:
              CASE WHEN r_symbol_ratio THEN 'symbol_ratio' END,
              CASE WHEN r_no_stopwords THEN 'no_stopwords' END,
              CASE WHEN r_repetitive THEN 'repetitive' END) AS reasons
-    FROM r"""
+      FROM fr_r
+    )"""
+
+
+def _filter_rules_sql() -> str:
+    """DuckDB mirror of operators.quality_rules.filter_rules
+    (thresholds = quality_rules.DEFAULTS)."""
+    return f"""WITH {_filter_rules_cte_block()}
+    SELECT doc_id, n_words, mean_word_len, distinct_ratio,
+           r_min_words, r_max_words, r_word_length, r_digit_ratio,
+           r_symbol_ratio, r_no_stopwords, r_repetitive, keep, reasons
+    FROM fr"""
 
 
 #: Mixing targets: boost the first five sources 2:1 over the rest —
@@ -1012,40 +1024,103 @@ def q_mix_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _mix_sources_sql(target_fraction: float = 0.5, seed: int = 2) -> str:
-    """DuckDB mirror of operators.splits.mix_sources — identical
-    expression tree so rates (and hence the md5 sample) match
-    bit-for-bit."""
+def _mix_cte_block(relation: str, target_fraction: float, seed: int) -> str:
+    """The mix_sources CTE chain over ``relation`` (must expose
+    doc_id/text/source) — shared by the standalone mirror and the
+    composed end-to-end pipeline oracle. Ends with the ``mix_kept``
+    CTE of sampled (source, n_tokens, rate) rows."""
     total_w = sum(MIX_WEIGHTS.values())
     cases = " ".join(
         f"WHEN '{s}' THEN CAST({w / total_w!r} AS DOUBLE)"
         for s, w in MIX_WEIGHTS.items()
     )
     bucket = _md5_hash_sql("CAST(doc_id AS VARCHAR)", seed)
-    return f"""WITH tok AS (
+    return f"""mix_tok AS (
       SELECT doc_id, source, CAST(len({TOKS}) AS INT) AS n_tokens
-      FROM documents
-    ), per AS (
+      FROM {relation}
+    ), mix_per AS (
       SELECT source, CAST(sum(n_tokens) AS BIGINT) AS src_tokens
-      FROM tok GROUP BY source
-    ), grand AS (
-      SELECT CAST(sum(src_tokens) AS BIGINT) AS total_tokens FROM per
-    ), rates AS (
+      FROM mix_tok GROUP BY source
+    ), mix_grand AS (
+      SELECT CAST(sum(src_tokens) AS BIGINT) AS total_tokens FROM mix_per
+    ), mix_rates AS (
       SELECT source,
              least(CAST(1.0 AS DOUBLE),
                    ((CAST({target_fraction!r} AS DOUBLE)
                      * CAST(total_tokens AS DOUBLE))
                     * (CASE source {cases} ELSE CAST(0.0 AS DOUBLE) END))
                    / CAST(src_tokens AS DOUBLE)) AS rate
-      FROM per CROSS JOIN grand
-    ), kept AS (
+      FROM mix_per CROSS JOIN mix_grand
+    ), mix_kept AS (
       SELECT t.source, t.n_tokens, r.rate
-      FROM tok t JOIN rates r USING (source)
+      FROM mix_tok t JOIN mix_rates r USING (source)
       WHERE CAST(({bucket} % 10000) AS DOUBLE) / 10000.0 < r.rate
-    )
-    SELECT source, max(rate) AS rate, count(*) AS n_docs,
+    )"""
+
+
+_MIX_FINAL_SELECT = """SELECT source, max(rate) AS rate, count(*) AS n_docs,
            CAST(sum(n_tokens) AS BIGINT) AS tokens_kept
-    FROM kept GROUP BY source"""
+    FROM mix_kept GROUP BY source"""
+
+
+def _mix_sources_sql(target_fraction: float = 0.5, seed: int = 2) -> str:
+    """DuckDB mirror of operators.splits.mix_sources — identical
+    expression tree so rates (and hence the md5 sample) match
+    bit-for-bit."""
+    return (
+        "WITH "
+        + _mix_cte_block("documents", target_fraction, seed)
+        + "\n    "
+        + _MIX_FINAL_SELECT
+    )
+
+
+def q_e2e_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed end-to-end curation pipeline — the operators chained
+    the way a real training-data job runs them:
+
+      filter_rules (drop low-quality) → exact_dedup (keep lowest id
+      per content hash) → mix_sources (reshape toward the target
+      mixture) → per-source accounting.
+
+    One logical plan: Catalyst fuses the rule filter into the scan,
+    the dedup is the single content-hash shuffle, and the mix is a
+    bounded agg + broadcast rate join — composing the stages adds NO
+    extra corpus-sized shuffles over running dedup alone."""
+    from etl_global_mobility_spark.operators.quality_rules import filter_rules
+    from etl_global_mobility_spark.operators.dedup import exact_dedup
+    from etl_global_mobility_spark.operators.splits import mix_sources
+
+    d = load_table(spark, sf_dir, "documents")
+    kept = filter_rules(d).filter(F.col("keep")).select(
+        "doc_id", "text", "source"
+    )
+    uniq = exact_dedup(kept).select("doc_id", "text", "source")
+    mixed = mix_sources(uniq, MIX_WEIGHTS, target_fraction=0.5, seed=2)
+    return mixed.groupBy("source").agg(
+        F.max("rate").alias("rate"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("tokens_kept"),
+    )
+
+
+def _e2e_curation_sql(target_fraction: float = 0.5, seed: int = 2) -> str:
+    """Composed oracle: the filter-rules CTE block feeding a sha256
+    dedup feeding the mix CTE block — stage mirrors identical to the
+    standalone queries'."""
+    return f"""WITH {_filter_rules_cte_block()},
+    kept AS (
+      SELECT d.doc_id, d.text, d.source
+      FROM documents d JOIN fr USING (doc_id) WHERE fr.keep
+    ), dd AS (
+      SELECT doc_id, text, source,
+             row_number() OVER (PARTITION BY sha256(text)
+                                ORDER BY doc_id) AS rn
+      FROM kept
+    ), uniq AS (
+      SELECT doc_id, text, source FROM dd WHERE rn = 1
+    ), {_mix_cte_block("uniq", target_fraction, seed)}
+    {_MIX_FINAL_SELECT}"""
 
 
 #: BM25 probe: one high-df term, one mid, one lower — exercises the
@@ -1373,5 +1448,12 @@ SPECS = [
         _mix_sources_sql(),
         doc="data mixing: data-derived per-source rates toward a target "
         "token mixture + deterministic md5 sample",
+    ),
+    QuerySpec(
+        "llm_e2e_curation",
+        q_e2e_curation,
+        _e2e_curation_sql(),
+        doc="composed curation pipeline: filter_rules → exact_dedup → "
+        "mix_sources in one fused plan",
     ),
 ]

@@ -56,6 +56,7 @@ ALLOWED_OUTSIDE_WINDOW = {
     "llm_stratified_sample": "llm_mix_sources",  # md5 sampling (data-derived rates)
     "stream_python_source": "stream_tumbling_counts",  # streamed agg-to-memory
     "udf_cogroup_profile": "udf_pandas_grouped_map",  # grouped pandas hook
+    "llm_e2e_curation": "llm_filter_rules",  # composition of in-window stages
 }
 
 
