@@ -780,6 +780,51 @@ def q_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT type (Spark 4.x): ``parse_json`` once
+    into the binary variant encoding, then typed ``variant_get`` paths
+    — at scale this beats per-access ``get_json_object`` re-parsing
+    (one parse, many cheap typed reads) and is the open-table-format
+    answer to schema-drifting JSON columns. ``schema_of_variant``
+    introspects the stored shape."""
+    e = load_table(spark, sf_dir, "events")
+    v = e.withColumn("v", F.parse_json("props"))
+    return (
+        v.select(
+            "event_type",
+            F.expr("variant_get(v, '$.k', 'int')").alias("k"),
+            F.expr("schema_of_variant(v)").alias("vschema"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.max("vschema").alias("variant_schema"),
+        )
+    )
+
+
+def q_join_hinted_shuffle_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit join-strategy control: SHUFFLE_HASH hint forces a
+    shuffled hash join where the planner would default to sort-merge —
+    the right call when one side is modest (hash table fits) but too
+    big to broadcast: it skips BOTH sort passes. The hint changes the
+    physical plan only (asserted in test_plans.py); results are
+    identical, which is what the oracle checks."""
+    c = load_table(spark, sf_dir, "customer").hint("shuffle_hash")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total"),
+        )
+    )
+
+
 def q_window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Navigation window functions over the full partition frame:
     first/last/nth order price per customer (ROWS UNBOUNDED PRECEDING
@@ -1217,6 +1262,25 @@ SPECS = [
                   CAST(sum(cur) AS BIGINT) AS key_path_sum
            FROM chain GROUP BY start_key""",
         doc="recursive CTE traversal (WITH RECURSIVE, Spark 4.x)",
+    ),
+    QuerySpec(
+        "rel_variant_json",
+        q_variant_json,
+        """SELECT event_type, count(*) AS n,
+               CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT)
+                 AS sum_k,
+               'OBJECT<k: BIGINT>' AS variant_schema
+           FROM events GROUP BY event_type""",
+        doc="VARIANT semi-structured type (parse once, typed variant_get reads)",
+    ),
+    QuerySpec(
+        "rel_join_hinted_shuffle_hash",
+        q_join_hinted_shuffle_hash,
+        """SELECT c_mktsegment, count(*) AS n_orders,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+           FROM orders JOIN customer ON o_custkey = c_custkey
+           GROUP BY c_mktsegment""",
+        doc="join-strategy hint (SHUFFLE_HASH): plan changes, results don't",
     ),
     QuerySpec(
         "rel_window_first_last",

@@ -268,3 +268,19 @@ def test_histogram_aggregation_is_partial(spark):
     plan = plan_of(q_histogram_prices(spark, SF))
     assert "partial" in plan.lower()
     assert "EvalPython" not in plan
+
+
+def test_join_hint_forces_shuffled_hash(spark):
+    """The SHUFFLE_HASH hint must override the sort-merge default —
+    and the MERGE hint must force it back."""
+    from etl_global_mobility_spark.corpus.base import load_table
+    from etl_global_mobility_spark.corpus.relational import (
+        q_join_hinted_shuffle_hash,
+    )
+
+    assert "ShuffledHashJoin" in plan_of(q_join_hinted_shuffle_hash(spark, SF))
+
+    c = load_table(spark, SF, "customer").hint("merge")
+    o = load_table(spark, SF, "orders")
+    merged = o.join(c, o.o_custkey == c.c_custkey)
+    assert "SortMergeJoin" in plan_of(merged)
