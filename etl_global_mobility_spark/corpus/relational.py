@@ -1151,6 +1151,86 @@ def q_histogram_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read: two parquet batches with different
+    schemas (the second adds ``s_acctbal``) merged by
+    ``mergeSchema=true`` — the long-lived-table reality at 100 TB,
+    where columns are added over months and old files are never
+    rewritten. Rows from the narrow batch surface the new column as
+    NULL; the oracle recomputes that shape from the original table.
+    (mergeSchema is a footer-only union of schemas — it reads file
+    metadata, not data, so evolution costs nothing at scan time.)"""
+    import os
+
+    out = _roundtrip_dir("schema_evo")
+    s = load_table(spark, sf_dir, "supplier")
+    old = s.filter(F.col("s_suppkey") < 50).select("s_suppkey", "s_name")
+    new = s.filter(F.col("s_suppkey") >= 50).select(
+        "s_suppkey", "s_name", "s_acctbal"
+    )
+    old.coalesce(1).write.mode("overwrite").parquet(os.path.join(out, "b=1"))
+    new.coalesce(1).write.mode("overwrite").parquet(os.path.join(out, "b=2"))
+    df = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(out, "b=1"), os.path.join(out, "b=2")
+    )
+    return df.select(
+        "s_suppkey",
+        "s_name",
+        "s_acctbal",
+        F.col("s_acctbal").isNull().alias("from_old_schema"),
+    )
+
+
+def q_csv_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-input handling (PERMISSIVE mode): a CSV with injected
+    bad rows — wrong arity, unparseable int — read with a
+    ``_corrupt_record`` column instead of failing the job. The good
+    rows and the reject count are both asserted against the clean
+    source table: ingestion at scale quarantines bad lines, it never
+    dies on them (the CSV twin of the reference's quarantine split,
+    NB:655-667)."""
+    import os
+
+    from pyspark.sql import types as T
+
+    out = _roundtrip_dir("csv_corrupt")
+    os.makedirs(out, exist_ok=True)
+    n = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name"
+    ).orderBy("n_nationkey")
+    path = os.path.join(out, "data.csv")
+    with open(path, "w") as f:
+        f.write("n_nationkey,n_name\n")
+        for row in n.collect():  # bounded: 25 rows at any SF
+            f.write(f"{row['n_nationkey']},{row['n_name']}\n")
+        f.write("not_an_int,BADLAND\n")  # type failure
+        f.write("7\n")  # arity failure
+    schema = T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    df = (
+        spark.read.schema(schema)
+        .option("header", True)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(path)
+    )
+    df = df.cache()  # corrupt-record column requires materialized parse
+    return df.agg(
+        F.count(F.when(F.col("_corrupt_record").isNull(), 1)).alias("n_good"),
+        F.count(F.col("_corrupt_record")).alias("n_corrupt"),
+        F.sum(
+            F.when(
+                F.col("_corrupt_record").isNull(), F.col("n_nationkey")
+            )
+        ).alias("key_sum"),
+    )
+
+
 def q_source_python_ds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom Python Data Source (Spark 4.x API): the deterministic
     synthetic-events generator from sources/pysource.py, aggregated
@@ -1226,6 +1306,24 @@ SPECS = [
         """SELECT s_suppkey, s_nationkey, s_acctbal
            FROM supplier WHERE s_acctbal > 0""",
         doc="ORC source round-trip with pushed-down filter",
+    ),
+    QuerySpec(
+        "rel_schema_evolution",
+        q_schema_evolution,
+        """SELECT s_suppkey, s_name,
+               CASE WHEN s_suppkey >= 50 THEN s_acctbal END AS s_acctbal,
+               s_suppkey < 50 AS from_old_schema
+           FROM supplier""",
+        doc="schema evolution via mergeSchema (old files surface new cols as NULL)",
+    ),
+    QuerySpec(
+        "rel_csv_corrupt_records",
+        q_csv_corrupt_records,
+        """SELECT count(*) AS n_good,
+               CAST(2 AS BIGINT) AS n_corrupt,
+               CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+           FROM nation""",
+        doc="PERMISSIVE malformed-record quarantine (_corrupt_record)",
     ),
     QuerySpec(
         "rel_source_python_ds",
