@@ -1151,6 +1151,36 @@ def q_histogram_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping priority) adapted to the driver schema: the
+    canonical 3-way selective join — segment-filtered customers ⋈
+    date-filtered orders ⋈ ship-date-filtered lineitems, decimal-exact
+    revenue per order, global top-10. Both date predicates push to the
+    parquet scans; the bounded top-k is TakeOrderedAndProject. The
+    classic benchmark shape for 'filters before joins, aggregate after'."""
+    cutoff = "1998-06-01"
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit(cutoff).cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit(cutoff).cast("timestamp")
+    )
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
 def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema evolution on read: two parquet batches with different
     schemas (the second adds ``s_acctbal``) merged by
@@ -1306,6 +1336,21 @@ SPECS = [
         """SELECT s_suppkey, s_nationkey, s_acctbal
            FROM supplier WHERE s_acctbal > 0""",
         doc="ORC source round-trip with pushed-down filter",
+    ),
+    QuerySpec(
+        "rel_tpch_q3_shipping_priority",
+        q_tpch_q3_shipping_priority,
+        f"""SELECT l_orderkey, o_orderdate, o_orderpriority,
+               CAST(sum({_REV}) AS DOUBLE) AS revenue
+           FROM lineitem
+           JOIN orders   ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           WHERE c_mktsegment = 'BUILDING'
+             AND o_orderdate < TIMESTAMP '1998-06-01'
+             AND l_shipdate > TIMESTAMP '1998-06-01'
+           GROUP BY l_orderkey, o_orderdate, o_orderpriority
+           ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+        doc="TPC-H Q3 shape: selective 3-way join + top-10 by revenue",
     ),
     QuerySpec(
         "rel_schema_evolution",
