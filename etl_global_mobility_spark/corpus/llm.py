@@ -1075,6 +1075,53 @@ def _mix_sources_sql(target_fraction: float = 0.5, seed: int = 2) -> str:
     )
 
 
+#: DuckDB mirror of operators.text.quality_score (shared by the
+#: standalone query and keep-best canonical selection).
+_QUALITY_EXPR = f"""(CASE WHEN len(text) >= 200 THEN 0.4::DOUBLE
+                    WHEN len(text) >= 50 THEN 0.2::DOUBLE ELSE 0.0::DOUBLE END
+               + CASE WHEN len({TOKS}) >= 30 THEN 0.3::DOUBLE
+                      WHEN len({TOKS}) >= 10 THEN 0.15::DOUBLE ELSE 0.0::DOUBLE END
+               + CASE WHEN CAST(len(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+                           / greatest(len(text), 1) <= 0.1 THEN 0.2::DOUBLE ELSE 0.0::DOUBLE END
+               + CASE WHEN CAST(len(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+                           / greatest(len(text), 1) <= 0.2 THEN 0.1::DOUBLE ELSE 0.0::DOUBLE END
+              )"""
+
+
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-best canonical selection: near-dup clusters (connected
+    components over the n-gram Jaccard graph) each keep the member
+    with the HIGHEST quality score (tie → lowest doc_id) — the
+    production dedup policy when duplicates differ in cleanliness
+    (min-id keeps an arbitrary copy; keep-best keeps the good one).
+    One window over the bounded clustered subset; the component
+    labeling dominates the cost."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, k=2, threshold=0.25)
+    comp = dedup_components(pairs).select(
+        F.col("id").alias("doc_id"), "component"
+    )
+    scored = comp.join(
+        d.select("doc_id", quality_score("text").alias("quality")), "doc_id"
+    )
+    from pyspark.sql import Window as W
+
+    rk = F.row_number().over(
+        W.partitionBy("component").orderBy(
+            F.col("quality").desc(), F.col("doc_id")
+        )
+    )
+    return (
+        scored.withColumn("rk", rk)
+        .filter(F.col("rk") == 1)
+        .select(
+            "component",
+            F.col("doc_id").alias("best_doc_id"),
+            "quality",
+        )
+    )
+
+
 def q_e2e_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed end-to-end curation pipeline — the operators chained
     the way a real training-data job runs them:
@@ -1232,17 +1279,7 @@ SPECS = [
     QuerySpec(
         "llm_quality_score",
         q_quality_score,
-        f"""SELECT doc_id,
-              (CASE WHEN len(text) >= 200 THEN 0.4::DOUBLE
-                    WHEN len(text) >= 50 THEN 0.2::DOUBLE ELSE 0.0::DOUBLE END
-               + CASE WHEN len({TOKS}) >= 30 THEN 0.3::DOUBLE
-                      WHEN len({TOKS}) >= 10 THEN 0.15::DOUBLE ELSE 0.0::DOUBLE END
-               + CASE WHEN CAST(len(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
-                           / greatest(len(text), 1) <= 0.1 THEN 0.2::DOUBLE ELSE 0.0::DOUBLE END
-               + CASE WHEN CAST(len(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
-                           / greatest(len(text), 1) <= 0.2 THEN 0.1::DOUBLE ELSE 0.0::DOUBLE END
-              ) AS quality
-            FROM documents""",
+        f"""SELECT doc_id, {_QUALITY_EXPR} AS quality FROM documents""",
         doc="heuristic quality score",
     ),
     QuerySpec("llm_simhash", q_simhash, _simhash_sql(32), doc="SimHash fingerprint (md5-based)"),
@@ -1455,5 +1492,34 @@ SPECS = [
         _e2e_curation_sql(),
         doc="composed curation pipeline: filter_rules → exact_dedup → "
         "mix_sources in one fused plan",
+    ),
+    QuerySpec(
+        "llm_dedup_keep_best",
+        q_dedup_keep_best,
+        f"""WITH RECURSIVE pairs AS (
+              SELECT id_a, id_b FROM ({_ngram_jaccard_sql()})
+           ), edges AS (
+              SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION ALL
+              SELECT id_b, id_a FROM pairs
+           ), reach AS (
+              SELECT DISTINCT src AS id, src AS r FROM edges
+              UNION
+              SELECT e.src AS id, reach.r FROM edges e
+              JOIN reach ON reach.id = e.dst
+           ), comp AS (
+              SELECT id AS doc_id, min(r) AS component
+              FROM reach GROUP BY id
+           ), scored AS (
+              SELECT c.component, c.doc_id, {_QUALITY_EXPR} AS quality,
+                     row_number() OVER (PARTITION BY c.component
+                                        ORDER BY {_QUALITY_EXPR} DESC, c.doc_id)
+                       AS rk
+              FROM comp c JOIN documents USING (doc_id)
+           )
+           SELECT component, doc_id AS best_doc_id, quality
+           FROM scored WHERE rk = 1""",
+        doc="keep-best canonical selection per near-dup cluster "
+        "(quality argmax, tie -> lowest id)",
     ),
 ]

@@ -57,6 +57,7 @@ ALLOWED_OUTSIDE_WINDOW = {
     "stream_python_source": "stream_tumbling_counts",  # streamed agg-to-memory
     "udf_cogroup_profile": "udf_pandas_grouped_map",  # grouped pandas hook
     "llm_e2e_curation": "llm_filter_rules",  # composition of in-window stages
+    "llm_dedup_keep_best": "llm_dedup_components",  # same cluster machinery
 }
 
 
