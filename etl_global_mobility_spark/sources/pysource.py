@@ -35,7 +35,13 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceWriter,
+    EqualTo,
+    Filter,
+    GreaterThan,
+    GreaterThanOrEqual,
     InputPartition,
+    LessThan,
+    LessThanOrEqual,
     SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
@@ -55,15 +61,50 @@ class _RangePartition(InputPartition):
 
 
 class SyntheticEventsReader(DataSourceReader):
+    """Batch reader with real FILTER PUSHDOWN: ``event_id`` range
+    predicates tighten the generated id interval BEFORE partition
+    planning, so filtered scans plan fewer/smaller partitions instead
+    of generating everything and filtering after — the custom-source
+    analogue of parquet min/max data skipping. Spark re-applies every
+    filter on top (pushdown here is an optimization, not a correctness
+    contract), and unsupported filters are returned to Spark."""
+
     def __init__(self, options: dict) -> None:
         self.n_rows = int(options.get("n_rows", 1000))
         self.n_partitions = int(options.get("n_partitions", 8))
+        self.lo = 0  # inclusive id bound after pushdown
+        self.hi = self.n_rows  # exclusive
+
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:
+        for f in filters:
+            if getattr(f, "attribute", None) == ("event_id",):
+                if isinstance(f, EqualTo):
+                    self.lo = max(self.lo, int(f.value))
+                    self.hi = min(self.hi, int(f.value) + 1)
+                    continue
+                if isinstance(f, GreaterThan):
+                    self.lo = max(self.lo, int(f.value) + 1)
+                    continue
+                if isinstance(f, GreaterThanOrEqual):
+                    self.lo = max(self.lo, int(f.value))
+                    continue
+                if isinstance(f, LessThan):
+                    self.hi = min(self.hi, int(f.value))
+                    continue
+                if isinstance(f, LessThanOrEqual):
+                    self.hi = min(self.hi, int(f.value) + 1)
+                    continue
+            yield f  # unsupported → Spark evaluates it post-scan
 
     def partitions(self) -> Sequence[InputPartition]:
-        step = -(-self.n_rows // self.n_partitions)  # ceil div
+        span = max(0, self.hi - self.lo)
+        if span == 0:
+            return [_RangePartition(self.lo, self.lo)]
+        n = min(self.n_partitions, span)
+        step = -(-span // n)  # ceil div
         return [
-            _RangePartition(lo, min(lo + step, self.n_rows))
-            for lo in range(0, self.n_rows, step)
+            _RangePartition(lo, min(lo + step, self.hi))
+            for lo in range(self.lo, self.hi, step)
         ]
 
     def read(self, partition: _RangePartition) -> Iterator[tuple]:
@@ -181,5 +222,8 @@ class SyntheticEventsSource(DataSource):
 
 
 def register(spark) -> None:
-    """Idempotent registration (re-registering is a no-op upsert)."""
+    """Idempotent registration (re-registering is a no-op upsert).
+    Enables Python-source filter pushdown — a reader implementing
+    ``pushFilters`` hard-fails at plan time if the conf is off."""
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(SyntheticEventsSource)

@@ -146,3 +146,52 @@ def test_writer_abort_leaves_no_visible_files(spark, tmp_path):
     leftover = os.listdir(out) if os.path.exists(out) else []
     assert "_SUCCESS" not in leftover
     assert not [f for f in leftover if f.startswith("part-")]
+
+
+def test_filter_pushdown_prunes_partitions(spark):
+    """event_id range predicates must reach the reader: the filtered
+    scan returns correct rows AND the reader-level interval shrinks
+    (the custom-source analogue of min/max data skipping)."""
+    from pyspark.sql.datasource import GreaterThanOrEqual, LessThan
+
+    from etl_global_mobility_spark.sources.pysource import (
+        SyntheticEventsReader,
+    )
+
+    # reader-level: bounds tighten and partition planning follows
+    r = SyntheticEventsReader({"n_rows": "1000", "n_partitions": "8"})
+    rest = list(
+        r.pushFilters(
+            [
+                GreaterThanOrEqual(("event_id",), 900),
+                LessThan(("event_id",), 950),
+                GreaterThanOrEqual(("user_id",), 0),  # unsupported
+            ]
+        )
+    )
+    assert (r.lo, r.hi) == (900, 950)
+    assert len(rest) == 1  # the user_id filter is handed back
+    parts = r.partitions()
+    assert sum(p.end - p.start for p in parts) == 50
+
+    # end-to-end: Spark result over the pruned scan is exact
+    df = _load(spark, 1000, 8).filter("event_id >= 900 AND event_id < 950")
+    rows = df.collect()
+    assert len(rows) == 50
+    assert sorted(r["event_id"] for r in rows) == list(range(900, 950))
+
+
+def test_filter_pushdown_contradiction_plans_empty(spark):
+    from pyspark.sql.datasource import GreaterThan, LessThan
+
+    from etl_global_mobility_spark.sources.pysource import (
+        SyntheticEventsReader,
+    )
+
+    r = SyntheticEventsReader({"n_rows": "100", "n_partitions": "4"})
+    list(r.pushFilters([GreaterThan(("event_id",), 80), LessThan(("event_id",), 20)]))
+    parts = r.partitions()
+    assert sum(p.end - p.start for p in parts) == 0
+    assert _load(spark, 100, 4).filter(
+        "event_id > 80 AND event_id < 20"
+    ).count() == 0
