@@ -68,3 +68,35 @@ def test_catalog_scan_partition_pruning(spark, catalog_run):
     )
     plan = dep._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan or dep.count() >= 0  # smoke: filter executes
+
+
+def test_analyze_table_populates_statistics(spark):
+    """Table maintenance: ANALYZE TABLE writes row/size stats, and the
+    FOR COLUMNS variant adds per-column min/max/NDV — what the
+    cost-based optimizer consumes for join reordering at scale (file
+    sizes alone give bytes, not row counts or value ranges)."""
+    from etl_global_mobility_spark.corpus.base import load_table
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS corpus_cat")
+    n = load_table(spark, "/root/testdata/sf0.001", "nation")
+    n.write.mode("overwrite").saveAsTable("corpus_cat.nation_stats")
+
+    spark.sql("ANALYZE TABLE corpus_cat.nation_stats COMPUTE STATISTICS")
+    stats = {
+        r["col_name"]: r["data_type"]
+        for r in spark.sql("DESCRIBE EXTENDED corpus_cat.nation_stats").collect()
+    }
+    assert "Statistics" in stats and "25 rows" in stats["Statistics"]
+
+    spark.sql(
+        "ANALYZE TABLE corpus_cat.nation_stats "
+        "COMPUTE STATISTICS FOR COLUMNS n_nationkey"
+    )
+    col = {
+        r["info_name"]: r["info_value"]
+        for r in spark.sql(
+            "DESCRIBE EXTENDED corpus_cat.nation_stats n_nationkey"
+        ).collect()
+    }
+    assert col["min"] == "0" and col["max"] == "24"
+    assert col["distinct_count"] == "25"
