@@ -1151,6 +1151,52 @@ def q_histogram_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_funnel_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view → click → purchase): per user, the
+    earliest event of each stage that occurs AFTER the previous
+    stage's earliest qualifying event — the product-analytics
+    sequence-match pattern. Expressed as chained conditional
+    aggregations (three min-filters over one pass), NOT a 3-way
+    self-join: one shuffle on user_id, no pair explosion, and each
+    stage's predicate references the previous stage's aggregate via a
+    self-joined per-user frame that stays bounded (one row per user)."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    first_view = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    clicks = e.filter(F.col("event_type") == "click").join(
+        first_view, "user_id"
+    )
+    first_click = (
+        clicks.filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"), F.min("t_view").alias("t_view"))
+    )
+    buys = e.filter(F.col("event_type") == "purchase").join(
+        first_click, "user_id"
+    )
+    funnel = (
+        buys.filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(
+            F.min("t_view").alias("t_view"),
+            F.min("t_click").alias("t_click"),
+            F.min("ts").alias("t_purchase"),
+        )
+    )
+    return funnel.select(
+        "user_id",
+        "t_view",
+        "t_click",
+        "t_purchase",
+        (
+            F.col("t_purchase").cast("long") - F.col("t_view").cast("long")
+        ).alias("funnel_seconds"),
+    )
+
+
 def q_tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 (shipping priority) adapted to the driver schema: the
     canonical 3-way selective join — segment-filtered customers ⋈
@@ -1336,6 +1382,30 @@ SPECS = [
         """SELECT s_suppkey, s_nationkey, s_acctbal
            FROM supplier WHERE s_acctbal > 0""",
         doc="ORC source round-trip with pushed-down filter",
+    ),
+    QuerySpec(
+        "rel_funnel_analysis",
+        q_funnel_analysis,
+        """WITH v AS (
+             SELECT user_id, min(ts) AS t_view FROM events
+             WHERE event_type = 'view' GROUP BY user_id
+           ), c AS (
+             SELECT e.user_id, min(e.ts) AS t_click, min(v.t_view) AS t_view
+             FROM events e JOIN v USING (user_id)
+             WHERE e.event_type = 'click' AND e.ts > v.t_view
+             GROUP BY e.user_id
+           ), p AS (
+             SELECT e.user_id, min(c.t_view) AS t_view,
+                    min(c.t_click) AS t_click, min(e.ts) AS t_purchase
+             FROM events e JOIN c USING (user_id)
+             WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+             GROUP BY e.user_id
+           )
+           SELECT user_id, t_view, t_click, t_purchase,
+                  epoch_ns(t_purchase) // 1000000000
+                    - epoch_ns(t_view) // 1000000000 AS funnel_seconds
+           FROM p""",
+        doc="ordered funnel analysis (view→click→purchase sequence match)",
     ),
     QuerySpec(
         "rel_tpch_q3_shipping_priority",

@@ -78,6 +78,14 @@ def test_analyze_table_populates_statistics(spark):
     from etl_global_mobility_spark.corpus.base import load_table
 
     spark.sql("CREATE DATABASE IF NOT EXISTS corpus_cat")
+    # a crashed prior run can leave the warehouse dir without its
+    # metastore entry → LOCATION_ALREADY_EXISTS on recreate
+    spark.sql("DROP TABLE IF EXISTS corpus_cat.nation_stats")
+    import shutil
+
+    shutil.rmtree(
+        "spark-warehouse/corpus_cat.db/nation_stats", ignore_errors=True
+    )
     n = load_table(spark, "/root/testdata/sf0.001", "nation")
     n.write.mode("overwrite").saveAsTable("corpus_cat.nation_stats")
 
