@@ -1151,6 +1151,35 @@ def q_histogram_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-activity week, counted
+    in each subsequent activity week as a week offset — the standard
+    retention triangle. Two hash aggregations (first-week per user;
+    distinct user-week activity) and a broadcastable cohort join;
+    offsets via integer epoch arithmetic (no interval types, which
+    render differently across engines)."""
+    e = load_table(spark, sf_dir, "events")
+    week = F.date_trunc("week", F.col("ts"))
+    cohort = (
+        e.select("user_id", week.alias("w"))
+        .groupBy("user_id")
+        .agg(F.min("w").alias("cohort_week"))
+    )
+    activity = e.select("user_id", week.alias("w")).distinct()
+    offset = (
+        (
+            F.unix_timestamp("w") - F.unix_timestamp("cohort_week")
+        )
+        / F.lit(604800)
+    ).cast("int")
+    return (
+        activity.join(cohort, "user_id")
+        .withColumn("week_offset", offset)
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
 def q_funnel_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel (view → click → purchase): per user, the
     earliest event of each stage that occurs AFTER the previous
@@ -1382,6 +1411,25 @@ SPECS = [
         """SELECT s_suppkey, s_nationkey, s_acctbal
            FROM supplier WHERE s_acctbal > 0""",
         doc="ORC source round-trip with pushed-down filter",
+    ),
+    QuerySpec(
+        "rel_cohort_retention",
+        q_cohort_retention,
+        """WITH wk AS (
+             SELECT user_id, date_trunc('week', ts) AS w FROM events
+           ), cohort AS (
+             SELECT user_id, min(w) AS cohort_week FROM wk GROUP BY user_id
+           ), activity AS (
+             SELECT DISTINCT user_id, w FROM wk
+           )
+           SELECT c.cohort_week,
+                  CAST((epoch_ns(a.w) // 1000000000
+                        - epoch_ns(c.cohort_week) // 1000000000)
+                       // 604800 AS INT) AS week_offset,
+                  count(*) AS n_users
+           FROM activity a JOIN cohort c USING (user_id)
+           GROUP BY c.cohort_week, week_offset""",
+        doc="cohort retention triangle (first-week cohorts × week offset)",
     ),
     QuerySpec(
         "rel_funnel_analysis",
