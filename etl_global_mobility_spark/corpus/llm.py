@@ -1122,6 +1122,27 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard per-source cap (operators/splits.py:cap_per_stratum): at
+    most 10 docs per source, selected by deterministic md5 order —
+    exact bounds where rate-based mixing gives expected counts."""
+    from etl_global_mobility_spark.operators.splits import cap_per_stratum
+
+    d = load_table(spark, sf_dir, "documents")
+    capped = cap_per_stratum(d, "source", max_rows=10, seed=3)
+    return capped.select("doc_id", "source")
+
+
+def _per_source_cap_sql(max_rows: int = 10, seed: int = 3) -> str:
+    h = _md5_hash_sql("CAST(doc_id AS VARCHAR)", seed)
+    return f"""WITH ranked AS (
+      SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY {h}, doc_id) AS rk
+      FROM documents)
+    SELECT doc_id, source FROM ranked WHERE rk <= {max_rows}"""
+
+
 def q_e2e_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composed end-to-end curation pipeline — the operators chained
     the way a real training-data job runs them:
@@ -1492,6 +1513,13 @@ SPECS = [
         _e2e_curation_sql(),
         doc="composed curation pipeline: filter_rules → exact_dedup → "
         "mix_sources in one fused plan",
+    ),
+    QuerySpec(
+        "llm_per_source_cap",
+        q_per_source_cap,
+        _per_source_cap_sql(),
+        doc="exact per-source row cap, deterministic md5 order "
+        "(no source dominates)",
     ),
     QuerySpec(
         "llm_dedup_keep_best",

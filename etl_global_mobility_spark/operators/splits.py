@@ -168,3 +168,30 @@ def mix_sources(
         with_tok.join(F.broadcast(rates), source_col)
         .filter(bucket.cast("double") / F.lit(10_000.0) < F.col("rate"))
     )
+
+
+def cap_per_stratum(
+    df: DataFrame,
+    strata_col: str,
+    max_rows: int,
+    id_col: str = "doc_id",
+    seed: int = 3,
+) -> DataFrame:
+    """Hard cap: at most ``max_rows`` rows per stratum, chosen by a
+    deterministic md5 order (hash of id, tie id) — the "no single
+    source dominates" curation policy. Unlike rate-based sampling
+    (:func:`stratified_hash_sample` / :func:`mix_sources`), the bound
+    is exact, partition-layout-independent, and reproducible.
+
+    One shuffle on the stratum key; the per-group limit prunes
+    map-side (WindowGroupLimit pushes rank<=k before the exchange).
+    """
+    if max_rows < 1:
+        raise ValueError(f"max_rows must be >= 1: {max_rows}")
+    from pyspark.sql import Window
+
+    order_key = _md5_band_hash(F.col(id_col).cast("string"), seed)
+    rk = F.row_number().over(
+        Window.partitionBy(strata_col).orderBy(order_key, F.col(id_col))
+    )
+    return df.withColumn("_rk", rk).filter(F.col("_rk") <= max_rows).drop("_rk")

@@ -58,6 +58,7 @@ ALLOWED_OUTSIDE_WINDOW = {
     "udf_cogroup_profile": "udf_pandas_grouped_map",  # grouped pandas hook
     "llm_e2e_curation": "llm_filter_rules",  # composition of in-window stages
     "llm_dedup_keep_best": "llm_dedup_components",  # same cluster machinery
+    "llm_per_source_cap": "llm_mix_sources",  # md5-deterministic sampling
 }
 
 

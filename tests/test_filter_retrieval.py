@@ -6,6 +6,7 @@ from __future__ import annotations
 import math
 
 import pytest
+from pyspark.sql import functions as F
 
 from etl_global_mobility_spark.operators.quality_rules import (
     filter_rules,
@@ -142,3 +143,57 @@ def test_bm25_plan_is_take_ordered(spark):
 def test_bm25_rejects_empty_query(spark):
     with pytest.raises(ValueError):
         bm25_topk(_docs(spark, [(1, "a")]), ())
+
+
+# --------------------------------------------- operator validation ----
+
+
+def test_mix_sources_validates_inputs(spark):
+    from etl_global_mobility_spark.operators.splits import mix_sources
+
+    df = _docs(spark, [(1, "a b c")])
+    with pytest.raises(ValueError):
+        mix_sources(df, {})
+    with pytest.raises(ValueError):
+        mix_sources(df, {"s": 1.0}, target_fraction=0.0)
+    with pytest.raises(ValueError):
+        mix_sources(df, {"s": 1.0}, target_fraction=1.5)
+
+
+def test_mix_sources_caps_rates_and_never_upsamples(spark):
+    """A source far below its target share keeps rate 1.0 (all rows);
+    totals never exceed the source's own size."""
+    from etl_global_mobility_spark.operators.splits import mix_sources
+
+    rows = [(i, "word " * 50, "big") for i in range(40)] + [
+        (100 + i, "word " * 50, "small") for i in range(2)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    # target: 50% of tokens, weighted 1:9 toward 'small' — small can't
+    # supply its share, so its rate caps at 1.0 and every row survives
+    out = mix_sources(df, {"big": 1.0, "small": 9.0}, target_fraction=0.5)
+    per = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert per.get("small") == 2
+    assert per.get("big", 0) <= 40
+    rates = {r["source"]: r["rate"] for r in out.select("source", "rate").distinct().collect()}
+    assert rates["small"] == 1.0
+
+
+def test_cap_per_stratum_exact_and_deterministic(spark):
+    from etl_global_mobility_spark.operators.splits import cap_per_stratum
+
+    rows = [(i, "t", f"s{i % 3}") for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    a = cap_per_stratum(df, "source", max_rows=5)
+    counts = {
+        r["source"]: r["n"]
+        for r in a.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert counts == {"s0": 5, "s1": 5, "s2": 5}
+    b = cap_per_stratum(df.repartition(7), "source", max_rows=5)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    with pytest.raises(ValueError):
+        cap_per_stratum(df, "source", max_rows=0)
