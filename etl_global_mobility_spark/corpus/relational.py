@@ -1151,6 +1151,29 @@ def q_histogram_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_error_safe_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI error-safe functions: ``try_cast`` (bad parses → NULL, no
+    job failure) and ``try_divide`` (÷0 → NULL) — the ingestion-robust
+    arithmetic a pipeline uses under ANSI mode instead of letting one
+    dirty cell kill a 100 TB job. The p_type cast exercises the
+    failure path (non-numeric strings), the comment digits the
+    success path."""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.expr("try_cast(p_type AS INT)").alias("type_as_int"),
+        F.expr(
+            "try_cast(regexp_extract(p_name, '([0-9]+)', 1) AS INT)"
+        ).alias("name_digits"),
+        F.try_divide(
+            F.col("p_retailprice"), F.col("p_size") - F.col("p_size")
+        ).alias("div_zero"),
+        F.try_divide(F.col("p_retailprice"), F.col("p_size").cast("double")).alias(
+            "price_per_size"
+        ),
+    )
+
+
 def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention: users grouped by first-activity week, counted
     in each subsequent activity week as a week offset — the standard
@@ -1411,6 +1434,21 @@ SPECS = [
         """SELECT s_suppkey, s_nationkey, s_acctbal
            FROM supplier WHERE s_acctbal > 0""",
         doc="ORC source round-trip with pushed-down filter",
+    ),
+    QuerySpec(
+        "rel_error_safe_functions",
+        q_error_safe_functions,
+        """SELECT p_partkey,
+               TRY_CAST(p_type AS INT) AS type_as_int,
+               TRY_CAST(regexp_extract(p_name, '([0-9]+)', 1) AS INT)
+                 AS name_digits,
+               p_retailprice / nullif(CAST(p_size - p_size AS DOUBLE), 0.0)
+                 AS div_zero,
+               p_retailprice / nullif(CAST(p_size AS DOUBLE), 0.0)
+                 AS price_per_size
+           FROM part""",
+        doc="error-safe functions (try_cast / try_divide): dirty cells "
+        "yield NULL, never job failure",
     ),
     QuerySpec(
         "rel_cohort_retention",
