@@ -1151,6 +1151,94 @@ def q_histogram_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph analytics without a graph library: triangle counting as
+    two self-joins over a canonically-ordered edge list (a < b < c, so
+    each triangle is produced exactly once and the join never explores
+    both directions). The edge list is derived deterministically from
+    supplier keys (i → (i*7) mod N), the standard expander-style test
+    graph. Complements the hash-min connected components in
+    operators/dedup.py — counting is join-shaped, not iterative."""
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey")
+    n = 100  # fixed modulus keeps the graph (and oracle) SF-stable
+    e = s.select(
+        F.col("s_suppkey").alias("u"),
+        ((F.col("s_suppkey") * 7) % n).alias("v"),
+    ).filter(F.col("u") != F.col("v"))
+    edges = (
+        e.select(
+            F.least("u", "v").alias("a"), F.greatest("u", "v").alias("b")
+        )
+        .distinct()
+    )
+    e1 = edges.alias("e1")
+    e2 = edges.alias("e2")
+    e3 = edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.b") == F.col("e2.a"))
+        .join(
+            e3,
+            (F.col("e3.a") == F.col("e1.a")) & (F.col("e3.b") == F.col("e2.b")),
+        )
+        .select(
+            F.col("e1.a").alias("x"),
+            F.col("e1.b").alias("y"),
+            F.col("e2.b").alias("z"),
+        )
+    )
+    return tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def q_winsorize_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outlier clipping (winsorization) at per-group quartiles: values
+    clamped into [p25, p75] — the ML-prep robustness transform. The
+    0.25/0.75 quantile fractions keep the (n-1)·p interpolation rank
+    arithmetic FP-exact across engines (0.05/0.95 would not be binary
+    fractions); the bounded per-group quantile frame broadcasts back
+    onto the fact rows."""
+    e = load_table(spark, sf_dir, "events")
+    q = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.25D)").alias("p25"),
+        F.expr("percentile(value, 0.75D)").alias("p75"),
+    )
+    return (
+        e.join(F.broadcast(q), "event_type")
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.least(F.greatest(F.col("value"), F.col("p25")), F.col("p75")).alias(
+                "value_clipped"
+            ),
+        )
+    )
+
+
+def q_moving_window_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded sliding frame (ROWS 6 PRECEDING): 7-event moving totals
+    per user over integer value-millis — moving sums over INTEGERS are
+    associativity-proof, unlike a double moving average whose
+    incremental add/subtract order is engine-internal. The avg is then
+    ONE division of two exact integers."""
+    e = load_table(spark, sf_dir, "events")
+    millis = F.floor(F.col("value") * 1000 + F.lit(0.5)).cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum(millis).over(w).alias("mov_sum_millis"),
+        F.count(F.lit(1)).over(w).alias("mov_n"),
+    ).withColumn(
+        "mov_avg",
+        F.col("mov_sum_millis").cast("double") / F.col("mov_n").cast("double"),
+    )
+
+
 def q_error_safe_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANSI error-safe functions: ``try_cast`` (bad parses → NULL, no
     job failure) and ``try_divide`` (÷0 → NULL) — the ingestion-robust
@@ -1434,6 +1522,48 @@ SPECS = [
         """SELECT s_suppkey, s_nationkey, s_acctbal
            FROM supplier WHERE s_acctbal > 0""",
         doc="ORC source round-trip with pushed-down filter",
+    ),
+    QuerySpec(
+        "rel_triangle_count",
+        q_triangle_count,
+        """WITH raw AS (
+             SELECT s_suppkey AS u, (s_suppkey * 7) % 100 AS v
+             FROM supplier WHERE s_suppkey != (s_suppkey * 7) % 100
+           ), edges AS (
+             SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b FROM raw
+           )
+           SELECT count(*) AS n_triangles
+           FROM edges e1
+           JOIN edges e2 ON e1.b = e2.a
+           JOIN edges e3 ON e3.a = e1.a AND e3.b = e2.b""",
+        doc="triangle counting via canonical-order edge self-joins",
+    ),
+    QuerySpec(
+        "rel_winsorize_iqr",
+        q_winsorize_iqr,
+        """WITH q AS (
+             SELECT event_type,
+                    quantile_cont(value, 0.25) AS p25,
+                    quantile_cont(value, 0.75) AS p75
+             FROM events GROUP BY event_type)
+           SELECT event_id, e.event_type, value,
+                  least(greatest(value, p25), p75) AS value_clipped
+           FROM events e JOIN q USING (event_type)""",
+        doc="per-group IQR winsorization (binary-exact quantile fractions)",
+    ),
+    QuerySpec(
+        "rel_moving_window_sum",
+        q_moving_window_sum,
+        """SELECT event_id, user_id, ts,
+               CAST(sum(CAST(floor(value * 1000 + 0.5) AS BIGINT)) OVER w
+                    AS BIGINT) AS mov_sum_millis,
+               count(*) OVER w AS mov_n,
+               CAST(sum(CAST(floor(value * 1000 + 0.5) AS BIGINT)) OVER w
+                    AS DOUBLE) / CAST(count(*) OVER w AS DOUBLE) AS mov_avg
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""",
+        doc="bounded sliding frame: integer-exact 7-row moving totals",
     ),
     QuerySpec(
         "rel_error_safe_functions",
