@@ -1151,6 +1151,40 @@ def q_histogram_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mask_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-governance masking: ``mask()`` shape-preserving redaction
+    (uppercase→X, lowercase→x, digits→n) over customer names+phones —
+    the column-level redaction a governed export applies. The oracle
+    reproduces it with an ordered regexp_replace chain (upper, lower,
+    digit — later passes cannot touch earlier substitutions)."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.expr("mask(c_name)").alias("name_masked"),
+        F.expr("mask(c_mktsegment)").alias("segment_masked"),
+    )
+
+
+def q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (``<=>`` / IS NOT DISTINCT FROM): NULL
+    keys MATCH each other instead of dropping out — the semantics a
+    changeset diff needs (two NULL business keys are the "same" row).
+    Both sides derive a nullable key; pair counts per key value, with
+    the NULL-key bucket proving null≡null matched."""
+    e = load_table(spark, sf_dir, "events").select(
+        F.nullif(F.col("user_id") % 7, F.lit(3)).alias("k")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.nullif(F.col("s_suppkey") % 7, F.lit(3)).alias("k")
+    )
+    joined = e.alias("l").join(
+        s.alias("r"), F.col("l.k").eqNullSafe(F.col("r.k"))
+    )
+    return joined.groupBy(F.col("l.k").alias("k")).agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+
+
 def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graph analytics without a graph library: triangle counting as
     two self-joins over a canonically-ordered edge list (a < b < c, so
@@ -1522,6 +1556,29 @@ SPECS = [
         """SELECT s_suppkey, s_nationkey, s_acctbal
            FROM supplier WHERE s_acctbal > 0""",
         doc="ORC source round-trip with pushed-down filter",
+    ),
+    QuerySpec(
+        "rel_mask_redaction",
+        q_mask_redaction,
+        """SELECT c_custkey,
+               regexp_replace(regexp_replace(regexp_replace(
+                 c_name, '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'),
+                 '[0-9]', 'n', 'g') AS name_masked,
+               regexp_replace(regexp_replace(regexp_replace(
+                 c_mktsegment, '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'),
+                 '[0-9]', 'n', 'g') AS segment_masked
+           FROM customer""",
+        doc="mask() shape-preserving redaction (governed-export path)",
+    ),
+    QuerySpec(
+        "rel_null_safe_join",
+        q_null_safe_join,
+        """WITH l AS (SELECT nullif(user_id % 7, 3) AS k FROM events),
+                r AS (SELECT nullif(s_suppkey % 7, 3) AS k FROM supplier)
+           SELECT l.k, count(*) AS n_pairs
+           FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k
+           GROUP BY l.k""",
+        doc="null-safe equality join (<=> / IS NOT DISTINCT FROM)",
     ),
     QuerySpec(
         "rel_triangle_count",
