@@ -42,6 +42,12 @@ from etl_global_mobility_spark.operators.quality_rules import (
     split_quarantine,
 )
 from etl_global_mobility_spark.operators.retrieval import bm25_topk
+from etl_global_mobility_spark.operators.splits import (
+    cap_per_stratum,
+    hash_split,
+    mix_sources,
+    stratified_hash_sample,
+)
 from etl_global_mobility_spark.operators.text import (
     build_vocabulary,
     doc_fingerprint,
@@ -79,6 +85,10 @@ __all__ = [
     "filter_rules",
     "split_quarantine",
     "bm25_topk",
+    "hash_split",
+    "stratified_hash_sample",
+    "mix_sources",
+    "cap_per_stratum",
     "doc_fingerprint",
     "language_id",
     "quality_score",
