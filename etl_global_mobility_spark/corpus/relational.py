@@ -1151,6 +1151,60 @@ def q_histogram_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running distinct-user count per event type — ``COUNT(DISTINCT)
+    OVER`` does not exist in either engine, so it is emulated with the
+    standard composition: a first-occurrence flag (row_number over
+    (type, user) == 1) running-summed over the time order. Two windows
+    but ONE logical dedup pass; both windows shuffle on event_type, so
+    the plan reuses the exchange."""
+    e = load_table(spark, sf_dir, "events")
+    first_seen = (
+        F.row_number().over(
+            Window.partitionBy("event_type", "user_id").orderBy("ts", "event_id")
+        )
+        == 1
+    ).cast("long")
+    running = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    return e.withColumn("first_seen", first_seen).select(
+        "event_id",
+        "event_type",
+        "ts",
+        F.sum("first_seen").over(running).alias("distinct_users_so_far"),
+    )
+
+
+def q_ratio_to_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-total (ratio-to-report): each nation's revenue share
+    of the grand total — the one-window composition (partition-less
+    sum over the 25-row aggregate, not over the fact table). Sums run
+    in DECIMAL (exact, order-independent); only the final share is a
+    double division."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    )
+    per_nation = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum(rev).alias("revenue_dec"))
+    )
+    total = Window.partitionBy()
+    return per_nation.select(
+        "n_name",
+        F.col("revenue_dec").cast("double").alias("revenue"),
+        (
+            F.col("revenue_dec").cast("double")
+            / F.sum("revenue_dec").over(total).cast("double")
+        ).alias("share"),
+    )
+
+
 def q_mask_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Data-governance masking: ``mask()`` shape-preserving redaction
     (uppercase→X, lowercase→x, digits→n) over customer names+phones —
@@ -1556,6 +1610,40 @@ SPECS = [
         """SELECT s_suppkey, s_nationkey, s_acctbal
            FROM supplier WHERE s_acctbal > 0""",
         doc="ORC source round-trip with pushed-down filter",
+    ),
+    QuerySpec(
+        "rel_running_distinct",
+        q_running_distinct,
+        """WITH flagged AS (
+             SELECT event_id, event_type, ts,
+                    CAST(row_number() OVER (PARTITION BY event_type, user_id
+                                            ORDER BY ts, event_id) = 1
+                         AS BIGINT) AS first_seen
+             FROM events)
+           SELECT event_id, event_type, ts,
+                  CAST(sum(first_seen) OVER (PARTITION BY event_type
+                                             ORDER BY ts, event_id)
+                       AS BIGINT) AS distinct_users_so_far
+           FROM flagged""",
+        doc="running distinct count (first-occurrence flag + running sum "
+        "— COUNT(DISTINCT) OVER exists in no engine)",
+    ),
+    QuerySpec(
+        "rel_ratio_to_report",
+        q_ratio_to_report,
+        f"""WITH per AS (
+             SELECT n_name, sum({_REV}) AS revenue_dec
+             FROM lineitem
+             JOIN orders   ON l_orderkey = o_orderkey
+             JOIN customer ON o_custkey = c_custkey
+             JOIN nation   ON c_nationkey = n_nationkey
+             GROUP BY n_name)
+           SELECT n_name,
+                  CAST(revenue_dec AS DOUBLE) AS revenue,
+                  CAST(revenue_dec AS DOUBLE)
+                    / CAST(sum(revenue_dec) OVER () AS DOUBLE) AS share
+           FROM per""",
+        doc="percent-of-total / ratio-to-report (decimal-exact totals)",
     ),
     QuerySpec(
         "rel_mask_redaction",
