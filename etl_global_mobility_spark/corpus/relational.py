@@ -1151,6 +1151,32 @@ def q_histogram_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative table-contract validation
+    (operators/expectations.py): non-null, accepted-values, range,
+    key-uniqueness, and referential-integrity expectations over
+    ``orders`` folded into one scan + one anti-join, reported as
+    (rule, n_violations, ok)."""
+    from etl_global_mobility_spark.operators.expectations import (
+        validation_report,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return validation_report(
+        o,
+        row_rules={
+            "not_null_custkey": F.col("o_custkey").isNotNull(),
+            "positive_price": F.col("o_totalprice") > 0,
+            "known_status": F.col("o_orderstatus").isin("O", "F", "P"),
+            "date_in_range": F.col("o_orderdate")
+            >= F.lit("1990-01-01").cast("timestamp"),
+        },
+        unique_key="o_orderkey",
+        fk=(c, "o_custkey", "c_custkey"),
+    )
+
+
 def q_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running distinct-user count per event type — ``COUNT(DISTINCT)
     OVER`` does not exist in either engine, so it is emulated with the
@@ -1610,6 +1636,40 @@ SPECS = [
         """SELECT s_suppkey, s_nationkey, s_acctbal
            FROM supplier WHERE s_acctbal > 0""",
         doc="ORC source round-trip with pushed-down filter",
+    ),
+    QuerySpec(
+        "rel_expectations_report",
+        q_expectations_report,
+        """WITH agg AS (
+             SELECT
+               sum(CASE WHEN coalesce(o_custkey IS NOT NULL, FALSE)
+                        THEN 0 ELSE 1 END) AS v1,
+               sum(CASE WHEN coalesce(o_totalprice > 0, FALSE)
+                        THEN 0 ELSE 1 END) AS v2,
+               sum(CASE WHEN coalesce(o_orderstatus IN ('O','F','P'), FALSE)
+                        THEN 0 ELSE 1 END) AS v3,
+               sum(CASE WHEN coalesce(o_orderdate >= TIMESTAMP '1990-01-01',
+                                      FALSE) THEN 0 ELSE 1 END) AS v4,
+               count(o_orderkey) - count(DISTINCT o_orderkey) AS v5
+             FROM orders
+           ), fk AS (
+             SELECT count(*) AS v6 FROM orders o
+             WHERE o_custkey IS NOT NULL
+               AND NOT EXISTS (SELECT 1 FROM customer c
+                               WHERE c.c_custkey = o.o_custkey)
+           )
+           SELECT rule, CAST(n_violations AS BIGINT) AS n_violations,
+                  n_violations = 0 AS ok
+           FROM (
+             SELECT 'not_null_custkey' AS rule, v1 AS n_violations FROM agg
+             UNION ALL SELECT 'positive_price', v2 FROM agg
+             UNION ALL SELECT 'known_status', v3 FROM agg
+             UNION ALL SELECT 'date_in_range', v4 FROM agg
+             UNION ALL SELECT 'unique_o_orderkey', v5 FROM agg
+             UNION ALL SELECT 'fk_o_custkey', v6 FROM fk
+           )""",
+        doc="declarative expectations report (one-scan contract check + "
+        "FK anti-join)",
     ),
     QuerySpec(
         "rel_running_distinct",
