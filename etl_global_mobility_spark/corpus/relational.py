@@ -1151,6 +1151,61 @@ def q_histogram_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type 2 dimension maintenance (operators/merge.py:
+    scd2_apply): a versioned customer dimension (including pre-closed
+    history rows) receives a changeset containing segment changes,
+    identical no-op rows, and brand-new keys — superseded versions are
+    closed at the effective timestamp, new open versions inserted,
+    history untouched, no-ops version-free."""
+    from etl_global_mobility_spark.operators.merge import scd2_apply
+
+    base = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    t18 = F.lit("2018-01-01").cast("timestamp")
+    t20 = F.lit("2020-01-01").cast("timestamp")
+    null_ts = F.lit(None).cast("timestamp")
+    hist = base.filter(F.col("c_custkey") < 10).select(
+        "c_custkey",
+        "c_name",
+        F.lit("OLD").alias("c_mktsegment"),
+        t18.alias("valid_from"),
+        t20.alias("valid_to"),
+    )
+    open_rows = base.select(
+        "c_custkey",
+        "c_name",
+        "c_mktsegment",
+        t20.alias("valid_from"),
+        null_ts.alias("valid_to"),
+    )
+    current = hist.unionByName(open_rows)
+    changes = (
+        base.filter(F.col("c_custkey") % 10 == 0)
+        .select("c_custkey", "c_name", F.lit("CHANGED").alias("c_mktsegment"))
+        .unionByName(
+            base.filter(F.col("c_custkey") <= 5).select(
+                "c_custkey", "c_name", "c_mktsegment"
+            )
+        )
+        .unionByName(
+            base.filter(F.col("c_custkey") < 5).select(
+                (F.col("c_custkey") + 100000).alias("c_custkey"),
+                "c_name",
+                F.lit("NEW").alias("c_mktsegment"),
+            )
+        )
+    )
+    return scd2_apply(
+        current,
+        changes,
+        key="c_custkey",
+        tracked=["c_name", "c_mktsegment"],
+        effective_ts="2024-06-01",
+    )
+
+
 def q_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative table-contract validation
     (operators/expectations.py): non-null, accepted-values, range,
@@ -1636,6 +1691,65 @@ SPECS = [
         """SELECT s_suppkey, s_nationkey, s_acctbal
            FROM supplier WHERE s_acctbal > 0""",
         doc="ORC source round-trip with pushed-down filter",
+    ),
+    QuerySpec(
+        "rel_scd2_dimension",
+        q_scd2_dimension,
+        """WITH base AS (
+             SELECT c_custkey, c_name, c_mktsegment FROM customer
+           ), hist AS (
+             SELECT c_custkey, c_name, 'OLD' AS c_mktsegment,
+                    TIMESTAMP '2018-01-01' AS valid_from,
+                    TIMESTAMP '2020-01-01' AS valid_to
+             FROM base WHERE c_custkey < 10
+           ), open_rows AS (
+             SELECT c_custkey, c_name, c_mktsegment,
+                    TIMESTAMP '2020-01-01' AS valid_from,
+                    CAST(NULL AS TIMESTAMP) AS valid_to
+             FROM base
+           ), changes AS (
+             SELECT c_custkey, c_name, 'CHANGED' AS c_mktsegment
+             FROM base WHERE c_custkey % 10 = 0
+             UNION ALL
+             SELECT c_custkey, c_name, c_mktsegment
+             FROM base WHERE c_custkey <= 5
+             UNION ALL
+             SELECT c_custkey + 100000, c_name, 'NEW'
+             FROM base WHERE c_custkey < 5
+           ), j AS (
+             SELECT o.c_custkey, o.c_name, o.c_mktsegment,
+                    o.valid_from, o.valid_to,
+                    ch.c_custkey AS _k, ch.c_name AS _cn,
+                    ch.c_mktsegment AS _cs
+             FROM open_rows o FULL OUTER JOIN changes ch
+               ON o.c_custkey = ch.c_custkey
+           ), differs AS (
+             SELECT *,
+                    NOT (c_name IS NOT DISTINCT FROM _cn
+                         AND c_mktsegment IS NOT DISTINCT FROM _cs) AS d
+             FROM j
+           )
+           SELECT c_custkey, c_name, c_mktsegment, valid_from, valid_to
+           FROM hist
+           UNION ALL
+           SELECT c_custkey, c_name, c_mktsegment, valid_from, valid_to
+           FROM differs WHERE c_custkey IS NOT NULL AND _k IS NULL
+           UNION ALL
+           SELECT c_custkey, c_name, c_mktsegment, valid_from, valid_to
+           FROM differs
+           WHERE c_custkey IS NOT NULL AND _k IS NOT NULL AND NOT d
+           UNION ALL
+           SELECT c_custkey, c_name, c_mktsegment, valid_from,
+                  TIMESTAMP '2024-06-01'
+           FROM differs WHERE c_custkey IS NOT NULL AND _k IS NOT NULL AND d
+           UNION ALL
+           SELECT _k, _cn, _cs, TIMESTAMP '2024-06-01',
+                  CAST(NULL AS TIMESTAMP)
+           FROM differs
+           WHERE (_k IS NOT NULL AND c_custkey IS NOT NULL AND d)
+              OR c_custkey IS NULL""",
+        doc="SCD Type 2 dimension merge (close superseded versions, "
+        "insert new, history untouched)",
     ),
     QuerySpec(
         "rel_expectations_report",

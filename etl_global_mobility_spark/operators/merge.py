@@ -86,3 +86,80 @@ def incremental_agg_update(
             ).alias(c)
         )
     return merged.select(*out_cols)
+
+
+def scd2_apply(
+    current: DataFrame,
+    changes: DataFrame,
+    key: str,
+    tracked: Sequence[str],
+    effective_ts: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """Slowly-Changing-Dimension Type 2 merge: apply a changeset to a
+    versioned dimension, closing superseded versions and inserting new
+    ones — full history retained (vs :func:`upsert`'s Type-1
+    overwrite).
+
+    ``current`` carries ``key``, ``tracked`` attributes, and the
+    ``valid_from``/``valid_to`` version interval (``valid_to`` NULL =
+    open version). ``changes`` carries ``key`` + ``tracked``. At
+    ``effective_ts``:
+
+    * an open version whose tracked attributes DIFFER from its change
+      row (null-safe comparison) is closed (``valid_to`` set) and a
+      new open version is inserted;
+    * identical change rows are no-ops (no spurious versions);
+    * brand-new keys insert an open version;
+    * closed historical versions pass through untouched.
+
+    Scale shape: closed history never joins — only open versions meet
+    the changeset, in ONE equi-join on the key (broadcast when the
+    changeset is small), then a union of the four disjoint branches.
+    No window functions, no driver-side rows.
+    """
+    from pyspark.sql import functions as F
+
+    ts = F.lit(effective_ts).cast("timestamp")
+    open_rows = current.filter(F.col(valid_to).isNull())
+    closed_rows = current.filter(F.col(valid_to).isNotNull())
+
+    chg = changes.select(
+        F.col(key).alias("_k"), *[F.col(c).alias(f"_c_{c}") for c in tracked]
+    )
+    joined = open_rows.join(chg, F.col(key) == F.col("_k"), "full_outer")
+
+    differs = F.lit(False)
+    for c in tracked:
+        differs = differs | ~F.col(c).eqNullSafe(F.col(f"_c_{c}"))
+
+    matched = joined.filter(F.col(key).isNotNull() & F.col("_k").isNotNull())
+    # 1. unchanged open versions (change row identical or absent)
+    untouched = joined.filter(
+        F.col(key).isNotNull() & F.col("_k").isNull()
+    ).select(current.columns)
+    same = matched.filter(~differs).select(current.columns)
+    # 2. superseded versions -> closed at effective_ts
+    closed_now = (
+        matched.filter(differs)
+        .select(current.columns)
+        .withColumn(valid_to, ts)
+    )
+    # 3. new versions for changed keys + 4. brand-new keys
+    inserts_src = matched.filter(differs).unionByName(
+        joined.filter(F.col(key).isNull())
+    )
+    inserted = inserts_src.select(
+        F.col("_k").alias(key),
+        *[F.col(f"_c_{c}").alias(c) for c in tracked],
+        ts.alias(valid_from),
+        F.lit(None).cast("timestamp").alias(valid_to),
+    ).select(current.columns)
+
+    return (
+        closed_rows.unionByName(untouched)
+        .unionByName(same)
+        .unionByName(closed_now)
+        .unionByName(inserted)
+    )

@@ -196,3 +196,45 @@ def test_incremental_agg_update_validates(spark):
     df = spark.createDataFrame([(1, 2)], "k long, s long")
     with pytest.raises(ValueError):
         incremental_agg_update(df, df, keys=["k"])
+
+
+def test_scd2_version_lifecycle(spark):
+    """Changed keys close + reopen; identical changes are no-ops;
+    new keys insert; closed history passes through untouched."""
+    from etl_global_mobility_spark.operators.merge import scd2_apply
+    from pyspark.sql import functions as F
+
+    current = spark.createDataFrame(
+        [
+            # closed history for key 1
+            (1, "alpha", "2018-01-01", "2020-01-01"),
+            # open versions
+            (1, "beta", "2020-01-01", None),
+            (2, "gamma", "2020-01-01", None),
+            (3, "delta", "2020-01-01", None),
+        ],
+        "k long, attr string, valid_from string, valid_to string",
+    ).select(
+        "k",
+        "attr",
+        F.col("valid_from").cast("timestamp").alias("valid_from"),
+        F.col("valid_to").cast("timestamp").alias("valid_to"),
+    )
+    changes = spark.createDataFrame(
+        [
+            (1, "beta2"),  # changed -> close + new version
+            (2, "gamma"),  # identical -> no-op
+            (9, "new"),  # brand-new key
+        ],
+        "k long, attr string",
+    )
+    out = scd2_apply(current, changes, "k", ["attr"], "2024-06-01")
+    rows = {(r["k"], r["attr"], str(r["valid_from"]), str(r["valid_to"])) for r in out.collect()}
+    assert rows == {
+        (1, "alpha", "2018-01-01 00:00:00", "2020-01-01 00:00:00"),
+        (1, "beta", "2020-01-01 00:00:00", "2024-06-01 00:00:00"),
+        (1, "beta2", "2024-06-01 00:00:00", "None"),
+        (2, "gamma", "2020-01-01 00:00:00", "None"),
+        (3, "delta", "2020-01-01 00:00:00", "None"),
+        (9, "new", "2024-06-01 00:00:00", "None"),
+    }
