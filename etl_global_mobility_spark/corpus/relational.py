@@ -1206,6 +1206,50 @@ def q_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension lookup — the READ side of SCD2: each
+    order joins the customer-dimension version valid at its order
+    date (valid_from <= t < valid_to, open end = +inf). The versioned
+    dim is bounded (versions per key are few), so the range join
+    broadcasts it and the fact table streams map-only; per-fact
+    uniqueness is structural (version intervals are disjoint per
+    key). Counts segment assignments as-of order time."""
+    from etl_global_mobility_spark.operators.merge import scd2_apply
+
+    base = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    t95 = F.lit("1995-01-01").cast("timestamp")
+    dim = scd2_apply(
+        base.select(
+            "c_custkey",
+            "c_name",
+            "c_mktsegment",
+            t95.alias("valid_from"),
+            F.lit(None).cast("timestamp").alias("valid_to"),
+        ),
+        base.filter(F.col("c_custkey") % 10 == 0).select(
+            "c_custkey", "c_name", F.lit("CHANGED").alias("c_mktsegment")
+        ),
+        key="c_custkey",
+        tracked=["c_name", "c_mktsegment"],
+        effective_ts="1999-07-01",
+    )
+    o = load_table(spark, sf_dir, "orders")
+    matched = o.join(
+        F.broadcast(dim),
+        (F.col("o_custkey") == F.col("c_custkey"))
+        & (F.col("o_orderdate") >= F.col("valid_from"))
+        & (
+            F.col("valid_to").isNull()
+            | (F.col("o_orderdate") < F.col("valid_to"))
+        ),
+    )
+    return matched.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+
+
 def q_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Declarative table-contract validation
     (operators/expectations.py): non-null, accepted-values, range,
@@ -1750,6 +1794,36 @@ SPECS = [
               OR c_custkey IS NULL""",
         doc="SCD Type 2 dimension merge (close superseded versions, "
         "insert new, history untouched)",
+    ),
+    QuerySpec(
+        "rel_scd2_point_in_time",
+        q_scd2_point_in_time,
+        """WITH base AS (
+             SELECT c_custkey, c_name, c_mktsegment FROM customer
+           ), dim AS (
+             -- unchanged keys: one open version from 1995
+             SELECT c_custkey, c_mktsegment,
+                    TIMESTAMP '1995-01-01' AS valid_from,
+                    CAST(NULL AS TIMESTAMP) AS valid_to
+             FROM base WHERE c_custkey % 10 != 0
+             UNION ALL
+             -- changed keys: closed original + open CHANGED version
+             SELECT c_custkey, c_mktsegment,
+                    TIMESTAMP '1995-01-01', TIMESTAMP '1999-07-01'
+             FROM base WHERE c_custkey % 10 = 0
+             UNION ALL
+             SELECT c_custkey, 'CHANGED',
+                    TIMESTAMP '1999-07-01', CAST(NULL AS TIMESTAMP)
+             FROM base WHERE c_custkey % 10 = 0
+           )
+           SELECT d.c_mktsegment, count(*) AS n_orders
+           FROM orders o JOIN dim d
+             ON o.o_custkey = d.c_custkey
+            AND o.o_orderdate >= d.valid_from
+            AND (d.valid_to IS NULL OR o.o_orderdate < d.valid_to)
+           GROUP BY d.c_mktsegment""",
+        doc="point-in-time SCD2 lookup (version valid at fact time; "
+        "broadcast versioned dim, map-only fact stream)",
     ),
     QuerySpec(
         "rel_expectations_report",
