@@ -1206,6 +1206,36 @@ def q_scd2_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC generation (operators/merge.py:snapshot_diff): diff two
+    customer snapshots — segment changes, dropped keys, added keys —
+    into the op-tagged changeset. Unchanged rows (the bulk) emit
+    nothing: the output is proportional to churn, not table size."""
+    from etl_global_mobility_spark.operators.merge import snapshot_diff
+
+    base = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    old = base
+    new = (
+        base.filter(F.col("c_custkey") % 97 != 0)  # deletes
+        .withColumn(
+            "c_mktsegment",
+            F.when(F.col("c_custkey") % 10 == 0, F.lit("CHANGED")).otherwise(
+                F.col("c_mktsegment")
+            ),
+        )  # updates
+        .unionByName(
+            base.filter(F.col("c_custkey") < 5).select(
+                (F.col("c_custkey") + 100000).alias("c_custkey"),
+                "c_name",
+                F.lit("NEW").alias("c_mktsegment"),
+            )
+        )  # inserts
+    )
+    return snapshot_diff(old, new, keys=["c_custkey"])
+
+
 def q_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time dimension lookup — the READ side of SCD2: each
     order joins the customer-dimension version valid at its order
@@ -1794,6 +1824,35 @@ SPECS = [
               OR c_custkey IS NULL""",
         doc="SCD Type 2 dimension merge (close superseded versions, "
         "insert new, history untouched)",
+    ),
+    QuerySpec(
+        "rel_snapshot_diff",
+        q_snapshot_diff,
+        """WITH base AS (
+             SELECT c_custkey, c_name, c_mktsegment FROM customer
+           ), new AS (
+             SELECT c_custkey, c_name,
+                    CASE WHEN c_custkey % 10 = 0 THEN 'CHANGED'
+                         ELSE c_mktsegment END AS c_mktsegment
+             FROM base WHERE c_custkey % 97 != 0
+             UNION ALL
+             SELECT c_custkey + 100000, c_name, 'NEW'
+             FROM base WHERE c_custkey < 5
+           )
+           SELECT 'insert' AS op, n.c_custkey, n.c_name, n.c_mktsegment
+           FROM new n LEFT JOIN base o USING (c_custkey)
+           WHERE o.c_custkey IS NULL
+           UNION ALL
+           SELECT 'update', n.c_custkey, n.c_name, n.c_mktsegment
+           FROM new n JOIN base o USING (c_custkey)
+           WHERE NOT (n.c_name IS NOT DISTINCT FROM o.c_name
+                      AND n.c_mktsegment IS NOT DISTINCT FROM o.c_mktsegment)
+           UNION ALL
+           SELECT 'delete', o.c_custkey, o.c_name, o.c_mktsegment
+           FROM base o LEFT JOIN new n USING (c_custkey)
+           WHERE n.c_custkey IS NULL""",
+        doc="CDC generation: snapshot diff into op-tagged changeset "
+        "(output proportional to churn)",
     ),
     QuerySpec(
         "rel_scd2_point_in_time",

@@ -163,3 +163,53 @@ def scd2_apply(
         .unionByName(closed_now)
         .unionByName(inserted)
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: Sequence[str],
+) -> DataFrame:
+    """Change-data-feed generation — the INVERSE of :func:`upsert`:
+    diff two snapshots of a table into an op-tagged changeset
+    (``op`` ∈ insert/delete/update), the feed a downstream incremental
+    consumer or :func:`scd2_apply` ingests when the source system
+    only provides full dumps.
+
+    One full-outer join on the keys; rows equal under null-safe
+    whole-row comparison produce NO change row (the common case — the
+    changeset is proportional to the churn, not the table). Emitted
+    rows carry the NEW values (OLD for deletes).
+    """
+    from pyspark.sql import functions as F
+
+    value_cols = [c for c in new.columns if c not in keys]
+    o = old.select(
+        *[F.col(k).alias(f"_ok_{k}") for k in keys],
+        *[F.col(c).alias(f"_ov_{c}") for c in value_cols],
+    )
+    n = new
+    cond = None
+    for k in keys:
+        c = F.col(k) == F.col(f"_ok_{k}")
+        cond = c if cond is None else cond & c
+    j = n.join(o, cond, "full_outer")
+
+    same = F.lit(True)
+    for c in value_cols:
+        same = same & F.col(c).eqNullSafe(F.col(f"_ov_{c}"))
+    new_present = F.col(keys[0]).isNotNull()
+    old_present = F.col(f"_ok_{keys[0]}").isNotNull()
+
+    inserts = j.filter(new_present & ~old_present).select(
+        F.lit("insert").alias("op"), *keys, *value_cols
+    )
+    updates = j.filter(new_present & old_present & ~same).select(
+        F.lit("update").alias("op"), *keys, *value_cols
+    )
+    deletes = j.filter(~new_present & old_present).select(
+        F.lit("delete").alias("op"),
+        *[F.col(f"_ok_{k}").alias(k) for k in keys],
+        *[F.col(f"_ov_{c}").alias(c) for c in value_cols],
+    )
+    return inserts.unionByName(updates).unionByName(deletes)

@@ -238,3 +238,38 @@ def test_scd2_version_lifecycle(spark):
         (3, "delta", "2020-01-01 00:00:00", "None"),
         (9, "new", "2024-06-01 00:00:00", "None"),
     }
+
+
+def test_snapshot_diff_roundtrip(spark):
+    """Algebraic consistency: upsert(old, diff-upserts) minus
+    diff-deletes == new. Unchanged rows emit no change row."""
+    from pyspark.sql import functions as F
+
+    from etl_global_mobility_spark.operators.merge import (
+        snapshot_diff,
+        upsert,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, "d")], "k long, v string"
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B"), (5, "e")], "k long, v string"
+    )  # 2 updated, 3+4 deleted, 5 inserted, 1 unchanged
+    diff = snapshot_diff(old, new, keys=["k"])
+    ops = {(r["op"], r["k"]) for r in diff.collect()}
+    assert ops == {
+        ("update", 2),
+        ("delete", 3),
+        ("delete", 4),
+        ("insert", 5),
+    }
+
+    applied = upsert(
+        old, diff.filter(F.col("op") != "delete").drop("op"), keys=["k"]
+    ).join(
+        diff.filter(F.col("op") == "delete").select("k"), "k", "left_anti"
+    )
+    assert sorted(map(tuple, applied.collect())) == sorted(
+        map(tuple, new.collect())
+    )
