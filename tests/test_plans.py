@@ -284,3 +284,41 @@ def test_join_hint_forces_shuffled_hash(spark):
     o = load_table(spark, SF, "orders")
     merged = o.join(c, o.o_custkey == c.c_custkey)
     assert "SortMergeJoin" in plan_of(merged)
+
+
+def test_runtime_bloom_filter_injects_semi_join_reduction(spark):
+    """Spark's runtime bloom filter: a selective filter on the build
+    side of a shuffle join injects might_contain() onto the probe side
+    scan — rows that cannot match are dropped BEFORE the shuffle (the
+    config-only semi-join reduction; at 100 TB this is the difference
+    between shuffling the fact table and shuffling the matching
+    slice). The application-side size threshold defaults to 10GB, so
+    it is lowered for the sf0.001 fixture."""
+    from pyspark.sql import functions as F
+
+    from etl_global_mobility_spark.corpus.base import load_table
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, SF, "lineitem")
+        o = load_table(spark, SF, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(o, li.l_orderkey == o.o_orderkey)
+        assert "might_contain" in plan_of(j).lower()
+        # and the result is unchanged by the reduction
+        plain = li.join(o, li.l_orderkey == o.o_orderkey).count()
+        assert j.count() == plain
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
