@@ -10,6 +10,14 @@ State is bounded per key (a few scalars) and keyed by user — at scale
 the state store partitions with the shuffle, and a real deployment adds
 a timeout (``GroupStateTimeout.ProcessingTimeTimeout``) to expire idle
 keys; here the stream is bounded so NoTimeout keeps the example exact.
+
+Spark 4's successor API, ``transformWithStateInPandas``
+(StatefulProcessor with typed value/list/map state, timers, and
+initial-state handling), is the forward path for new code — it is NOT
+used here because its driver-side runner requires ``google.protobuf``,
+which this environment lacks (verified: the streaming Python runner
+fails at import). The operator contract below ports 1:1 to a
+StatefulProcessor (state scalars → getValueState fields).
 """
 
 from __future__ import annotations
