@@ -1122,6 +1122,68 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test leakage detector: near-duplicate pairs (n-gram
+    Jaccard) whose members land in DIFFERENT hash splits — the audit
+    every eval pipeline needs, because a test document with a train
+    near-twin inflates benchmark scores. Composes the banded near-dup
+    candidate generator with the deterministic split assignment; at
+    100 TB the pair set (not the corpus) is what gets labeled, so the
+    audit costs one broadcastable join over the near-dup output.
+    Reports pair counts per (split_a, split_b) bucket; off-diagonal
+    rows with split_a != split_b are the leaks."""
+    from etl_global_mobility_spark.operators.dedup import ngram_jaccard_pairs
+    from etl_global_mobility_spark.operators.splits import split_column
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, k=2, threshold=0.25)
+    split_of = d.select(
+        "doc_id", split_column("doc_id").alias("split")
+    )
+    labeled = (
+        pairs.join(
+            split_of.select(
+                F.col("doc_id").alias("id_a"), F.col("split").alias("split_a")
+            ),
+            "id_a",
+        )
+        .join(
+            split_of.select(
+                F.col("doc_id").alias("id_b"), F.col("split").alias("split_b")
+            ),
+            "id_b",
+        )
+    )
+    return labeled.groupBy("split_a", "split_b").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum((F.col("split_a") != F.col("split_b")).cast("long")).alias(
+            "n_leaky"
+        ),
+    )
+
+
+def _split_leakage_sql() -> str:
+    split_case = f"""CASE
+        WHEN {_md5_hash_sql("CAST(doc_id AS VARCHAR)", 0)} % 100 < 80
+          THEN 'train'
+        WHEN {_md5_hash_sql("CAST(doc_id AS VARCHAR)", 0)} % 100 < 90
+          THEN 'valid'
+        ELSE 'test' END"""
+    return f"""WITH pairs AS (
+      SELECT id_a, id_b FROM ({_ngram_jaccard_sql()})
+    ), splits AS (
+      SELECT doc_id, {split_case} AS split FROM documents
+    )
+    SELECT sa.split AS split_a, sb.split AS split_b,
+           count(*) AS n_pairs,
+           CAST(sum(CASE WHEN sa.split != sb.split THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_leaky
+    FROM pairs p
+    JOIN splits sa ON p.id_a = sa.doc_id
+    JOIN splits sb ON p.id_b = sb.doc_id
+    GROUP BY sa.split, sb.split"""
+
+
 def q_per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard per-source cap (operators/splits.py:cap_per_stratum): at
     most 10 docs per source, selected by deterministic md5 order —
@@ -1513,6 +1575,12 @@ SPECS = [
         _e2e_curation_sql(),
         doc="composed curation pipeline: filter_rules → exact_dedup → "
         "mix_sources in one fused plan",
+    ),
+    QuerySpec(
+        "llm_split_leakage",
+        q_split_leakage,
+        _split_leakage_sql(),
+        doc="train/test leakage audit: near-dup pairs straddling splits",
     ),
     QuerySpec(
         "llm_per_source_cap",

@@ -59,6 +59,7 @@ ALLOWED_OUTSIDE_WINDOW = {
     "llm_e2e_curation": "llm_filter_rules",  # composition of in-window stages
     "llm_dedup_keep_best": "llm_dedup_components",  # same cluster machinery
     "llm_per_source_cap": "llm_mix_sources",  # md5-deterministic sampling
+    "llm_split_leakage": "llm_ngram_jaccard",  # composition of in-window stages
 }
 
 
