@@ -197,3 +197,28 @@ def test_cap_per_stratum_exact_and_deterministic(spark):
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
     with pytest.raises(ValueError):
         cap_per_stratum(df, "source", max_rows=0)
+
+
+def test_bm25_no_matching_terms_returns_empty(spark):
+    out = bm25_topk(
+        _docs(spark, [(1, "alpha beta"), (2, "gamma")]),
+        ("zzz_not_present",),
+        top_k=5,
+    )
+    assert out.count() == 0
+
+
+def test_filter_rules_threshold_overrides(spark):
+    # with min_words lowered, a short doc passes; with it raised, the
+    # long doc fails — thresholds are injectable per corpus
+    short = _docs(spark, [(1, "the tiny a doc of note")])
+    assert filter_rules(short, min_words=3).first()["r_min_words"] is False
+    long_doc = _docs(spark, [(1, GOOD)])
+    assert filter_rules(long_doc, min_words=999).first()["r_min_words"] is True
+
+
+def test_filter_rules_empty_text(spark):
+    row = filter_rules(_docs(spark, [(1, "")])).first()
+    assert row["keep"] is False
+    assert row["n_words"] == 0
+    assert row["r_min_words"] is True
