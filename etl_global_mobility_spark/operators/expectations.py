@@ -53,13 +53,14 @@ def validation_report(
             )
         )
         names.append(f"unique_{unique_key}")
-    wide = df.agg(*aggs) if aggs else None
-
-    # stack the one-row wide frame into (rule, n_violations)
-    stack_expr = ", ".join(f"'{n}', `{n}`" for n in names)
-    report = wide.selectExpr(
-        f"stack({len(names)}, {stack_expr}) AS (rule, n_violations)"
-    )
+    report = None
+    if aggs:
+        # stack the one-row wide frame into (rule, n_violations)
+        wide = df.agg(*aggs)
+        stack_expr = ", ".join(f"'{n}', `{n}`" for n in names)
+        report = wide.selectExpr(
+            f"stack({len(names)}, {stack_expr}) AS (rule, n_violations)"
+        )
 
     if fk is not None:
         parent, child_col, parent_col = fk
@@ -76,7 +77,7 @@ def validation_report(
                 F.lit(f"fk_{child_col}").alias("rule"), F.col("n_violations")
             )
         )
-        report = report.unionByName(orphans)
+        report = orphans if report is None else report.unionByName(orphans)
 
     return report.select(
         "rule",

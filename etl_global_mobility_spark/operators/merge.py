@@ -122,23 +122,32 @@ def scd2_apply(
     from pyspark.sql import functions as F
 
     ts = F.lit(effective_ts).cast("timestamp")
-    open_rows = current.filter(F.col(valid_to).isNull())
+    open_rows = current.filter(F.col(valid_to).isNull()).withColumn(
+        "_cur_present", F.lit(True)
+    )
     closed_rows = current.filter(F.col(valid_to).isNotNull())
 
     chg = changes.select(
-        F.col(key).alias("_k"), *[F.col(c).alias(f"_c_{c}") for c in tracked]
+        F.col(key).alias("_k"),
+        *[F.col(c).alias(f"_c_{c}") for c in tracked],
+        F.lit(True).alias("_chg_present"),
     )
-    joined = open_rows.join(chg, F.col(key) == F.col("_k"), "full_outer")
+    # eqNullSafe + explicit presence markers: a NULL key is a real
+    # (single-valued) key, not an unmatchable row — without this a
+    # NULL-key version would silently vanish from the output.
+    joined = open_rows.join(chg, F.col(key).eqNullSafe(F.col("_k")), "full_outer")
+    cur_present = F.coalesce(F.col("_cur_present"), F.lit(False))
+    chg_present = F.coalesce(F.col("_chg_present"), F.lit(False))
 
     differs = F.lit(False)
     for c in tracked:
         differs = differs | ~F.col(c).eqNullSafe(F.col(f"_c_{c}"))
 
-    matched = joined.filter(F.col(key).isNotNull() & F.col("_k").isNotNull())
+    matched = joined.filter(cur_present & chg_present)
     # 1. unchanged open versions (change row identical or absent)
-    untouched = joined.filter(
-        F.col(key).isNotNull() & F.col("_k").isNull()
-    ).select(current.columns)
+    untouched = joined.filter(cur_present & ~chg_present).select(
+        current.columns
+    )
     same = matched.filter(~differs).select(current.columns)
     # 2. superseded versions -> closed at effective_ts
     closed_now = (
@@ -148,7 +157,7 @@ def scd2_apply(
     )
     # 3. new versions for changed keys + 4. brand-new keys
     inserts_src = matched.filter(differs).unionByName(
-        joined.filter(F.col(key).isNull())
+        joined.filter(chg_present & ~cur_present)
     )
     inserted = inserts_src.select(
         F.col("_k").alias(key),
@@ -180,6 +189,10 @@ def snapshot_diff(
     whole-row comparison produce NO change row (the common case — the
     changeset is proportional to the churn, not the table). Emitted
     rows carry the NEW values (OLD for deletes).
+
+    Keys compare null-safely (``eqNullSafe``) and presence is tracked
+    by explicit marker literals, so NULL-key rows participate like any
+    other key value instead of silently dropping out of the diff.
     """
     from pyspark.sql import functions as F
 
@@ -187,19 +200,20 @@ def snapshot_diff(
     o = old.select(
         *[F.col(k).alias(f"_ok_{k}") for k in keys],
         *[F.col(c).alias(f"_ov_{c}") for c in value_cols],
+        F.lit(True).alias("_o_present"),
     )
-    n = new
+    n = new.withColumn("_n_present", F.lit(True))
     cond = None
     for k in keys:
-        c = F.col(k) == F.col(f"_ok_{k}")
+        c = F.col(k).eqNullSafe(F.col(f"_ok_{k}"))
         cond = c if cond is None else cond & c
     j = n.join(o, cond, "full_outer")
 
     same = F.lit(True)
     for c in value_cols:
         same = same & F.col(c).eqNullSafe(F.col(f"_ov_{c}"))
-    new_present = F.col(keys[0]).isNotNull()
-    old_present = F.col(f"_ok_{keys[0]}").isNotNull()
+    new_present = F.coalesce(F.col("_n_present"), F.lit(False))
+    old_present = F.coalesce(F.col("_o_present"), F.lit(False))
 
     inserts = j.filter(new_present & ~old_present).select(
         F.lit("insert").alias("op"), *keys, *value_cols

@@ -106,20 +106,30 @@ def filter_rules(
     keep = F.lit(True)
     for name, _ in rules:
         keep = keep & ~F.col(name)
+    # NULL text makes every rule expression NULL, which would make
+    # ``keep`` NULL — and a NULL keep passes neither filter(keep) nor
+    # filter(~keep), silently dropping the row from BOTH halves of
+    # split_quarantine. Conservative contract (same as expectations.py):
+    # unevaluable rows quarantine.
+    keep = F.coalesce(keep, F.lit(False))
     # concat_ws drops NULLs in Spark and DuckDB alike — the standard
     # trick for "join only the failed rule names, fixed rule order".
     reason_parts = [
         F.when(F.col(name), F.lit(name.removeprefix("r_"))) for name, _ in rules
     ]
-    return out.withColumn("keep", keep).withColumn(
-        "reasons", F.concat_ws("|", *reason_parts)
+    reasons = F.when(text.isNull(), F.lit("unevaluable")).otherwise(
+        F.concat_ws("|", *reason_parts)
     )
+    return out.withColumn("keep", keep).withColumn("reasons", reasons)
 
 
 def split_quarantine(
     df: DataFrame, text_col: str = "text"
 ) -> tuple[DataFrame, DataFrame]:
     """Clean/quarantine split on :func:`filter_rules` — the reference's
-    depurado/obs table pair (NB:647-678) for a document corpus."""
+    depurado/obs table pair (NB:647-678) for a document corpus.
+
+    Partition contract: every input row lands in exactly one output
+    (``keep`` is never NULL — NULL/unevaluable text quarantines)."""
     flagged = filter_rules(df, text_col)
     return flagged.filter(F.col("keep")), flagged.filter(~F.col("keep"))

@@ -27,10 +27,15 @@ Oracle portability: the classic ln-based idf is replaced by its
 rational core ``(N - df + 0.5) / (df + 0.5)`` — ln() differs between
 libm implementations in the last ulp, while +,*,/ are exactly rounded
 IEEE ops that hash-match across engines when the expression tree is
-mirrored (same discipline as operators/text.py salient_terms). The
-rational idf is a monotone transform of the standard one, so rankings
-agree; callers wanting the textbook value can take ``ln(idf)``
-downstream.
+mirrored (same discipline as operators/text.py salient_terms). Note
+this is a deliberate BM25 *variant* chosen for cross-engine FP parity:
+for a SINGLE-term query the per-term transform is monotone and the
+ranking matches textbook Okapi BM25, but the returned score is a SUM
+of per-term contributions, and a per-term monotone transform does not
+preserve the ordering of sums — multi-term rankings can diverge from
+the ln-idf formulation. Callers needing textbook Okapi ordering should
+apply ln() inside the per-term contribution, at the cost of
+cross-engine hash parity.
 """
 
 from __future__ import annotations

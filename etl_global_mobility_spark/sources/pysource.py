@@ -65,9 +65,16 @@ class SyntheticEventsReader(DataSourceReader):
     predicates tighten the generated id interval BEFORE partition
     planning, so filtered scans plan fewer/smaller partitions instead
     of generating everything and filtering after — the custom-source
-    analogue of parquet min/max data skipping. Spark re-applies every
-    filter on top (pushdown here is an optimization, not a correctness
-    contract), and unsupported filters are returned to Spark."""
+    analogue of parquet min/max data skipping.
+
+    CORRECTNESS CONTRACT (PySpark 4.x ``pushFilters``): filters NOT
+    yielded back are treated as FULLY HANDLED — Spark does not
+    re-evaluate them post-scan. Every consumed branch below must
+    therefore enforce its predicate EXACTLY; the lo/hi interval
+    arithmetic is exact for these five comparison shapes (that is why
+    only they are consumed). Never "loosen" a consumed bound as an
+    optimization — that silently returns wrong rows. Unsupported
+    filters are yielded back and Spark evaluates them post-scan."""
 
     def __init__(self, options: dict) -> None:
         self.n_rows = int(options.get("n_rows", 1000))

@@ -53,3 +53,14 @@ def test_requires_some_expectation(spark):
     df = spark.createDataFrame([(1,)], "k long")
     with pytest.raises(ValueError):
         validation_report(df, row_rules={})
+
+
+def test_fk_only_report(spark):
+    """fk alone (row_rules={} and no unique_key) must produce a
+    one-row report, not crash on an empty stack()."""
+    df = spark.createDataFrame([(1,), (9,)], "k long")
+    parent = spark.createDataFrame([(1,)], "pk long")
+    rep = validation_report(df, row_rules={}, fk=(parent, "k", "pk")).collect()
+    assert len(rep) == 1
+    assert rep[0]["rule"] == "fk_k"
+    assert rep[0]["n_violations"] == 1 and rep[0]["ok"] is False

@@ -75,6 +75,21 @@ def test_split_quarantine_partitions_corpus(spark):
     assert [r["doc_id"] for r in quarantine.collect()] == [2]
 
 
+def test_split_quarantine_null_text_lands_in_quarantine(spark):
+    """Partition contract: a NULL-text row must land in exactly one
+    output. Before the fix, NULL text made every rule flag (and keep)
+    NULL, so the row passed neither filter(keep) nor filter(~keep) and
+    silently vanished from both halves."""
+    df = _docs(spark, [(1, GOOD), (2, None)])
+    clean, quarantine = split_quarantine(df)
+    assert [r["doc_id"] for r in clean.collect()] == [1]
+    q = quarantine.collect()
+    assert [r["doc_id"] for r in q] == [2]
+    assert q[0]["keep"] is False
+    assert q[0]["reasons"] == "unevaluable"
+    assert clean.count() + quarantine.count() == df.count()
+
+
 # ------------------------------------------------------------- BM25 ----
 
 

@@ -214,18 +214,24 @@ def test_pack_sequences_single_shard_shuffle(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
-def test_strip_boilerplate_hot_set_broadcasts(spark):
-    """The df-hot segment set (tiny by construction: it IS the
-    boilerplate) must broadcast into the anti-join — a shuffled anti
-    join on segment text would re-shuffle the whole exploded corpus."""
+def test_strip_boilerplate_anti_join_unhinted(spark):
+    """The hot-segment anti-join must carry NO unconditional broadcast
+    hint: the >df_max set is unbounded on a web corpus (hundreds of
+    millions of short segments), so a forced broadcast OOMs at scale.
+    The LeftAnti join still executes, and once AQE has measured the
+    (small) hot set at runtime it is free to broadcast it — or to
+    shuffle, if it isn't."""
     from etl_global_mobility_spark.corpus.base import load_table
     from etl_global_mobility_spark.operators.dedup import strip_boilerplate
 
-    plan = plan_of(strip_boilerplate(load_table(spark, SF, "documents")))
-    assert "BroadcastHashJoin LeftAnti BuildRight" in plan.replace("\n", " ") or (
-        "LeftAnti" in plan and "BroadcastExchange" in plan
-    )
-    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    df = strip_boilerplate(load_table(spark, SF, "documents"))
+    initial = plan_of(df)
+    assert "LeftAnti" in initial
+    # the logical plan must not pin the strategy before sizes are known
+    assert "ResolvedHint" not in df._jdf.queryExecution().analyzed().toString()
+    final = final_plan_of(df)
+    assert "LeftAnti" in final
+    assert "BatchEvalPython" not in final and "ArrowEvalPython" not in final
 
 
 def test_filter_rules_is_map_only(spark):

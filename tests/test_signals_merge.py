@@ -273,3 +273,52 @@ def test_snapshot_diff_roundtrip(spark):
     assert sorted(map(tuple, applied.collect())) == sorted(
         map(tuple, new.collect())
     )
+
+
+def test_snapshot_diff_null_keys_participate(spark):
+    """eqNullSafe keys + presence markers: NULL-key rows diff like any
+    other key value. Before the fix a NULL-key row in either snapshot
+    produced no insert/update/delete row at all."""
+    from etl_global_mobility_spark.operators.merge import snapshot_diff
+
+    old = spark.createDataFrame([(1, "a"), (None, "x")], "k long, v string")
+    new = spark.createDataFrame([(1, "a"), (None, "y")], "k long, v string")
+    ops = {
+        (r["op"], r["k"], r["v"])
+        for r in snapshot_diff(old, new, keys=["k"]).collect()
+    }
+    assert ops == {("update", None, "y")}
+
+    # NULL-key row deleted / inserted
+    gone = snapshot_diff(old, spark.createDataFrame([(1, "a")], "k long, v string"), ["k"])
+    assert {(r["op"], r["k"], r["v"]) for r in gone.collect()} == {
+        ("delete", None, "x")
+    }
+
+
+def test_scd2_null_key_versions_survive(spark):
+    """A NULL-key open version must not vanish from the dimension when
+    a changeset arrives (and a NULL-key change row must match it)."""
+    from pyspark.sql import functions as F
+
+    from etl_global_mobility_spark.operators.merge import scd2_apply
+
+    current = spark.createDataFrame(
+        [(None, "nk", "2020-01-01", None), (1, "one", "2020-01-01", None)],
+        "k long, attr string, valid_from string, valid_to string",
+    ).select(
+        "k",
+        "attr",
+        F.col("valid_from").cast("timestamp").alias("valid_from"),
+        F.col("valid_to").cast("timestamp").alias("valid_to"),
+    )
+    changes = spark.createDataFrame([(None, "nk2")], "k long, attr string")
+    out = scd2_apply(current, changes, "k", ["attr"], "2024-06-01")
+    rows = {
+        (r["k"], r["attr"], str(r["valid_to"])) for r in out.collect()
+    }
+    assert rows == {
+        (None, "nk", "2024-06-01 00:00:00"),  # closed, not dropped
+        (None, "nk2", "None"),  # new open version
+        (1, "one", "None"),  # untouched (no change row)
+    }
