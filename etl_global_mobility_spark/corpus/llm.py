@@ -77,15 +77,27 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_token_count_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus profile: top-5 df-normalized salient terms
+    joined with the language's token totals — merges the r3 variants
+    llm_token_count_by_lang + llm_salient_terms so one driver row
+    evidences both text-analysis components. The per-lang totals frame
+    is bounded (one row per language) and broadcasts onto the bounded
+    top-k term rows; see operators.text.salient_terms for the tf/df
+    (not ln-idf) scoring rationale."""
+    from etl_global_mobility_spark.operators.text import salient_terms
+
     d = load_table(spark, sf_dir, "documents")
-    return (
+    totals = (
         d.withColumn("n_toks", token_count("text"))
         .groupBy("lang")
         .agg(
             F.sum("n_toks").alias("total_tokens"),
             F.count(F.lit(1)).alias("n_docs"),
         )
+    )
+    return salient_terms(d, group_col="lang", top_k=5).join(
+        F.broadcast(totals), "lang"
     )
 
 
@@ -351,15 +363,6 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         default_rate=0.1,
         seed=1,
     ).select("doc_id", "lang")
-
-
-def q_salient_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-5 df-normalized salient terms per language (tf/df score —
-    see operators.text.salient_terms for why not ln-idf here)."""
-    from etl_global_mobility_spark.operators.text import salient_terms
-
-    d = load_table(spark, sf_dir, "documents")
-    return salient_terms(d, group_col="lang", top_k=5)
 
 
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1346,12 +1349,19 @@ SPECS = [
         doc="per-document text statistics",
     ),
     QuerySpec(
-        "llm_token_count_by_lang",
-        q_token_count_by_lang,
-        f"""SELECT lang, CAST(sum(len({TOKS})) AS BIGINT) AS total_tokens,
-               count(*) AS n_docs
-            FROM documents GROUP BY lang""",
-        doc="token totals per language",
+        "llm_lang_profile",
+        q_lang_profile,
+        f"""WITH totals AS (
+              SELECT lang, CAST(sum(len({TOKS})) AS BIGINT) AS total_tokens,
+                     count(*) AS n_docs
+              FROM documents GROUP BY lang
+            ), salient AS ({_salient_terms_sql(5)})
+            SELECT s.lang, s.rank, s.term, s.tf, s.df, s.score,
+                   t.total_tokens, t.n_docs
+            FROM salient s JOIN totals t USING (lang)""",
+        doc="per-language profile: top-5 salient terms + token totals "
+        "(merges the r3 llm_token_count_by_lang + llm_salient_terms "
+        "variants)",
     ),
     QuerySpec(
         "llm_language_id",
@@ -1469,12 +1479,6 @@ SPECS = [
         q_stratified_sample,
         _stratified_sample_sql({"en": 0.5, "es": 0.3, "fr": 0.2}, 0.1, seed=1),
         doc="deterministic per-language stratified sample (stable md5 buckets)",
-    ),
-    QuerySpec(
-        "llm_salient_terms",
-        q_salient_terms,
-        _salient_terms_sql(5),
-        doc="top df-normalized salient terms per language",
     ),
     QuerySpec(
         "llm_vocab_oov",

@@ -846,25 +846,6 @@ def q_window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_minmax_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-group min-max feature normalization: (v - min) / (max - min)
-    over each event_type — the standard ML-prep scaling pass. One
-    window (or broadcast-joined aggregate) per group; here the window
-    form keeps it a single shuffle on the group key. min/max are exact
-    selections and the single IEEE division is portable (unlike
-    stddev-based z-scores, whose accumulation order differs across
-    engines)."""
-    e = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type")
-    lo, hi = F.min("value").over(w), F.max("value").over(w)
-    # constant-group guard: Spark x/0.0 is NULL while DuckDB is ±inf —
-    # pin the degenerate case to 0.5 in both engines.
-    norm = F.when(hi == lo, F.lit(0.5)).otherwise(
-        (F.col("value") - lo) / (hi - lo)
-    )
-    return e.select("event_id", "event_type", "value", norm.alias("value_norm"))
-
-
 def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked fuzzy self-match (record linkage): supplier names within
     edit distance 1, candidate pairs generated per block — never
@@ -1432,17 +1413,34 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tri.agg(F.count(F.lit(1)).alias("n_triangles"))
 
 
-def q_winsorize_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Outlier clipping (winsorization) at per-group quartiles: values
-    clamped into [p25, p75] — the ML-prep robustness transform. The
-    0.25/0.75 quantile fractions keep the (n-1)·p interpolation rank
-    arithmetic FP-exact across engines (0.05/0.95 would not be binary
-    fractions); the bounded per-group quantile frame broadcasts back
-    onto the fact rows."""
+def q_robust_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group robust scaling: IQR winsorization (values clamped into
+    [p25, p75]) AND min-max normalization in one pass — the two
+    standard ML-prep scaling transforms, merged from the r3 variants
+    rel_winsorize_iqr + rel_minmax_normalize (one driver row now
+    evidences both).
+
+    The 0.25/0.75 quantile fractions keep the (n-1)·p interpolation
+    rank arithmetic FP-exact across engines (0.05/0.95 would not be
+    binary fractions). Scale shape: ONE aggregation computes all four
+    per-group stats (p25/p75/min/max — cheaper than the window form,
+    which shuffles the fact rows), and the bounded per-group frame
+    broadcasts back onto the facts: the 100 TB side never shuffles.
+    min/max are exact selections and the single IEEE division is
+    portable (unlike stddev z-scores, whose accumulation order differs
+    across engines)."""
     e = load_table(spark, sf_dir, "events")
     q = e.groupBy("event_type").agg(
         F.expr("percentile(value, 0.25D)").alias("p25"),
         F.expr("percentile(value, 0.75D)").alias("p75"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+    )
+    lo, hi = F.col("vmin"), F.col("vmax")
+    # constant-group guard: Spark x/0.0 is NULL while DuckDB is ±inf —
+    # pin the degenerate case to 0.5 in both engines.
+    norm = F.when(hi == lo, F.lit(0.5)).otherwise(
+        (F.col("value") - lo) / (hi - lo)
     )
     return (
         e.join(F.broadcast(q), "event_type")
@@ -1453,6 +1451,7 @@ def q_winsorize_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.least(F.greatest(F.col("value"), F.col("p25")), F.col("p75")).alias(
                 "value_clipped"
             ),
+            norm.alias("value_norm"),
         )
     )
 
@@ -1991,17 +1990,23 @@ SPECS = [
         doc="triangle counting via canonical-order edge self-joins",
     ),
     QuerySpec(
-        "rel_winsorize_iqr",
-        q_winsorize_iqr,
+        "rel_robust_scaling",
+        q_robust_scaling,
         """WITH q AS (
              SELECT event_type,
                     quantile_cont(value, 0.25) AS p25,
-                    quantile_cont(value, 0.75) AS p75
+                    quantile_cont(value, 0.75) AS p75,
+                    min(value) AS vmin, max(value) AS vmax
              FROM events GROUP BY event_type)
            SELECT event_id, e.event_type, value,
-                  least(greatest(value, p25), p75) AS value_clipped
+                  least(greatest(value, p25), p75) AS value_clipped,
+                  CASE WHEN vmax = vmin THEN CAST(0.5 AS DOUBLE)
+                       ELSE (value - vmin) / (vmax - vmin)
+                  END AS value_norm
            FROM events e JOIN q USING (event_type)""",
-        doc="per-group IQR winsorization (binary-exact quantile fractions)",
+        doc="per-group robust scaling: IQR winsorization + min-max "
+        "normalization in one stats pass (merges the r3 "
+        "rel_winsorize_iqr + rel_minmax_normalize variants)",
     ),
     QuerySpec(
         "rel_moving_window_sum",
@@ -2176,18 +2181,6 @@ SPECS = [
                         ROWS BETWEEN UNBOUNDED PRECEDING
                                  AND UNBOUNDED FOLLOWING)""",
         doc="navigation window functions (first/last/nth_value, full frame)",
-    ),
-    QuerySpec(
-        "rel_minmax_normalize",
-        q_minmax_normalize,
-        """SELECT event_id, event_type, value,
-               CASE WHEN max(value) OVER w = min(value) OVER w
-                    THEN CAST(0.5 AS DOUBLE)
-                    ELSE (value - min(value) OVER w) /
-                         (max(value) OVER w - min(value) OVER w)
-               END AS value_norm
-           FROM events WINDOW w AS (PARTITION BY event_type)""",
-        doc="per-group min-max normalization (portable IEEE division)",
     ),
     QuerySpec(
         "rel_fuzzy_match",

@@ -43,56 +43,38 @@ def test_contract_surface_is_complete():
     assert len(qs) >= 50
 
 
-#: Novel (llm_/stream_/udf_) queries deliberately registered PAST the
-#: driver's 50-query window. Every entry must name the in-window query
-#: that evidences the same component — additions without a listed
-#: representative fail the invariant below.
-ALLOWED_OUTSIDE_WINDOW = {
-    "llm_token_count_by_lang": "llm_text_stats",  # text analysis
-    "llm_salient_terms": "llm_text_stats",  # text analysis
-    "stream_sliding_counts": "stream_tumbling_counts",  # windowed agg
-    "llm_quality_score": "llm_filter_rules",  # quality (rule-engine superset)
-    "llm_knn_label_vote": "llm_cosine_topk",  # similarity (same top-k core)
-    "llm_stratified_sample": "llm_mix_sources",  # md5 sampling (data-derived rates)
-    "stream_python_source": "stream_tumbling_counts",  # streamed agg-to-memory
-    "udf_cogroup_profile": "udf_pandas_grouped_map",  # grouped pandas hook
-    "llm_e2e_curation": "llm_filter_rules",  # composition of in-window stages
-    "llm_dedup_keep_best": "llm_dedup_components",  # same cluster machinery
-    "llm_per_source_cap": "llm_mix_sources",  # md5-deterministic sampling
-    "llm_split_leakage": "llm_ngram_jaccard",  # composition of in-window stages
-}
-
-
 def test_driver_window_invariants():
-    """The driver checks the FIRST 50 registered queries (ordering
-    policy in corpus/__init__.py). Pin what must stay inside:
+    """The driver checks the FIRST 50 registered queries; the window
+    ROTATES per round so every oracle-backed query earns a green driver
+    row in some round (ordering policy in corpus/__init__.py). Pin:
 
     * the window is exactly 50 names and registration starts with it;
-    * every llm_*/stream_*/udf_* query is inside (they had zero driver
-      evidence in round 2 purely from ordering), except the curated
-      ALLOWED_OUTSIDE_WINDOW variants whose component has another
-      in-window representative;
+    * every oracle-backed query is either in this round's window or
+      already holds a green row from a past round
+      (DRIVER_GREEN_PAST_ROUNDS) — i.e. no query is stranded without
+      driver evidence;
     * everything in the window carries a DuckDB oracle (no rows-only
-      checks spending a window slot).
+      checks spending a window slot — the approximate sketches are the
+      only queries exempt from window coverage, by design).
     """
     sys.path.insert(0, REPO)
-    from etl_global_mobility_spark.corpus import DRIVER_WINDOW, all_queries
+    from etl_global_mobility_spark.corpus import (
+        DRIVER_GREEN_PAST_ROUNDS,
+        DRIVER_WINDOW,
+        all_queries,
+    )
 
     specs = all_queries()
     names = list(specs)
     assert len(DRIVER_WINDOW) == 50
     assert tuple(names[:50]) == tuple(DRIVER_WINDOW)
 
-    novel = {
-        n for n in specs if n.startswith(("llm_", "stream_", "udf_"))
-    }
-    outside = novel - set(DRIVER_WINDOW) - set(ALLOWED_OUTSIDE_WINDOW)
-    assert not outside, f"novel operators outside the driver window: {outside}"
-    for variant, representative in ALLOWED_OUTSIDE_WINDOW.items():
-        assert representative in DRIVER_WINDOW, (
-            f"{variant} allowed outside only because {representative} is "
-            "inside — but it is not"
-        )
+    oracle_backed = {n for n, s in specs.items() if s.oracle is not None}
+    stranded = oracle_backed - set(DRIVER_WINDOW) - DRIVER_GREEN_PAST_ROUNDS
+    assert not stranded, (
+        f"oracle-backed queries with no driver evidence in any round: "
+        f"{sorted(stranded)}"
+    )
 
     no_oracle = [n for n in DRIVER_WINDOW if specs[n].oracle is None]
     assert not no_oracle, f"rows-only queries inside the window: {no_oracle}"
