@@ -142,7 +142,20 @@ def main() -> None:
         if max(runs) > 1.5 * min(runs):
             runs.append(run_once(spec))
         times[name] = min(runs)
-        total += times[name]
+
+    # Noise-robust regression confirmation BEFORE reporting: a flagged
+    # query gets two more runs (min wins). Host scheduler noise on this
+    # box has been measured at 2-7x on identical plans (e.g. the same
+    # join 1.5s vs 10.6s back-to-back under an external load spike), so
+    # a single bad sample must not fail the bench — only a regression
+    # that survives 4 total runs does.
+    _, baseline = _load_baseline() if abs(sf - 0.1) < 1e-9 else ("none", {})
+    for name in HEADLINE:
+        base = baseline.get(name)
+        if base and times[name] > 2.0 * base + 0.5:
+            retries = [run_once(specs[name]), run_once(specs[name])]
+            times[name] = min([times[name], *retries])
+    total = sum(times.values())
 
     print(
         json.dumps(
@@ -155,47 +168,60 @@ def main() -> None:
             }
         )
     )
-    _warn_regressions(times, sf)
     spark.stop()
+    # Regression gate AFTER the JSON line (the driver parses stdout's
+    # single line either way): exit nonzero so a >2x per-query
+    # regression fails loudly instead of shipping silently.
+    if _check_regressions(times, sf):
+        sys.exit(1)
 
 
-#: Round-2 per-query seconds at sf0.1 / local[32] (BENCH_r02.json) — the
-#: operative regression baseline. A query >2× its baseline prints a
-#: stderr warning (stdout stays the driver's single JSON line).
-BASELINE_R2 = {
-    "rel_join_revenue_by_nation": 2.182, "rel_join_left_orders": 0.845,
-    "rel_join_nonequi_self": 1.555, "rel_agg_pricing_summary": 0.842,
-    "rel_agg_count_distinct": 0.981, "rel_window_topk_per_group": 0.623,
-    "rel_window_running_sum": 1.025, "rel_topk_global": 0.222,
-    "rel_json_events": 0.665, "rel_pivot_linestatus": 0.699,
-    "rel_agg_stats_moments": 1.159, "rel_median_disc": 0.689,
-    "rel_join_salted_skew": 2.246, "parity_quality_reasons": 2.174,
-    "parity_split_quarantine": 1.949, "llm_exact_dedup": 0.338,
-    "llm_simhash": 1.644, "llm_minhash_neardup": 5.417,
-    "llm_cosine_topk": 0.719, "llm_lsh_ann": 1.487, "llm_ivf_ann": 3.582,
-    "llm_embedding_neardup": 2.216, "llm_asof_join": 0.623,
-    "llm_frame_sample": 1.643, "stream_tumbling_counts": 2.082,
-    "stream_stateful_profile": 1.802,
-    # r3 additions — best observed at sf0.1 / local[32] on a quiet
-    # host (no r2 numbers exist for these)
-    "llm_pack_sequences": 1.2, "llm_chunk_documents": 1.2,
-    "llm_strip_boilerplate": 2.2, "llm_pq_ann": 2.7,
-    "llm_filter_rules": 0.6, "llm_bm25": 0.7, "llm_e2e_curation": 1.2,
-    "rel_decayed_activity": 0.4, "rel_histogram_prices": 0.2,
-}
+def _load_baseline() -> tuple[str, dict[str, float]]:
+    """Per-query seconds from the NEWEST BENCH_r*.json in the repo —
+    the operative regression baseline (the driver drops one per round,
+    so the gate always compares against the last recorded round)."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    best: tuple[int, str] | None = None
+    for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if m:
+            rnd = int(m.group(1))
+            if best is None or rnd > best[0]:
+                best = (rnd, p)
+    if best is None:
+        return "none", {}
+    try:
+        with open(best[1]) as f:
+            data = json.load(f)
+        if "queries" not in data:  # driver wraps our line under "parsed"
+            data = data.get("parsed") or {}
+        if abs(float(data.get("sf", 0.1)) - 0.1) > 1e-9:
+            return "none", {}  # baseline only holds at its own SF
+        return f"r{best[0]}", dict(data.get("queries", {}))
+    except (OSError, ValueError):
+        return "none", {}
 
 
-def _warn_regressions(times: dict[str, float], sf: float) -> None:
+def _check_regressions(times: dict[str, float], sf: float) -> bool:
+    """True if any query regressed >2x (+0.5s noise floor) vs the last
+    round's recorded bench."""
     if abs(sf - 0.1) > 1e-9:  # baseline only holds at its own SF
-        return
+        return False
+    label, baseline = _load_baseline()
+    bad = False
     for name, t in times.items():
-        base = BASELINE_R2.get(name)
+        base = baseline.get(name)
         if base and t > 2.0 * base + 0.5:
+            bad = True
             print(
-                f"bench: REGRESSION {name}: {t:.2f}s vs r2 baseline "
+                f"bench: REGRESSION {name}: {t:.2f}s vs {label} baseline "
                 f"{base:.2f}s (>2x)",
                 file=sys.stderr,
             )
+    return bad
 
 
 if __name__ == "__main__":
