@@ -2,11 +2,12 @@
 
 Media are opaque ``binary`` columns with a typed metadata struct. The
 Spark-side plumbing — schemas, ingestion, Arrow-batched UDF signatures,
-partitioning — is real and tested; the actual byte decoding is STUBBED
-(this environment has no image/audio libraries): ``decode_stub=True``
-produces a deterministic fake so tests are reproducible, and
-``decode_stub=False`` raises ``NotImplementedError`` where a real
-decoder (PIL/ffmpeg/torchaudio) would plug in.
+partitioning — is real and tested. Byte decoding is feature-detected:
+``decode_stub=True`` produces a deterministic fake so tests are
+reproducible anywhere; ``decode_stub=False`` uses Pillow when it
+imports (decode → grayscale → resize → pixel feature) and raises
+``NotImplementedError`` when it does not (this environment ships no
+media libraries) — never silent fake data on the real path.
 """
 
 from __future__ import annotations
@@ -80,6 +81,32 @@ def _fake_feature(payload: bytes, dim: int) -> list[float]:
     return [c / total for c in counts]
 
 
+def _pil_or_none():
+    """Feature-detect Pillow (executor-side import: workers each probe
+    once per interpreter). None when the library is absent."""
+    try:
+        from PIL import Image  # noqa: PLC0415
+
+        return Image
+    except ImportError:
+        return None
+
+
+def _pil_feature(image_mod, payload: bytes, dim: int) -> list[float] | None:
+    """Real image feature when Pillow is present: decode → grayscale →
+    resize to dim×1 (antialiased) → [0,1] pixel intensities. The same
+    batch shape a production embedder uses; undecodable bytes yield
+    NULL (never a job failure — the multimodal analogue of try_cast)."""
+    import io
+
+    try:
+        with image_mod.open(io.BytesIO(payload)) as img:
+            gray = img.convert("L").resize((dim, 1))
+            return [px / 255.0 for px in gray.getdata()]
+    except Exception:
+        return None
+
+
 def extract_features(
     df: DataFrame,
     content_col: str = "content",
@@ -92,14 +119,16 @@ def extract_features(
     ``mapInPandas`` — the shape a real image/audio featurizer uses
     (per-batch decode, no per-row Python overhead, output schema fixed).
 
-    decode_stub=False marks where the real decoder goes (PIL decode →
-    resize → embed; audio → resample → fbank; video → frame-sample):
-    it raises ``NotImplementedError`` because those libraries are not
-    available in this environment.
+    decode_stub=False selects the REAL decoder path, feature-detected:
+    when Pillow imports, image bytes decode → grayscale → resize →
+    normalized pixel feature (undecodable rows yield NULL features);
+    when it does not (this environment ships no media libraries), it
+    raises ``NotImplementedError`` — an honest stub, never silent fake
+    data on the real path.
     """
-    if not decode_stub:
+    if not decode_stub and _pil_or_none() is None:
         raise NotImplementedError(
-            "real media decoding requires PIL/ffmpeg/torchaudio — not in this env; "
+            "real media decoding requires Pillow (PIL) — not in this env; "
             "use decode_stub=True for the deterministic fake"
         )
     # Fan-out is OFF by default here, unlike the JVM-side operators:
@@ -122,15 +151,25 @@ def extract_features(
     )
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        image_mod = None if decode_stub else _pil_or_none()
         for pdf in it:
             payloads = pdf[content_col]
+            if image_mod is None:
+                feats = [
+                    _fake_feature(bytes(p) if p is not None else b"", dim)
+                    for p in payloads
+                ]
+            else:
+                feats = [
+                    _pil_feature(image_mod, bytes(p), dim)
+                    if p is not None
+                    else None
+                    for p in payloads
+                ]
             yield pd.DataFrame(
                 {
                     "media_id": pdf[id_col].astype("int64"),
-                    "feature": [
-                        _fake_feature(bytes(p) if p is not None else b"", dim)
-                        for p in payloads
-                    ],
+                    "feature": feats,
                     "n_bytes": [len(p) if p is not None else 0 for p in payloads],
                 }
             )

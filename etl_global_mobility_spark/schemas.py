@@ -104,16 +104,31 @@ TABLE_SCHEMAS = {
     "udv.data_ventas_obs": OBS_SCHEMA,
 }
 
+#: Bounded-length column overrides applied at DDL EMISSION only
+#: (NB:301 ``pais VARCHAR(2)``, NB:309 ``unidad VARCHAR(2)``).
+#: StructTypes keep plain StringType — VarcharType is not a valid
+#: runtime read/cast schema in Spark; the catalog DDL is where the
+#: length contract lives, and Spark 3.1+ enforces it on write
+#: (``spark.sql.legacy.charVarcharAsString`` default false).
+DDL_TYPE_OVERRIDES: dict[str, dict[str, str]] = {
+    "rdv.data_ventas": {"pais": "VARCHAR(2)", "unidad": "VARCHAR(2)"},
+}
+
 
 def ddl_for(table: str, fmt: str = "parquet", location: str | None = None) -> str:
     """Emit `CREATE TABLE IF NOT EXISTS` DDL from the StructType.
 
     Mirrors the reference's hand-written DDL (NB:300-312, 336-355,
-    380-395) but generated, so schema and DDL can't drift.
+    380-395) but generated, so schema and DDL can't drift; bounded
+    VARCHAR(n) columns come from DDL_TYPE_OVERRIDES.
     """
     schema = TABLE_SCHEMAS[table]
     parts = PARTITION_COLS[table]
-    cols = ",\n  ".join(f"{f.name} {f.dataType.simpleString().upper()}" for f in schema.fields)
+    overrides = DDL_TYPE_OVERRIDES.get(table, {})
+    cols = ",\n  ".join(
+        f"{f.name} {overrides.get(f.name, f.dataType.simpleString().upper())}"
+        for f in schema.fields
+    )
     loc = f"\nLOCATION '{location}'" if location else ""
     return (
         f"CREATE TABLE IF NOT EXISTS {table} (\n  {cols}\n)\n"

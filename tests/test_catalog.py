@@ -46,6 +46,41 @@ def test_ddl_emission_shape():
     assert "LOCATION '/tmp/x'" in ddl
 
 
+def test_bronze_ddl_varchar2_parity():
+    """The reference bounds country and unit codes to two chars
+    (NB:301 ``pais VARCHAR(2)``, NB:309 ``unidad VARCHAR(2)``); the
+    emitted bronze DDL must carry the same length contract."""
+    ddl = ddl_for("rdv.data_ventas")
+    assert "pais VARCHAR(2)" in ddl
+    assert "unidad VARCHAR(2)" in ddl
+    # every other string column stays unbounded STRING
+    assert "transporte STRING" in ddl and "material STRING" in ddl
+
+
+def test_varchar_length_enforced_on_write(spark, tmp_path):
+    """Spark 3.1+ enforces char/varchar lengths on write (legacy
+    charVarcharAsString conf is off by default): a 2-char pais inserts,
+    a 3-char one raises — the reference's VARCHAR(2) contract is a real
+    constraint in this engine, not DDL decoration."""
+    assert (
+        spark.conf.get("spark.sql.legacy.charVarcharAsString", "false")
+        == "false"
+    )
+    spark.sql("CREATE SCHEMA IF NOT EXISTS rdv")
+    spark.sql("DROP TABLE IF EXISTS rdv.varchar_probe")
+    spark.sql(
+        "CREATE TABLE rdv.varchar_probe (pais VARCHAR(2), n INT) "
+        f"USING parquet LOCATION '{tmp_path}/probe'"
+    )
+    try:
+        spark.sql("INSERT INTO rdv.varchar_probe VALUES ('PE', 1)")
+        with pytest.raises(Exception, match="(?i)char/varchar|length"):
+            spark.sql("INSERT INTO rdv.varchar_probe VALUES ('PER', 2)")
+        assert spark.table("rdv.varchar_probe").count() == 1
+    finally:
+        spark.sql("DROP TABLE IF EXISTS rdv.varchar_probe")
+
+
 def test_bronze_readable_by_table_name(spark, catalog_run):
     by_name = read_table(spark, "rdv.data_ventas")
     by_path = spark.read.parquet(catalog_run["paths"].bronze)

@@ -259,8 +259,38 @@ def test_multimodal_feature_plumbing(spark):
     assert abs(sum(by_id[1].feature) - 1.0) < 1e-6  # histogram normalized
     assert by_id[2].n_bytes == 0
 
-    with pytest.raises(NotImplementedError):
-        extract_features(media, decode_stub=False)
+    try:
+        import PIL  # noqa: F401
+
+        has_pil = True
+    except ImportError:
+        has_pil = False
+    if not has_pil:
+        # honest stub: the real path must refuse, not silently fake
+        with pytest.raises(NotImplementedError):
+            extract_features(media, decode_stub=False)
+
+
+def test_multimodal_real_decode_when_pillow_present(spark):
+    """Feature-detected real path: with Pillow installed, raw image
+    bytes decode into a normalized pixel feature and undecodable bytes
+    yield NULL (never a job failure). Skipped when the env ships no
+    media libraries — the stub path above stays the tested default."""
+    Image = pytest.importorskip("PIL.Image")
+    import io
+
+    from etl_global_mobility_spark.operators.multimodal import extract_features
+
+    buf = io.BytesIO()
+    Image.new("L", (4, 4), color=128).save(buf, format="PNG")
+    rows = [(1, bytearray(buf.getvalue())), (2, bytearray(b"not an image"))]
+    media = spark.createDataFrame(rows, "media_id long, content binary")
+    by_id = {
+        r.media_id: r for r in extract_features(media, dim=4, decode_stub=False).collect()
+    }
+    assert by_id[1].feature is not None and len(by_id[1].feature) == 4
+    assert all(abs(v - 128 / 255.0) < 1e-6 for v in by_id[1].feature)
+    assert by_id[2].feature is None  # undecodable -> NULL, job survives
 
 
 def test_streaming_replay_determinism(spark):
@@ -437,3 +467,66 @@ def test_pq_training_reduces_quantization_error(spark):
     base = qerr(pq_codebook_from_corpus(e, dim=16, m=4, k=8))
     trained = qerr(train_pq_codebook(e, dim=16, m=4, k=8, n_iters=2))
     assert trained <= base * 1.0001, (trained, base)
+
+
+def test_ann_soak_recall_floor_at_scale(spark):
+    """Larger-scale ANN soak (VERDICT r3 task 8): IVF and PQ recall@10
+    against exact cosine on a 20k-vector corpus — ~20x the sf0.01
+    embeddings table the oracle gate exercises. Property, not oracle:
+    the sf0.01 hash-match can't catch a recall regression that only
+    shows up once cells/codebooks are trained on non-trivial data
+    volumes. Vectors are closed-form hash-derived (deterministic under
+    any partitioning), so the floors are stable across runs.
+    """
+    from pyspark.sql import functions as F
+
+    from etl_global_mobility_spark.operators.similarity import (
+        cosine_topk_exact,
+        ivf_topk,
+        pq_topk,
+        train_ivf_centroids,
+        train_pq_codebook,
+    )
+
+    n, dim, k = 20_000, 16, 10
+    vec = F.array(
+        *[
+            (F.hash(F.col("vec_id"), F.lit(j)) % 1000).cast("double") / 500.0
+            for j in range(dim)
+        ]
+    )
+    corpus = (
+        spark.range(n)
+        .withColumnRenamed("id", "vec_id")
+        .withColumn("embedding", vec)
+    )
+    queries = corpus.filter(F.col("vec_id") % 2500 == 0)  # 8 queries
+    exact = {
+        (r.q_id, r.c_id)
+        for r in cosine_topk_exact(corpus, queries, k=k).collect()
+    }
+    assert len(exact) == 8 * k
+
+    cents = train_ivf_centroids(corpus, n_cells=32, n_iters=3)
+    ivf = {
+        (r.q_id, r.c_id)
+        for r in ivf_topk(
+            corpus, queries, n_cells=32, nprobe=8, k=k, centroids=cents
+        ).collect()
+    }
+    ivf_recall = len(exact & ivf) / len(exact)
+    # nprobe/n_cells = 1/4 of the corpus scanned; hash-uniform vectors
+    # are the adversarial case (no cluster structure), so the floor is
+    # deliberately modest — regressions to ~random (0.25) still fail.
+    assert ivf_recall >= 0.5, f"IVF recall@{k} collapsed: {ivf_recall}"
+
+    book = train_pq_codebook(corpus, dim=dim, m=4, k=16, n_iters=2)
+    pq = {
+        (r.q_id, r.c_id)
+        for r in pq_topk(corpus, queries, book, k=k, rerank=200).collect()
+    }
+    pq_recall = len(exact & pq) / len(exact)
+    # NOTE: exact ranks by COSINE, PQ by squared-L2 ADC; on these
+    # unnormalized vectors the metrics legitimately disagree for some
+    # neighbors, so the floor guards against collapse, not metric skew.
+    assert pq_recall >= 0.5, f"PQ recall@{k} collapsed: {pq_recall}"

@@ -14,6 +14,7 @@ partition dirs are parked in staging before replacements move in.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+import pytest
 
 from etl_global_mobility_spark.sinks import writer as writer_mod
 
@@ -149,3 +150,46 @@ def test_parquet_swap_parks_old_dirs_before_replacing(spark, tmp_path):
 
     got = {(r.pais, r.v) for r in spark.read.parquet(path).collect()}
     assert got == {("EC", 9), ("PE", 2)}
+
+def test_delta_replacewhere_live_when_available(spark, tmp_path):
+    """LIVE execution of the native Delta branch: idempotent re-run and
+    cross-country isolation against real delta-spark.
+
+    Skipped in this build environment: delta-spark is not preinstalled
+    and the environment prohibits package installation (no pip/apt, no
+    network for the delta-core jars), so the native branch cannot
+    execute here. Its exact writer chain is pinned verbatim by the
+    recording-stub tests above; this test runs the moment a delta-spark
+    wheel + jars are present (no code change needed).
+    """
+    pytest.importorskip(
+        "delta",
+        reason="delta-spark not installed and not installable here "
+        "(build env prohibits pip/apt and has no network for jars); "
+        "the writer chain is contract-tested above instead",
+    )
+    if "io.delta.sql.DeltaSparkSessionExtension" not in spark.conf.get(
+        "spark.sql.extensions", ""
+    ):
+        pytest.skip("delta importable but session lacks delta extensions/jars")
+
+    path = str(tmp_path / "delta_t")
+    df1 = spark.createDataFrame(
+        [("EC", "2025-01-01", 1), ("PE", "2025-01-01", 2)],
+        "pais string, d string, v int",
+    )
+    df1.write.format("delta").mode("overwrite").partitionBy("d").save(path)
+    df2 = spark.createDataFrame(
+        [("EC", "2025-01-01", 9)], "pais string, d string, v int"
+    )
+    for _ in range(2):  # idempotent re-run
+        writer_mod.write_replace_where(
+            df2,
+            path,
+            "d",
+            F.col("pais") == "EC",
+            partition_bounds=("2025-01-01", "2025-01-01"),
+            predicate_sql="pais = 'EC'",
+        )
+        got = {(r.pais, r.v) for r in spark.read.format("delta").load(path).collect()}
+        assert got == {("EC", 9), ("PE", 2)}  # PE untouched, EC replaced
