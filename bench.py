@@ -49,6 +49,7 @@ HEADLINE = [
     "llm_filter_rules",
     "llm_bm25",
     "llm_e2e_curation",
+    "llm_semantic_dedup",
     "rel_decayed_activity",
     "rel_histogram_prices",
     "stream_tumbling_counts",

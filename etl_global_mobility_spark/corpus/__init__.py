@@ -138,6 +138,18 @@ DRIVER_GREEN_PAST_ROUNDS = frozenset(
 )
 
 
+#: Queries ADDED this round (registered past the already-frozen window):
+#: the NEXT rotation must pull these in — after the round-4 window
+#: clears the backlog, round 5 has free slots for all of them. The
+#: window-invariant test treats this as the only legitimate reason an
+#: oracle-backed query lacks both window coverage and a past green row.
+SCHEDULED_NEXT_WINDOW = frozenset(
+    {
+        "llm_semantic_dedup",
+    }
+)
+
+
 def all_queries() -> dict[str, QuerySpec]:
     """name → QuerySpec for every declared query.
 
@@ -176,4 +188,5 @@ __all__ = [
     "all_queries",
     "DRIVER_WINDOW",
     "DRIVER_GREEN_PAST_ROUNDS",
+    "SCHEDULED_NEXT_WINDOW",
 ]

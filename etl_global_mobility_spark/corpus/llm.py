@@ -26,6 +26,7 @@ from etl_global_mobility_spark.operators.similarity import (
     ivf_topk,
     lsh_ann_candidates,
     random_hyperplanes,
+    semantic_dedup,
 )
 from etl_global_mobility_spark.operators.text import (
     doc_fingerprint,
@@ -260,6 +261,16 @@ def _pq_ann_sql(
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     return embedding_near_duplicates(e, dim=64, threshold=0.3, n_planes=4)
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: coarse-quantize embeddings into 16 cells, mark any
+    vector with a smaller-id cell-mate at cosine ≥ 0.35 as a semantic
+    duplicate of its smallest such neighbor (0.35 sits in the bulk of
+    this synthetic data's within-cell cosine range; real corpora use
+    ~0.95+)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(e, n_cells=16, threshold=0.35)
 
 
 def q_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -911,6 +922,42 @@ def _embedding_neardup_sql(dim: int = 64, n_planes: int = 4, thr: float = 0.3) -
     """
 
 
+def _semantic_dedup_sql(n_cells: int = 16, thr: float = 0.5) -> str:
+    """DuckDB mirror of semantic_dedup: same deterministic coarse
+    quantizer as _ivf_ann_sql (lowest-id vectors, argmax cosine with
+    cent_id tie-break), then within-cell smaller-id pairs ≥ thr and a
+    min-dup_of window. Cosines are in-order double folds on both
+    engines, so the threshold filter and the argmax agree bit-for-bit."""
+    cos_ec = _COS.replace("a.embedding", "e.embedding").replace(
+        "b.embedding", "c.embedding"
+    )
+    cos_ab = _COS.replace("a.embedding", "x.embedding").replace(
+        "b.embedding", "y.embedding"
+    )
+    return f"""
+    WITH cents AS (
+      SELECT vec_id AS cent_id, embedding FROM embeddings ORDER BY vec_id LIMIT {n_cells}
+    ), assign AS (
+      SELECT vec_id, embedding, cent_id AS cell FROM (
+        SELECT e.vec_id, e.embedding, c.cent_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {cos_ec} DESC, c.cent_id) AS rn
+        FROM embeddings e CROSS JOIN cents c
+      ) WHERE rn = 1
+    ), pairs AS (
+      SELECT x.vec_id AS id, x.cell, y.vec_id AS dup_of, {cos_ab} AS cos
+      FROM assign x JOIN assign y
+        ON x.cell = y.cell AND y.vec_id < x.vec_id
+      WHERE {cos_ab} >= {thr}
+    )
+    SELECT id AS vec_id, CAST(cell AS BIGINT) AS cell, dup_of, cos FROM (
+      SELECT id, cell, dup_of, cos,
+             row_number() OVER (PARTITION BY id ORDER BY dup_of) AS rn
+      FROM pairs
+    ) WHERE rn = 1
+    """
+
+
 def _knn_vote_sql(n_queries: int = 8, k: int = 10) -> str:
     return f"""
     WITH scored AS (
@@ -1449,6 +1496,12 @@ SPECS = [
         q_embedding_neardup,
         _embedding_neardup_sql(),
         doc="embedding-cosine near-dup dedup (LSH-bucketed candidates)",
+    ),
+    QuerySpec(
+        "llm_semantic_dedup",
+        q_semantic_dedup,
+        _semantic_dedup_sql(thr=0.35),
+        doc="SemDeDup semantic dedup: coarse-quantized cells, within-cell cosine ≥ 0.35",
     ),
     QuerySpec(
         "llm_knn_label_vote",

@@ -34,6 +34,7 @@ from etl_global_mobility_spark.operators.similarity import (
     pq_codebook_from_corpus,
     pq_encode,
     pq_topk,
+    semantic_dedup,
     train_ivf_centroids,
     train_pq_codebook,
 )
@@ -81,6 +82,7 @@ __all__ = [
     "cosine_topk_exact",
     "ivf_topk",
     "lsh_ann_candidates",
+    "semantic_dedup",
     "train_ivf_centroids",
     "filter_rules",
     "split_quarantine",

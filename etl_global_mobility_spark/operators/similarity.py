@@ -134,6 +134,64 @@ def embedding_near_duplicates(
     return pairs.filter(F.col("cos") >= threshold)
 
 
+def _resolve_centroids(
+    corpus: DataFrame,
+    n_cells: int,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[float]] | None,
+) -> tuple[list[tuple[int, list[float]]], list[float]]:
+    """(cent_id, vector) pairs + their L2 norms for a coarse quantizer.
+
+    Explicit ``centroids`` (e.g. from :func:`train_ivf_centroids`) are
+    indexed 0..k-1; the default deterministic quantizer is the
+    ``n_cells`` lowest-id corpus vectors (cell id = that vector's id),
+    which keeps results oracle-checkable. Either way the collect is
+    bounded (n_cells rows), never row data.
+    """
+    if centroids is not None:
+        cents = [(i, [float(x) for x in v]) for i, v in enumerate(centroids)]
+    else:
+        cents = [
+            (int(r[0]), [float(x) for x in r[1]])
+            for r in corpus.select(id_col, vec_col)
+            .orderBy(id_col)
+            .limit(n_cells)
+            .collect()
+        ]
+    # Python-side sequential fold == DuckDB list_dot_product == Spark
+    # F.aggregate — all three are in-order IEEE double chains.
+    norms = [math.sqrt(sum(x * x for x in v)) for _, v in cents]
+    return cents, norms
+
+
+def _centroid_scores(
+    cents: list[tuple[int, list[float]]],
+    norms: list[float],
+    vec_name: str,
+    nv_name: str,
+) -> F.Column:
+    """(cos, -cent_id) structs vs every literal centroid; the squared
+    norm of the data vector (`nv_name`) is materialized once by the
+    caller (no CSE inside the fan-out). Built as ONE parsed SQL
+    expression: per-centroid F.lit arrays cost ~100 ms of py4j
+    conversion each (measured 5 s of plan build per ivf_topk at
+    n_cells=16 — two call sites), parsing is ~1 ms. The arithmetic:
+    sequential double fold, then dot / (sqrt(nv) · ||centroid||)."""
+    parts = []
+    for (cid, v), n in zip(cents, norms):
+        arr = "array(" + ",".join(f"{float(x)!r}D" for x in v) + ")"
+        d = (
+            f"aggregate(zip_with({vec_name}, {arr}, "
+            f"(x, y) -> double(x) * y), 0.0D, (acc, v) -> acc + v)"
+        )
+        parts.append(
+            f"named_struct('cos', {d} / (sqrt({nv_name}) * {float(n)!r}D), "
+            f"'neg_id', {-cid})"
+        )
+    return F.expr("array(" + ",".join(parts) + ")")
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -164,40 +222,10 @@ def ivf_topk(
     """
     from pyspark.sql import Window
 
-    if centroids is not None:
-        cents = [(i, [float(x) for x in v]) for i, v in enumerate(centroids)]
-    else:
-        cents = [
-            (int(r[0]), [float(x) for x in r[1]])
-            for r in corpus.select(id_col, vec_col)
-            .orderBy(id_col)
-            .limit(n_cells)
-            .collect()
-        ]
-    # Python-side sequential fold == DuckDB list_dot_product == Spark
-    # F.aggregate — all three are in-order IEEE double chains.
-    norms = [math.sqrt(sum(x * x for x in v)) for _, v in cents]
+    cents, norms = _resolve_centroids(corpus, n_cells, id_col, vec_col, centroids)
 
     def cell_scores(vec_name: str, nv_name: str):
-        """(cos, -cent_id) structs vs every centroid; norm of the data
-        vector is materialized once (no CSE inside the fan-out). Built
-        as ONE parsed SQL expression: per-centroid F.lit arrays cost
-        ~100 ms of py4j conversion each (measured 5 s of plan build per
-        ivf_topk at n_cells=16 — two call sites), parsing is ~1 ms.
-        The arithmetic is unchanged: sequential double fold, then
-        dot / (sqrt(nv) · ||centroid||)."""
-        parts = []
-        for (cid, v), n in zip(cents, norms):
-            arr = "array(" + ",".join(f"{float(x)!r}D" for x in v) + ")"
-            d = (
-                f"aggregate(zip_with({vec_name}, {arr}, "
-                f"(x, y) -> double(x) * y), 0.0D, (acc, v) -> acc + v)"
-            )
-            parts.append(
-                f"named_struct('cos', {d} / (sqrt({nv_name}) * {float(n)!r}D), "
-                f"'neg_id', {-cid})"
-            )
-        return F.expr("array(" + ",".join(parts) + ")")
+        return _centroid_scores(cents, norms, vec_name, nv_name)
 
     # The squared norm (`nv`) computed for cell assignment is carried
     # through the join so the candidate scoring pays one array fold per
@@ -239,6 +267,75 @@ def ivf_topk(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("q_id", "rank", "c_id", "score")
+    )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    threshold: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+    min_parallelism: int | str | None = AUTO,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster embeddings with a coarse quantizer, then
+    compare pairs ONLY within a cell — a vector is a semantic duplicate
+    iff some smaller-id cell-mate has cosine ≥ ``threshold``.
+
+    Returns one row per duplicate: ``(vec_id, cell, dup_of, cos)``
+    where ``dup_of`` is the SMALLEST such smaller-id neighbor (the
+    kept representative under min-id canonicalization) and ``cos`` is
+    that pair's cosine. Deterministic, so exact-oracle-checkable.
+
+    Scale shape (the SemDeDup cost model): cell assignment is a
+    map-only pass over literal centroids (no shuffle, no join — same
+    machinery as :func:`ivf_topk`); the only corpus shuffle is the
+    self-join on ``cell``. Within-cell comparison is quadratic in cell
+    size, so ``n_cells`` must grow ∝ corpus size (the paper runs 11k
+    clusters for 100M points; a 100 TB run trains centroids with
+    :func:`train_ivf_centroids` and passes them in). The dedup-marking
+    step is a per-id window over candidate pairs, output ∝ duplicates
+    found, not corpus size.
+    """
+    from pyspark.sql import Window
+
+    cents, norms = _resolve_centroids(corpus, n_cells, id_col, vec_col, centroids)
+    c = ensure_compute_parallelism(corpus, min_parallelism).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+    )
+    # Squared norm computed once per row for assignment is carried into
+    # the pair stage: each candidate pair costs ONE array fold (the
+    # cross dot), with sqrt(nv) the identical IEEE value l2_norm gives.
+    assigned = (
+        c.withColumn("nv", dot(F.col("vec"), F.col("vec")))
+        .withColumn(
+            "cell",
+            (-F.array_max(_centroid_scores(cents, norms, "vec", "nv")).getField(
+                "neg_id"
+            )).cast("long"),
+        )
+    )
+    a = assigned.alias("a")
+    b = assigned.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.cell") == F.col("b.cell")) & (F.col("b.id") < F.col("a.id")),
+    ).select(
+        F.col("a.id").alias("id"),
+        F.col("a.cell").alias("cell"),
+        F.col("b.id").alias("dup_of"),
+        (
+            dot(F.col("a.vec"), F.col("b.vec"))
+            / (F.sqrt(F.col("a.nv")) * F.sqrt(F.col("b.nv")))
+        ).alias("cos"),
+    ).filter(F.col("cos") >= threshold)
+    w = Window.partitionBy("id").orderBy(F.col("dup_of"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.col("id").alias(id_col), "cell", "dup_of", "cos")
     )
 
 

@@ -61,6 +61,7 @@ def test_driver_window_invariants():
     from etl_global_mobility_spark.corpus import (
         DRIVER_GREEN_PAST_ROUNDS,
         DRIVER_WINDOW,
+        SCHEDULED_NEXT_WINDOW,
         all_queries,
     )
 
@@ -70,11 +71,22 @@ def test_driver_window_invariants():
     assert tuple(names[:50]) == tuple(DRIVER_WINDOW)
 
     oracle_backed = {n for n, s in specs.items() if s.oracle is not None}
-    stranded = oracle_backed - set(DRIVER_WINDOW) - DRIVER_GREEN_PAST_ROUNDS
+    stranded = (
+        oracle_backed
+        - set(DRIVER_WINDOW)
+        - DRIVER_GREEN_PAST_ROUNDS
+        - SCHEDULED_NEXT_WINDOW
+    )
     assert not stranded, (
         f"oracle-backed queries with no driver evidence in any round: "
         f"{sorted(stranded)}"
     )
+    # the schedule is for genuinely NEW queries only — anything with
+    # evidence (or a window slot) must not hide behind it
+    assert not (
+        SCHEDULED_NEXT_WINDOW & (set(DRIVER_WINDOW) | DRIVER_GREEN_PAST_ROUNDS)
+    )
+    assert all(specs[n].oracle is not None for n in SCHEDULED_NEXT_WINDOW)
 
     no_oracle = [n for n in DRIVER_WINDOW if specs[n].oracle is None]
     assert not no_oracle, f"rows-only queries inside the window: {no_oracle}"

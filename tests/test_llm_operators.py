@@ -530,3 +530,45 @@ def test_ann_soak_recall_floor_at_scale(spark):
     # unnormalized vectors the metrics legitimately disagree for some
     # neighbors, so the floor guards against collapse, not metric skew.
     assert pq_recall >= 0.5, f"PQ recall@{k} collapsed: {pq_recall}"
+
+
+def test_semantic_dedup_flags_planted_copies_with_min_dup_of(spark):
+    """SemDeDup contract: a near-copy is flagged against the SMALLEST
+    smaller-id cell-mate above the threshold; independent gaussians are
+    never flagged at a high threshold."""
+    from etl_global_mobility_spark.operators.similarity import semantic_dedup
+
+    rng = random.Random(13)
+    base = [[rng.gauss(0, 1) for _ in range(16)] for _ in range(40)]
+    rows = [(i, v, 0) for i, v in enumerate(base)]
+    # near-copies: 100/101/102 of sources 3/7/11, plus 103 = second
+    # copy of 3 (must dedup against 3, the minimum, not against 100)
+    for j, src in enumerate((3, 7, 11, 3)):
+        v = [x + 1e-3 * rng.gauss(0, 1) for x in base[src]]
+        rows.append((100 + j, v, 0))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = semantic_dedup(emb, n_cells=8, threshold=0.95).collect()
+    flagged = {r.vec_id: r.dup_of for r in out}
+    assert flagged == {100: 3, 101: 7, 102: 11, 103: 3}, flagged
+    for r in out:
+        assert r.dup_of < r.vec_id
+        assert r.cos >= 0.95
+
+
+def test_semantic_dedup_honors_trained_centroids(spark):
+    """Passing explicit centroids re-indexes cells 0..k-1 and keeps the
+    same dedup semantics (the 100 TB path: train once, assign map-only)."""
+    from etl_global_mobility_spark.operators.similarity import semantic_dedup
+
+    rng = random.Random(29)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(8)], 0) for i in range(30)]
+    rows.append((50, [x * 1.001 for x in rows[5][1]], 0))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    cents = [rows[i][1] for i in range(4)]
+    out = semantic_dedup(emb, threshold=0.99, centroids=cents).collect()
+    assert {(r.vec_id, r.dup_of) for r in out} == {(50, 5)}
+    assert all(0 <= r.cell < 4 for r in out)
