@@ -52,6 +52,7 @@ HEADLINE = [
     "llm_semantic_dedup",
     "rel_decayed_activity",
     "rel_histogram_prices",
+    "rel_pagerank",
     "stream_tumbling_counts",
     "stream_stateful_profile",
 ]

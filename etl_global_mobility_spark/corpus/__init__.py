@@ -146,6 +146,8 @@ DRIVER_GREEN_PAST_ROUNDS = frozenset(
 SCHEDULED_NEXT_WINDOW = frozenset(
     {
         "llm_semantic_dedup",
+        "rel_source_xml",
+        "rel_pagerank",
     }
 )
 

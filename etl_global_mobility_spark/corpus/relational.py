@@ -1069,6 +1069,108 @@ def q_source_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the part→supplier shipment graph, 3 synchronous
+    iterations of integer micro-unit arithmetic — the engine's
+    bounded-iteration pattern for iterative algorithms (see
+    operators/graph.py). The quantity filter + mod-200 fold keep the
+    graph SPARSE and irregular: an unfiltered mod-k fold yields the
+    complete graph at this data size, whose PageRank is the uniform
+    fixed point — a degenerate oracle that can't distinguish a broken
+    iteration from a correct one."""
+    from etl_global_mobility_spark.operators.graph import pagerank
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.filter(F.col("l_quantity") < 5).select(
+        (F.col("l_partkey") % 200).alias("src"),
+        (F.col("l_suppkey") % 200).alias("dst"),
+    )
+    return pagerank(edges, n_iters=3)
+
+
+def _pagerank_sql(
+    n_iters: int = 3, mod: int = 200, damping: int = 85, unit: int = 1_000_000
+) -> str:
+    """DuckDB mirror of operators/graph.py::pagerank — the iterations
+    unroll to chained CTEs; `//` (floor division) matches Spark's DIV
+    on the all-positive BIGINT scores, so every engine computes the
+    identical integers."""
+    teleport = unit - unit * damping // 100
+    ctes = [
+        f"""edges AS (
+          SELECT DISTINCT l_partkey % {mod} AS src, l_suppkey % {mod} AS dst
+          FROM lineitem WHERE l_quantity < 5
+        ), nodes AS (
+          SELECT src AS node FROM edges UNION SELECT dst FROM edges
+        ), deg AS (
+          SELECT src, count(*) AS outdeg FROM edges GROUP BY src
+        ), it0 AS (
+          SELECT node, CAST({unit} AS BIGINT) AS score FROM nodes
+        )"""
+    ]
+    for i in range(1, n_iters + 1):
+        ctes.append(
+            f"""it{i} AS (
+          SELECT n.node,
+                 CAST({teleport} + COALESCE(c.contrib, 0) AS BIGINT) AS score
+          FROM nodes n LEFT JOIN (
+            SELECT e.dst AS node,
+                   SUM(((p.score * {damping}) // 100) // d.outdeg) AS contrib
+            FROM edges e
+            JOIN it{i - 1} p ON p.node = e.src
+            JOIN deg d ON d.src = e.src
+            GROUP BY e.dst
+          ) c ON c.node = n.node
+        )"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT node, score FROM it{n_iters}"
+    )
+
+
+def q_source_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML source — BUILT INTO Spark 4 (the formerly separate
+    spark-xml package; SPARK-44265): supplier round-tripped through the
+    XML writer/reader with an explicit schema (inference would be a
+    second full scan). Exercises entity escaping on the text path and
+    numeric parse-back; the oracle reads the original parquet, so any
+    escaping or type defect breaks the hash."""
+    from pyspark.sql import types as T
+
+    out = _roundtrip_dir("xml_supplier")
+    s = load_table(spark, sf_dir, "supplier")
+    (
+        s.coalesce(1)
+        .write.mode("overwrite")
+        .format("xml")
+        .option("rowTag", "supplier")
+        .save(out)
+    )
+    schema = T.StructType(
+        [
+            T.StructField("s_suppkey", T.LongType()),
+            T.StructField("s_name", T.StringType()),
+            T.StructField("s_nationkey", T.IntegerType()),
+            T.StructField("s_acctbal", T.DoubleType()),
+        ]
+    )
+    df = (
+        spark.read.format("xml")
+        .option("rowTag", "supplier")
+        .schema(schema)
+        .load(out)
+    )
+    return df.select(
+        "s_suppkey",
+        "s_name",
+        "s_nationkey",
+        "s_acctbal",
+        F.length("s_name").alias("name_len"),
+    )
+
+
 def q_source_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``binaryFile`` source: the multimodal ingestion path. Documents
     are materialized as one raw ``.bin`` file each (UTF-8 bytes of the
@@ -1764,6 +1866,20 @@ SPECS = [
         """SELECT s_suppkey, s_nationkey, s_acctbal
            FROM supplier WHERE s_acctbal > 0""",
         doc="ORC source round-trip with pushed-down filter",
+    ),
+    QuerySpec(
+        "rel_source_xml",
+        q_source_xml,
+        """SELECT s_suppkey, s_name, s_nationkey, s_acctbal,
+               CAST(length(s_name) AS INT) AS name_len
+           FROM supplier""",
+        doc="XML source round-trip (built-in since Spark 4), explicit schema",
+    ),
+    QuerySpec(
+        "rel_pagerank",
+        q_pagerank,
+        _pagerank_sql(),
+        doc="PageRank, 3 bounded iterations, integer fixed-point (order-independent)",
     ),
     QuerySpec(
         "rel_scd2_dimension",

@@ -38,6 +38,9 @@ from etl_global_mobility_spark.operators.similarity import (
     train_ivf_centroids,
     train_pq_codebook,
 )
+from etl_global_mobility_spark.operators.graph import (
+    pagerank,
+)
 from etl_global_mobility_spark.operators.quality_rules import (
     filter_rules,
     split_quarantine,
@@ -84,6 +87,7 @@ __all__ = [
     "lsh_ann_candidates",
     "semantic_dedup",
     "train_ivf_centroids",
+    "pagerank",
     "filter_rules",
     "split_quarantine",
     "bm25_topk",

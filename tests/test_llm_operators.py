@@ -572,3 +572,44 @@ def test_semantic_dedup_honors_trained_centroids(spark):
     out = semantic_dedup(emb, threshold=0.99, centroids=cents).collect()
     assert {(r.vec_id, r.dup_of) for r in out} == {(50, 5)}
     assert all(0 <= r.cell < 4 for r in out)
+
+
+def _pagerank_reference(edges, n_iters=3, damping=85, unit=1_000_000):
+    """Pure-Python mirror of operators/graph.py::pagerank (integer
+    floor-division semantics)."""
+    e = sorted(set(edges))
+    nodes = sorted({s for s, _ in e} | {d for _, d in e})
+    outdeg = {}
+    for s, _ in e:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    teleport = unit - unit * damping // 100
+    score = {n: unit for n in nodes}
+    for _ in range(n_iters):
+        contrib = {}
+        for s, d in e:
+            contrib[d] = contrib.get(d, 0) + (score[s] * damping // 100) // outdeg[s]
+        score = {n: teleport + contrib.get(n, 0) for n in nodes}
+    return score
+
+
+def test_pagerank_matches_python_reference_and_handles_dangling(spark):
+    """Integer fixed-point PageRank equals the sequential reference on
+    a graph with a dangling node (4: receives teleport, sends nothing)
+    and a cycle; results must be partitioning-independent by
+    construction (integer arithmetic)."""
+    from etl_global_mobility_spark.operators.graph import pagerank
+
+    edges = [(0, 1), (1, 2), (2, 0), (0, 2), (3, 4), (2, 4), (0, 4)]
+    df = spark.createDataFrame(edges + edges[:3], "src long, dst long")  # dups collapse
+    got = {r.node: r.score for r in pagerank(df, n_iters=3).collect()}
+    assert got == _pagerank_reference(edges)
+    # hub node 4 (three in-edges, no out-edges) must outrank the cycle
+    assert got[4] > got[1]
+
+
+def test_pagerank_zero_iterations_returns_uniform_init(spark):
+    from etl_global_mobility_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
+    got = {r.node: r.score for r in pagerank(df, n_iters=0).collect()}
+    assert got == {1: 1_000_000, 2: 1_000_000}
