@@ -44,6 +44,7 @@ HEADLINE = [
     "llm_frame_sample",
     "llm_pack_sequences",
     "llm_chunk_documents",
+    "llm_causal_lm_examples",
     "llm_strip_boilerplate",
     "llm_pq_ann",
     "llm_filter_rules",

@@ -146,8 +146,10 @@ DRIVER_GREEN_PAST_ROUNDS = frozenset(
 SCHEDULED_NEXT_WINDOW = frozenset(
     {
         "llm_semantic_dedup",
+        "llm_causal_lm_examples",
         "rel_source_xml",
         "rel_pagerank",
+        "rel_lateral_topk",
     }
 )
 

@@ -273,6 +273,62 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(e, n_cells=16, threshold=0.35)
 
 
+def q_causal_lm_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-token-prediction example materialization (seq_len=32):
+    hashed token ids windowed at stride seq_len with one-token overlap,
+    inputs right-padded with 0, labels with -100. Arrays stringify for
+    the driver compare (its canonicalizer rejects array cells)."""
+    from etl_global_mobility_spark.operators.packing import causal_lm_examples
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    ex = causal_lm_examples(d, seq_len=32)
+    return ex.select(
+        "doc_id",
+        "example_start",
+        F.array_join("input_ids", ",").alias("input_str"),
+        F.array_join("labels", ",").alias("labels_str"),
+        "n_real",
+    )
+
+
+def _causal_lm_sql(
+    seq_len: int = 32,
+    vocab_size: int = 32000,
+    pad_id: int = 0,
+    ignore_label: int = -100,
+    seed: int = 0,
+    max_doc: int = 200,
+) -> str:
+    """DuckDB mirror of operators.packing.causal_lm_examples. DuckDB
+    list_slice is 1-based END-inclusive (Spark's F.slice takes a
+    LENGTH); range(n) with n <= 0 is empty, covering the no-pad case."""
+    tid = _md5_hash_sql("t", seed) + f" % {vocab_size}"
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, list_transform({TOKS}, t -> {tid}) AS ids
+      FROM documents WHERE doc_id < {max_doc}
+    ), ex AS (
+      SELECT doc_id, ids, unnest(range(0, len(ids) - 1, {seq_len})) AS s
+      FROM tok WHERE len(ids) >= 2
+    ), win AS (
+      SELECT doc_id, CAST(s AS BIGINT) AS example_start,
+             list_slice(ids, s + 1, s + {seq_len + 1}) AS w
+      FROM ex
+    )
+    SELECT doc_id, example_start,
+           array_to_string(list_concat(
+             list_slice(w, 1, {seq_len}),
+             list_transform(range({seq_len} - least(len(w), {seq_len})),
+                            x -> CAST({pad_id} AS BIGINT))), ',') AS input_str,
+           array_to_string(list_concat(
+             list_slice(w, 2, {seq_len + 1}),
+             list_transform(range({seq_len} - (len(w) - 1)),
+                            x -> CAST({ignore_label} AS BIGINT))), ',') AS labels_str,
+           CAST(len(w) - 1 AS BIGINT) AS n_real
+    FROM win
+    """
+
+
 def q_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Majority label among the 10 exact nearest neighbors per query —
     a classification-by-retrieval pipeline stage."""
@@ -1502,6 +1558,12 @@ SPECS = [
         q_semantic_dedup,
         _semantic_dedup_sql(thr=0.35),
         doc="SemDeDup semantic dedup: coarse-quantized cells, within-cell cosine ≥ 0.35",
+    ),
+    QuerySpec(
+        "llm_causal_lm_examples",
+        q_causal_lm_examples,
+        _causal_lm_sql(),
+        doc="causal-LM training examples: windowed hashed ids, shifted labels, loss mask",
     ),
     QuerySpec(
         "llm_knn_label_vote",

@@ -904,6 +904,31 @@ def q_recursive_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated subquery (Spark 3.4+ lateral join): per
+    customer, the top-3 orders by price — the "for each row, run a
+    parameterized subquery" shape. Catalyst decorrelates it into a
+    ranked window join (no per-row re-execution), so the same text
+    that reads as a loop runs as one distributed plan; semantically
+    identical to the window-function top-k (rel_window_topk_per_group)
+    but exercises the decorrelation path."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("v_lat_customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_lat_orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        FROM v_lat_customer c,
+        LATERAL (
+          SELECT o_orderkey, o_totalprice FROM v_lat_orders
+          WHERE o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey
+          LIMIT 3
+        ) o
+        WHERE c.c_custkey < 200
+        """
+    )
+
+
 def q_range_join_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Non-equi range join: events against 5-day interval buckets.
     The bucket side is tiny and broadcast, so the fact side streams
@@ -1880,6 +1905,20 @@ SPECS = [
         q_pagerank,
         _pagerank_sql(),
         doc="PageRank, 3 bounded iterations, integer fixed-point (order-independent)",
+    ),
+    QuerySpec(
+        "rel_lateral_topk",
+        q_lateral_topk,
+        """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+           FROM customer c,
+           LATERAL (
+             SELECT o_orderkey, o_totalprice FROM orders
+             WHERE o_custkey = c.c_custkey
+             ORDER BY o_totalprice DESC, o_orderkey
+             LIMIT 3
+           ) o
+           WHERE c.c_custkey < 200""",
+        doc="LATERAL correlated top-k subquery (decorrelated by Catalyst)",
     ),
     QuerySpec(
         "rel_scd2_dimension",

@@ -19,6 +19,7 @@ from etl_global_mobility_spark.operators.merge import (
     upsert,
 )
 from etl_global_mobility_spark.operators.packing import (
+    causal_lm_examples,
     chunk_documents,
     pack_sequences,
 )
@@ -67,6 +68,7 @@ __all__ = [
     "strip_boilerplate",
     "upsert",
     "incremental_agg_update",
+    "causal_lm_examples",
     "chunk_documents",
     "pack_sequences",
     "asof_join",

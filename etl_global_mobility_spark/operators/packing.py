@@ -98,3 +98,75 @@ def chunk_documents(
         )
         .withColumn("chunk_tokens", token_count("chunk_text"))
     )
+
+
+def causal_lm_examples(
+    docs: DataFrame,
+    seq_len: int = 32,
+    vocab_size: int = 32000,
+    pad_id: int = 0,
+    ignore_label: int = -100,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: int = 0,
+) -> DataFrame:
+    """Materialize next-token-prediction training examples — the last
+    hop from curated text to model batches.
+
+    Tokens map to ids via the portable 60-bit md5 hash mod
+    ``vocab_size`` (a stand-in for a real tokenizer vocab: stateless,
+    deterministic, oracle-reproducible). Each document's id stream is
+    cut into windows of ``seq_len + 1`` at stride ``seq_len`` —
+    consecutive windows overlap by ONE token, so every token except a
+    document's first is predicted exactly once:
+
+    * ``input_ids`` = window[0 : seq_len], right-padded with
+      ``pad_id``;
+    * ``labels``    = window[1 : seq_len+1], right-padded with
+      ``ignore_label`` (the loss mask convention);
+    * ``n_real``    = count of real (unpadded) labels.
+
+    Documents with < 2 tokens yield no examples (nothing to predict).
+    Map-only and shuffle-free like :func:`chunk_documents`: windows
+    explode where the row lives, output ∝ total tokens / seq_len.
+    """
+    if seq_len <= 0:
+        raise ValueError(f"seq_len must be positive: {seq_len}")
+    from etl_global_mobility_spark.operators.dedup import _md5_band_hash
+
+    ids = F.transform(
+        tokenize(text_col), lambda t: _md5_band_hash(t, seed) % vocab_size
+    )
+    starts = F.when(
+        F.size(ids) >= 2, F.sequence(F.lit(0), F.size(ids) - 2, F.lit(seq_len))
+    ).otherwise(F.array().cast("array<int>"))
+
+    def pad_to(arr: F.Column, fill: int) -> F.Column:
+        return F.concat(
+            arr,
+            F.array_repeat(
+                F.lit(fill).cast("bigint"),
+                F.greatest(F.lit(0), F.lit(seq_len) - F.size(arr)),
+            ),
+        )
+
+    win = F.slice(F.col("_ids"), F.col("example_start") + 1, seq_len + 1)
+    return (
+        docs.select(F.col(id_col), ids.alias("_ids"), starts.alias("_starts"))
+        .select(id_col, "_ids", F.explode("_starts").alias("_s"))
+        .select(
+            id_col,
+            F.col("_s").cast("bigint").alias("example_start"),
+            "_ids",
+        )
+        .select(id_col, "example_start", win.alias("_win"))
+        .select(
+            id_col,
+            "example_start",
+            pad_to(F.slice("_win", 1, seq_len), pad_id).alias("input_ids"),
+            pad_to(F.slice(F.col("_win"), 2, seq_len), ignore_label).alias(
+                "labels"
+            ),
+            (F.size("_win") - 1).cast("bigint").alias("n_real"),
+        )
+    )

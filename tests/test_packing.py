@@ -196,3 +196,59 @@ def test_approx_percentile_rank_error_bound(spark):
         # maps to well under 2% relative value error
         assert abs(r.ap50 - r.p50) <= 0.02 * abs(r.p50) + 1e-9, r
         assert abs(r.ap90 - r.p90) <= 0.02 * abs(r.p90) + 1e-9, r
+
+
+def test_causal_lm_examples_shift_pad_and_mask(spark):
+    """Shift/pad contract on a hand-sized doc: 7 tokens at seq_len=4
+    → windows [0:5] and [4:7]; labels are inputs shifted by one; the
+    tail example pads inputs with pad_id and labels with -100."""
+    from etl_global_mobility_spark.operators.packing import causal_lm_examples
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "x"), (3, "")],
+        "doc_id long, text string",
+    )
+    out = {
+        r.example_start: r
+        for r in causal_lm_examples(df, seq_len=4, vocab_size=1000)
+        .filter("doc_id = 1")
+        .collect()
+    }
+    assert set(out) == {0, 4}
+    from etl_global_mobility_spark.operators.dedup import _md5_band_hash
+    import pyspark.sql.functions as F
+
+    ids = (
+        spark.createDataFrame([(t,) for t in "abcdefg"], "t string")
+        .select(_md5_band_hash(F.col("t"), 0).alias("h"))
+        .collect()
+    )
+    ids = [r.h % 1000 for r in ids]
+    # window 0 covers tokens 0-4: full, no padding
+    assert out[0].input_ids == ids[0:4]
+    assert out[0].labels == ids[1:5]
+    assert out[0].n_real == 4
+    # window 4 covers tokens 4-6: 3-token window → pad 1 input, 2 labels
+    assert out[4].input_ids == ids[4:7] + [0]
+    assert out[4].labels == ids[5:7] + [-100, -100]
+    assert out[4].n_real == 2
+    # docs with < 2 tokens produce nothing
+    full = causal_lm_examples(df, seq_len=4, vocab_size=1000)
+    assert full.filter("doc_id >= 2").count() == 0
+
+
+def test_causal_lm_every_token_predicted_once(spark):
+    """Across a document's examples, the multiset of real labels ==
+    tokens[1:]: stride = seq_len with one-token overlap double-counts
+    nothing and drops nothing."""
+    from etl_global_mobility_spark.operators.packing import causal_lm_examples
+    import pyspark.sql.functions as F
+
+    text = " ".join(f"w{i}" for i in range(23))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = causal_lm_examples(df, seq_len=5, vocab_size=50).collect()
+    real_labels = []
+    for r in rows:
+        real_labels += [l for l in r.labels if l != -100]
+        assert len(r.input_ids) == 5 and len(r.labels) == 5
+    assert len(real_labels) == 22  # 23 tokens → 22 predictions
