@@ -48,6 +48,7 @@ HEADLINE = [
     "llm_strip_boilerplate",
     "llm_pq_ann",
     "llm_filter_rules",
+    "llm_quality_classifier",
     "llm_bm25",
     "llm_e2e_curation",
     "llm_semantic_dedup",

@@ -273,6 +273,52 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_dedup(e, n_cells=16, threshold=0.35)
 
 
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear quality-classifier inference (fastText/logreg-shaped
+    curation): bit-exact logit from literal weights, threshold at 0."""
+    from etl_global_mobility_spark.operators.quality_rules import (
+        quality_classifier,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return quality_classifier(d).select("doc_id", "quality_logit", "clf_keep")
+
+
+def _quality_classifier_sql() -> str:
+    """DuckDB mirror of quality_rules.quality_classifier: identical
+    feature expressions (shared with _filter_rules_cte_block) and the
+    same left-to-right logit fold — bit-exact doubles."""
+    from etl_global_mobility_spark.operators.quality_rules import (
+        CLASSIFIER_WEIGHTS as W,
+    )
+
+    sw = "['the', 'a', 'of', 'to', 'and', 'in']"
+    logit = (
+        f"{W['bias']} + {W['n_words_capped']} * f_nw + {W['mean_word_len']} * f_mwl"
+        f" + {W['distinct_ratio']} * f_dr + {W['digit_ratio']} * f_dig"
+        f" + {W['symbol_ratio']} * f_sym + {W['has_stopword']} * f_sw"
+    )
+    return f"""
+    WITH m AS (
+      SELECT doc_id,
+        CAST(least(len({TOKS}), 256) AS DOUBLE) / 256.0 AS f_nw,
+        CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
+          / greatest(len({TOKS}), 1) AS f_mwl,
+        CAST(len(list_distinct({TOKS})) AS DOUBLE)
+          / greatest(len({TOKS}), 1) AS f_dr,
+        CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+          / greatest(length(text), 1) AS f_dig,
+        CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+          / greatest(length(text), 1) AS f_sym,
+        CAST(len(list_intersect({TOKS}, {sw})) > 0 AS DOUBLE) AS f_sw
+      FROM documents
+    )
+    SELECT doc_id, {logit} AS quality_logit,
+           COALESCE(({logit}) >= 0.0, FALSE) AS clf_keep
+    FROM m
+    """
+
+
 def q_causal_lm_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Next-token-prediction example materialization (seq_len=32):
     hashed token ids windowed at stride seq_len with one-token overlap,
@@ -1558,6 +1604,12 @@ SPECS = [
         q_semantic_dedup,
         _semantic_dedup_sql(thr=0.35),
         doc="SemDeDup semantic dedup: coarse-quantized cells, within-cell cosine ≥ 0.35",
+    ),
+    QuerySpec(
+        "llm_quality_classifier",
+        q_quality_classifier,
+        _quality_classifier_sql(),
+        doc="linear quality-classifier inference: bit-exact logit, threshold keep",
     ),
     QuerySpec(
         "llm_causal_lm_examples",

@@ -133,3 +133,76 @@ def split_quarantine(
     (``keep`` is never NULL — NULL/unevaluable text quarantines)."""
     flagged = filter_rules(df, text_col)
     return flagged.filter(F.col("keep")), flagged.filter(~F.col("keep"))
+
+
+#: Fixed "trained" weights for :func:`quality_classifier` — every value
+#: is a small binary fraction so each product is a single exact-parity
+#: IEEE op on any engine.
+CLASSIFIER_WEIGHTS = {
+    "bias": -2.5,
+    "n_words_capped": 2.0,
+    "mean_word_len": 0.25,
+    "distinct_ratio": 1.5,
+    "digit_ratio": -3.0,
+    "symbol_ratio": -2.0,
+    "has_stopword": 0.5,
+}
+
+
+def quality_classifier(
+    df: DataFrame,
+    text_col: str = "text",
+    weights: dict[str, float] | None = None,
+) -> DataFrame:
+    """Linear quality-classifier INFERENCE as pure Catalyst
+    expressions — the fastText/logreg-shaped curation stage (score
+    every document with a trained model, keep above threshold), with
+    the model small enough to inline as literals.
+
+    ``quality_logit = bias + Σ wᵢ·fᵢ`` folded strictly left-to-right,
+    features are single-division ratios — every step is one IEEE
+    double op, so an independent engine reproduces the logit
+    bit-for-bit (no sigmoid: monotone, so thresholding the logit at 0
+    IS thresholding the probability at 0.5, without transcendental
+    cross-engine drift). A real deployment swaps the literal weights
+    for its trained ones (still driver-side literals: d+1 doubles —
+    broadcast-free, map-only, stays in WholeStageCodegen).
+
+    Adds ``quality_logit`` (NULL for NULL text) and ``clf_keep``
+    (never NULL — unevaluable text drops, the conservative contract
+    shared with :func:`filter_rules`).
+    """
+    w = {**CLASSIFIER_WEIGHTS, **(weights or {})}
+    text = F.col(text_col)
+    toks = tokenize(text)
+    n_words = F.size(toks)
+    n_chars = F.length(text)
+    non_ws = F.length(F.regexp_replace(text, r"\s", ""))
+    feats = [
+        (
+            "n_words_capped",
+            F.least(n_words, F.lit(256)).cast("double") / F.lit(256.0),
+        ),
+        ("mean_word_len", _ratio(non_ws, n_words)),
+        ("distinct_ratio", _ratio(F.size(F.array_distinct(toks)), n_words)),
+        (
+            "digit_ratio",
+            _ratio(F.length(F.regexp_replace(text, r"[^0-9]", "")), n_chars),
+        ),
+        (
+            "symbol_ratio",
+            _ratio(F.length(F.regexp_replace(text, r"[A-Za-z0-9\s]", "")), n_chars),
+        ),
+        (
+            "has_stopword",
+            F.arrays_overlap(
+                toks, F.array(*[F.lit(s) for s in STOPWORD_PROBE])
+            ).cast("double"),
+        ),
+    ]
+    score = F.lit(float(w["bias"]))
+    for name, col in feats:
+        score = score + F.lit(float(w[name])) * col
+    return df.withColumn("quality_logit", score).withColumn(
+        "clf_keep", F.coalesce(score >= F.lit(0.0), F.lit(False))
+    )

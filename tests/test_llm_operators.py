@@ -613,3 +613,39 @@ def test_pagerank_zero_iterations_returns_uniform_init(spark):
     df = spark.createDataFrame([(1, 2), (2, 1)], "src long, dst long")
     got = {r.node: r.score for r in pagerank(df, n_iters=0).collect()}
     assert got == {1: 1_000_000, 2: 1_000_000}
+
+
+def test_stateful_stream_on_rocksdb_state_store(spark):
+    """The large-state scale path: RocksDB state store (bundled
+    rocksdbjni) keeps streaming state off-heap and spillable — at
+    100 TB the HDFS-backed in-memory provider OOMs on wide key spaces.
+    Both the built-in windowed agg and the custom
+    applyInPandasWithState operator must produce identical results on
+    either provider."""
+    from etl_global_mobility_spark.corpus.streaming import (
+        q_stream_stateful_profile,
+        q_stream_tumbling,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    key = "spark.sql.streaming.stateStore.providerClass"
+    rocks = (
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider"
+    )
+    base_prof = sorted(map(str, q_stream_stateful_profile(spark, sf_dir).collect()))
+    base_tumb = sorted(map(str, q_stream_tumbling(spark, sf_dir).collect()))
+    prev = spark.conf.get(key, None)
+    try:
+        spark.conf.set(key, rocks)
+        rock_prof = sorted(
+            map(str, q_stream_stateful_profile(spark, sf_dir).collect())
+        )
+        rock_tumb = sorted(map(str, q_stream_tumbling(spark, sf_dir).collect()))
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    assert rock_prof == base_prof and len(base_prof) > 0
+    assert rock_tumb == base_tumb and len(base_tumb) > 0

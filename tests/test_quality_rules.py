@@ -167,3 +167,60 @@ def test_lineage_columns(spark):
     r = _one(spark)
     assert r.origen_datos == "fixture.csv"
     assert r.fec_actualizacion_registro == FROZEN_TS
+
+
+def test_quality_classifier_logit_and_conservative_null(spark):
+    """Logit = fixed left-fold of literal weights over the features; a
+    NULL/empty text must never keep (clf_keep is never NULL)."""
+    from etl_global_mobility_spark.operators.quality_rules import (
+        CLASSIFIER_WEIGHTS,
+        quality_classifier,
+    )
+
+    good = "the quick brown fox jumps over the lazy dog " * 30
+    df = spark.createDataFrame(
+        [(1, good), (2, ""), (3, None), (4, "000 111 222 333 444 999")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in quality_classifier(df).collect()}
+    # hand-fold the expected logit for the good doc
+    toks = good.lower().split()
+    w = CLASSIFIER_WEIGHTS
+    f = [
+        min(len(toks), 256) / 256.0,
+        sum(len(t) for t in toks) / len(toks),
+        len(set(toks)) / len(toks),
+        0.0,
+        0.0,
+        1.0,
+    ]
+    names = [
+        "n_words_capped", "mean_word_len", "distinct_ratio",
+        "digit_ratio", "symbol_ratio", "has_stopword",
+    ]
+    expected = w["bias"]
+    for name, fi in zip(names, f):
+        expected = expected + w[name] * fi
+    assert rows[1].quality_logit == expected
+    assert rows[1].clf_keep
+    # all-digit text: heavy digit penalty ⇒ drop, logit still defined
+    assert not rows[4].clf_keep and rows[4].quality_logit < 0
+    # NULL text: NULL logit but a definite drop decision
+    assert rows[3].quality_logit is None and rows[3].clf_keep is False
+    assert rows[2].clf_keep is False
+
+
+def test_quality_classifier_weight_override_moves_threshold(spark):
+    from etl_global_mobility_spark.operators.quality_rules import (
+        quality_classifier,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "the plain sentence with a few ordinary words in it")],
+        "doc_id long, text string",
+    )
+    base = quality_classifier(df).collect()[0]
+    loose = quality_classifier(df, weights={"bias": 100.0}).collect()[0]
+    strict = quality_classifier(df, weights={"bias": -100.0}).collect()[0]
+    assert loose.clf_keep and not strict.clf_keep
+    assert loose.quality_logit > base.quality_logit > strict.quality_logit
