@@ -49,6 +49,7 @@ HEADLINE = [
     "llm_pq_ann",
     "llm_filter_rules",
     "llm_quality_classifier",
+    "llm_preference_pairs",
     "llm_bm25",
     "llm_e2e_curation",
     "llm_semantic_dedup",

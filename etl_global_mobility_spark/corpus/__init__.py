@@ -148,6 +148,7 @@ SCHEDULED_NEXT_WINDOW = frozenset(
         "llm_semantic_dedup",
         "llm_causal_lm_examples",
         "llm_quality_classifier",
+        "llm_preference_pairs",
         "rel_source_xml",
         "rel_pagerank",
         "rel_lateral_topk",

@@ -284,10 +284,13 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_classifier(d).select("doc_id", "quality_logit", "clf_keep")
 
 
-def _quality_classifier_sql() -> str:
-    """DuckDB mirror of quality_rules.quality_classifier: identical
-    feature expressions (shared with _filter_rules_cte_block) and the
-    same left-to-right logit fold — bit-exact doubles."""
+def _clf_cte_and_logit() -> tuple[str, str]:
+    """(``m`` CTE body, logit expression over its feature columns) —
+    the DuckDB mirror of quality_rules.quality_classifier: identical
+    feature expressions (shared shapes with _filter_rules_cte_block)
+    and the same left-to-right logit fold — bit-exact doubles. Shared
+    by the standalone classifier mirror and the preference-pair
+    oracle."""
     from etl_global_mobility_spark.operators.quality_rules import (
         CLASSIFIER_WEIGHTS as W,
     )
@@ -298,8 +301,7 @@ def _quality_classifier_sql() -> str:
         f" + {W['distinct_ratio']} * f_dr + {W['digit_ratio']} * f_dig"
         f" + {W['symbol_ratio']} * f_sym + {W['has_stopword']} * f_sw"
     )
-    return f"""
-    WITH m AS (
+    cte = f"""m AS (
       SELECT doc_id,
         CAST(least(len({TOKS}), 256) AS DOUBLE) / 256.0 AS f_nw,
         CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
@@ -312,10 +314,59 @@ def _quality_classifier_sql() -> str:
           / greatest(length(text), 1) AS f_sym,
         CAST(len(list_intersect({TOKS}, {sw})) > 0 AS DOUBLE) AS f_sw
       FROM documents
-    )
+    )"""
+    return cte, logit
+
+
+def _quality_classifier_sql() -> str:
+    cte, logit = _clf_cte_and_logit()
+    return f"""
+    WITH {cte}
     SELECT doc_id, {logit} AS quality_logit,
            COALESCE(({logit}) >= 0.0, FALSE) AS clf_keep
     FROM m
+    """
+
+
+def q_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reward-model / DPO preference pairs: per (source, lang) group,
+    the classifier's best-scored document paired against its worst,
+    with the logit margin."""
+    from etl_global_mobility_spark.operators.quality_rules import (
+        quality_classifier,
+    )
+    from etl_global_mobility_spark.operators.splits import preference_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = quality_classifier(d)
+    return preference_pairs(scored, ["source", "lang"])
+
+
+def _preference_pairs_sql() -> str:
+    """DuckDB mirror of splits.preference_pairs over the classifier
+    scores: same NULL-exclusion, same (score, id) tie-break orderings,
+    same double subtraction for the margin."""
+    cte, logit = _clf_cte_and_logit()
+    return f"""
+    WITH {cte}, clf AS (
+      SELECT doc_id, {logit} AS s FROM m
+    ), j AS (
+      SELECT d.source, d.lang, d.doc_id, clf.s
+      FROM documents d JOIN clf USING (doc_id)
+      WHERE clf.s IS NOT NULL
+    ), r AS (
+      SELECT source, lang, doc_id, s,
+             row_number() OVER (PARTITION BY source, lang
+                                ORDER BY s DESC, doc_id) AS rc,
+             row_number() OVER (PARTITION BY source, lang
+                                ORDER BY s ASC, doc_id DESC) AS rr,
+             count(*) OVER (PARTITION BY source, lang) AS n
+      FROM j
+    )
+    SELECT c.source, c.lang, c.doc_id AS chosen_id,
+           rj.doc_id AS rejected_id, c.s - rj.s AS margin
+    FROM (SELECT * FROM r WHERE rc = 1 AND n >= 2) c
+    JOIN (SELECT * FROM r WHERE rr = 1) rj USING (source, lang)
     """
 
 
@@ -1610,6 +1661,12 @@ SPECS = [
         q_quality_classifier,
         _quality_classifier_sql(),
         doc="linear quality-classifier inference: bit-exact logit, threshold keep",
+    ),
+    QuerySpec(
+        "llm_preference_pairs",
+        q_preference_pairs,
+        _preference_pairs_sql(),
+        doc="RLHF preference pairs: per-group best vs worst classifier score + margin",
     ),
     QuerySpec(
         "llm_causal_lm_examples",

@@ -51,6 +51,7 @@ from etl_global_mobility_spark.operators.splits import (
     cap_per_stratum,
     hash_split,
     mix_sources,
+    preference_pairs,
     stratified_hash_sample,
 )
 from etl_global_mobility_spark.operators.text import (
@@ -97,6 +98,7 @@ __all__ = [
     "stratified_hash_sample",
     "mix_sources",
     "cap_per_stratum",
+    "preference_pairs",
     "doc_fingerprint",
     "language_id",
     "quality_score",

@@ -195,3 +195,61 @@ def cap_per_stratum(
         Window.partitionBy(strata_col).orderBy(order_key, F.col(id_col))
     )
     return df.withColumn("_rk", rk).filter(F.col("_rk") <= max_rows).drop("_rk")
+
+
+def preference_pairs(
+    df: DataFrame,
+    group_cols: list[str],
+    id_col: str = "doc_id",
+    score_col: str = "quality_logit",
+) -> DataFrame:
+    """Preference-pair construction for reward-model / DPO training:
+    within each group (prompt, source bucket, ...), pair the
+    highest-scored example (*chosen*) against the lowest-scored
+    (*rejected*), with the score margin.
+
+    Deterministic ordering contract: chosen = first by (score DESC,
+    id ASC); rejected = first by (score ASC, id DESC) — with ≥ 2 rows
+    the two are distinct even when every score ties. NULL scores are
+    excluded BEFORE ranking: engines disagree on NULL ordering
+    placement (Spark NULLS FIRST asc vs DuckDB NULLS LAST), and an
+    unevaluable example belongs in no pair anyway. Groups with < 2
+    scored rows emit nothing.
+
+    Scale shape: one exchange on the group key — both rankings and
+    the group count share the same window partitioning, and the
+    chosen⋈rejected join is on rn=1 slices (one row per group per
+    side), so output and join input are ∝ groups, not rows.
+    """
+    from pyspark.sql import Window
+
+    base = df.filter(F.col(score_col).isNotNull())
+    wc = Window.partitionBy(*group_cols).orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    wr = Window.partitionBy(*group_cols).orderBy(
+        F.col(score_col).asc(), F.col(id_col).desc()
+    )
+    wn = Window.partitionBy(*group_cols)
+    ranked = (
+        base.withColumn("__rc", F.row_number().over(wc))
+        .withColumn("__rr", F.row_number().over(wr))
+        .withColumn("__n", F.count(F.lit(1)).over(wn))
+        .filter(F.col("__n") >= 2)
+    )
+    chosen = ranked.filter(F.col("__rc") == 1).select(
+        *group_cols,
+        F.col(id_col).alias("chosen_id"),
+        F.col(score_col).alias("chosen_score"),
+    )
+    rejected = ranked.filter(F.col("__rr") == 1).select(
+        *group_cols,
+        F.col(id_col).alias("rejected_id"),
+        F.col(score_col).alias("rejected_score"),
+    )
+    return chosen.join(rejected, list(group_cols)).select(
+        *group_cols,
+        "chosen_id",
+        "rejected_id",
+        (F.col("chosen_score") - F.col("rejected_score")).alias("margin"),
+    )

@@ -649,3 +649,27 @@ def test_stateful_stream_on_rocksdb_state_store(spark):
             spark.conf.set(key, prev)
     assert rock_prof == base_prof and len(base_prof) > 0
     assert rock_tumb == base_tumb and len(base_tumb) > 0
+
+
+def test_preference_pairs_tiebreak_and_null_exclusion(spark):
+    """Pair contract: chosen/rejected distinct under full score ties;
+    NULL scores never enter a pair; singleton groups emit nothing."""
+    from etl_global_mobility_spark.operators.splits import preference_pairs
+
+    rows = [
+        # group A: clear ordering
+        ("A", 1, 0.5), ("A", 2, -0.25), ("A", 3, 2.0),
+        # group B: all scores tie → chosen = min id, rejected = max id
+        ("B", 10, 1.0), ("B", 11, 1.0), ("B", 12, 1.0),
+        # group C: one scored row + one NULL → < 2 scored, no pair
+        ("C", 20, 0.75), ("C", 21, None),
+        # group D: two rows, one NULL-scored → no pair
+        ("D", 30, None), ("D", 31, None),
+    ]
+    df = spark.createDataFrame(rows, "src string, doc_id long, quality_logit double")
+    out = {r.src: r for r in preference_pairs(df, ["src"]).collect()}
+    assert set(out) == {"A", "B"}
+    assert (out["A"].chosen_id, out["A"].rejected_id) == (3, 2)
+    assert out["A"].margin == 2.0 - (-0.25)
+    assert (out["B"].chosen_id, out["B"].rejected_id) == (10, 12)
+    assert out["B"].margin == 0.0
