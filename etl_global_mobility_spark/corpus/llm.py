@@ -328,6 +328,23 @@ def _quality_classifier_sql() -> str:
     """
 
 
+def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (Sennrich arXiv:1508.07909):
+    8 merge iterations over the corpus word-frequency table. Iterative
+    (each merge depends on the previous rewrite), so no SQL oracle —
+    correctness is anchored by the sequential-reference pytest
+    (tests/test_llm_operators.py::test_bpe_training_matches_sequential_reference);
+    the driver records the rows-only check on the ranked merge table."""
+    from etl_global_mobility_spark.operators.bpe import train_bpe_merges
+
+    d = load_table(spark, sf_dir, "documents")
+    merges = train_bpe_merges(d, n_merges=8, min_freq=2)
+    return spark.createDataFrame(
+        [(i, l, r) for i, (l, r) in enumerate(merges)],
+        "rank int, left string, right string",
+    )
+
+
 def q_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reward-model / DPO preference pairs: per (source, lang) group,
     the classifier's best-scored document paired against its worst,
@@ -1661,6 +1678,12 @@ SPECS = [
         q_quality_classifier,
         _quality_classifier_sql(),
         doc="linear quality-classifier inference: bit-exact logit, threshold keep",
+    ),
+    QuerySpec(
+        "llm_bpe_train",
+        q_bpe_train,
+        None,
+        doc="distributed BPE tokenizer training (iterative; reference-tested, rows-only)",
     ),
     QuerySpec(
         "llm_preference_pairs",

@@ -39,6 +39,11 @@ from etl_global_mobility_spark.operators.similarity import (
     train_ivf_centroids,
     train_pq_codebook,
 )
+from etl_global_mobility_spark.operators.bpe import (
+    bpe_token_count,
+    train_bpe_merges,
+    word_frequencies,
+)
 from etl_global_mobility_spark.operators.graph import (
     pagerank,
 )
@@ -91,6 +96,9 @@ __all__ = [
     "semantic_dedup",
     "train_ivf_centroids",
     "pagerank",
+    "bpe_token_count",
+    "train_bpe_merges",
+    "word_frequencies",
     "filter_rules",
     "split_quarantine",
     "bm25_topk",

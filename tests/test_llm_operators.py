@@ -673,3 +673,89 @@ def test_preference_pairs_tiebreak_and_null_exclusion(spark):
     assert out["A"].margin == 2.0 - (-0.25)
     assert (out["B"].chosen_id, out["B"].rejected_id) == (10, 12)
     assert out["B"].margin == 0.0
+
+
+def _bpe_reference_train(word_freqs, n_merges, min_freq=2):
+    """Sequential Sennrich BPE (chars, no end-marker) for comparison."""
+    words = {tuple(w): f for w, f in word_freqs.items()}
+    merges = []
+    for _ in range(n_merges):
+        pairs = {}
+        for syms, f in words.items():
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] = pairs.get((syms[i], syms[i + 1]), 0) + f
+        if not pairs:
+            break
+        best = max(pairs.items(), key=lambda kv: (kv[1], [-ord(c) for c in kv[0][0]], [-ord(c) for c in kv[0][1]]))
+        # deterministic tie-break: count DESC then left ASC then right ASC
+        top = max(pairs.values())
+        cand = sorted([p for p, n in pairs.items() if n == top])
+        best = (cand[0], top)
+        if best[1] < min_freq:
+            break
+        (l, r) = best[0]
+        merges.append((l, r))
+        new_words = {}
+        for syms, f in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_words[tuple(out)] = new_words.get(tuple(out), 0) + f
+        words = new_words
+    return merges
+
+
+def test_bpe_training_matches_sequential_reference(spark):
+    from etl_global_mobility_spark.operators.bpe import train_bpe_merges
+
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new newer",
+        "low new lower newer",
+        "widest wide wider wide",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = train_bpe_merges(df, n_merges=8, min_freq=2)
+    freqs = {}
+    for t in texts:
+        for w in t.lower().split():
+            freqs[w] = freqs.get(w, 0) + 1
+    want = _bpe_reference_train(freqs, 8, min_freq=2)
+    assert got == want, f"{got} != {want}"
+    assert len(got) > 0
+
+
+def test_bpe_token_count_applies_trained_merges(spark):
+    """After training on 'aaab'-heavy text, 'aa' merges, so counting
+    tokens reflects the merge table; unknown chars stay singletons."""
+    from etl_global_mobility_spark.operators.bpe import (
+        bpe_token_count,
+        train_bpe_merges,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "aaab aaab aaab"), (2, "zq")], "doc_id long, text string"
+    )
+    merges = train_bpe_merges(df, n_merges=3, min_freq=2)
+    out = {r.doc_id: r.bpe_tokens for r in bpe_token_count(df, merges).collect()}
+    # 'aaab' (4 chars) compresses under the learned merges
+    assert out[1] < 3 * 4
+    assert out[2] == 2  # no merges apply to unseen 'zq'
+    # NULL-safe
+    df2 = spark.createDataFrame([(3, None)], "doc_id long, text string")
+    assert bpe_token_count(df2, merges).collect()[0].bpe_tokens == 0
+
+
+def test_bpe_training_early_stops_below_min_freq(spark):
+    from etl_global_mobility_spark.operators.bpe import train_bpe_merges
+
+    df = spark.createDataFrame([(1, "ab cd ef")], "doc_id long, text string")
+    # every adjacent pair occurs once -> below min_freq=2, no merges
+    assert train_bpe_merges(df, n_merges=5, min_freq=2) == []
