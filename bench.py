@@ -51,6 +51,7 @@ HEADLINE = [
     "llm_quality_classifier",
     "llm_preference_pairs",
     "llm_bm25",
+    "llm_hybrid_retrieval_rrf",
     "llm_e2e_curation",
     "llm_semantic_dedup",
     "rel_decayed_activity",

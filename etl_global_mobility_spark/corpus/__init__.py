@@ -149,6 +149,7 @@ SCHEDULED_NEXT_WINDOW = frozenset(
         "llm_causal_lm_examples",
         "llm_quality_classifier",
         "llm_preference_pairs",
+        "llm_hybrid_retrieval_rrf",
         "rel_source_xml",
         "rel_pagerank",
         "rel_lateral_topk",

@@ -328,6 +328,55 @@ def _quality_classifier_sql() -> str:
     """
 
 
+def q_hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 top-20 (lexical) fused with exact cosine
+    top-20 for query vector 5 (dense, embedding i ↔ document i) via
+    Reciprocal Rank Fusion — the standard RAG retrieval combiner."""
+    from etl_global_mobility_spark.operators.retrieval import bm25_topk, rrf_fuse
+    from etl_global_mobility_spark.operators.similarity import cosine_topk_exact
+
+    d = load_table(spark, sf_dir, "documents")
+    e = load_table(spark, sf_dir, "embeddings")
+    bm = bm25_topk(d, BM25_TERMS, top_k=20).select("doc_id", "rank")
+    qv = e.filter(F.col("vec_id") == 5)
+    cos = cosine_topk_exact(e, qv, k=20).select(
+        F.col("c_id").alias("doc_id"), "rank"
+    )
+    return rrf_fuse([bm, cos], k=60)
+
+
+def _hybrid_rrf_sql(k: int = 60, top_k: int = 20, qvec: int = 5) -> str:
+    """DuckDB mirror of rrf_fuse over the BM25 mirror (embedded as a
+    subquery) and the exact-cosine ranking: same fixed fold
+    0.0 + coalesce(bm) + coalesce(cos), same (score DESC, id) re-rank."""
+    cos = _COS.replace("a.embedding", "c.embedding").replace(
+        "b.embedding", "q.embedding"
+    )
+    return f"""
+    WITH bm AS (
+      SELECT doc_id, rank FROM ({_bm25_sql(top_k=top_k)})
+    ), cosr AS (
+      SELECT doc_id, rank FROM (
+        SELECT c.vec_id AS doc_id,
+               row_number() OVER (ORDER BY {cos} DESC, c.vec_id) AS rank
+        FROM embeddings c, embeddings q
+        WHERE q.vec_id = {qvec} AND c.vec_id <> {qvec}
+      ) WHERE rank <= {top_k}
+    ), fused AS (
+      SELECT COALESCE(bm.doc_id, cosr.doc_id) AS doc_id,
+             0.0 + COALESCE(1.0 / ({k}.0 + bm.rank), 0.0)
+                 + COALESCE(1.0 / ({k}.0 + cosr.rank), 0.0) AS rrf_score,
+             CAST(bm.rank IS NOT NULL AS INT)
+               + CAST(cosr.rank IS NOT NULL AS INT) AS n_rankers
+      FROM bm FULL OUTER JOIN cosr ON bm.doc_id = cosr.doc_id
+    )
+    SELECT doc_id, rrf_score, n_rankers,
+           CAST(row_number() OVER (ORDER BY rrf_score DESC, doc_id) AS INT)
+             AS rrf_rank
+    FROM fused
+    """
+
+
 def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training (Sennrich arXiv:1508.07909):
     8 merge iterations over the corpus word-frequency table. Iterative
@@ -1678,6 +1727,12 @@ SPECS = [
         q_quality_classifier,
         _quality_classifier_sql(),
         doc="linear quality-classifier inference: bit-exact logit, threshold keep",
+    ),
+    QuerySpec(
+        "llm_hybrid_retrieval_rrf",
+        q_hybrid_retrieval_rrf,
+        _hybrid_rrf_sql(),
+        doc="hybrid retrieval: BM25 + dense cosine fused by Reciprocal Rank Fusion",
     ),
     QuerySpec(
         "llm_bpe_train",

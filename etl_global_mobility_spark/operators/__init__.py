@@ -49,9 +49,10 @@ from etl_global_mobility_spark.operators.graph import (
 )
 from etl_global_mobility_spark.operators.quality_rules import (
     filter_rules,
+    quality_classifier,
     split_quarantine,
 )
-from etl_global_mobility_spark.operators.retrieval import bm25_topk
+from etl_global_mobility_spark.operators.retrieval import bm25_topk, rrf_fuse
 from etl_global_mobility_spark.operators.splits import (
     cap_per_stratum,
     hash_split,
@@ -100,8 +101,10 @@ __all__ = [
     "train_bpe_merges",
     "word_frequencies",
     "filter_rules",
+    "quality_classifier",
     "split_quarantine",
     "bm25_topk",
+    "rrf_fuse",
     "hash_split",
     "stratified_hash_sample",
     "mix_sources",

@@ -146,3 +146,49 @@ def bm25_topk(
         "n_terms_hit",
         "score",
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = 60,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Reciprocal Rank Fusion (Cormack et al., SIGIR 2009) — the
+    standard hybrid-retrieval combiner: given N ranked lists (each
+    ``(id_col, rank)`` with rank 1-based), score every candidate
+    ``Σ_r 1/(k + rank_r)`` over the lists that contain it, missing
+    lists contributing 0.
+
+    RRF needs no score calibration between rankers (only ranks), which
+    is why it is the default way to fuse lexical BM25 with dense
+    cosine retrieval. Arithmetic parity: each contribution is a single
+    IEEE division and the sum folds in ranking-list order with
+    coalesce(…, 0.0), so any engine reproduces the fused score
+    bit-for-bit. Inputs are top-k lists (bounded), so the full-outer
+    candidate join and the global re-rank window are trivially small —
+    the expensive work stays inside the upstream rankers.
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    from pyspark.sql import Window
+
+    out: DataFrame | None = None
+    for i, r in enumerate(rankings):
+        ri = r.select(F.col(id_col), F.col("rank").alias(f"__rank_{i}"))
+        out = ri if out is None else out.join(ri, id_col, "full_outer")
+    score = F.lit(0.0)
+    for i in range(len(rankings)):
+        score = score + F.coalesce(
+            F.lit(1.0) / (F.lit(float(k)) + F.col(f"__rank_{i}")), F.lit(0.0)
+        )
+    n_rankers = None
+    for i in range(len(rankings)):
+        c = F.col(f"__rank_{i}").isNotNull().cast("int")
+        n_rankers = c if n_rankers is None else n_rankers + c
+    w = Window.orderBy(F.col("rrf_score").desc(), F.col(id_col))
+    return (
+        out.select(
+            id_col, score.alias("rrf_score"), n_rankers.alias("n_rankers")
+        )
+        .withColumn("rrf_rank", F.row_number().over(w))
+    )

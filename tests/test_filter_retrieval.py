@@ -237,3 +237,31 @@ def test_filter_rules_empty_text(spark):
     assert row["keep"] is False
     assert row["n_words"] == 0
     assert row["r_min_words"] is True
+
+
+def test_rrf_fusion_rewards_consensus(spark):
+    """A candidate ranked by BOTH lists must outscore one ranked top-1
+    by a single list when k dampens rank gaps (1/(k+2)+1/(k+3) >
+    1/(k+1)); missing lists contribute exactly 0."""
+    from etl_global_mobility_spark.operators.retrieval import rrf_fuse
+
+    a = spark.createDataFrame([(10, 1), (20, 2), (30, 3)], "doc_id long, rank int")
+    b = spark.createDataFrame([(20, 3), (40, 1), (50, 2)], "doc_id long, rank int")
+    out = {r.doc_id: r for r in rrf_fuse([a, b], k=60).collect()}
+    assert set(out) == {10, 20, 30, 40, 50}
+    assert out[20].n_rankers == 2
+    assert out[20].rrf_score == 1.0 / 62 + 1.0 / 63
+    assert out[10].rrf_score == 1.0 / 61
+    # consensus wins the fused ranking
+    assert out[20].rrf_rank == 1
+    # deterministic ordering: ranks are a permutation of 1..5
+    assert sorted(r.rrf_rank for r in out.values()) == [1, 2, 3, 4, 5]
+
+
+def test_rrf_requires_input(spark):
+    import pytest as _pytest
+
+    from etl_global_mobility_spark.operators.retrieval import rrf_fuse
+
+    with _pytest.raises(ValueError):
+        rrf_fuse([])
