@@ -759,3 +759,80 @@ def test_bpe_training_early_stops_below_min_freq(spark):
     df = spark.createDataFrame([(1, "ab cd ef")], "doc_id long, text string")
     # every adjacent pair occurs once -> below min_freq=2, no merges
     assert train_bpe_merges(df, n_merges=5, min_freq=2) == []
+
+
+def test_watermark_drops_late_events_in_append_mode(spark, tmp_path):
+    """Late-data contract: once the watermark passes an event's time,
+    the event is DROPPED from windowed aggregation — append mode then
+    finalizes each window exactly once. Two availableNow runs on one
+    checkpoint (the watermark PERSISTS across restarts): run 1
+    advances the watermark to 10:50 and closes the 10:00 window; run
+    2's 10:02 straggler is behind the restored watermark and must not
+    re-open or change it, while 11:30 closes the 11:00 window."""
+    import glob
+    import os
+    import shutil
+
+    src = str(tmp_path / "wm_src")
+    ckpt = str(tmp_path / "wm_ckpt")
+    os.makedirs(src)
+
+    def write_one(name, ts_list):
+        stage = str(tmp_path / f"stage_{name}")
+        (
+            spark.createDataFrame([(t,) for t in ts_list], "ts_s string")
+            .select(F.col("ts_s").cast("timestamp").alias("ts"))
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(stage)
+        )
+        part = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+        shutil.copy(part, os.path.join(src, f"{name}.parquet"))
+
+    out = str(tmp_path / "wm_out")
+
+    def drain(run_name):
+        counts = (
+            spark.readStream.schema("ts timestamp")
+            .parquet(src)
+            .withWatermark("ts", "10 minutes")
+            .groupBy(F.window("ts", "10 minutes"))
+            .count()
+            .select(F.col("window.start").cast("string").alias("ws"), "count")
+        )
+
+        def sink(batch_df, _bid):
+            batch_df.withColumn("run", F.lit(run_name)).write.mode(
+                "append"
+            ).parquet(out)
+
+        q = (
+            counts.writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {
+            r.ws: r["count"]
+            for r in spark.read.parquet(out)
+            .filter(F.col("run") == run_name)
+            .collect()
+        }
+
+    write_one(
+        "a", ["2024-01-01 10:00:00", "2024-01-01 10:05:00", "2024-01-01 11:00:00"]
+    )
+    run1 = drain("wm_late_drop_1")
+    # watermark after run 1 = 11:00 - 10m = 10:50 -> the 10:00 window
+    # closed with exactly file a's two events
+    assert run1 == {"2024-01-01 10:00:00": 2}, run1
+
+    write_one("b", ["2024-01-01 10:02:00", "2024-01-01 11:30:00"])
+    run2 = drain("wm_late_drop_2")
+    # the straggler (10:02 < restored watermark 10:50) was dropped —
+    # its window is already finalized and never re-emits; 11:30 pushes
+    # the watermark to 11:20, closing the 11:00 window; 11:30's own
+    # window stays open (nothing emitted for it)
+    assert run2 == {"2024-01-01 11:00:00": 1}, run2
