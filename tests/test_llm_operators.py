@@ -836,3 +836,57 @@ def test_watermark_drops_late_events_in_append_mode(spark, tmp_path):
     # the watermark to 11:20, closing the 11:00 window; 11:30's own
     # window stays open (nothing emitted for it)
     assert run2 == {"2024-01-01 11:00:00": 1}, run2
+
+
+def test_semantic_dedup_soak_recall_at_scale(spark):
+    """Scale soak for SemDeDup: 20k hash-derived vectors + 60 planted
+    near-copies, trained coarse quantizer (64 cells). The property the
+    sf0.01 oracle can't check: with REAL trained cells at volume, a
+    planted copy still lands in its source's cell and is flagged —
+    recall of planted duplicates stays above a floor, and nothing else
+    fires at a 0.999 threshold on hash-uniform vectors."""
+    from pyspark.sql import functions as F
+
+    from etl_global_mobility_spark.operators.similarity import (
+        semantic_dedup,
+        train_ivf_centroids,
+    )
+
+    n, dim = 20_000, 16
+    vec = F.array(
+        *[
+            (F.hash(F.col("vec_id"), F.lit(j)) % 1000).cast("double") / 500.0
+            for j in range(dim)
+        ]
+    )
+    base = spark.range(n).select(F.col("id").alias("vec_id"), vec.alias("embedding"))
+    # plant near-copies: id n+i duplicates source id (i*333) % n (scaled
+    # by 1.0009765625 = 1 + 2^-10: same direction -> cosine exactly 1.0)
+    dups = spark.range(60).select(
+        (F.lit(n) + F.col("id")).alias("vec_id"),
+        F.transform(
+            F.array(
+                *[
+                    (F.hash((F.col("id") * 333) % n, F.lit(j)) % 1000)
+                    .cast("double")
+                    / 500.0
+                    for j in range(dim)
+                ]
+            ),
+            lambda x: x * 1.0009765625,
+        ).alias("embedding"),
+    )
+    corpus = base.unionByName(dups)
+    cents = train_ivf_centroids(corpus, n_cells=64, n_iters=3)
+    out = semantic_dedup(
+        corpus, threshold=0.999, centroids=cents
+    ).collect()
+    planted = {n + i: (i * 333) % n for i in range(60)}
+    hits = {r.vec_id: r.dup_of for r in out if r.vec_id >= n}
+    recall = sum(1 for d, s in planted.items() if hits.get(d) == s) / len(planted)
+    # a scaled copy has cosine 1.0 with its source; it is missed only
+    # if quantization separates the pair — the floor guards collapse
+    assert recall >= 0.9, f"planted-duplicate recall {recall}"
+    # hash-uniform non-copies must not reach a 0.999 cosine
+    extra = [r for r in out if r.vec_id < n]
+    assert not extra, f"unexpected base-corpus duplicates: {extra[:3]}"

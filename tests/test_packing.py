@@ -252,3 +252,45 @@ def test_causal_lm_every_token_predicted_once(spark):
         real_labels += [l for l in r.labels if l != -100]
         assert len(r.input_ids) == 5 and len(r.labels) == 5
     assert len(real_labels) == 22  # 23 tokens → 22 predictions
+
+
+def test_causal_lm_examples_property_random_corpora(spark):
+    """Randomized coverage property: for any corpus and seq_len, each
+    document's real labels are exactly its hashed ids[1:] in order,
+    inputs are the ids the labels shift from, and padding is confined
+    to the final window."""
+    import random as _random
+
+    from etl_global_mobility_spark.operators.packing import causal_lm_examples
+
+    rng = _random.Random(41)
+    vocab = ["tok%d" % i for i in range(30)]
+    docs = []
+    for doc_id in range(25):
+        n = rng.choice([0, 1, 2, 5, 16, 17, 33, 64])
+        docs.append((doc_id, " ".join(rng.choice(vocab) for _ in range(n))))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    for seq_len in (4, 16):
+        rows = causal_lm_examples(df, seq_len=seq_len, vocab_size=97).collect()
+        by_doc = {}
+        for r in rows:
+            by_doc.setdefault(r.doc_id, []).append(r)
+        for doc_id, text in docs:
+            n = len(text.split())
+            got = sorted(by_doc.get(doc_id, []), key=lambda r: r.example_start)
+            if n < 2:
+                assert got == []
+                continue
+            # reconstruct the full id stream from inputs (first window's
+            # inputs + each window's real labels)
+            labels = [l for r in got for l in r.labels if l != -100]
+            assert len(labels) == n - 1  # every token after the first, once
+            first_inputs = [x for x in got[0].input_ids][: min(seq_len, n)]
+            # shift property inside window 0
+            assert first_inputs[1 : len(labels) + 1] == labels[: len(first_inputs) - 1]
+            for r in got:
+                assert len(r.input_ids) == seq_len and len(r.labels) == seq_len
+                assert r.n_real == len([l for l in r.labels if l != -100])
+            # padding only in the last window
+            for r in got[:-1]:
+                assert r.n_real == seq_len
