@@ -216,40 +216,32 @@ def preference_pairs(
     unevaluable example belongs in no pair anyway. Groups with < 2
     scored rows emit nothing.
 
-    Scale shape: one exchange on the group key — both rankings and
-    the group count share the same window partitioning, and the
-    chosen⋈rejected join is on rn=1 slices (one row per group per
-    side), so output and join input are ∝ groups, not rows.
+    Scale shape: ONE exchange on the group key — chosen and rejected
+    are the max and min of a lexicographically-ordered (score, -id)
+    struct, so the whole operator is a single hash aggregation with
+    map-side partial combine (each partition reduces to at most one
+    candidate pair per group before the shuffle). No windows, no
+    self-join; output ∝ groups.
     """
-    from pyspark.sql import Window
-
     base = df.filter(F.col(score_col).isNotNull())
-    wc = Window.partitionBy(*group_cols).orderBy(
-        F.col(score_col).desc(), F.col(id_col).asc()
+    pick = F.struct(
+        F.col(score_col).alias("s"), (-F.col(id_col)).alias("neg_id")
     )
-    wr = Window.partitionBy(*group_cols).orderBy(
-        F.col(score_col).asc(), F.col(id_col).desc()
-    )
-    wn = Window.partitionBy(*group_cols)
-    ranked = (
-        base.withColumn("__rc", F.row_number().over(wc))
-        .withColumn("__rr", F.row_number().over(wr))
-        .withColumn("__n", F.count(F.lit(1)).over(wn))
+    # struct ordering is lexicographic: max (s, -id) = highest score
+    # then SMALLEST id; min (s, -id) = lowest score then LARGEST id —
+    # exactly the (score DESC, id ASC) / (score ASC, id DESC) contract
+    agg = (
+        base.groupBy(*group_cols)
+        .agg(
+            F.max(pick).alias("__c"),
+            F.min(pick).alias("__r"),
+            F.count(F.lit(1)).alias("__n"),
+        )
         .filter(F.col("__n") >= 2)
     )
-    chosen = ranked.filter(F.col("__rc") == 1).select(
+    return agg.select(
         *group_cols,
-        F.col(id_col).alias("chosen_id"),
-        F.col(score_col).alias("chosen_score"),
-    )
-    rejected = ranked.filter(F.col("__rr") == 1).select(
-        *group_cols,
-        F.col(id_col).alias("rejected_id"),
-        F.col(score_col).alias("rejected_score"),
-    )
-    return chosen.join(rejected, list(group_cols)).select(
-        *group_cols,
-        "chosen_id",
-        "rejected_id",
-        (F.col("chosen_score") - F.col("rejected_score")).alias("margin"),
+        (-F.col("__c.neg_id")).alias("chosen_id"),
+        (-F.col("__r.neg_id")).alias("rejected_id"),
+        (F.col("__c.s") - F.col("__r.s")).alias("margin"),
     )

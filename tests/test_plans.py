@@ -378,3 +378,49 @@ def test_aqe_splits_skewed_join_partitions(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_quality_classifier_is_map_only_codegen(spark):
+    """Classifier inference must fuse into the scan: literal weights,
+    no Exchange, no Python eval — one codegen stage at any scale."""
+    from etl_global_mobility_spark.corpus.llm import q_quality_classifier
+
+    plan = plan_of(q_quality_classifier(spark, SF))
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_causal_lm_examples_map_only(spark):
+    """Example materialization is explode-shaped: windows materialize
+    where the document row lives — no Exchange, no Python eval."""
+    from etl_global_mobility_spark.corpus.llm import q_causal_lm_examples
+
+    plan = plan_of(q_causal_lm_examples(spark, SF))
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+    assert "Generate" in plan  # the window explode
+
+
+def test_semantic_dedup_single_corpus_shuffle(spark):
+    """Cell assignment is a map over literal centroids (no join for
+    the quantizer), so the ONLY corpus exchanges are the self-join on
+    cell + the final dup-marking window; Python never evaluates."""
+    from etl_global_mobility_spark.corpus.llm import q_semantic_dedup
+
+    plan = plan_of(q_semantic_dedup(spark, SF))
+    assert "EvalPython" not in plan
+    # windowed rank<=1 must use the group-limit pushdown, not a full sort
+    assert "WindowGroupLimit" in plan
+
+
+def test_preference_pairs_single_partial_aggregation(spark):
+    """Chosen/rejected are struct-ordered max/min in ONE hash
+    aggregation: exactly one exchange (on the group key), partial
+    map-side combine, no windows, no self-join, no Python eval."""
+    from etl_global_mobility_spark.corpus.llm import q_preference_pairs
+
+    plan = plan_of(q_preference_pairs(spark, SF))
+    assert "EvalPython" not in plan
+    assert plan.count("Exchange") == 1
+    assert "partial_max" in plan or "partial" in plan.lower()
+    assert "Window" not in plan and "Join" not in plan
