@@ -150,6 +150,7 @@ SCHEDULED_NEXT_WINDOW = frozenset(
         "llm_quality_classifier",
         "llm_preference_pairs",
         "llm_hybrid_retrieval_rrf",
+        "udf_apply_in_arrow",
         "rel_source_xml",
         "rel_pagerank",
         "rel_lateral_topk",

@@ -128,6 +128,41 @@ def q_map_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.mapInArrow(batches, "p_partkey long, name_bytes long")
 
 
+def q_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInArrow (Spark 4): grouped zero-copy Arrow-table transform
+    — the no-pandas sibling of applyInPandas for columnar per-group
+    logic. Integer-exact per-customer order stats (cents via the
+    single-IEEE-op floor(x*100+0.5) recipe)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+
+    def per_group(tbl: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.floor(
+                pc.add(
+                    pc.multiply(
+                        pc.cast(tbl.column("o_totalprice"), pa.float64()), 100.0
+                    ),
+                    0.5,
+                )
+            ),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "o_custkey": [tbl.column("o_custkey")[0].as_py()],
+                "n_orders": [tbl.num_rows],
+                "total_cents": [pc.sum(cents).as_py() or 0],
+            }
+        )
+
+    return o.groupBy("o_custkey").applyInArrow(
+        per_group, "o_custkey long, n_orders long, total_cents long"
+    )
+
+
 def q_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Python UDTF (table function) in a LATERAL join: one part row →
     one row per type-word. Row-at-a-time Python — the supported escape
@@ -221,6 +256,15 @@ SPECS = [
                   coalesce(buy_value_millis, 0) AS buy_value_millis
            FROM v FULL OUTER JOIN b ON v.user_id = b.user_id""",
         doc="cogrouped applyInPandas (two-frame grouped transform)",
+    ),
+    QuerySpec(
+        "udf_apply_in_arrow",
+        q_apply_in_arrow,
+        """SELECT o_custkey, count(*) AS n_orders,
+               CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                 AS total_cents
+           FROM orders GROUP BY o_custkey""",
+        doc="applyInArrow grouped zero-copy Arrow transform (Spark 4)",
     ),
     QuerySpec(
         "udf_map_in_arrow",

@@ -890,3 +890,48 @@ def test_semantic_dedup_soak_recall_at_scale(spark):
     # hash-uniform non-copies must not reach a 0.999 cosine
     extra = [r for r in out if r.vec_id < n]
     assert not extra, f"unexpected base-corpus duplicates: {extra[:3]}"
+
+
+def test_udtf_with_analyze_polymorphic_schema(spark):
+    """Spark 4 polymorphic UDTF: analyze() computes the OUTPUT SCHEMA
+    from the call-site literal — table functions whose shape depends on
+    their arguments (the dynamic-schema escape hatch)."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import IntegerType, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    @udtf
+    class FirstN:
+        @staticmethod
+        def analyze(n: AnalyzeArgument) -> AnalyzeResult:
+            schema = StructType()
+            for i in range(n.value):
+                schema = schema.add(f"c{i}", IntegerType())
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, n: int):
+            yield tuple(range(n))
+
+    spark.udtf.register("first_n", FirstN)
+    df3 = spark.sql("SELECT * FROM first_n(3)")
+    assert df3.columns == ["c0", "c1", "c2"]
+    assert [tuple(r) for r in df3.collect()] == [(0, 1, 2)]
+    df5 = spark.sql("SELECT * FROM first_n(5)")
+    assert df5.columns == ["c0", "c1", "c2", "c3", "c4"]
+
+
+def test_spark4_collation_case_insensitive_semantics(spark):
+    """Spark 4 string collations: UTF8_LCASE makes compare/group/join
+    case-insensitive WITHOUT rewriting data through lower() — the
+    governed way to get case-insensitive keys."""
+    df = spark.createDataFrame(
+        [("Alpha",), ("ALPHA",), ("beta",)], "s string"
+    )
+    ci = df.select(F.collate(F.col("s"), "UTF8_LCASE").alias("cs"))
+    counts = sorted(r["count"] for r in ci.groupBy("cs").count().collect())
+    assert counts == [1, 2]
+    # equality under the collation, not byte equality
+    eq = df.filter(
+        F.collate(F.col("s"), "UTF8_LCASE") == F.lit("alpha")
+    ).count()
+    assert eq == 2
