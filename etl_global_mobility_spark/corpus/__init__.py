@@ -151,6 +151,8 @@ SCHEDULED_NEXT_WINDOW = frozenset(
         "llm_preference_pairs",
         "llm_hybrid_retrieval_rrf",
         "udf_apply_in_arrow",
+        "rel_null_aware_anti_join",
+        "rel_dataset_card",
         "rel_source_xml",
         "rel_pagerank",
         "rel_lateral_topk",

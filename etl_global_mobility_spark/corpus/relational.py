@@ -929,6 +929,56 @@ def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_null_aware_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT IN over a subquery — the NULL-AWARE anti-join, semantically
+    distinct from NOT EXISTS / left_anti (rel_join_anti): a single
+    NULL in the subquery legally empties the result, so the engine
+    must track both match and NULL presence. Spark plans a null-aware
+    BroadcastHashJoin; DuckDB runs the identical text."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "v_naaj_customer"
+    )
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_naaj_orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_mktsegment
+        FROM v_naaj_customer
+        WHERE c_custkey NOT IN (
+          SELECT o_custkey FROM v_naaj_orders WHERE o_totalprice > 400000
+        )
+        """
+    )
+
+
+def q_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dataset-card statistics — the standard corpus report
+    (docs, exact-dup rate, token volume, language count, mean length)
+    in ONE scan + one hash aggregation; every metric integer-exact or
+    a single terminal division."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.size(
+        F.filter(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+            lambda t: F.length(t) > 0,
+        )
+    )
+    return (
+        d.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (F.count(F.lit(1)) - F.countDistinct(F.sha2(F.col("text"), 256))).alias(
+                "n_exact_dups"
+            ),
+            F.sum(toks).alias("n_tokens"),
+            F.countDistinct("lang").alias("n_langs"),
+            (
+                F.sum(F.length("text")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("mean_chars"),
+        )
+    )
+
+
 def q_range_join_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Non-equi range join: events against 5-day interval buckets.
     The bucket side is tiny and broadcast, so the fact side streams
@@ -1919,6 +1969,30 @@ SPECS = [
            ) o
            WHERE c.c_custkey < 200""",
         doc="LATERAL correlated top-k subquery (decorrelated by Catalyst)",
+    ),
+    QuerySpec(
+        "rel_null_aware_anti_join",
+        q_null_aware_anti_join,
+        """SELECT c_custkey, c_mktsegment
+           FROM customer
+           WHERE c_custkey NOT IN (
+             SELECT o_custkey FROM orders WHERE o_totalprice > 400000
+           )""",
+        doc="NOT IN null-aware anti-join (distinct from NOT EXISTS semantics)",
+    ),
+    QuerySpec(
+        "rel_dataset_card",
+        q_dataset_card,
+        """SELECT source,
+               count(*) AS n_docs,
+               count(*) - count(DISTINCT sha256(text)) AS n_exact_dups,
+               CAST(sum(len(list_filter(string_split_regex(lower(trim(text)),
+                    '\\s+'), x -> len(x) > 0))) AS BIGINT) AS n_tokens,
+               count(DISTINCT lang) AS n_langs,
+               CAST(sum(length(text)) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                 AS mean_chars
+           FROM documents GROUP BY source""",
+        doc="per-source dataset-card statistics in one scan + one aggregation",
     ),
     QuerySpec(
         "rel_scd2_dimension",
