@@ -116,9 +116,14 @@ def train_bpe_merges(
             break
         left, right = best[0]["p"]["l"], best[0]["p"]["r"]
         merges.append((left, right))
+        prev = words
         words = words.select(
             _merge_pair(F.col("symbols"), left, right).alias("symbols"), "freq"
         ).localCheckpoint()
+        # the superseded checkpoint is dead once the new one is
+        # materialized — release its blocks (bounded memory over many
+        # merges; matters at real vocab sizes)
+        prev.unpersist()
     return merges
 
 
