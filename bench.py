@@ -53,6 +53,7 @@ HEADLINE = [
     "llm_bm25",
     "llm_hybrid_retrieval_rrf",
     "llm_e2e_curation",
+    "llm_e2e_training_examples",
     "llm_semantic_dedup",
     "rel_decayed_activity",
     "rel_histogram_prices",

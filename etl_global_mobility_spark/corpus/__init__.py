@@ -153,6 +153,7 @@ SCHEDULED_NEXT_WINDOW = frozenset(
         "udf_apply_in_arrow",
         "rel_null_aware_anti_join",
         "rel_dataset_card",
+        "llm_e2e_training_examples",
         "rel_source_xml",
         "rel_pagerank",
         "rel_lateral_topk",

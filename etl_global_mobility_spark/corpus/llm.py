@@ -377,6 +377,60 @@ def _hybrid_rrf_sql(k: int = 60, top_k: int = 20, qvec: int = 5) -> str:
     """
 
 
+def q_e2e_training_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end pretraining-data materialization as ONE fused
+    Catalyst plan: classifier keep-filter → exact dedup → causal-LM
+    example windows. The complement of llm_e2e_curation on the
+    model-input side — raw text in, training-example inventory out,
+    no intermediate materialization. Catalyst prunes the (unused
+    here) padded id arrays out of the final projection."""
+    from etl_global_mobility_spark.operators.dedup import exact_dedup
+    from etl_global_mobility_spark.operators.packing import causal_lm_examples
+    from etl_global_mobility_spark.operators.quality_rules import (
+        quality_classifier,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    kept = quality_classifier(d).filter(F.col("clf_keep")).select("doc_id", "text")
+    survivors = exact_dedup(kept).select("doc_id", "text")
+    ex = causal_lm_examples(survivors, seq_len=64)
+    return ex.select("doc_id", "example_start", "n_real")
+
+
+def _e2e_training_examples_sql(
+    seq_len: int = 64, vocab_size: int = 32000, seed: int = 0
+) -> str:
+    """Composed mirror: classifier CTE → keep-filter → sha256 min-id
+    dedup → the causal-LM window arithmetic (only n_real is needed, so
+    the mirror never builds the padded arrays either)."""
+    cte, logit = _clf_cte_and_logit()
+    tid = _md5_hash_sql("t", seed) + f" % {vocab_size}"
+    return f"""
+    WITH {cte}, clf AS (
+      SELECT doc_id, {logit} AS s FROM m
+    ), keep AS (
+      SELECT d.doc_id, d.text FROM documents d JOIN clf USING (doc_id)
+      WHERE COALESCE(clf.s >= 0.0, FALSE)
+    ), dedup AS (
+      SELECT doc_id, text FROM (
+        SELECT doc_id, text,
+               row_number() OVER (PARTITION BY sha256(text)
+                                  ORDER BY doc_id) AS rn
+        FROM keep
+      ) WHERE rn = 1
+    ), tok AS (
+      SELECT doc_id, list_transform({TOKS}, t -> {tid}) AS ids FROM dedup
+    ), ex AS (
+      SELECT doc_id, ids, unnest(range(0, len(ids) - 1, {seq_len})) AS st
+      FROM tok WHERE len(ids) >= 2
+    )
+    SELECT doc_id, CAST(st AS BIGINT) AS example_start,
+           CAST(len(list_slice(ids, st + 1, st + {seq_len + 1})) - 1 AS BIGINT)
+             AS n_real
+    FROM ex
+    """
+
+
 def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training (Sennrich arXiv:1508.07909):
     8 merge iterations over the corpus word-frequency table. Iterative
@@ -1733,6 +1787,12 @@ SPECS = [
         q_hybrid_retrieval_rrf,
         _hybrid_rrf_sql(),
         doc="hybrid retrieval: BM25 + dense cosine fused by Reciprocal Rank Fusion",
+    ),
+    QuerySpec(
+        "llm_e2e_training_examples",
+        q_e2e_training_examples,
+        _e2e_training_examples_sql(),
+        doc="fused pipeline: classifier filter → exact dedup → causal-LM example windows",
     ),
     QuerySpec(
         "llm_bpe_train",
