@@ -58,6 +58,9 @@ HEADLINE = [
     "rel_decayed_activity",
     "rel_histogram_prices",
     "rel_pagerank",
+    "rel_lateral_topk",
+    "rel_null_aware_anti_join",
+    "rel_dataset_card",
     "stream_tumbling_counts",
     "stream_stateful_profile",
 ]

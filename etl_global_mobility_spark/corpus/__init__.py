@@ -154,6 +154,7 @@ SCHEDULED_NEXT_WINDOW = frozenset(
         "rel_null_aware_anti_join",
         "rel_dataset_card",
         "llm_e2e_training_examples",
+        "rel_listagg",
         "rel_source_xml",
         "rel_pagerank",
         "rel_lateral_topk",

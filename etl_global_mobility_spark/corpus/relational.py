@@ -929,6 +929,21 @@ def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """listagg WITHIN GROUP (Spark 4.0, SPARK-42746): ordered string
+    aggregation — deterministic because the order clause is total."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("v_la_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               listagg(DISTINCT l_linestatus, ',')
+                 WITHIN GROUP (ORDER BY l_linestatus) AS statuses,
+               count(*) AS n
+        FROM v_la_lineitem GROUP BY l_returnflag
+        """
+    )
+
+
 def q_null_aware_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NOT IN over a subquery — the NULL-AWARE anti-join, semantically
     distinct from NOT EXISTS / left_anti (rel_join_anti): a single
@@ -1969,6 +1984,16 @@ SPECS = [
            ) o
            WHERE c.c_custkey < 200""",
         doc="LATERAL correlated top-k subquery (decorrelated by Catalyst)",
+    ),
+    QuerySpec(
+        "rel_listagg",
+        q_listagg,
+        """SELECT l_returnflag,
+               string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus)
+                 AS statuses,
+               count(*) AS n
+           FROM lineitem GROUP BY l_returnflag""",
+        doc="listagg WITHIN GROUP ordered string aggregation (Spark 4)",
     ),
     QuerySpec(
         "rel_null_aware_anti_join",

@@ -424,3 +424,14 @@ def test_preference_pairs_single_partial_aggregation(spark):
     assert plan.count("Exchange") == 1
     assert "partial_max" in plan or "partial" in plan.lower()
     assert "Window" not in plan and "Join" not in plan
+
+
+def test_e2e_training_examples_prunes_padding(spark):
+    """The fused pipeline's output needs only window arithmetic, so
+    Catalyst must prune the padded id arrays (array_repeat) out of the
+    plan entirely — proof the composition optimizes as ONE query."""
+    from etl_global_mobility_spark.corpus.llm import q_e2e_training_examples
+
+    plan = plan_of(q_e2e_training_examples(spark, SF))
+    assert "array_repeat" not in plan
+    assert "EvalPython" not in plan
