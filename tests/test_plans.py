@@ -435,3 +435,26 @@ def test_e2e_training_examples_prunes_padding(spark):
     plan = plan_of(q_e2e_training_examples(spark, SF))
     assert "array_repeat" not in plan
     assert "EvalPython" not in plan
+
+
+def test_lateral_topk_decorrelates_to_window(spark):
+    """The LATERAL correlated LIMIT subquery must decorrelate into a
+    ranked window join — no per-row re-execution, no cartesian
+    product."""
+    from etl_global_mobility_spark.corpus.relational import q_lateral_topk
+
+    plan = plan_of(q_lateral_topk(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "WindowGroupLimit" in plan  # rank<=3 pruned map-side
+
+
+def test_dataset_card_single_partial_aggregation(spark):
+    """The corpus report is one scan + one hash aggregation with
+    map-side combine (count-distinct adds its expand/regroup internal
+    exchanges, but the documents table is read exactly once)."""
+    from etl_global_mobility_spark.corpus.relational import q_dataset_card
+
+    plan = plan_of(q_dataset_card(spark, SF))
+    assert plan.count("Scan parquet") == 1
+    assert "partial" in plan.lower()
+    assert "EvalPython" not in plan
