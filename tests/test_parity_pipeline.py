@@ -231,3 +231,83 @@ def test_observe_counts_no_second_scan(spark, tmp_path):
     observed, obs = observe_counts(df, "stage_metrics", value_col="v")
     observed.write.mode("overwrite").parquet(str(tmp_path / "out"))
     assert obs.get == {"n_rows": 4, "n_null_v": 2}
+
+
+def test_streaming_medallion_equals_batch_pipeline(spark, tmp_path):
+    """The streaming ingestion mode runs the IDENTICAL bronze→silver→
+    split expressions over a CSV file stream: the union of streamed
+    micro-batch outputs must equal the batch pipeline row-for-row, and
+    a restart on the same checkpoint must add nothing."""
+    import csv as _csv
+    import os
+
+    from etl_global_mobility_spark.pipeline.bronze import bronze_transform
+    from etl_global_mobility_spark.pipeline.quality import (
+        silver_transform,
+        split_clean_quarantine,
+    )
+    from etl_global_mobility_spark.schemas import RAW_CSV_SCHEMA
+    from etl_global_mobility_spark.streaming.medallion import (
+        run_streaming_medallion,
+    )
+    from fixtures import write_fixture_csv
+
+    raw_dir = str(tmp_path / "raw_stream")
+    os.makedirs(raw_dir)
+    one_csv = str(tmp_path / "all.csv")
+    write_fixture_csv(one_csv)
+    # split the fixture into two files (header kept in both) so the
+    # stream sees multiple input files
+    with open(one_csv, newline="", encoding="utf-8") as f:
+        rows = list(_csv.reader(f))
+    header, body = rows[0], rows[1:]
+    mid = len(body) // 2
+    for i, chunk in enumerate((body[:mid], body[mid:])):
+        with open(os.path.join(raw_dir, f"f{i}.csv"), "w", newline="", encoding="utf-8") as f:
+            w = _csv.writer(f)
+            w.writerow(header)
+            w.writerows(chunk)
+
+    params = dict(
+        country="EC",
+        start_date="2025-01-01",
+        end_date="2025-06-30",
+        unit_factors={"CS": 20.0, "ST": 1.0},
+        routine=["ZPRE", "ZVE1"],
+        bonus=["Z04", "Z05"],
+        origen_datos="stream://fixture",
+        load_ts="2025-07-01 00:00:00",
+    )
+    dep = str(tmp_path / "dep_stream")
+    obs = str(tmp_path / "obs_stream")
+    ckpt = str(tmp_path / "ckpt_stream")
+    run_streaming_medallion(spark, raw_dir, dep, obs, ckpt, **params)
+
+    raw_batch = (
+        spark.read.schema(RAW_CSV_SCHEMA).option("header", True).csv(raw_dir)
+    )
+    derived = silver_transform(
+        bronze_transform(
+            raw_batch, params["country"], params["start_date"], params["end_date"]
+        ),
+        params["unit_factors"],
+        params["routine"],
+        params["bonus"],
+        params["origen_datos"],
+        params["load_ts"],
+    )
+    want_clean, want_obs = split_clean_quarantine(derived)
+
+    got_clean = spark.read.parquet(dep).drop("_batch_id")
+    got_obs = spark.read.parquet(obs).drop("_batch_id")
+
+    def canon(df):
+        return sorted(map(str, df.select(*sorted(df.columns)).collect()))
+
+    assert canon(got_clean) == canon(want_clean)
+    assert canon(got_obs) == canon(want_obs)
+    assert got_clean.count() > 0 and got_obs.count() > 0
+
+    # restart on the same checkpoint: nothing new to process
+    run_streaming_medallion(spark, raw_dir, dep, obs, ckpt, **params)
+    assert canon(spark.read.parquet(dep).drop("_batch_id")) == canon(want_clean)
