@@ -129,6 +129,13 @@ def causal_lm_examples(
     Documents with < 2 tokens yield no examples (nothing to predict).
     Map-only and shuffle-free like :func:`chunk_documents`: windows
     explode where the row lives, output ∝ total tokens / seq_len.
+
+    Caveat: hashed ids cover the FULL [0, vocab_size) range, so
+    ``pad_id`` (default 0) can collide with a genuine token id —
+    ``n_real`` (not pad scanning) is the authoritative real-position
+    count, and ``labels``' ``ignore_label`` (-100, outside any vocab)
+    is the unambiguous mask. A deployment with a real tokenizer
+    reserves index 0 for padding as usual.
     """
     if seq_len <= 0:
         raise ValueError(f"seq_len must be positive: {seq_len}")

@@ -167,6 +167,10 @@ def rrf_fuse(
     bit-for-bit. Inputs are top-k lists (bounded), so the full-outer
     candidate join and the global re-rank window are trivially small —
     the expensive work stays inside the upstream rankers.
+
+    Contract: each input list holds at most one row per id (true of
+    any ranked top-k); duplicate ids in one list would fan out the
+    candidate join.
     """
     if not rankings:
         raise ValueError("rrf_fuse needs at least one ranking")

@@ -298,6 +298,10 @@ def semantic_dedup(
     :func:`train_ivf_centroids` and passes them in). The dedup-marking
     step is a per-id window over candidate pairs, output ∝ duplicates
     found, not corpus size.
+
+    Rows with a NULL embedding get a NULL cell and silently drop out
+    of the self-join (they can be neither duplicate nor source) —
+    filter or impute upstream if they must be accounted for.
     """
     from pyspark.sql import Window
 
