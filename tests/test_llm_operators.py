@@ -935,3 +935,33 @@ def test_spark4_collation_case_insensitive_semantics(spark):
         F.collate(F.col("s"), "UTF8_LCASE") == F.lit("alpha")
     ).count()
     assert eq == 2
+
+
+def test_spark4_sql_scripting_control_flow(spark):
+    """Spark 4 SQL scripting (BEGIN/END, DECLARE, WHILE/SET): real
+    procedural control flow inside the SQL engine — the migration path
+    for stored-procedure workloads. Declarative operators remain the
+    scale path; this pins that the scripting surface exists and
+    evaluates correctly."""
+    prev = spark.conf.get("spark.sql.scripting.enabled", None)
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    try:
+        df = spark.sql(
+            """
+            BEGIN
+              DECLARE total INT DEFAULT 0;
+              DECLARE i INT DEFAULT 0;
+              WHILE i < 5 DO
+                SET total = total + i;
+                SET i = i + 1;
+              END WHILE;
+              SELECT total AS s;
+            END
+            """
+        )
+        assert [tuple(r) for r in df.collect()] == [(10,)]
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.scripting.enabled")
+        else:
+            spark.conf.set("spark.sql.scripting.enabled", prev)
