@@ -448,6 +448,50 @@ def q_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The core of one BPE merge iteration, made ORACLE-CHECKABLE
+    (non-iterative slice of :func:`train_bpe_merges`): corpus word
+    frequencies → per-word adjacent symbol pairs → frequency-weighted
+    pair counts (the table the argmax picks the next merge from).
+    Covers the word-frequency shuffle, the symbol split, the
+    zip_with adjacent pairing, and the weighted aggregation — the
+    iterative loop on top is pinned by the sequential-reference pytest.
+    """
+    from etl_global_mobility_spark.operators.bpe import (
+        _adjacent_pairs,
+        word_frequencies,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    wf = word_frequencies(d)
+    symbols = F.transform(
+        F.sequence(F.lit(1), F.length("word")),
+        lambda i: F.col("word").substr(i, F.lit(1)),
+    )
+    return (
+        wf.select(F.explode(_adjacent_pairs(symbols)).alias("p"), "freq")
+        .groupBy(F.col("p.l").alias("l_sym"), F.col("p.r").alias("r_sym"))
+        .agg(F.sum("freq").alias("pair_freq"))
+        .filter(F.col("pair_freq") >= 2)
+    )
+
+
+def _bpe_pair_stats_sql() -> str:
+    return f"""
+    WITH words AS (
+      SELECT w AS word, CAST(count(*) AS BIGINT) AS freq
+      FROM (SELECT unnest({TOKS}) AS w FROM documents) t
+      GROUP BY w
+    ), pos AS (
+      SELECT word, freq, unnest(range(1, len(word))) AS i FROM words
+    )
+    SELECT substr(word, CAST(i AS INTEGER), 1) AS l_sym,
+           substr(word, CAST(i AS INTEGER) + 1, 1) AS r_sym,
+           CAST(sum(freq) AS BIGINT) AS pair_freq
+    FROM pos GROUP BY 1, 2 HAVING sum(freq) >= 2
+    """
+
+
 def q_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reward-model / DPO preference pairs: per (source, lang) group,
     the classifier's best-scored document paired against its worst,
@@ -1799,6 +1843,13 @@ SPECS = [
         q_bpe_train,
         None,
         doc="distributed BPE tokenizer training (iterative; reference-tested, rows-only)",
+    ),
+    QuerySpec(
+        "llm_bpe_pair_stats",
+        q_bpe_pair_stats,
+        _bpe_pair_stats_sql(),
+        doc="one BPE merge iteration's pair-count table (oracle-backed "
+        "non-iterative slice of llm_bpe_train)",
     ),
     QuerySpec(
         "llm_preference_pairs",

@@ -10,7 +10,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from etl_global_mobility_spark.corpus.base import QuerySpec
+from pyspark.sql import functions as F
+
+from etl_global_mobility_spark.corpus.base import (
+    QuerySpec,
+    load_table,
+    spark_round_sql,
+)
 from etl_global_mobility_spark.streaming.ops import (
     interval_join_streams,
     run_stream_to_memory,
@@ -64,6 +70,127 @@ def q_stream_stateful_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_memory(user_profile_stream(ev), "update")
 
 
+def q_stream_medallion_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The streaming medallion pipeline's stream≡batch invariant as an
+    ORACLE row (previously pytest-effect-only): lineitem is projected
+    into the reference's raw-CSV shape with deterministic planted
+    defects (every quality rule + filter edge fires), landed as CSV
+    files, drained through the FULL streaming bronze→silver→split flow
+    (streaming/medallion.py — the same `bronze_transform` /
+    `silver_transform` / `split_clean_quarantine` expression objects
+    the batch pipeline runs), and the committed depurado parquet is
+    read back. The DuckDB oracle recomputes the whole pipeline
+    independently from lineitem, so any drift in the streaming path —
+    CSV schema handling, micro-batch commit, partition overwrite,
+    column derivation — breaks the hash.
+
+    Deterministic: injectable `load_ts` clock, literal `origen_datos`,
+    whitespace-damaged-but-parseable dates plus unparseable ones
+    (dropped by the bronze range filter), case/space unit and
+    delivery-type variants.
+    """
+    import os
+    import shutil
+
+    repo = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    base = os.path.join(
+        repo, ".tmp", f"medallion_stream_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    # fresh checkpoint every run: a stale checkpoint would see the
+    # re-written raw files as already-processed and emit nothing new
+    shutil.rmtree(base, ignore_errors=True)
+    raw_dir = os.path.join(base, "raw")
+    depurado = os.path.join(base, "depurado")
+    obs = os.path.join(base, "obs")
+    checkpoint = os.path.join(base, "checkpoint")
+
+    li = load_table(spark, sf_dir, "lineitem")
+    ln = F.col("l_linenumber")
+    raw = li.select(
+        F.when(F.col("l_returnflag") == "R", F.lit("EC"))
+        .when(F.col("l_returnflag") == "A", F.lit("PE"))
+        .otherwise(F.lit("CO"))
+        .alias("pais"),
+        F.when(F.col("l_orderkey") % 251 == 0, F.lit("notadate"))
+        .otherwise(
+            F.concat(F.lit("  "), F.date_format("l_shipdate", "yyyyMMdd"), F.lit(" "))
+        )
+        .alias("fecha_proceso"),
+        F.concat(F.lit("TR-"), F.col("l_suppkey").cast("string")).alias("transporte"),
+        F.concat(F.lit("R-"), (F.col("l_partkey") % 100).cast("string")).alias("ruta"),
+        F.when(ln % 3 == 0, F.lit("ZPRE"))
+        .when(ln % 3 == 1, F.lit(" z04 "))
+        .otherwise(F.lit("Z99"))
+        .alias("tipo_entrega"),
+        F.when(F.col("l_partkey") % 97 == 0, F.lit(None))
+        .otherwise(F.col("l_partkey").cast("string"))
+        .alias("material"),
+        F.when(F.col("l_suppkey") % 13 == 0, F.lit(None).cast("double"))
+        .when(F.col("l_discount") >= 0.09, -F.col("l_extendedprice"))
+        .otherwise(F.col("l_extendedprice"))
+        .alias("precio"),
+        F.when(F.col("l_orderkey") % 101 == 0, F.lit(None).cast("double"))
+        .otherwise(F.col("l_quantity") - 3)
+        .alias("cantidad"),
+        F.when(ln % 4 == 0, F.lit("CS"))
+        .when(ln % 4 == 1, F.lit(" st "))
+        .when(ln % 4 == 2, F.lit("zz"))
+        .otherwise(F.lit("Cs"))
+        .alias("unidad"),
+    )
+    (
+        raw.coalesce(4)
+        .write.mode("overwrite")
+        .option("header", True)
+        # the CSV WRITER trims values by default — the whitespace-
+        # damaged dates and ' st ' unit variants must survive verbatim
+        .option("ignoreLeadingWhiteSpace", False)
+        .option("ignoreTrailingWhiteSpace", False)
+        .csv(raw_dir)
+    )
+
+    from etl_global_mobility_spark.streaming.medallion import (
+        run_streaming_medallion,
+    )
+
+    run_streaming_medallion(
+        spark,
+        raw_dir,
+        depurado,
+        obs,
+        checkpoint,
+        country="EC",
+        start_date="1994-01-01",
+        end_date="1996-12-31",
+        unit_factors={"CS": 20.0, "ST": 1.0},
+        routine=["ZPRE"],
+        bonus=["Z04"],
+        origen_datos="corpus_stream",
+        load_ts="2025-01-01 00:00:00",
+    )
+
+    out = spark.read.parquet(depurado).drop("_batch_id")
+    return out.select(
+        "cod_pais",
+        "fec_proceso",
+        "cod_transporte",
+        "cod_ruta",
+        "cod_tipo_entrega",
+        "cod_material",
+        F.col("precio_unitario_unidades").cast("double").alias("precio_unitario_unidades"),
+        F.col("mto_venta").cast("double").alias("mto_venta"),
+        F.col("cant_uni_medida").cast("double").alias("cant_uni_medida"),
+        "cod_uni_medida",
+        F.col("cant_unidades").cast("double").alias("cant_unidades"),
+        "ind_rutina",
+        "ind_bonificacion",
+        "origen_datos",
+        "fec_actualizacion_registro",
+    )
+
+
 def q_stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom Python Data Source STREAM (sources/pysource.py): the
     deterministic generator read as offset-tracked micro-batches and
@@ -91,7 +218,100 @@ def q_stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# DuckDB mirror of the full medallion pipeline over lineitem: raw-CSV
+# projection → bronze (date parse + country/range filter) → silver
+# derivations → clean split. Factor map and quality rules follow the
+# proven parity-corpus SQL shapes (corpus/parity.py).
+_MED_FACTOR = (
+    "CASE upper(trim(cod_uni_medida)) WHEN 'CS' THEN 20.0 WHEN 'ST' THEN 1.0 END"
+)
+_MED_MOTIVO = f"""NULLIF(concat_ws('|',
+      CASE WHEN cant_uni_medida IS NULL THEN 'ERR_CANT_NULL' END,
+      CASE WHEN cant_uni_medida IS NOT NULL AND cant_uni_medida <= 0
+           THEN 'ERR_CANT_NO_POSITIVA' END,
+      CASE WHEN cod_material IS NULL THEN 'ERR_SIN_MATERIAL_CONOCIDO' END,
+      CASE WHEN ({_MED_FACTOR}) IS NULL THEN 'ERR_UNIDAD_DESCONOCIDA' END,
+      CASE WHEN mto_venta IS NOT NULL AND mto_venta <= 0
+           THEN 'ERR_VENTA_NO_POSITIVA' END,
+      CASE WHEN upper(trim(cod_tipo_entrega)) NOT IN ('ZPRE','Z04')
+           THEN 'ERR_TIPO_ENTREGA_NO_CONSIDERADA' END
+    ), '')"""
+_MED_PU = spark_round_sql(
+    "CAST(mto_venta AS DOUBLE) / (CAST(cant_uni_medida AS DOUBLE) * "
+    f"CAST(({_MED_FACTOR}) AS DOUBLE))",
+    3,
+)
+MEDALLION_PARITY_SQL = f"""
+WITH raw AS (
+  SELECT
+    CASE WHEN l_returnflag = 'R' THEN 'EC'
+         WHEN l_returnflag = 'A' THEN 'PE' ELSE 'CO' END AS pais,
+    CASE WHEN l_orderkey % 251 = 0 THEN 'notadate'
+         ELSE '  ' || strftime(l_shipdate, '%Y%m%d') || ' ' END AS fecha_proceso,
+    'TR-' || CAST(l_suppkey AS VARCHAR) AS transporte,
+    'R-' || CAST(l_partkey % 100 AS VARCHAR) AS ruta,
+    CASE WHEN l_linenumber % 3 = 0 THEN 'ZPRE'
+         WHEN l_linenumber % 3 = 1 THEN ' z04 ' ELSE 'Z99' END AS tipo_entrega,
+    CASE WHEN l_partkey % 97 = 0 THEN NULL
+         ELSE CAST(l_partkey AS VARCHAR) END AS material,
+    CASE WHEN l_suppkey % 13 = 0 THEN NULL
+         WHEN l_discount >= 0.09 THEN -l_extendedprice
+         ELSE l_extendedprice END AS precio,
+    CASE WHEN l_orderkey % 101 = 0 THEN NULL ELSE l_quantity - 3 END AS cant,
+    CASE WHEN l_linenumber % 4 = 0 THEN 'CS'
+         WHEN l_linenumber % 4 = 1 THEN ' st '
+         WHEN l_linenumber % 4 = 2 THEN 'zz' ELSE 'Cs' END AS unidad
+  FROM lineitem
+), bronze AS (
+  SELECT pais AS cod_pais,
+         CAST(try_strptime(regexp_replace(fecha_proceso, '\\s+', '', 'g'),
+                           '%Y%m%d') AS DATE) AS fec_proceso,
+         transporte AS cod_transporte,
+         ruta AS cod_ruta,
+         tipo_entrega AS cod_tipo_entrega,
+         material AS cod_material,
+         CAST(precio AS DECIMAL(21,2)) AS mto_venta,
+         CAST(cant AS DECIMAL(21,2)) AS cant_uni_medida,
+         unidad AS cod_uni_medida
+  FROM raw WHERE pais = 'EC'
+), br AS (
+  SELECT * FROM bronze
+  WHERE fec_proceso >= DATE '1994-01-01' AND fec_proceso <= DATE '1996-12-31'
+)
+SELECT cod_pais, fec_proceso, cod_transporte, cod_ruta, cod_tipo_entrega,
+       cod_material,
+       CAST(CASE WHEN ({_MED_FACTOR}) IS NOT NULL AND cant_uni_medida IS NOT NULL
+                 AND cant_uni_medida > 0 AND mto_venta IS NOT NULL
+            THEN {_MED_PU} END AS DOUBLE) AS precio_unitario_unidades,
+       CAST(CAST(round(mto_venta, 2) AS DECIMAL(21,2)) AS DOUBLE) AS mto_venta,
+       CAST(CAST(round(cant_uni_medida, 2) AS DECIMAL(21,2)) AS DOUBLE)
+         AS cant_uni_medida,
+       cod_uni_medida,
+       CAST(CASE WHEN ({_MED_FACTOR}) IS NOT NULL AND cant_uni_medida IS NOT NULL
+                 AND cant_uni_medida > 0
+            THEN CAST(round(cant_uni_medida * ({_MED_FACTOR}), 2) AS DECIMAL(21,2))
+            END AS DOUBLE) AS cant_unidades,
+       CASE WHEN upper(trim(cod_tipo_entrega)) IN ('ZPRE') THEN true
+            WHEN upper(trim(cod_tipo_entrega)) IN ('Z04') THEN false
+            END AS ind_rutina,
+       CASE WHEN upper(trim(cod_tipo_entrega)) IN ('Z04') THEN true
+            WHEN upper(trim(cod_tipo_entrega)) IN ('ZPRE') THEN false
+            END AS ind_bonificacion,
+       'corpus_stream' AS origen_datos,
+       '2025-01-01 00:00:00' AS fec_actualizacion_registro
+FROM br WHERE ({_MED_MOTIVO}) IS NULL
+"""
+
 SPECS = [
+    QuerySpec(
+        "stream_medallion_batch_parity",
+        q_stream_medallion_parity,
+        MEDALLION_PARITY_SQL,
+        doc="stream≡batch invariant of the medallion pipeline as an oracle "
+        "row: CSV file-stream → bronze→silver→split → idempotent parquet "
+        "commit, read back and hash-matched against an independent "
+        "recomputation",
+    ),
     QuerySpec(
         "stream_tumbling_counts",
         q_stream_tumbling,

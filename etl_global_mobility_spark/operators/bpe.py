@@ -21,6 +21,8 @@ reproducible on any cluster layout.
 
 from __future__ import annotations
 
+import re
+
 import pandas as pd  # module-level: pandas_udf resolves the (stringified
 # by `from __future__ import annotations`) type hints from module globals
 
@@ -116,14 +118,14 @@ def train_bpe_merges(
             break
         left, right = best[0]["p"]["l"], best[0]["p"]["r"]
         merges.append((left, right))
-        prev = words
         words = words.select(
             _merge_pair(F.col("symbols"), left, right).alias("symbols"), "freq"
         ).localCheckpoint()
-        # the superseded checkpoint is dead once the new one is
-        # materialized — release its blocks (bounded memory over many
-        # merges; matters at real vocab sizes)
-        prev.unpersist()
+        # The superseded checkpoint's blocks are reclaimed by the
+        # ContextCleaner once the old DataFrame is garbage-collected
+        # (rebinding `words` drops the last reference). DataFrame
+        # .unpersist() would NOT release them — localCheckpoint blocks
+        # belong to the underlying RDD, not the CacheManager.
     return merges
 
 
@@ -173,6 +175,12 @@ def bpe_token_count(
         cache[word] = len(syms)
         return len(syms)
 
+    # Split EXACTLY like tokenize()'s Java regex `\s+` (ASCII whitespace
+    # only): Python str.split() would also break on Unicode spaces
+    # (NBSP, ideographic space...), segmenting web text into different
+    # words than the merge list was trained on.
+    java_ws = re.compile(r"[ \t\n\x0b\f\r]+")
+
     @pandas_udf("long")
     def count_bpe(texts: pd.Series) -> pd.Series:
         cache: dict = {}
@@ -180,7 +188,9 @@ def bpe_token_count(
             if t is None:
                 return 0
             return sum(
-                encode_word(w, cache) for w in t.lower().strip().split()
+                encode_word(w, cache)
+                for w in java_ws.split(t.lower())
+                if w
             )
         return texts.map(one)
 

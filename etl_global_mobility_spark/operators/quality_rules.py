@@ -172,6 +172,12 @@ def quality_classifier(
     (never NULL — unevaluable text drops, the conservative contract
     shared with :func:`filter_rules`).
     """
+    unknown = set(weights or {}) - set(CLASSIFIER_WEIGHTS)
+    if unknown:
+        raise ValueError(
+            f"unknown classifier weight keys: {sorted(unknown)}; "
+            f"valid: {sorted(CLASSIFIER_WEIGHTS)}"
+        )
     w = {**CLASSIFIER_WEIGHTS, **(weights or {})}
     text = F.col(text_col)
     toks = tokenize(text)

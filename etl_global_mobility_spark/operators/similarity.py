@@ -316,9 +316,19 @@ def semantic_dedup(
         c.withColumn("nv", dot(F.col("vec"), F.col("vec")))
         .withColumn(
             "cell",
-            (-F.array_max(_centroid_scores(cents, norms, "vec", "nv")).getField(
-                "neg_id"
-            )).cast("long"),
+            # NULL-embedding rows get a genuinely NULL cell (without the
+            # guard, array_max over all-NULL cosines would fall through
+            # to the neg_id tie-break and land them in cell 0, where
+            # they'd fan out through the self-join for nothing — their
+            # NULL cosines can never pass the threshold anyway).
+            F.when(
+                F.col("nv").isNotNull(),
+                (
+                    -F.array_max(
+                        _centroid_scores(cents, norms, "vec", "nv")
+                    ).getField("neg_id")
+                ).cast("long"),
+            ),
         )
     )
     a = assigned.alias("a")

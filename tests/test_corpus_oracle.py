@@ -90,3 +90,65 @@ def test_driver_window_invariants():
 
     no_oracle = [n for n in DRIVER_WINDOW if specs[n].oracle is None]
     assert not no_oracle, f"rows-only queries inside the window: {no_oracle}"
+
+
+def test_driver_evidence_max_staleness():
+    """Rotation must keep driver evidence FRESH, not just existent:
+    every oracle-backed query (except this round's additions, which sit
+    in SCHEDULED_NEXT_WINDOW) must have a green driver row recorded
+    within the last MAX_STALENESS rounds, counting a slot in the
+    current DRIVER_WINDOW as evidence for the upcoming round. With
+    ~160 queries and a 50-slot window the full refresh period is ~3.5
+    rounds, so MAX_STALENESS = 4 is the tightest self-enforcing bound:
+    if a query's last green row ages past it, this test fails until the
+    next window re-checks it.
+    """
+    import glob
+    import json
+    import re
+
+    sys.path.insert(0, REPO)
+    from etl_global_mobility_spark.corpus import (
+        DRIVER_WINDOW,
+        SCHEDULED_NEXT_WINDOW,
+        all_queries,
+    )
+
+    MAX_STALENESS = 4
+
+    def green(v):
+        return (
+            bool(v.get("rows_match"))
+            and v.get("schema_match") in (True, None)
+            and v.get("hash_match") in (True, None)
+            and not v.get("err")
+        )
+
+    latest: dict[str, int] = {}
+    rounds = []
+    for path in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rn = int(m.group(1))
+        rounds.append(rn)
+        with open(path) as f:
+            rows = json.load(f)
+        for name, v in rows.items():
+            if green(v):
+                latest[name] = max(latest.get(name, 0), rn)
+    assert rounds, "no CORRECTNESS_r*.json files found"
+    current_round = max(rounds) + 1  # the round this window targets
+    for name in DRIVER_WINDOW:
+        latest[name] = current_round
+
+    specs = all_queries()
+    oracle_backed = {n for n, s in specs.items() if s.oracle is not None}
+    stale = {
+        n: latest.get(n)
+        for n in oracle_backed - SCHEDULED_NEXT_WINDOW
+        if current_round - latest.get(n, -10**6) > MAX_STALENESS
+    }
+    assert not stale, (
+        f"driver evidence older than {MAX_STALENESS} rounds "
+        f"(current={current_round}): {stale} — rotate these into "
+        f"DRIVER_WINDOW"
+    )

@@ -753,6 +753,55 @@ def test_bpe_token_count_applies_trained_merges(spark):
     assert bpe_token_count(df2, merges).collect()[0].bpe_tokens == 0
 
 
+def test_bpe_token_count_matches_training_tokenizer_on_unicode_ws(spark):
+    """Application must segment words EXACTLY like training: tokenize()
+    splits on Java `\\s+` (ASCII whitespace only), so NBSP/Unicode
+    spaces stay INSIDE a word. Python str.split() would break on them
+    and count against a token stream the merges were never trained on
+    (ADVICE r4, bpe.py)."""
+    from etl_global_mobility_spark.operators.bpe import bpe_token_count
+    from etl_global_mobility_spark.operators.text import tokenize
+
+    # 'a<NBSP>b c' — tokenize() sees words ['a b', 'c']
+    df = spark.createDataFrame(
+        [(1, "a b c")], "doc_id long, text string"
+    )
+    toks = df.select(tokenize("text").alias("t")).collect()[0].t
+    assert toks == ["a b", "c"]  # training-side segmentation
+    # with no merges, the BPE count is the total char count of those
+    # words: 3 + 1 = 4. A Unicode-whitespace split would yield 3.
+    out = bpe_token_count(df, merges=[]).collect()[0].bpe_tokens
+    assert out == 4
+
+
+def test_semantic_dedup_null_embedding_gets_null_cell(spark):
+    """NULL-embedding rows take a NULL cell and sit out of the
+    self-join entirely (ADVICE r4: they used to land in cell 0 and fan
+    out for nothing): output is identical with and without them, and
+    never mentions them."""
+    from etl_global_mobility_spark.operators.similarity import semantic_dedup
+
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [1.0, 0.0]),   # dup of 1
+        (3, [0.0, 1.0]),
+    ]
+    base = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    with_null = spark.createDataFrame(
+        rows + [(4, None)], "vec_id long, embedding array<double>"
+    )
+    want = sorted(
+        (r.vec_id, r.dup_of)
+        for r in semantic_dedup(base, n_cells=2, threshold=0.9).collect()
+    )
+    got_rows = semantic_dedup(with_null, n_cells=2, threshold=0.9).collect()
+    got = sorted((r.vec_id, r.dup_of) for r in got_rows)
+    assert got == want == [(2, 1)]
+    assert all(r.vec_id != 4 and r.dup_of != 4 for r in got_rows)
+
+
 def test_bpe_training_early_stops_below_min_freq(spark):
     from etl_global_mobility_spark.operators.bpe import train_bpe_merges
 

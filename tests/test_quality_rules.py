@@ -224,3 +224,17 @@ def test_quality_classifier_weight_override_moves_threshold(spark):
     strict = quality_classifier(df, weights={"bias": -100.0}).collect()[0]
     assert loose.clf_keep and not strict.clf_keep
     assert loose.quality_logit > base.quality_logit > strict.quality_logit
+
+
+def test_quality_classifier_rejects_unknown_weight_keys(spark):
+    """A misspelled feature name must raise, not silently drop the
+    caller's intended weight change (ADVICE r4)."""
+    import pytest
+
+    from etl_global_mobility_spark.operators.quality_rules import (
+        quality_classifier,
+    )
+
+    df = spark.createDataFrame([(1, "text")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="unknown classifier weight"):
+        quality_classifier(df, weights={"biass": 1.0})
