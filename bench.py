@@ -133,7 +133,12 @@ def main() -> None:
     # Best-of-N per query: single-run times on this host swing up to
     # 2-5x run-to-run from VM/host scheduler noise (measured: the same
     # query 1.0s vs 5.6s across back-to-back bench runs with an idle
-    # load average). Two runs always; a third only when the first two
+    # load average). The host's ABSOLUTE speed also drifts between
+    # rounds: round 5 A/B-ran llm_minhash_neardup with round-3 code in
+    # a worktree vs current code on the same day — identical minima
+    # (0.883s vs 0.875s over n=8), while round 3 had recorded 0.625s.
+    # Cross-ROUND per-query deltas under ~1.5x are therefore host
+    # drift unless an A/B on the same day reproduces them. Two runs always; a third only when the first two
     # disagree by >1.5x (a noise hit landed on one of them). The min
     # estimates the actual plan cost; every run executes the full plan
     # to a noop sink.

@@ -5,6 +5,13 @@ import pytest
 from etl_global_mobility_spark.session import get_spark
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: per-round soak tests (scale properties with runtime budgets)",
+    )
+
+
 @pytest.fixture(scope="session")
 def spark():
     s = get_spark(app_name="tests", extra_conf={"spark.sql.shuffle.partitions": "8"})

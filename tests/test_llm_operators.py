@@ -276,7 +276,14 @@ def test_multimodal_real_decode_when_pillow_present(spark):
     bytes decode into a normalized pixel feature and undecodable bytes
     yield NULL (never a job failure). Skipped when the env ships no
     media libraries — the stub path above stays the tested default."""
-    Image = pytest.importorskip("PIL.Image")
+    Image = pytest.importorskip(
+        "PIL.Image",
+        reason="Pillow not installed and not installable here: "
+        "`pip install --dry-run Pillow` was attempted in-session "
+        "(round 5) and failed with NewConnectionError '[Errno -2] Name "
+        "or service not known' resolving the package index — the build "
+        "env has no network route (and prohibits pip/apt regardless)",
+    )
     import io
 
     from etl_global_mobility_spark.operators.multimodal import extract_features
@@ -469,6 +476,82 @@ def test_pq_training_reduces_quantization_error(spark):
     assert trained <= base * 1.0001, (trained, base)
 
 
+@pytest.mark.slow
+def test_minhash_neardup_soak_recall_and_runtime(spark):
+    """Scale soak for MinHash+LSH near-dup (VERDICT r4 task 5): 10k
+    hash-derived documents (~17x the sf0.01 documents table) with 100
+    planted near-copies (last 5 of 50 words rewritten → true shingle
+    Jaccard ≈ 0.78). Asserts a recall floor the sf0.01 oracle can't
+    see (banding probability only matters at volume), zero
+    false-positive pairs among hash-unique base docs, and a runtime
+    budget that fails if the candidate generation ever degenerates
+    toward all-pairs."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from etl_global_mobility_spark.operators.dedup import (
+        minhash_near_duplicates,
+    )
+
+    n, words = 10_000, 50
+    def doc_text(id_col):
+        return F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(1), F.lit(words)),
+                lambda j: F.concat(
+                    F.lit("w"), (F.pmod(F.hash(id_col, j), F.lit(800))).cast("string")
+                ),
+            ),
+        )
+
+    base = spark.range(n).select(
+        F.col("id").alias("doc_id"), doc_text(F.col("id")).alias("text")
+    )
+    # planted near-copies: doc n+i copies source (i*97) % n with its
+    # last 5 words replaced by fresh ones (suffix drawn from the copy id)
+    src = (F.col("id") * 97) % n
+    dups = spark.range(100).select(
+        (F.lit(n) + F.col("id")).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(1), F.lit(words - 5)),
+                lambda j: F.concat(
+                    F.lit("w"), (F.pmod(F.hash(src, j), F.lit(800))).cast("string")
+                ),
+            ),
+            F.transform(
+                F.sequence(F.lit(1), F.lit(5)),
+                lambda j: F.concat(
+                    F.lit("x"), (F.pmod(F.hash(F.col("id") + n, j), F.lit(800))).cast("string")
+                ),
+            ),
+        ).alias("text"),
+    )
+    corpus = base.unionByName(dups)
+    t0 = time.time()
+    pairs = minhash_near_duplicates(
+        corpus, n_hashes=16, bands=4, k=3, jaccard_threshold=0.5
+    ).collect()
+    elapsed = time.time() - t0
+    planted = {((i * 97) % n, n + i) for i in range(100)}
+    got = {(r.id_a, r.id_b) for r in pairs}
+    recall = len(planted & got) / len(planted)
+    # J≈0.78 → per-band match p≈J^4≈0.37, candidate p≈1-(1-p)^4≈0.84,
+    # and est_jaccard≥0.5 holds for nearly all candidates: floor 0.6
+    # trips on any banding/signature regression, not on variance
+    # (hash-derived → deterministic across runs and partitionings).
+    assert recall >= 0.6, f"planted near-dup recall {recall}"
+    false_pairs = got - planted
+    assert not false_pairs, f"false-positive pairs: {sorted(false_pairs)[:5]}"
+    # 10k docs through banded LSH runs in seconds on local[8]; an
+    # all-pairs degeneration (50M candidate pairs) blows this budget
+    assert elapsed < 120, f"minhash soak took {elapsed:.0f}s"
+
+
+@pytest.mark.slow
 def test_ann_soak_recall_floor_at_scale(spark):
     """Larger-scale ANN soak (VERDICT r3 task 8): IVF and PQ recall@10
     against exact cosine on a 20k-vector corpus — ~20x the sf0.01
@@ -887,6 +970,7 @@ def test_watermark_drops_late_events_in_append_mode(spark, tmp_path):
     assert run2 == {"2024-01-01 11:00:00": 1}, run2
 
 
+@pytest.mark.slow
 def test_semantic_dedup_soak_recall_at_scale(spark):
     """Scale soak for SemDeDup: 20k hash-derived vectors + 60 planted
     near-copies, trained coarse quantizer (64 cells). The property the

