@@ -176,6 +176,10 @@ SCHEDULED_NEXT_WINDOW = frozenset(
     {
         "llm_bpe_pair_stats",
         "stream_medallion_batch_parity",
+        "llm_temperature_mix",
+        "llm_packing_efficiency",
+        "llm_dup_ngram_spans",
+        "rel_tpch_q13_custdist",
     }
 )
 

@@ -492,6 +492,123 @@ def _bpe_pair_stats_sql() -> str:
     """
 
 
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source balancing (T=0.5): the mT5/XLM-R
+    mixture-flattening resampler. sqrt+division are correctly-rounded
+    IEEE ops, so rates — and the md5 sample they gate — are
+    bit-reproducible on an independent engine."""
+    from etl_global_mobility_spark.operators.splits import temperature_mix
+
+    d = load_table(spark, sf_dir, "documents")
+    return temperature_mix(d, temperature=0.5).select(
+        "doc_id",
+        "source",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        "rate",
+    )
+
+
+def _temperature_mix_sql() -> str:
+    bucket = _md5_hash_sql("CAST(doc_id AS VARCHAR)", 4)
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, source, CAST(len({TOKS}) AS BIGINT) AS n_tokens
+      FROM documents
+    ), per_src AS (
+      SELECT source, CAST(sum(n_tokens) AS BIGINT) AS src_tokens
+      FROM tok GROUP BY source
+    ), rates AS (
+      SELECT source,
+             sqrt(CAST((SELECT min(src_tokens) FROM per_src) AS DOUBLE)
+                  / CAST(src_tokens AS DOUBLE)) AS rate
+      FROM per_src
+    )
+    SELECT t.doc_id, t.source, t.n_tokens, r.rate
+    FROM tok t JOIN rates r USING (source)
+    WHERE CAST(({bucket}) % 10000 AS DOUBLE) / 10000.0 < r.rate
+    """
+
+
+def q_packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-waste planning report at seq_len=32 — one corpus scan +
+    one bounded-key aggregation instead of materializing the examples."""
+    from etl_global_mobility_spark.operators.packing import (
+        packing_efficiency_report,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return packing_efficiency_report(d, seq_len=32)
+
+
+def _packing_efficiency_sql(seq_len: int = 32) -> str:
+    return f"""
+    WITH t AS (
+      SELECT source, CAST(len({TOKS}) AS BIGINT) AS nt FROM documents
+    ), agg AS (
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(CASE WHEN nt >= 2 THEN 0 ELSE 1 END) AS BIGINT) AS n_skipped,
+             CAST(sum(CASE WHEN nt >= 2 THEN (nt - 2) // {seq_len} + 1 ELSE 0 END)
+                  AS BIGINT) AS n_examples,
+             CAST(sum(CASE WHEN nt >= 2 THEN nt - 1 ELSE 0 END) AS BIGINT)
+               AS real_tokens
+      FROM t GROUP BY source
+    )
+    SELECT source, n_docs, n_skipped, n_examples, real_tokens,
+           n_examples * {seq_len} AS slot_tokens,
+           CASE WHEN n_examples > 0
+                THEN CAST(n_examples * {seq_len} - real_tokens AS DOUBLE)
+                     / CAST(n_examples * {seq_len} AS DOUBLE) END AS pad_fraction
+    FROM agg
+    """
+
+
+def q_dup_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication accounting (fixed-k form of Lee et
+    al. arXiv:2107.06499): per-document fraction of tokens covered by
+    k-grams shared with other documents."""
+    from etl_global_mobility_spark.operators.dedup import (
+        duplicated_ngram_spans,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return duplicated_ngram_spans(d, k=3)
+
+
+def _dup_ngram_spans_sql(k: int = 3, min_docs: int = 2) -> str:
+    gram_hash = _md5_hash_sql("grams[CAST(i AS INT)]", 0)
+    return f"""
+    WITH base AS (
+      SELECT doc_id, CAST(len({TOKS}) AS BIGINT) AS n_tokens,
+             list_transform(
+               range(1, greatest(len({TOKS}) - {k - 1}, 0) + 1),
+               i -> array_to_string(({TOKS})[i:i + {k - 1}], ' ')) AS grams
+      FROM documents
+    ), occ AS (
+      SELECT doc_id, i - 1 AS pos, {gram_hash} AS g
+      FROM (SELECT doc_id, grams, unnest(range(1, len(grams) + 1)) AS i
+            FROM base)
+    ), dupg AS (
+      SELECT g FROM (SELECT DISTINCT doc_id, g FROM occ)
+      GROUP BY g HAVING count(*) >= {min_docs}
+    ), dup AS (
+      SELECT occ.doc_id, occ.pos FROM occ JOIN dupg USING (g)
+    ), cov AS (
+      SELECT doc_id, pos, pos + unnest(range(0, {k})) AS t FROM dup
+    ), stats AS (
+      SELECT doc_id, count(DISTINCT pos) AS n_dup_grams,
+             count(DISTINCT t) AS covered_tokens
+      FROM cov GROUP BY doc_id
+    )
+    SELECT b.doc_id, b.n_tokens, CAST(len(b.grams) AS BIGINT) AS n_grams,
+           CAST(coalesce(s.n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+           CAST(coalesce(s.covered_tokens, 0) AS BIGINT) AS covered_tokens,
+           CASE WHEN b.n_tokens > 0
+                THEN CAST(coalesce(s.covered_tokens, 0) AS DOUBLE)
+                     / CAST(b.n_tokens AS DOUBLE) END AS dup_token_fraction
+    FROM base b LEFT JOIN stats s USING (doc_id)
+    """
+
+
 def q_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reward-model / DPO preference pairs: per (source, lang) group,
     the classifier's best-scored document paired against its worst,
@@ -1850,6 +1967,27 @@ SPECS = [
         _bpe_pair_stats_sql(),
         doc="one BPE merge iteration's pair-count table (oracle-backed "
         "non-iterative slice of llm_bpe_train)",
+    ),
+    QuerySpec(
+        "llm_temperature_mix",
+        q_temperature_mix,
+        _temperature_mix_sql(),
+        doc="temperature-scaled source balancing (T=0.5, closed-form "
+        "sqrt(t_min/t_s) rates, md5-deterministic sample)",
+    ),
+    QuerySpec(
+        "llm_packing_efficiency",
+        q_packing_efficiency,
+        _packing_efficiency_sql(),
+        doc="padding-waste planning report for causal-LM examples "
+        "(integer-exact, one scan + one bounded agg)",
+    ),
+    QuerySpec(
+        "llm_dup_ngram_spans",
+        q_dup_ngram_spans,
+        _dup_ngram_spans_sql(),
+        doc="exact-substring duplication coverage per doc (fixed-k "
+        "inverted-index form of Lee et al. 2022)",
     ),
     QuerySpec(
         "llm_preference_pairs",

@@ -1801,6 +1801,28 @@ def q_tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer distribution) adapted to the driver schema:
+    LEFT join customers to a filtered orders side (urgent orders
+    excluded, standing in for Q13's comment NOT LIKE), count orders per
+    customer — customers with none legitimately count 0 — then
+    histogram the counts. The canonical two-level aggregation over an
+    outer join: the first groupBy keys on the customer (corpus-sized
+    shuffle), the second on the bounded count value."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
 def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema evolution on read: two parquet batches with different
     schemas (the second adds ``s_acctbal``) merged by
@@ -2348,6 +2370,19 @@ SPECS = [
            GROUP BY l_orderkey, o_orderdate, o_orderpriority
            ORDER BY revenue DESC, l_orderkey LIMIT 10""",
         doc="TPC-H Q3 shape: selective 3-way join + top-10 by revenue",
+    ),
+    QuerySpec(
+        "rel_tpch_q13_custdist",
+        q_tpch_q13_custdist,
+        """WITH per_cust AS (
+             SELECT c_custkey, count(o_orderkey) AS c_count
+             FROM customer LEFT JOIN orders
+               ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+             GROUP BY c_custkey
+           )
+           SELECT c_count, count(*) AS custdist
+           FROM per_cust GROUP BY c_count""",
+        doc="TPC-H Q13 shape: outer-join two-level aggregation (order-count histogram)",
     ),
     QuerySpec(
         "rel_schema_evolution",

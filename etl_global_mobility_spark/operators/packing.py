@@ -100,6 +100,64 @@ def chunk_documents(
     )
 
 
+def packing_efficiency_report(
+    docs: DataFrame,
+    seq_len: int = 32,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Padding-waste planning report for :func:`causal_lm_examples`:
+    per group, how many training examples a given ``seq_len`` yields
+    and what fraction of label slots would be padding — the metric
+    that drives the seq_len / packing-strategy decision BEFORE
+    materializing terabytes of examples.
+
+    Mirrors the example-windowing arithmetic exactly: a document with
+    ``n`` tokens (``n ≥ 2``) yields ``(n-2) div seq_len + 1`` examples
+    covering ``n-1`` real label slots; shorter documents yield nothing
+    and are counted as skipped. Everything is BIGINT except the final
+    single-division ``pad_fraction`` (NULL for groups with no
+    examples), so an independent engine reproduces the report
+    bit-for-bit.
+
+    Scale shape: map-only token counting + ONE hash aggregation on the
+    bounded group key — a plan whose cost is one corpus scan,
+    vs. actually exploding the examples.
+    """
+    if seq_len <= 0:
+        raise ValueError(f"seq_len must be positive: {seq_len}")
+    nt = token_count(text_col)
+    per_doc = docs.select(
+        F.col(group_col),
+        nt.cast("bigint").alias("_nt"),
+    )
+    eligible = F.col("_nt") >= 2
+    n_examples_doc = F.when(
+        eligible, F.expr(f"(_nt - 2) div {seq_len}") + 1
+    ).otherwise(F.lit(0))
+    real_doc = F.when(eligible, F.col("_nt") - 1).otherwise(F.lit(0))
+    agg = per_doc.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.when(eligible, 0).otherwise(1)).alias("n_skipped"),
+        F.sum(n_examples_doc).alias("n_examples"),
+        F.sum(real_doc).alias("real_tokens"),
+    )
+    slots = F.col("n_examples") * seq_len
+    return agg.select(
+        group_col,
+        "n_docs",
+        "n_skipped",
+        "n_examples",
+        "real_tokens",
+        slots.alias("slot_tokens"),
+        F.when(
+            slots > 0,
+            (slots - F.col("real_tokens")).cast("double")
+            / slots.cast("double"),
+        ).alias("pad_fraction"),
+    )
+
+
 def causal_lm_examples(
     docs: DataFrame,
     seq_len: int = 32,

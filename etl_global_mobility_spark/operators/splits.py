@@ -170,6 +170,75 @@ def mix_sources(
     )
 
 
+def temperature_mix(
+    df: DataFrame,
+    temperature: float = 0.5,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    token_count_col: Column | None = None,
+    seed: int = 4,
+) -> DataFrame:
+    """Temperature-scaled source balancing (the multilingual /
+    multi-source flattening of mT5 / XLM-R-class training mixtures):
+    resample so the expected token share of source *s* follows
+    ``p_s^T`` instead of its natural share ``p_s`` — ``T = 1`` keeps
+    the natural mixture, ``T → 0`` approaches uniform tokens per
+    source, intermediate ``T`` up-weights the tail without starving
+    the head.
+
+    Derivation (no upsampling): target share ``q_s ∝ p_s^T`` needs
+    keep-rate ``∝ q_s / t_s ∝ t_s^(T-1)``; scaling so the largest rate
+    is exactly 1 gives ``rate_s = (t_min / t_s)^(1-T)`` with ``t_min``
+    the SMALLEST source's token count — the rarest source is kept
+    whole, every other source is flattened toward it. This closed form
+    avoids normalizing by ``Σ t^T`` (a float sum whose partial order
+    differs between engines); for the default ``T = 0.5`` the rate is
+    ``sqrt(t_min/t_s)``: one exact-rounded division + one
+    correctly-rounded sqrt, so an independent engine reproduces every
+    rate — and therefore the md5 sample — bit-for-bit. (Other
+    temperatures go through ``pow``, which carries no cross-platform
+    exactness guarantee; same semantics, weaker reproducibility.)
+
+    Scale shape: one hash aggregation on the bounded source key, a
+    1-row broadcast of the min, a broadcast rate join, map-side md5
+    filter. No corpus-sized shuffle.
+
+    Returns kept rows with ``n_tokens`` and ``rate`` attached.
+    """
+    if not 0.0 <= temperature <= 1.0:
+        raise ValueError(f"temperature out of [0,1]: {temperature}")
+    from etl_global_mobility_spark.operators.text import token_count
+
+    n_tokens = (
+        token_count("text") if token_count_col is None else token_count_col
+    )
+    with_tok = df.withColumn("n_tokens", n_tokens)
+    per_source = with_tok.groupBy(source_col).agg(
+        F.sum("n_tokens").alias("src_tokens")
+    )
+    tmin = per_source.agg(F.min("src_tokens").alias("min_tokens"))
+    ratio = (
+        F.col("min_tokens").cast("double") / F.col("src_tokens").cast("double")
+    )
+    if temperature == 0.5:
+        rate_expr = F.sqrt(ratio)
+    elif temperature == 1.0:
+        rate_expr = F.lit(1.0)
+    elif temperature == 0.0:
+        rate_expr = ratio
+    else:
+        rate_expr = F.pow(ratio, F.lit(1.0 - temperature))
+    rates = (
+        per_source.crossJoin(F.broadcast(tmin))
+        .withColumn("rate", rate_expr)
+        .select(source_col, "rate")
+    )
+    bucket = _md5_band_hash(F.col(id_col).cast("string"), seed) % 10_000
+    return with_tok.join(F.broadcast(rates), source_col).filter(
+        bucket.cast("double") / F.lit(10_000.0) < F.col("rate")
+    )
+
+
 def cap_per_stratum(
     df: DataFrame,
     strata_col: str,

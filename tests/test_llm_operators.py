@@ -1098,3 +1098,74 @@ def test_spark4_sql_scripting_control_flow(spark):
             spark.conf.unset("spark.sql.scripting.enabled")
         else:
             spark.conf.set("spark.sql.scripting.enabled", prev)
+
+
+def test_temperature_mix_rate_semantics(spark):
+    """Closed-form rate contract: the smallest source is kept whole
+    (rate exactly 1.0), larger sources get sqrt(t_min/t_s) at T=0.5,
+    T=1 keeps everything, T=0 equalizes expected tokens; a misspelled
+    temperature raises."""
+    import pytest
+
+    from etl_global_mobility_spark.operators.splits import temperature_mix
+
+    # source 'big' has 16x the tokens of 'small' -> rate sqrt(1/16)=0.25
+    docs = spark.createDataFrame(
+        [(i, "big", "w " * 16) for i in range(100)]
+        + [(1000 + i, "small", "w " * 16) for i in range(100 // 16 + 1)],
+        "doc_id long, source string, text string",
+    )
+    # token totals: big=1600, small=112 -> not exactly 16x; build exact:
+    docs = spark.createDataFrame(
+        [(i, "big", "a b c d") for i in range(400)]          # 1600 tokens
+        + [(10_000 + i, "small", "a b c d") for i in range(25)],  # 100
+        "doc_id long, source string, text string",
+    )
+    out = temperature_mix(docs, temperature=0.5)
+    rates = {
+        r.source: r.rate for r in out.select("source", "rate").distinct().collect()
+    }
+    assert rates["small"] == 1.0
+    assert rates["big"] == 0.25  # sqrt(100/1600), exact in binary
+    kept = out.groupBy("source").count().collect()
+    kept = {r.source: r["count"] for r in kept}
+    # md5 buckets are uniform: expect ~100 of 400 'big' docs; the
+    # deterministic sample is fixed, so pin a generous sanity band
+    assert kept["small"] == 25
+    assert 60 <= kept["big"] <= 140
+    # T=1: natural mixture, everything kept
+    assert temperature_mix(docs, temperature=1.0).count() == 425
+    with pytest.raises(ValueError, match="temperature"):
+        temperature_mix(docs, temperature=1.5)
+
+
+def test_duplicated_ngram_spans_coverage_union(spark):
+    """Planted cross-doc substring: covered_tokens counts the UNION of
+    overlapping duplicated k-gram spans, within-doc repetition does not
+    fire, sub-k docs appear with zeros."""
+    from etl_global_mobility_spark.operators.dedup import (
+        duplicated_ngram_spans,
+    )
+
+    shared = "alpha beta gamma delta"  # 4 tokens -> 2 shared 3-grams
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " unique1 unique2"),
+            (2, "prefix0 " + shared),
+            (3, "solo solo solo solo solo2"),  # repeats only within itself
+            (4, "tiny doc"),                   # < k tokens
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in duplicated_ngram_spans(docs, k=3).collect()}
+    # doc 1: grams (a b g) and (b g d) duplicated; union covers 4 tokens
+    assert rows[1].n_dup_grams == 2 and rows[1].covered_tokens == 4
+    assert rows[1].n_tokens == 6 and rows[1].n_grams == 4
+    assert abs(rows[1].dup_token_fraction - 4 / 6) < 1e-15
+    # doc 2: same two grams at offset 1 -> also 4 covered of 5
+    assert rows[2].n_dup_grams == 2 and rows[2].covered_tokens == 4
+    # doc 3: its grams appear in only ONE document -> nothing duplicated
+    assert rows[3].n_dup_grams == 0 and rows[3].covered_tokens == 0
+    # doc 4: shorter than k -> zero grams, present with zeros, fraction defined
+    assert rows[4].n_grams == 0 and rows[4].covered_tokens == 0
+    assert rows[4].dup_token_fraction == 0.0

@@ -294,3 +294,57 @@ def test_causal_lm_examples_property_random_corpora(spark):
             # padding only in the last window
             for r in got[:-1]:
                 assert r.n_real == seq_len
+
+
+def test_packing_efficiency_report_matches_materialized_examples(spark):
+    """The report's planning numbers must equal what causal_lm_examples
+    actually materializes: n_examples == example count per group and
+    real_tokens == sum(n_real) — the report is a promise about the
+    explode it avoids."""
+    from pyspark.sql import functions as F
+
+    from etl_global_mobility_spark.operators.packing import (
+        causal_lm_examples,
+        packing_efficiency_report,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a", " ".join(f"t{i}" for i in range(70))),   # 70 tokens
+            (2, "a", "one two"),                               # 2 tokens
+            (3, "a", "single"),                                # skipped
+            (4, "b", ""),                                      # skipped
+            (5, "b", " ".join(f"u{i}" for i in range(33))),    # 33 tokens
+        ],
+        "doc_id long, source string, text string",
+    )
+    seq_len = 32
+    rep = {
+        r.source: r
+        for r in packing_efficiency_report(docs, seq_len=seq_len).collect()
+    }
+    ex = (
+        docs.join(
+            causal_lm_examples(docs, seq_len=seq_len, vocab_size=97),
+            "doc_id",
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_ex"),
+            F.sum("n_real").alias("real"),
+        )
+    )
+    actual = {r.source: r for r in ex.collect()}
+    for src in ("a", "b"):
+        assert rep[src].n_examples == actual[src].n_ex
+        assert rep[src].real_tokens == actual[src].real
+    # closed-form spot checks: 70 tokens -> ceil(69/32)=3 examples,
+    # 69 real slots; plus the 2-token doc -> 1 example, 1 real slot
+    assert rep["a"].n_examples == 4 and rep["a"].real_tokens == 70
+    assert rep["a"].n_docs == 3 and rep["a"].n_skipped == 1
+    # 33 tokens -> one [0..32] window: exactly 32 real labels, no pad
+    assert rep["b"].n_examples == 1 and rep["b"].real_tokens == 32
+    assert rep["b"].slot_tokens == 32
+    assert rep["b"].pad_fraction == 0.0
+    # group 'a': 4 examples x 32 slots, 70 real -> 58/128 padding
+    assert abs(rep["a"].pad_fraction - 58 / 128) < 1e-15
