@@ -63,6 +63,13 @@ HEADLINE = [
     "rel_dataset_card",
     "stream_tumbling_counts",
     "stream_stateful_profile",
+    # round-5 additions
+    "llm_temperature_mix",
+    "llm_dup_ngram_spans",
+    "llm_bpe_pair_stats",
+    "llm_packing_efficiency",
+    "rel_tpch_q13_custdist",
+    "stream_medallion_batch_parity",
 ]
 
 

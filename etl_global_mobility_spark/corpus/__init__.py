@@ -180,6 +180,7 @@ SCHEDULED_NEXT_WINDOW = frozenset(
         "llm_packing_efficiency",
         "llm_dup_ngram_spans",
         "rel_tpch_q13_custdist",
+        "udf_udtf_table_arg",
     }
 )
 

@@ -186,6 +186,47 @@ def q_python_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_udtf_table_arg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF over a TABLE argument with PARTITION BY (Spark 4):
+    the engine shuffles the input by the partition key and streams each
+    partition through one UDTF instance (``eval`` per row, ``terminate``
+    at partition end) — the table-function analogue of a grouped-map,
+    here computing each event_type's top-2 users by integer value-millis
+    total. State is bounded per partition (a user→total dict); integer
+    sums are order-independent and ties break by user id, so the result
+    is engine-exact."""
+    import math
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="event_type string, user_id long, total_millis long, rk int")
+    class TopUsers:
+        def __init__(self):
+            self._totals: dict = {}
+            self._etype = None
+
+        def eval(self, row):
+            self._etype = row["event_type"]
+            u = row["user_id"]
+            self._totals[u] = self._totals.get(u, 0) + math.floor(
+                row["value"] * 1000 + 0.5
+            )
+
+        def terminate(self):
+            ranked = sorted(self._totals.items(), key=lambda kv: (-kv[1], kv[0]))
+            for i, (u, t) in enumerate(ranked[:2]):
+                yield self._etype, u, t, i + 1
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "user_id", "value"
+    )
+    ev.createOrReplaceTempView("v_events_udtf")
+    spark.udtf.register("top_users", TopUsers)
+    return spark.sql(
+        "SELECT * FROM top_users(TABLE(v_events_udtf) PARTITION BY event_type)"
+    )
+
+
 def q_cogroup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """cogroup(...).applyInPandas: the two-frame grouped hook — each
     user's view events and purchase events arrive as SEPARATE pandas
@@ -282,6 +323,26 @@ SPECS = [
            SELECT p_partkey, CAST(i - 1 AS INT) AS word_idx, words[i] AS word
            FROM e""",
         doc="Python UDTF via LATERAL join (1-to-N table function)",
+    ),
+    QuerySpec(
+        "udf_udtf_table_arg",
+        q_udtf_table_arg,
+        """WITH totals AS (
+             SELECT event_type, user_id,
+                    CAST(sum(CAST(floor(value * 1000 + 0.5) AS BIGINT)) AS BIGINT)
+                      AS total_millis
+             FROM events GROUP BY event_type, user_id
+           ), ranked AS (
+             SELECT event_type, user_id, total_millis,
+                    CAST(row_number() OVER (
+                      PARTITION BY event_type
+                      ORDER BY total_millis DESC, user_id) AS INT) AS rk
+             FROM totals
+           )
+           SELECT event_type, user_id, total_millis, rk
+           FROM ranked WHERE rk <= 2""",
+        doc="Python UDTF over TABLE(...) PARTITION BY (Spark 4 "
+        "partition-streamed table function with terminate())",
     ),
     QuerySpec(
         "udf_pandas_scalar",

@@ -458,3 +458,37 @@ def test_dataset_card_single_partial_aggregation(spark):
     assert plan.count("Scan parquet") == 1
     assert "partial" in plan.lower()
     assert "EvalPython" not in plan
+
+
+def test_temperature_mix_broadcasts_rates_onto_map_only_corpus(spark):
+    """The corpus side must stay map-only: the tiny per-source rate
+    frame broadcasts onto it (no corpus-sized shuffle for the join) and
+    the md5 sample is a plain Filter above the join."""
+    from etl_global_mobility_spark.corpus.llm import q_temperature_mix
+
+    plan = plan_of(q_temperature_mix(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_packing_efficiency_is_single_partial_aggregation(spark):
+    """One scan, one hash aggregation with map-side partial combine,
+    no join anywhere — the whole point of the report vs materializing
+    examples."""
+    from etl_global_mobility_spark.corpus.llm import q_packing_efficiency
+
+    plan = plan_of(q_packing_efficiency(spark, SF))
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    assert "Generate" not in plan  # no explode: the examples are never built
+
+
+def test_dup_ngram_spans_marks_via_semi_join(spark):
+    """Occurrence marking must be a LeftSemi against the >=min_docs
+    gram set (never materializing occurrence x gram pair columns), and
+    the doc rollup joins back LeftOuter so zero-dup docs survive."""
+    from etl_global_mobility_spark.corpus.llm import q_dup_ngram_spans
+
+    plan = plan_of(q_dup_ngram_spans(spark, SF))
+    assert "LeftSemi" in plan
+    assert "LeftOuter" in plan
