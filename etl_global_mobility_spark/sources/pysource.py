@@ -34,6 +34,7 @@ from dataclasses import dataclass
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     EqualTo,
     Filter,
@@ -206,10 +207,65 @@ class JsonDirWriter(DataSourceWriter):
                 os.remove(m.path)
 
 
+class JsonDirStreamWriter(DataSourceStreamWriter):
+    """STREAMING sink half of the Data Source API — completes the
+    source/sink matrix (batch read, stream read, batch write, and now
+    stream write), with exactly-once spelled out:
+
+    * each micro-batch's tasks stage ``.part-<pid>.json.tmp`` files and
+      report them in commit messages;
+    * ``commit(messages, batchId)`` renames them to the DETERMINISTIC
+      final names ``part-<batchId>-<pid>.json`` and drops a per-batch
+      marker ``_batch-<batchId>._SUCCESS``. Names are a pure function
+      of (batchId, partitionId), so a REPLAYED batch (restart between
+      sink commit and checkpoint commit — foreachBatch's classic
+      double-write window) overwrites its own files byte-identically
+      instead of appending duplicates;
+    * ``abort`` removes the staged temps — a failed batch leaves
+      nothing a marker-respecting reader can see.
+
+    A reader that takes only ``part-*.json`` files whose batch marker
+    exists observes each committed batch exactly once.
+    """
+
+    def __init__(self, options: dict) -> None:
+        self.path = options["path"]
+
+    def write(self, it: Iterator) -> _WroteFile:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(self.path, f".part-{pid:05d}.json.tmp")
+        n = 0
+        with open(tmp, "w") as f:
+            for row in it:
+                f.write(json.dumps(row.asDict()) + "\n")
+                n += 1
+        return _WroteFile(path=tmp, n_rows=n)
+
+    def commit(self, messages: Sequence[_WroteFile], batchId: int) -> None:
+        total = 0
+        for m in messages:
+            pid_part = os.path.basename(m.path).replace(".tmp", "").lstrip(".")
+            final = os.path.join(self.path, f"part-{batchId:05d}-{pid_part[5:]}")
+            os.replace(m.path, final)
+            total += m.n_rows
+        marker = os.path.join(self.path, f"_batch-{batchId:05d}._SUCCESS")
+        with open(marker, "w") as f:
+            f.write(json.dumps({"batch_id": batchId, "n_rows": total}))
+
+    def abort(self, messages: Sequence[_WroteFile], batchId: int) -> None:
+        for m in messages:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)
+
+
 class SyntheticEventsSource(DataSource):
     """``spark.read.format("synthetic_events")`` after
     ``spark.dataSource.register(SyntheticEventsSource)`` — batch read,
-    streaming read (offset-tracked), and two-phase-commit write."""
+    streaming read (offset-tracked), two-phase-commit batch write, and
+    exactly-once streaming write."""
 
     @classmethod
     def name(cls) -> str:
@@ -226,6 +282,9 @@ class SyntheticEventsSource(DataSource):
 
     def writer(self, schema, overwrite: bool) -> JsonDirWriter:
         return JsonDirWriter(self.options)
+
+    def streamWriter(self, schema, overwrite: bool) -> JsonDirStreamWriter:
+        return JsonDirStreamWriter(self.options)
 
 
 def register(spark) -> None:

@@ -492,3 +492,30 @@ def test_dup_ngram_spans_marks_via_semi_join(spark):
     plan = plan_of(q_dup_ngram_spans(spark, SF))
     assert "LeftSemi" in plan
     assert "LeftOuter" in plan
+
+
+def test_dynamic_partition_pruning_from_dim_filter(spark, tmp_path):
+    """DPP (optimizer effect, config-default): joining a partitioned
+    fact to a selectively-filtered dim on the partition column must
+    inject a dynamicpruning subquery into the fact scan's
+    PartitionFilters — at 100 TB this skips every fact partition whose
+    key the dim filter eliminated, before any fact I/O happens. Also
+    asserts the pruned result equals the logical answer."""
+    from pyspark.sql import functions as F
+
+    fpath = str(tmp_path / "fact")
+    (
+        spark.range(2000)
+        .select((F.col("id") % 20).alias("day"), F.col("id").alias("v"))
+        .write.partitionBy("day")
+        .parquet(fpath)
+    )
+    dim = spark.createDataFrame(
+        [(d, d % 5) for d in range(20)], "day long, cat long"
+    ).filter(F.col("cat") == 1)  # keeps days 1, 6, 11, 16
+    fact = spark.read.parquet(fpath)
+    q = fact.join(dim, "day").groupBy("day").agg(F.count(F.lit(1)).alias("n"))
+    plan = plan_of(q)
+    assert "dynamicpruning" in plan.lower(), plan
+    got = {(r.day, r.n) for r in q.collect()}
+    assert got == {(d, 100) for d in (1, 6, 11, 16)}
