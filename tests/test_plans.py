@@ -519,3 +519,68 @@ def test_dynamic_partition_pruning_from_dim_filter(spark, tmp_path):
     assert "dynamicpruning" in plan.lower(), plan
     got = {(r.day, r.n) for r in q.collect()}
     assert got == {(d, 100) for d in (1, 6, 11, 16)}
+
+
+def test_no_plan_antipatterns_across_entire_corpus(spark):
+    """Corpus-wide physical-plan sweep — the per-round manual audit as
+    a standing gate. For EVERY registered non-streaming query:
+
+    * no CartesianProduct, ever (an unbounded pair explosion is never
+      the right plan at 100 TB);
+    * BroadcastNestedLoopJoin only where a BOUNDED side is broadcast by
+      design (1-row aggregate frames, top-k query sides, codebooks,
+      interval tables) — anything new joining without keys must be
+      justified here;
+    * row-at-a-time Python (BatchEvalPython/PythonUDTF) only in the two
+      UDTF showcase queries — never in an engine hot path;
+    * Arrow-vectorized Python only in the declared escape-hatch
+      queries (pandas/Arrow UDF corpus, multimodal decode plumbing).
+
+    Streaming queries are excluded only because their fn() executes the
+    stream; their plans are pinned individually elsewhere.
+    """
+    from etl_global_mobility_spark.corpus import all_queries
+
+    BNLJ_BOUNDED_BY_DESIGN = {
+        "llm_hybrid_retrieval_rrf",   # broadcast per-ranker top-k lists
+        "rel_range_join_buckets",     # broadcast interval table
+        "llm_cosine_topk",            # broadcast bounded query side
+        "llm_pq_ann",                 # broadcast m x k codebook
+        "llm_temperature_mix",        # broadcast 1-row min-tokens frame
+        "llm_knn_label_vote",         # broadcast bounded query side
+        "llm_bm25",                   # broadcast 1-row corpus stats
+        "llm_mix_sources",            # broadcast 1-row grand total
+        "llm_e2e_curation",           # composes mix_sources
+    }
+    ROW_PYTHON_ALLOWED = {"udf_python_udtf", "udf_udtf_table_arg"}
+    ARROW_PYTHON_ALLOWED = {
+        "udf_pandas_scalar", "udf_pandas_grouped_agg",
+        "udf_pandas_grouped_map", "udf_map_in_arrow", "udf_apply_in_arrow",
+        "udf_cogroup_profile", "llm_multimodal_features", "llm_frame_sample",
+        "llm_bpe_train",  # Arrow-batched merge application
+    }
+    ARROW_NODES = (
+        "ArrowEvalPython", "FlatMapGroupsInPandas", "MapInPandas",
+        "MapInArrow", "FlatMapCoGroupsInPandas", "FlatMapGroupsInArrow",
+        "AggregateInPandas",
+    )
+
+    bad: list[str] = []
+    for name, spec in all_queries().items():
+        if name.startswith("stream_"):
+            continue
+        plan = plan_of(spec.fn(spark, SF))
+        if "CartesianProduct" in plan:
+            bad.append(f"{name}: CartesianProduct")
+        if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_BOUNDED_BY_DESIGN:
+            bad.append(f"{name}: unjustified BroadcastNestedLoopJoin")
+        if (
+            ("BatchEvalPython" in plan or "PythonUDTF" in plan)
+            and name not in ROW_PYTHON_ALLOWED
+        ):
+            bad.append(f"{name}: row-at-a-time Python in plan")
+        if any(n in plan for n in ARROW_NODES) and name not in (
+            ARROW_PYTHON_ALLOWED | ROW_PYTHON_ALLOWED
+        ):
+            bad.append(f"{name}: undeclared Python eval node")
+    assert not bad, "plan anti-patterns:\n" + "\n".join(bad)
