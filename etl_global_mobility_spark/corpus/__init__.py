@@ -181,6 +181,7 @@ SCHEDULED_NEXT_WINDOW = frozenset(
         "llm_dup_ngram_spans",
         "rel_tpch_q13_custdist",
         "udf_udtf_table_arg",
+        "stream_static_join",
     }
 )
 

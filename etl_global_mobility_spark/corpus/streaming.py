@@ -70,6 +70,33 @@ def q_stream_stateful_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_memory(user_profile_stream(ev), "update")
 
 
+def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC join — the standard streaming enrichment pattern
+    (and the missing third join shape next to stream-stream and
+    batch): each micro-batch of events joins a static dimension
+    (customer segment keyed by user id), then aggregates per (segment,
+    event_type). The static side is stateless — no watermark, no join
+    state; Spark broadcasts it into every micro-batch, so at 100 TB of
+    stream this costs one dim broadcast per trigger and nothing grows
+    with stream history. Counts + decimal-exact sums → batch-equal."""
+    ev = stream_events(spark, sf_dir)
+    seg = (
+        load_table(spark, sf_dir, "customer")
+        .select(
+            F.col("c_custkey").alias("user_id"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+    )
+    enriched = ev.join(F.broadcast(seg), "user_id")
+    agg = enriched.groupBy("segment", "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("sum_value"),
+    )
+    return run_stream_to_memory(agg, "complete")
+
+
 def q_stream_medallion_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The streaming medallion pipeline's stream≡batch invariant as an
     ORACLE row (previously pytest-effect-only): lineitem is projected
@@ -303,6 +330,16 @@ FROM br WHERE ({_MED_MOTIVO}) IS NULL
 """
 
 SPECS = [
+    QuerySpec(
+        "stream_static_join",
+        q_stream_static_join,
+        """SELECT c_mktsegment AS segment, event_type, count(*) AS n,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+           FROM events JOIN customer ON user_id = c_custkey
+           GROUP BY 1, 2""",
+        doc="stream-static enrichment join (stateless dim broadcast per "
+        "micro-batch) + windowless aggregation, batch-equal",
+    ),
     QuerySpec(
         "stream_medallion_batch_parity",
         q_stream_medallion_parity,
