@@ -182,6 +182,7 @@ SCHEDULED_NEXT_WINDOW = frozenset(
         "rel_tpch_q13_custdist",
         "udf_udtf_table_arg",
         "stream_static_join",
+        "rel_source_parquet_zstd",
     }
 )
 

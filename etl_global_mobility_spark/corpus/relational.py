@@ -1159,6 +1159,29 @@ def q_source_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_source_parquet_zstd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet ZSTD codec round-trip: at 100 TB the codec choice is a
+    first-order cost knob (zstd ≈ gzip-class ratios at snappy-class
+    decode speed, and it is the modern lakehouse default). Writes the
+    part table with explicit ``compression=zstd``, asserts the files
+    really are zstd-encoded (suffix check — a silent fallback to snappy
+    would pass a pure round-trip), reads back and projects with a
+    pushable filter. The oracle recomputes from the original table, so
+    any codec-path corruption breaks the hash."""
+    import glob
+    import os
+
+    out = _roundtrip_dir("parquet_zstd_part")
+    p = load_table(spark, sf_dir, "part")
+    p.coalesce(1).write.mode("overwrite").option("compression", "zstd").parquet(out)
+    files = glob.glob(os.path.join(out, "part-*.parquet"))
+    assert files and all(".zstd." in os.path.basename(f) for f in files), files
+    df = spark.read.parquet(out)
+    return df.filter(F.col("p_size") >= 25).select(
+        "p_partkey", "p_brand", "p_size", "p_retailprice"
+    )
+
+
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the part→supplier shipment graph, 3 synchronous
     iterations of integer micro-unit arithmetic — the engine's
@@ -1978,6 +2001,14 @@ SPECS = [
         """SELECT s_suppkey, s_nationkey, s_acctbal
            FROM supplier WHERE s_acctbal > 0""",
         doc="ORC source round-trip with pushed-down filter",
+    ),
+    QuerySpec(
+        "rel_source_parquet_zstd",
+        q_source_parquet_zstd,
+        """SELECT p_partkey, p_brand, p_size, p_retailprice
+           FROM part WHERE p_size >= 25""",
+        doc="parquet ZSTD codec round-trip (files asserted zstd-encoded) "
+        "with pushed-down filter",
     ),
     QuerySpec(
         "rel_source_xml",

@@ -1169,3 +1169,56 @@ def test_duplicated_ngram_spans_coverage_union(spark):
     # doc 4: shorter than k -> zero grams, present with zeros, fraction defined
     assert rows[4].n_grams == 0 and rows[4].covered_tokens == 0
     assert rows[4].dup_token_fraction == 0.0
+
+
+def test_spark4_group_by_all_and_order_by_all(spark):
+    """GROUP BY ALL / ORDER BY ALL (Spark 4): grouping keys inferred
+    from the non-aggregate select items — the analyst-SQL surface,
+    pinned equivalent to the explicit form."""
+    df = spark.createDataFrame(
+        [("a", "x", 1), ("a", "x", 2), ("b", "y", 3)], "g string, h string, v int"
+    )
+    df.createOrReplaceTempView("v_gba")
+    got = spark.sql(
+        "SELECT g, h, sum(v) AS s FROM v_gba GROUP BY ALL ORDER BY ALL"
+    ).collect()
+    assert [tuple(r) for r in got] == [("a", "x", 3), ("b", "y", 3)]
+
+
+def test_lateral_column_alias_reference(spark):
+    """Lateral column aliases: a select item referencing an alias
+    defined earlier in the SAME select list (no subquery nesting) —
+    pinned because derivation chains (the silver layer's style) read
+    much better with it."""
+    df = spark.createDataFrame([(10.0,)], "price double")
+    df.createOrReplaceTempView("v_lca")
+    row = spark.sql(
+        """SELECT price, price * 0.9 AS discounted,
+                  discounted * 2 AS doubled
+           FROM v_lca"""
+    ).collect()[0]
+    assert row.discounted == 9.0 and row.doubled == 18.0
+
+
+def test_pandas_api_on_spark_compiles_to_jvm_plan(spark):
+    """pandas API on Spark (pyspark.pandas): the pandas-shaped frontend
+    must compile to the same JVM relational plan — groupby/sum runs as
+    hash aggregation with NO Python eval node, and values match the
+    SQL answer. (The migration path for pandas-bound pipeline code;
+    the engine treats it as another way to declare a plan, not as UDF
+    execution.)"""
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        import pyspark.pandas as ps
+
+        pdf = ps.DataFrame({"g": ["a", "a", "b"], "v": [1, 2, 3]})
+        out = pdf.groupby("g", as_index=False)["v"].sum()
+        sdf = out.to_spark()
+    plan = sdf._jdf.queryExecution().executedPlan().toString()
+    assert "HashAggregate" in plan
+    for node in ("BatchEvalPython", "ArrowEvalPython", "FlatMapGroupsInPandas"):
+        assert node not in plan
+    got = {(r["g"], r["v"]) for r in sdf.collect()}
+    assert got == {("a", 3), ("b", 3)}
