@@ -183,6 +183,7 @@ SCHEDULED_NEXT_WINDOW = frozenset(
         "udf_udtf_table_arg",
         "stream_static_join",
         "rel_source_parquet_zstd",
+        "llm_sentence_chunks",
     }
 )
 

@@ -609,6 +609,71 @@ def _dup_ngram_spans_sql(k: int = 3, min_docs: int = 2) -> str:
     """
 
 
+def q_sentence_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-boundary-respecting RAG chunking at a 48-token budget
+    (operators.packing.sentence_chunks). The driver corpus carries no
+    terminal punctuation, so the query derives a deterministic
+    multi-sentence text (suffixing '. ... ! ... ?' segments) — the
+    oracle row then genuinely exercises segmentation and multi-chunk
+    assignment, not just the degenerate one-sentence path."""
+    from etl_global_mobility_spark.operators.packing import sentence_chunks
+
+    d = load_table(spark, sf_dir, "documents")
+    punctuated = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(". Second sentence about "),
+            F.col("lang"),
+            F.lit("! Third sentence from source "),
+            F.col("source"),
+            F.lit("? Final short tail."),
+        ).alias("text"),
+    )
+    return sentence_chunks(punctuated, budget=48)
+
+
+def _sentence_chunks_sql(budget: int = 48) -> str:
+    sent_toks = (
+        "list_filter(string_split_regex(lower(trim(sentence)), '\\s+'), "
+        "x -> len(x) > 0)"
+    )
+    return f"""
+    WITH punct AS (
+      SELECT doc_id,
+             text || '. Second sentence about ' || lang
+                  || '! Third sentence from source ' || source
+                  || '? Final short tail.' AS text
+      FROM documents
+    ), m AS (
+      SELECT doc_id,
+             string_split(regexp_replace(text, '([.!?]+)\\s+', '\\1' || chr(1), 'g'),
+                          chr(1)) AS parts
+      FROM punct
+    ), raw AS (
+      SELECT doc_id, i, parts[CAST(i AS INT)] AS sentence
+      FROM (SELECT doc_id, parts, unnest(range(1, len(parts) + 1)) AS i FROM m)
+    ), sen AS (
+      SELECT doc_id,
+             row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS si,
+             sentence,
+             CAST(len({sent_toks}) AS BIGINT) AS s_toks
+      FROM raw WHERE len(trim(sentence)) > 0
+    ), c AS (
+      SELECT doc_id, si, sentence, s_toks,
+             sum(s_toks) OVER (PARTITION BY doc_id ORDER BY si
+                               ROWS UNBOUNDED PRECEDING) AS cum
+      FROM sen
+    )
+    SELECT doc_id,
+           (greatest(cum, 1) - 1) // {budget} AS chunk_id,
+           count(*) AS n_sentences,
+           CAST(sum(s_toks) AS BIGINT) AS chunk_tokens,
+           string_agg(sentence, ' ' ORDER BY si) AS chunk_text
+    FROM c GROUP BY doc_id, (greatest(cum, 1) - 1) // {budget}
+    """
+
+
 def q_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reward-model / DPO preference pairs: per (source, lang) group,
     the classifier's best-scored document paired against its worst,
@@ -1967,6 +2032,13 @@ SPECS = [
         _bpe_pair_stats_sql(),
         doc="one BPE merge iteration's pair-count table (oracle-backed "
         "non-iterative slice of llm_bpe_train)",
+    ),
+    QuerySpec(
+        "llm_sentence_chunks",
+        q_sentence_chunks,
+        _sentence_chunks_sql(),
+        doc="sentence-boundary-respecting RAG chunking (pack_sequences "
+        "contract at sentence granularity; no mid-sentence cuts)",
     ),
     QuerySpec(
         "llm_temperature_mix",

@@ -100,6 +100,67 @@ def chunk_documents(
     )
 
 
+def sentence_chunks(
+    docs: DataFrame,
+    budget: int = 48,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sentence-BOUNDARY-respecting chunking (the RAG recipe
+    :func:`chunk_documents`'s fixed token windows can't express: a
+    retrieval chunk should not cut a sentence in half).
+
+    Sentences end at terminal-punctuation runs (``[.!?]+``) followed by
+    whitespace — marked with a control char and split, instead of a
+    lookbehind (RE2-based engines can't run lookbehinds, and the oracle
+    must segment identically). Empty/whitespace-only segments are
+    dropped, surviving sentences are renumbered, and each sentence
+    joins the chunk containing its LAST token under continuous
+    concatenation (``(cum_tokens - 1) div budget`` — the same
+    pack_sequences contract at sentence granularity, so a sentence
+    longer than the budget still lands in exactly one chunk; chunks
+    can overflow rather than ever splitting a sentence).
+
+    Returns one row per (doc, chunk): ``chunk_id``, ``n_sentences``,
+    ``chunk_tokens``, ``chunk_text`` (sentences joined with single
+    spaces, original order). Documents with no sentences emit nothing.
+
+    Scale shape: segmentation and token counts are map-side; the only
+    shuffle is the per-document window + rollup (both on ``id_col`` —
+    one exchange, AQE-coalesced), output ∝ corpus tokens / budget.
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive: {budget}")
+    mark = "\x01"
+    marked = F.regexp_replace(F.col(text_col), r"([.!?]+)\s+", "$1" + mark)
+    sents = F.filter(
+        F.split(marked, mark), lambda s: F.length(F.trim(s)) > 0
+    )
+    base = (
+        docs.select(F.col(id_col), F.posexplode(sents).alias("_i", "sentence"))
+        .withColumn("s_toks", token_count(F.col("sentence")).cast("bigint"))
+    )
+    w = Window.partitionBy(id_col).orderBy("_i")
+    chunked = base.withColumn("cum", F.sum("s_toks").over(w)).withColumn(
+        "chunk_id",
+        F.floor((F.greatest(F.col("cum"), F.lit(1)) - 1) / budget),
+    )
+    return (
+        chunked.groupBy(id_col, "chunk_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sentences"),
+            F.sum("s_toks").alias("chunk_tokens"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("_i", "sentence"))),
+                    lambda s: s["sentence"],
+                ),
+                " ",
+            ).alias("chunk_text"),
+        )
+    )
+
+
 def packing_efficiency_report(
     docs: DataFrame,
     seq_len: int = 32,

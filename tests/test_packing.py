@@ -348,3 +348,53 @@ def test_packing_efficiency_report_matches_materialized_examples(spark):
     assert rep["b"].pad_fraction == 0.0
     # group 'a': 4 examples x 32 slots, 70 real -> 58/128 padding
     assert abs(rep["a"].pad_fraction - 58 / 128) < 1e-15
+
+
+def test_sentence_chunks_respects_boundaries_and_budget(spark):
+    """Sentences never split across chunks; a chunk may overflow the
+    budget rather than cut a sentence; punctuation runs ('?!') end one
+    sentence; empty segments drop; no-punctuation docs are one
+    sentence; concatenating chunk_texts reconstructs the sentence
+    stream."""
+    from etl_global_mobility_spark.operators.packing import sentence_chunks
+
+    docs = spark.createDataFrame(
+        [
+            # 3 sentences of 4, 4, 3 tokens; budget 8: s1+s2 fill chunk
+            # 0 exactly (cum 8), s3 starts chunk 1
+            (1, "one two three four. five six seven eight! nine ten eleven?"),
+            # single 9-token sentence > budget -> ONE overflowing chunk
+            (2, "a b c d e f g h i."),
+            # punctuation runs + double spaces + trailing empties
+            (3, "hey!!  ho?!   let us go...  "),
+            (4, "no punctuation at all here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = sentence_chunks(docs, budget=8).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for chunks in by_doc.values():
+        chunks.sort(key=lambda r: r.chunk_id)
+
+    d1 = by_doc[1]
+    assert [(r.chunk_id, r.n_sentences, r.chunk_tokens) for r in d1] == [
+        (0, 2, 8),
+        (1, 1, 3),
+    ]
+    assert d1[0].chunk_text == "one two three four. five six seven eight!"
+    assert d1[1].chunk_text == "nine ten eleven?"
+
+    d2 = by_doc[2]
+    assert [(r.chunk_id, r.n_sentences, r.chunk_tokens) for r in d2] == [
+        (1, 1, 9)  # 9 tokens end in chunk (9-1)//8 = 1; never split
+    ]
+
+    d3 = by_doc[3]
+    # 'hey!!', 'ho?!', 'let us go...' -> 1+1+3 = 5 tokens, one chunk
+    assert [(r.n_sentences, r.chunk_tokens) for r in d3] == [(3, 5)]
+    assert d3[0].chunk_text == "hey!! ho?! let us go..."
+
+    d4 = by_doc[4]
+    assert [(r.n_sentences, r.chunk_tokens) for r in d4] == [(1, 5)]
