@@ -161,3 +161,65 @@ def compact_partitions(
             fs.delete(f"{full}/_SUCCESS")
         result[d or "."] = (len(files), n_target)
     return result
+
+
+def export_training_shards(
+    df: DataFrame,
+    path: str,
+    rows_per_shard: int = 100_000,
+    token_col: str | None = None,
+) -> dict:
+    """Export a curated dataset as TRAINING SHARDS with a manifest —
+    the hand-off point from the Spark pipeline to a training loader.
+
+    Loaders want (a) bounded, similar-sized files they can assign to
+    workers, and (b) a manifest saying how many examples/tokens each
+    shard holds WITHOUT opening it. ``maxRecordsPerFile`` bounds shard
+    size at write (no extra shuffle beyond an even repartition); the
+    manifest is then built from one metadata-cheap pass over the
+    written files using the hidden ``_metadata.file_name`` column —
+    counting rows per physical file costs a scan of just the counted
+    columns, never a driver-side collect of row data.
+
+    Writes ``_manifest.json`` next to the shards:
+    ``{"n_shards", "n_rows", "total_tokens" (if token_col), "shards":
+    {file_name: {"rows", "tokens"?}}}``. Returns the manifest dict.
+    Manifest size ∝ shard count — bounded by construction.
+    """
+    import json
+    import math as _math
+
+    spark = df.sparkSession
+    n_rows = df.count()
+    n_parts = max(1, _math.ceil(n_rows / rows_per_shard))
+    (
+        df.repartition(n_parts)
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", rows_per_shard)
+        .parquet(path)
+    )
+    cols = [F.col("_metadata.file_name").alias("shard")]
+    agg_cols = [F.count(F.lit(1)).alias("rows")]
+    read_cols = []
+    if token_col is not None:
+        read_cols = [token_col]
+        agg_cols.append(F.sum(token_col).cast("long").alias("tokens"))
+    written = spark.read.parquet(path).select(*read_cols, *cols)
+    per_shard = written.groupBy("shard").agg(*agg_cols).collect()  # bounded:
+    # one row per shard file
+    shards = {}
+    for r in per_shard:
+        entry = {"rows": r["rows"]}
+        if token_col is not None:
+            entry["tokens"] = r["tokens"]
+        shards[r["shard"]] = entry
+    manifest = {
+        "n_shards": len(shards),
+        "n_rows": sum(e["rows"] for e in shards.values()),
+        "shards": dict(sorted(shards.items())),
+    }
+    if token_col is not None:
+        manifest["total_tokens"] = sum(e["tokens"] for e in shards.values())
+    with open(f"{path.rstrip('/')}/_manifest.json", "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    return manifest

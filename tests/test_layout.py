@@ -105,3 +105,42 @@ def test_compaction_reduces_files_keeps_data(spark, tmp_path):
     assert got.agg(F.sum("v")).collect()[0][0] == sum(float(i) for i in range(1000))
     # second run is a no-op (already compact)
     assert compact_partitions(spark, path, target_bytes=1 << 30, partition_col="day") == {}
+
+def test_export_training_shards_manifest_matches_data(spark, tmp_path):
+    """Shard export effect contract: every shard holds at most
+    rows_per_shard rows, the manifest's per-shard rows/tokens sum to the
+    dataset's totals, the manifest file sits next to the shards, and a
+    re-export (overwrite) stays consistent."""
+    import glob
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from etl_global_mobility_spark.operators.layout import (
+        export_training_shards,
+    )
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 7 + 1).alias("n_tokens")
+    )
+    out = str(tmp_path / "shards")
+    manifest = export_training_shards(
+        df, out, rows_per_shard=300, token_col="n_tokens"
+    )
+    assert manifest["n_rows"] == 1000
+    assert manifest["total_tokens"] == sum(i % 7 + 1 for i in range(1000))
+    assert manifest["n_shards"] == len(manifest["shards"]) >= 4
+    assert all(e["rows"] <= 300 for e in manifest["shards"].values())
+    on_disk = json.load(open(os.path.join(out, "_manifest.json")))
+    assert on_disk == json.loads(json.dumps(manifest))  # tuple-free compare
+    files = {
+        os.path.basename(p)
+        for p in glob.glob(os.path.join(out, "part-*.parquet"))
+    }
+    assert set(manifest["shards"]) == files
+    # data survives the shard layout
+    assert spark.read.parquet(out).count() == 1000
+    # idempotent overwrite
+    m2 = export_training_shards(df, out, rows_per_shard=300, token_col="n_tokens")
+    assert m2["n_rows"] == 1000 and m2["total_tokens"] == manifest["total_tokens"]
