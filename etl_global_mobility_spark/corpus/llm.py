@@ -666,7 +666,7 @@ def _sentence_chunks_sql(budget: int = 48) -> str:
       FROM sen
     )
     SELECT doc_id,
-           (greatest(cum, 1) - 1) // {budget} AS chunk_id,
+           CAST((greatest(cum, 1) - 1) // {budget} AS BIGINT) AS chunk_id,
            count(*) AS n_sentences,
            CAST(sum(s_toks) AS BIGINT) AS chunk_tokens,
            string_agg(sentence, ' ' ORDER BY si) AS chunk_text
