@@ -70,6 +70,8 @@ HEADLINE = [
     "llm_packing_efficiency",
     "rel_tpch_q13_custdist",
     "stream_medallion_batch_parity",
+    "llm_sentence_chunks",
+    "stream_static_join",
 ]
 
 

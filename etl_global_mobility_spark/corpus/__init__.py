@@ -184,6 +184,7 @@ SCHEDULED_NEXT_WINDOW = frozenset(
         "stream_static_join",
         "rel_source_parquet_zstd",
         "llm_sentence_chunks",
+        "rel_tpch_q18_large_orders",
     }
 )
 

@@ -1846,6 +1846,37 @@ def q_tpch_q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customers) adapted to the driver schema:
+    orders whose total lineitem quantity exceeds a threshold, joined
+    back to customer and lineitem for the top-20 report. The canonical
+    "aggregate → HAVING → rejoin the fact" shape: the heavy groupBy
+    runs once, its (small) surviving key set drives the rejoin, and the
+    bounded top-k plans as TakeOrderedAndProject."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 150)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            F.col("sum_qty").cast("double").alias("sum_qty"),
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(20)
+    )
+
+
 def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema evolution on read: two parquet batches with different
     schemas (the second adds ``s_acctbal``) merged by
@@ -2401,6 +2432,24 @@ SPECS = [
            GROUP BY l_orderkey, o_orderdate, o_orderpriority
            ORDER BY revenue DESC, l_orderkey LIMIT 10""",
         doc="TPC-H Q3 shape: selective 3-way join + top-10 by revenue",
+    ),
+    QuerySpec(
+        "rel_tpch_q18_large_orders",
+        q_tpch_q18_large_orders,
+        """WITH big AS (
+             SELECT l_orderkey,
+                    sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+             FROM lineitem GROUP BY l_orderkey
+             HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 150
+           )
+           SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+                  CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+                  CAST(sum_qty AS DOUBLE) AS sum_qty
+           FROM big
+           JOIN orders   ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""",
+        doc="TPC-H Q18 shape: aggregate -> HAVING -> rejoin fact, top-20",
     ),
     QuerySpec(
         "rel_tpch_q13_custdist",
