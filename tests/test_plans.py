@@ -584,3 +584,18 @@ def test_no_plan_antipatterns_across_entire_corpus(spark):
         ):
             bad.append(f"{name}: undeclared Python eval node")
     assert not bad, "plan anti-patterns:\n" + "\n".join(bad)
+
+
+def test_tpch_q18_plans_bounded_topk_after_having(spark):
+    """Q18 shape: the HAVING-filtered aggregate must come BEFORE the
+    rejoin (the join input is the surviving key set, not the raw fact),
+    and the global top-20 must plan as TakeOrderedAndProject (never a
+    full sort)."""
+    from etl_global_mobility_spark.corpus.relational import (
+        q_tpch_q18_large_orders,
+    )
+
+    plan = plan_of(q_tpch_q18_large_orders(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    # the quantity aggregation is partial (map-side combine)
+    assert plan.count("HashAggregate") >= 2
