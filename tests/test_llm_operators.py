@@ -1222,3 +1222,77 @@ def test_pandas_api_on_spark_compiles_to_jvm_plan(spark):
         assert node not in plan
     got = {(r["g"], r["v"]) for r in sdf.collect()}
     assert got == {("a", 3), ("b", 3)}
+
+
+@pytest.mark.slow
+def test_dup_ngram_spans_soak_runtime_and_coverage(spark):
+    """Scale soak for exact-substring coverage: 10k hash-derived docs
+    where doc i shares its first 10 words with doc i-1 iff i%5==0 (a
+    planted chain of cross-doc spans), the rest unique. Pins the
+    coverage floor on planted docs, zero false coverage on unique docs,
+    and a runtime budget that catches the operator degenerating into
+    repeated gram-building passes (the round-5 regression class: 20.8s
+    -> 1.4s at sf0.1 after the persisted single-pass rewrite)."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from etl_global_mobility_spark.operators.dedup import (
+        duplicated_ngram_spans,
+    )
+
+    n, words = 10_000, 40
+    # shared prefix for pairs (i, i+1) when (i+1)%5==0: draw the prefix
+    # from group id = i//5 so exactly docs 5k-1,5k share prefixes
+    grp = (F.col("id") / 5).cast("long")
+    is_tail = ((F.col("id") + 1) % 5 == 0) | (F.col("id") % 5 == 0)
+    # docs 4,5 | 9,10 | ... share: use pair key = (id+1) div 5 for id%5 in {4,0}\{0 at id 0}
+    pair_key = ((F.col("id") + 1) / 5).cast("long")
+    prefix_src = F.when(is_tail & (F.col("id") != 0), pair_key).otherwise(
+        F.col("id") + 1_000_000
+    )
+    prefix = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(1), F.lit(10)),
+            lambda j: F.concat(
+                F.lit("p"), (F.pmod(F.hash(prefix_src, j), F.lit(5000))).cast("string")
+            ),
+        ),
+    )
+    body = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(1), F.lit(words - 10)),
+            lambda j: F.concat(
+                F.lit("u"),
+                F.col("id").cast("string"),
+                F.lit("x"),
+                (F.pmod(F.hash(F.col("id"), j), F.lit(5000))).cast("string"),
+            ),
+        ),
+    )
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(prefix, F.lit(" "), body).alias("text"),
+    )
+    t0 = time.time()
+    rows = duplicated_ngram_spans(docs, k=3).collect()
+    elapsed = time.time() - t0
+    by_id = {r.doc_id: r for r in rows}
+    assert len(by_id) == n
+    # pairs are (5k-1, 5k); the final id n-1 = 9999 has pair 10000,
+    # which is past the corpus — its prefix is unique, not planted
+    planted = [
+        i
+        for i in range(1, n)
+        if (i % 5 == 0) or ((i + 1) % 5 == 0 and i + 1 < n)
+    ]
+    # every planted doc shares a 10-token prefix with its pair: all 8
+    # prefix 3-grams duplicated, coverage >= 10 tokens
+    bad = [i for i in planted if by_id[i].covered_tokens < 10]
+    assert not bad, f"planted prefix not detected on {bad[:5]}"
+    clean = [i for i in range(1, n) if i not in set(planted)]
+    dirty = [i for i in clean if by_id[i].covered_tokens != 0]
+    assert not dirty, f"false coverage on unique docs {dirty[:5]}"
+    assert elapsed < 120, f"dup-ngram soak took {elapsed:.0f}s"

@@ -398,3 +398,64 @@ def test_sentence_chunks_respects_boundaries_and_budget(spark):
 
     d4 = by_doc[4]
     assert [(r.n_sentences, r.chunk_tokens) for r in d4] == [(1, 5)]
+
+
+def test_sentence_chunks_matches_python_reference_on_random_texts(spark):
+    """Hypothesis-randomized parity: sentence_chunks vs an independent
+    pure-Python reimplementation of the contract (marker segmentation,
+    ASCII-whitespace tokenization, last-token chunk assignment) over
+    adversarial texts — punctuation runs, leading/trailing whitespace,
+    empty sentences, budget-straddling lengths."""
+    import re
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from etl_global_mobility_spark.operators.packing import sentence_chunks
+
+    word = st.sampled_from(["alpha", "bee", "sea...x", "d", "Ee", "12"])
+    piece = st.one_of(
+        word,
+        st.sampled_from([".", "!", "?", "!!", "?!", "...", "", " ", "  "]),
+    )
+    text = st.lists(piece, min_size=0, max_size=24).map(" ".join)
+
+    def ref(t: str, budget: int):
+        marked = re.sub(r"([.!?]+)[ \t\n\x0b\f\r]+", "\\1\x01", t)
+        sents = [s for s in marked.split("\x01") if s.strip()]
+        out, cum = {}, 0
+        for si, s in enumerate(sents):
+            toks = [w for w in re.split(r"[ \t\n\x0b\f\r]+", s.lower().strip()) if w]
+            cum += len(toks)
+            cid = (max(cum, 1) - 1) // budget
+            e = out.setdefault(cid, [0, 0, []])
+            e[0] += 1
+            e[1] += len(toks)
+            e[2].append(s)
+        return {
+            cid: (n, tk, " ".join(texts)) for cid, (n, tk, texts) in out.items()
+        }
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(st.lists(text, min_size=1, max_size=8), st.integers(1, 9))
+    def check(texts, budget):
+        docs = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+        got = {}
+        for r in sentence_chunks(docs, budget=budget).collect():
+            got.setdefault(r.doc_id, {})[r.chunk_id] = (
+                r.n_sentences,
+                r.chunk_tokens,
+                r.chunk_text,
+            )
+        want = {
+            i: ref(t, budget) for i, t in enumerate(texts) if ref(t, budget)
+        }
+        assert got == want
+
+    check()
