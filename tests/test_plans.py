@@ -599,3 +599,14 @@ def test_tpch_q18_plans_bounded_topk_after_having(spark):
     assert "TakeOrderedAndProject" in plan
     # the quantity aggregation is partial (map-side combine)
     assert plan.count("HashAggregate") >= 2
+
+
+def test_sentence_chunks_single_exchange(spark):
+    """Window (cumulative tokens) and rollup both key on the document
+    id, so the whole operator must run on ONE shuffle exchange —
+    segmentation and token counting stay map-side."""
+    from etl_global_mobility_spark.corpus.llm import q_sentence_chunks
+
+    plan = plan_of(q_sentence_chunks(spark, SF))
+    n_shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert n_shuffles == 1, plan
