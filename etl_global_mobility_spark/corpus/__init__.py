@@ -185,6 +185,7 @@ SCHEDULED_NEXT_WINDOW = frozenset(
         "rel_source_parquet_zstd",
         "llm_sentence_chunks",
         "rel_tpch_q18_large_orders",
+        "rel_scalar_strings_extended",
     }
 )
 

@@ -476,6 +476,28 @@ def q_scalar_string_date_math(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_scalar_strings_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second string-function block: the manipulation set the first
+    scalar query doesn't touch — split_part, strpos, translate, repeat,
+    lpad/rpad, reverse, levenshtein (vs a fixed probe), left/right
+    slices — all with direct DuckDB counterparts (engine-portable)."""
+    p = load_table(spark, sf_dir, "part")
+    name = F.col("p_name")
+    return p.select(
+        "p_partkey",
+        F.split_part(name, F.lit(" "), F.lit(2)).alias("second_word"),
+        F.instr(name, "a").alias("first_a_pos"),
+        F.translate(name, "aeiou", "AEIOU").alias("vowels_up"),
+        F.repeat(F.col("p_brand"), 2).alias("brand_twice"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.rpad(F.col("p_brand"), 12, ".").alias("brand_rpad"),
+        F.reverse(name).alias("name_rev"),
+        F.levenshtein(F.col("p_brand"), F.lit("Brand#33")).alias("brand_dist"),
+        F.left(name, F.lit(3)).alias("name_l3"),
+        F.right(name, F.lit(3)).alias("name_r3"),
+    )
+
+
 def q_scalar_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Date functions: trunc, extract, datediff from a fixed anchor."""
     o = load_table(spark, sf_dir, "orders")
@@ -3070,6 +3092,24 @@ SPECS = [
               array_to_string(range(1, (p_size % 5 + 1) + 1), ',') AS seq
            FROM w2""",
         doc="higher-order array functions (transform/filter/aggregate/zip_with/sequence)",
+    ),
+    QuerySpec(
+        "rel_scalar_strings_extended",
+        q_scalar_strings_extended,
+        """SELECT p_partkey,
+               split_part(p_name, ' ', 2) AS second_word,
+               CAST(strpos(p_name, 'a') AS INT) AS first_a_pos,
+               translate(p_name, 'aeiou', 'AEIOU') AS vowels_up,
+               repeat(p_brand, 2) AS brand_twice,
+               lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+               rpad(p_brand, 12, '.') AS brand_rpad,
+               reverse(p_name) AS name_rev,
+               CAST(levenshtein(p_brand, 'Brand#33') AS INT) AS brand_dist,
+               left(p_name, 3) AS name_l3,
+               right(p_name, 3) AS name_r3
+           FROM part""",
+        doc="extended string manipulation set (split_part/strpos/translate/"
+        "repeat/pad/reverse/levenshtein/left/right)",
     ),
     QuerySpec(
         "rel_scalar_string_date_math",
