@@ -182,6 +182,105 @@ def run_stream_foreach_batch_parquet(
     q.awaitTermination()
 
 
+def stream_upsert_to_parquet(
+    df: DataFrame,
+    target_path: str,
+    checkpoint: str,
+    keys: list[str],
+) -> None:
+    """Streaming MERGE: an update-mode aggregation streamed into a
+    keyed parquet target — each micro-batch's changed rows UPSERT into
+    the table (operators.merge.upsert: anti-join out superseded
+    versions, union the new), committed via the staged-swap rename so
+    a crash never leaves a half-written target.
+
+    Idempotency without a transaction log: update-mode emits each
+    key's CURRENT aggregate state, and upserting identical rows by key
+    is a no-op — a batch replayed after a failure (foreachBatch is
+    at-least-once) converges to the same table.
+
+    Scale note: plain parquet has no row-level MERGE, so each batch
+    rewrites the whole target — cost ∝ target size per trigger, which
+    is fine for bounded keyed state (per-user profiles: rows ∝ keys)
+    and wrong for fact tables; the 100 TB fact path is the Delta/
+    Iceberg MERGE of sinks/writer.py or the per-batch-partition sink
+    above (cost ∝ batch). This operator completes the streaming sink
+    matrix with the keyed-state shape.
+    """
+    import os
+    import uuid
+
+    from etl_global_mobility_spark.operators.merge import upsert
+    from etl_global_mobility_spark.sinks.writer import _fs
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if os.path.exists(target_path):
+            current = spark.read.parquet(target_path)
+            merged = upsert(current, batch_df, keys)
+        else:
+            merged = batch_df
+        staged = f"{target_path.rstrip('/')}__upsert-{uuid.uuid4().hex[:8]}"
+        merged.write.mode("overwrite").parquet(staged)
+        fs = _fs(spark, staged)
+        if os.path.exists(target_path):
+            fs.rename(target_path, f"{staged}/__old__")
+        fs.rename(staged, target_path)
+        fs.delete(f"{target_path}/__old__")
+
+    q = (
+        df.writeStream.foreachBatch(write_batch)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    drain_until_idle(q)
+
+
+def drain_until_idle(q, idle_checks: int = 3, timeout_s: float = 120.0) -> None:
+    """Stop a pull-per-trigger bounded stream once genuinely drained.
+
+    ``lastProgress`` alone CANNOT detect idleness: it only updates when
+    a batch finishes, so "batchId unchanged" is indistinguishable from
+    "a slow batch is still running" — stopping on it interrupts the
+    in-flight batch mid-write (observed as an InterruptedException
+    inside foreachBatch). The engine's own status flags are the safe
+    signal: drained = some data has flowed AND ``isDataAvailable`` /
+    ``isTriggerActive`` are both false ``idle_checks`` times in a row
+    (the run_stream_until_idle recipe, reusable for any sink).
+    """
+    import time as _time
+
+    t0 = _time.time()
+    deadline = t0 + timeout_s
+    quiet = 0
+    seen_any = False
+    while quiet < idle_checks:
+        if _time.time() > deadline:  # pragma: no cover - hang guard
+            q.stop()
+            raise TimeoutError(f"stream not drained in {timeout_s}s")
+        p = q.lastProgress
+        if p is not None and p["numInputRows"] > 0:
+            seen_any = True
+        st = q.status
+        # a restart on a fully-drained checkpoint never sees data at
+        # all — after a 5s grace of continuous idle flags, that counts
+        # as drained too (seen_any alone would spin to the timeout)
+        settled = seen_any or (_time.time() - t0) > 5.0
+        if (
+            settled
+            and not st["isDataAvailable"]
+            and not st["isTriggerActive"]
+        ):
+            quiet += 1
+        else:
+            quiet = 0
+        _time.sleep(0.1)
+    q.stop()
+    q.awaitTermination()
+
+
 def run_stream_to_memory(
     df: DataFrame, output_mode: str = "complete", state_partitions: int | None = 8
 ) -> DataFrame:

@@ -214,10 +214,10 @@ def test_stream_writer_exactly_once_across_restart(spark, tmp_path):
     def run(checkpoint):
         # the pull-per-trigger SimpleDataSourceStreamReader advances one
         # offset batch per trigger, so Trigger.AvailableNow would stop
-        # after batch 0 — drain on a zero-interval trigger and stop once
-        # the bounded source reports no progress (run_stream_until_idle
-        # recipe, pointed at the custom sink instead of memory)
-        import time
+        # after batch 0 — drain on a zero-interval trigger and stop only
+        # when the engine's own status flags report idle (stopping on
+        # stale lastProgress would interrupt an in-flight batch)
+        from etl_global_mobility_spark.streaming.ops import drain_until_idle
 
         register(spark)
         sdf = (
@@ -233,22 +233,7 @@ def test_stream_writer_exactly_once_across_restart(spark, tmp_path):
             .trigger(processingTime="0 seconds")
             .start()
         )
-        deadline = time.time() + 120
-        quiet = 0
-        last_batch = -1
-        while quiet < 3:
-            assert time.time() < deadline, "stream did not drain"
-            time.sleep(0.3)
-            p = q.lastProgress
-            if p is None:
-                continue
-            if p["batchId"] == last_batch or p["numInputRows"] == 0:
-                quiet += 1
-            else:
-                quiet = 0
-            last_batch = p["batchId"]
-        q.stop()
-        q.awaitTermination()
+        drain_until_idle(q)
 
     def committed_rows():
         rows = []
@@ -279,3 +264,58 @@ def test_stream_writer_exactly_once_across_restart(spark, tmp_path):
     run(str(tmp_path / "ckpt2"))
     assert len(committed_rows()) == 1000
     assert not glob.glob(os.path.join(out, ".part-*.tmp"))  # no staged leftovers
+
+
+def test_stream_upsert_to_parquet_converges_to_batch_answer(spark, tmp_path):
+    """Streaming MERGE effect contract: per-bucket counts/sums streamed
+    in update mode through upsert-per-batch equal the batch aggregation
+    of the whole source; a same-checkpoint restart changes nothing; no
+    staging directories survive."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from etl_global_mobility_spark.streaming.ops import stream_upsert_to_parquet
+
+    register(spark)
+    target = str(tmp_path / "profiles")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run(checkpoint):
+        sdf = (
+            spark.readStream.format("synthetic_events")
+            .option("n_rows", 2000)
+            .option("batch_size", 500)
+            .load()
+        )
+        agg = sdf.groupBy("bucket").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_v"),
+        )
+        stream_upsert_to_parquet(agg, target, checkpoint, keys=["bucket"])
+
+    run(ckpt)
+    got = {
+        r.bucket: (r.n, float(r.sum_v))
+        for r in spark.read.parquet(target).collect()
+    }
+    batch = (
+        spark.read.format("synthetic_events")
+        .option("n_rows", 2000)
+        .load()
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_v"),
+        )
+    )
+    want = {r.bucket: (r.n, float(r.sum_v)) for r in batch.collect()}
+    assert got == want and len(got) == 8
+
+    run(ckpt)  # restart: drained stream, no new batches, no change
+    again = {
+        r.bucket: (r.n, float(r.sum_v))
+        for r in spark.read.parquet(target).collect()
+    }
+    assert again == want
+    assert not glob.glob(str(tmp_path / "profiles__upsert-*"))
