@@ -179,12 +179,24 @@ def quality_classifier(
             f"valid: {sorted(CLASSIFIER_WEIGHTS)}"
         )
     w = {**CLASSIFIER_WEIGHTS, **(weights or {})}
+    score = F.lit(float(w["bias"]))
+    for name, col in classifier_features(text_col):
+        score = score + F.lit(float(w[name])) * col
+    return df.withColumn("quality_logit", score).withColumn(
+        "clf_keep", F.coalesce(score >= F.lit(0.0), F.lit(False))
+    )
+
+
+def classifier_features(text_col: str = "text") -> list[tuple[str, Column]]:
+    """The classifier's feature expressions, shared verbatim by
+    training and inference — the one place the feature definition
+    lives, so a model trained here scores identically at inference."""
     text = F.col(text_col)
     toks = tokenize(text)
     n_words = F.size(toks)
     n_chars = F.length(text)
     non_ws = F.length(F.regexp_replace(text, r"\s", ""))
-    feats = [
+    return [
         (
             "n_words_capped",
             F.least(n_words, F.lit(256)).cast("double") / F.lit(256.0),
@@ -206,9 +218,50 @@ def quality_classifier(
             ).cast("double"),
         ),
     ]
-    score = F.lit(float(w["bias"]))
-    for name, col in feats:
-        score = score + F.lit(float(w[name])) * col
-    return df.withColumn("quality_logit", score).withColumn(
-        "clf_keep", F.coalesce(score >= F.lit(0.0), F.lit(False))
+
+
+def train_quality_classifier(
+    df: DataFrame,
+    label_col: str,
+    text_col: str = "text",
+    max_iter: int = 50,
+    reg_param: float = 0.0,
+) -> dict[str, float]:
+    """Distributed TRAINING for :func:`quality_classifier` — the other
+    half of the fastText/logreg curation loop: fit a logistic
+    regression (Spark MLlib's distributed L-BFGS) on labeled documents
+    over the EXACT inference feature expressions
+    (:func:`classifier_features`), and return the learned weights in
+    ``CLASSIFIER_WEIGHTS`` key space, ready to pass straight back into
+    ``quality_classifier(df, weights=...)``.
+
+    Scale shape: feature extraction is the same map-only codegen pass
+    as inference; L-BFGS iterations each run one tree-aggregated
+    gradient pass over the corpus (no per-row Python); the artifact
+    that reaches the driver is d+1 doubles. Training is
+    float-iterative, so (like BPE/k-means) it carries property tests
+    rather than a SQL oracle — but the MODEL it produces feeds the
+    bit-exact oracle-checked inference path.
+
+    Rows with NULL text or NULL label are excluded (unevaluable either
+    way); labels must be 0/1.
+    """
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.functions import array_to_vector
+
+    feats = classifier_features(text_col)
+    names = [n for n, _ in feats]
+    base = df.filter(
+        F.col(text_col).isNotNull() & F.col(label_col).isNotNull()
+    ).select(
+        F.col(label_col).cast("double").alias("label"),
+        array_to_vector(F.array(*[c for _, c in feats])).alias("features"),
     )
+    lr = LogisticRegression(
+        maxIter=max_iter, regParam=reg_param, standardization=False
+    )
+    model = lr.fit(base)
+    weights = {"bias": float(model.intercept)}
+    for name, coef in zip(names, model.coefficients):
+        weights[name] = float(coef)
+    return weights

@@ -238,3 +238,46 @@ def test_quality_classifier_rejects_unknown_weight_keys(spark):
     df = spark.createDataFrame([(1, "text")], "doc_id long, text string")
     with pytest.raises(ValueError, match="unknown classifier weight"):
         quality_classifier(df, weights={"biass": 1.0})
+
+
+def test_train_quality_classifier_learns_separable_corpus(spark):
+    """Train-inference loop closure: MLlib logistic regression fit on
+    the inference feature expressions learns a planted separable
+    concept (clean prose vs digit/symbol garbage), the returned weights
+    live in CLASSIFIER_WEIGHTS key space, and feeding them back into
+    quality_classifier (the pure-Catalyst inference path) classifies a
+    held-out set correctly."""
+    import random
+
+    from etl_global_mobility_spark.operators.quality_rules import (
+        CLASSIFIER_WEIGHTS,
+        quality_classifier,
+        train_quality_classifier,
+    )
+
+    rng = random.Random(7)
+    words = ["the", "quick", "brown", "fox", "jumps", "over", "lazy", "dog",
+             "and", "runs", "a", "of", "to", "in"]
+
+    def clean():
+        return " ".join(rng.choice(words) for _ in range(rng.randint(25, 60)))
+
+    def garbage():
+        return " ".join(
+            f"{rng.randrange(10**6)}$%#@{rng.randrange(999)}"
+            for _ in range(rng.randint(5, 15))
+        )
+
+    rows = [(i, clean(), 1) for i in range(120)] + [
+        (1000 + i, garbage(), 0) for i in range(120)
+    ]
+    train = rows[::2] + [(2000, None, 1), (2001, "x", None)]  # NULLs dropped
+    held = rows[1::2]
+    tdf = spark.createDataFrame(train, "doc_id long, text string, label int")
+    w = train_quality_classifier(tdf, label_col="label")
+    assert set(w) == set(CLASSIFIER_WEIGHTS)
+
+    hdf = spark.createDataFrame(held, "doc_id long, text string, label int")
+    out = quality_classifier(hdf, weights=w).collect()
+    acc = sum(1 for r in out if int(r.clf_keep) == r.label) / len(out)
+    assert acc >= 0.95, f"held-out accuracy {acc}"
