@@ -186,6 +186,7 @@ SCHEDULED_NEXT_WINDOW = frozenset(
         "llm_sentence_chunks",
         "rel_tpch_q18_large_orders",
         "rel_scalar_strings_extended",
+        "rel_spatial_grid_nearest",
     }
 )
 

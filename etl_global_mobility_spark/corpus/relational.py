@@ -1868,6 +1868,52 @@ def q_tpch_q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_spatial_grid_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-bucketed spatial nearest neighbor over deterministic
+    customer coordinates (operators/spatial.py): the space-binning
+    join discipline — candidates ∝ local density, never all-pairs.
+    Coordinates are k/8 degree lattice points (exact binaries), so the
+    squared-degree distances are bit-identical cross-engine."""
+    from etl_global_mobility_spark.operators.spatial import (
+        grid_nearest_neighbor,
+    )
+
+    c = load_table(spark, sf_dir, "customer")
+    pts = c.select(
+        F.col("c_custkey").alias("id"),
+        ((F.col("c_custkey") * 37 % 1440) / 8.0 - 90.0).alias("lat"),
+        ((F.col("c_custkey") * 73 % 2880) / 8.0 - 180.0).alias("lon"),
+    )
+    return grid_nearest_neighbor(pts, cell_deg=5.0)
+
+
+_SPATIAL_NEAREST_SQL = """
+WITH pts AS (
+  SELECT c_custkey AS id,
+         (c_custkey * 37 % 1440) / 8.0 - 90.0 AS lat,
+         (c_custkey * 73 % 2880) / 8.0 - 180.0 AS lon
+  FROM customer
+), g AS (
+  SELECT *, CAST(floor((lat + 90.0) / 5.0) AS INT) AS gx,
+         CAST(floor((lon + 180.0) / 5.0) AS INT) AS gy
+  FROM pts
+), probe AS (
+  SELECT id, lat, lon, gx + dx.o AS cx, gy + dy.o AS cy
+  FROM g, (VALUES (-1), (0), (1)) dx(o), (VALUES (-1), (0), (1)) dy(o)
+), cand AS (
+  SELECT p.id, b.id AS nb,
+         (p.lat - b.lat) * (p.lat - b.lat)
+         + (p.lon - b.lon) * (p.lon - b.lon) AS d2
+  FROM probe p JOIN g b ON b.gx = p.cx AND b.gy = p.cy AND b.id <> p.id
+), best AS (
+  SELECT id, nb, d2,
+         row_number() OVER (PARTITION BY id ORDER BY d2, nb) AS rk
+  FROM cand
+)
+SELECT id, nb AS nearest_id, d2 FROM best WHERE rk = 1
+"""
+
+
 def q_tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 (large-volume customers) adapted to the driver schema:
     orders whose total lineitem quantity exceeds a threshold, joined
@@ -2454,6 +2500,13 @@ SPECS = [
            GROUP BY l_orderkey, o_orderdate, o_orderpriority
            ORDER BY revenue DESC, l_orderkey LIMIT 10""",
         doc="TPC-H Q3 shape: selective 3-way join + top-10 by revenue",
+    ),
+    QuerySpec(
+        "rel_spatial_grid_nearest",
+        q_spatial_grid_nearest,
+        _SPATIAL_NEAREST_SQL,
+        doc="grid-bucketed spatial nearest neighbor (space-binned join, "
+        "squared-degree distance, 3x3-neighborhood contract)",
     ),
     QuerySpec(
         "rel_tpch_q18_large_orders",

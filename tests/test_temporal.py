@@ -111,3 +111,30 @@ def test_sessionize_single_exchange_and_boundary(spark):
     out = sessionize(ev, gap="5 minutes").orderBy("ts").collect()
     assert [r.session_id for r in out] == [0, 0, 1]
     assert plan_of(sessionize(ev)).count("Exchange") == 1
+
+
+def test_grid_nearest_neighbor_contract(spark):
+    """Spatial grid join semantics: nearest within the 3x3 cell
+    neighborhood only (an isolated point emits NOTHING — the documented
+    radius contract), squared-degree distances, neighbor-id tie-break."""
+    from etl_global_mobility_spark.operators.spatial import (
+        grid_nearest_neighbor,
+    )
+
+    pts = spark.createDataFrame(
+        [
+            (1, 0.0, 0.0),
+            (2, 0.0, 1.0),     # 1's nearest (d2 = 1.0)
+            (3, 0.0, 3.0),     # nearer to 2 than to 1
+            (4, 50.0, 50.0),   # isolated: no point within one cell ring
+            (5, 0.0, -1.0),    # ties with 2 for point 1? d2 = 1.0 -> id wins
+        ],
+        "id long, lat double, lon double",
+    )
+    out = {r.id: r for r in grid_nearest_neighbor(pts, cell_deg=5.0).collect()}
+    assert 4 not in out  # isolated point emits nothing
+    # 1 has two candidates at d2=1.0 (ids 2 and 5): tie-break on id -> 2
+    assert out[1].nearest_id == 2 and out[1].d2 == 1.0
+    assert out[2].nearest_id == 1
+    assert out[3].nearest_id == 2 and out[3].d2 == 4.0
+    assert out[5].nearest_id == 1
