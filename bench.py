@@ -72,6 +72,8 @@ HEADLINE = [
     "stream_medallion_batch_parity",
     "llm_sentence_chunks",
     "stream_static_join",
+    "rel_spatial_grid_nearest",
+    "rel_tpch_q18_large_orders",
 ]
 
 
