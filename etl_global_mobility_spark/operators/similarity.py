@@ -721,3 +721,98 @@ def train_pq_codebook(
             new_book[j][cell] = [dims[i] for i in range(sub)]
         book = new_book
     return book
+
+
+def save_ann_artifacts(
+    spark,
+    path: str,
+    centroids: list[list[float]] | None = None,
+    codebook: list[list[list[float]]] | None = None,
+) -> None:
+    """Persist trained ANN artifacts (IVF coarse centroids and/or a PQ
+    codebook) as parquet + a JSON manifest — train once on a corpus
+    snapshot, reuse across every subsequent query job (retraining a
+    quantizer per query would rescan the corpus for no reason; the
+    artifacts are KB-sized).
+
+    Layout: ``<path>/centroids`` holds (cell, pos, v) rows,
+    ``<path>/codebook`` holds (subspace, code, pos, v) rows — exploded
+    scalar rows rather than array cells so ANY engine (or a plain
+    parquet reader) can consume them — plus ``_ann_manifest.json`` with
+    the shapes for validation at load time.
+    """
+    import json
+    import os
+
+    if centroids is None and codebook is None:
+        raise ValueError("nothing to save")
+    os.makedirs(path, exist_ok=True)
+    manifest: dict = {}
+    if centroids is not None:
+        rows = [
+            (cell, pos, float(v))
+            for cell, vec in enumerate(centroids)
+            for pos, v in enumerate(vec)
+        ]
+        spark.createDataFrame(rows, "cell int, pos int, v double").coalesce(
+            1
+        ).write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+        manifest["centroids"] = {
+            "n_cells": len(centroids),
+            "dim": len(centroids[0]),
+        }
+    if codebook is not None:
+        rows = [
+            (sub, code, pos, float(v))
+            for sub, cents in enumerate(codebook)
+            for code, vec in enumerate(cents)
+            for pos, v in enumerate(vec)
+        ]
+        spark.createDataFrame(
+            rows, "subspace int, code int, pos int, v double"
+        ).coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(path, "codebook")
+        )
+        manifest["codebook"] = {
+            "m": len(codebook),
+            "k": len(codebook[0]),
+            "sub_dim": len(codebook[0][0]),
+        }
+    with open(os.path.join(path, "_ann_manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+
+
+def load_ann_artifacts(
+    spark, path: str
+) -> tuple[list[list[float]] | None, list[list[list[float]]] | None]:
+    """Load artifacts written by :func:`save_ann_artifacts`, validated
+    against the manifest shapes. Returns (centroids, codebook), either
+    None if absent. Bounded driver data by construction (quantizer
+    sizes, not corpus)."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_ann_manifest.json")) as f:
+        manifest = json.load(f)
+    centroids = None
+    codebook = None
+    if "centroids" in manifest:
+        meta = manifest["centroids"]
+        rows = spark.read.parquet(os.path.join(path, "centroids")).collect()
+        centroids = [[0.0] * meta["dim"] for _ in range(meta["n_cells"])]
+        for r in rows:
+            centroids[r.cell][r.pos] = r.v
+        if len(rows) != meta["n_cells"] * meta["dim"]:
+            raise ValueError("centroid artifact shape mismatch vs manifest")
+    if "codebook" in manifest:
+        meta = manifest["codebook"]
+        rows = spark.read.parquet(os.path.join(path, "codebook")).collect()
+        codebook = [
+            [[0.0] * meta["sub_dim"] for _ in range(meta["k"])]
+            for _ in range(meta["m"])
+        ]
+        for r in rows:
+            codebook[r.subspace][r.code][r.pos] = r.v
+        if len(rows) != meta["m"] * meta["k"] * meta["sub_dim"]:
+            raise ValueError("codebook artifact shape mismatch vs manifest")
+    return centroids, codebook

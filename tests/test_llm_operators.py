@@ -1296,3 +1296,49 @@ def test_dup_ngram_spans_soak_runtime_and_coverage(spark):
     dirty = [i for i in clean if by_id[i].covered_tokens != 0]
     assert not dirty, f"false coverage on unique docs {dirty[:5]}"
     assert elapsed < 120, f"dup-ngram soak took {elapsed:.0f}s"
+
+
+def test_ann_artifacts_roundtrip_preserves_results(spark, tmp_path):
+    """Quantizer artifact persistence: save trained IVF centroids + PQ
+    codebook to parquet + manifest, load them back, and the loaded
+    artifacts must be EXACTLY the trained ones (float-identical), so
+    IVF results through the loaded quantizer match the pre-save run."""
+    from pyspark.sql import functions as F
+
+    from etl_global_mobility_spark.operators.similarity import (
+        ivf_topk,
+        load_ann_artifacts,
+        save_ann_artifacts,
+        train_ivf_centroids,
+        train_pq_codebook,
+    )
+
+    n, dim = 400, 8
+    vec = F.array(
+        *[
+            (F.hash(F.col("vec_id"), F.lit(j)) % 1000).cast("double") / 500.0
+            for j in range(dim)
+        ]
+    )
+    corpus = spark.range(n).select(F.col("id").alias("vec_id"), vec.alias("embedding"))
+    cents = train_ivf_centroids(corpus, n_cells=8, n_iters=2)
+    book = train_pq_codebook(corpus, dim=dim, m=2, k=4, n_iters=1)
+
+    path = str(tmp_path / "ann")
+    save_ann_artifacts(spark, path, centroids=cents, codebook=book)
+    cents2, book2 = load_ann_artifacts(spark, path)
+    assert cents2 == cents  # float-identical round-trip
+    assert book2 == book
+
+    queries = corpus.filter(F.col("vec_id") < 3)
+    before = {
+        (r.q_id, r.rank, r.c_id)
+        for r in ivf_topk(corpus, queries, n_cells=8, nprobe=3, k=4,
+                          centroids=cents).collect()
+    }
+    after = {
+        (r.q_id, r.rank, r.c_id)
+        for r in ivf_topk(corpus, queries, n_cells=8, nprobe=3, k=4,
+                          centroids=cents2).collect()
+    }
+    assert before == after and len(before) == 12
