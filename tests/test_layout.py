@@ -144,3 +144,60 @@ def test_export_training_shards_manifest_matches_data(spark, tmp_path):
     # idempotent overwrite
     m2 = export_training_shards(df, out, rows_per_shard=300, token_col="n_tokens")
     assert m2["n_rows"] == 1000 and m2["total_tokens"] == manifest["total_tokens"]
+
+
+def test_e2e_curation_to_training_shards(spark, tmp_path, sf_smoke):
+    """Full pipeline closure — what a user actually runs end-to-end:
+    score (quality_classifier) → keep → exact dedup → temperature-mix
+    rebalance → export as manifest'd training shards. Asserts the
+    volume contracts at each stage (monotone shrinking), that every
+    surviving doc is a classifier-keeper and a dedup representative,
+    and that the shard manifest's token total equals the kept corpus's.
+    """
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from etl_global_mobility_spark.operators.dedup import exact_dedup
+    from etl_global_mobility_spark.operators.layout import (
+        export_training_shards,
+    )
+    from etl_global_mobility_spark.operators.quality_rules import (
+        quality_classifier,
+    )
+    from etl_global_mobility_spark.operators.splits import temperature_mix
+
+    docs = spark.read.parquet(f"{sf_smoke}/documents.parquet")
+    n_raw = docs.count()
+
+    kept = quality_classifier(docs).filter(F.col("clf_keep"))
+    n_kept = kept.count()
+    assert 0 < n_kept < n_raw
+
+    deduped = exact_dedup(kept).drop("content_hash", "n_copies")
+    n_dedup = deduped.count()
+    assert 0 < n_dedup <= n_kept
+
+    mixed = temperature_mix(deduped, temperature=0.5)
+    n_mixed = mixed.count()
+    assert 0 < n_mixed <= n_dedup
+
+    out = str(tmp_path / "shards")
+    manifest = export_training_shards(
+        mixed.select("doc_id", "source", "text", "n_tokens"),
+        out,
+        rows_per_shard=100,
+        token_col="n_tokens",
+    )
+    assert manifest["n_rows"] == n_mixed
+    want_tokens = mixed.agg(F.sum("n_tokens")).collect()[0][0]
+    assert manifest["total_tokens"] == want_tokens
+    on_disk = json.load(open(os.path.join(out, "_manifest.json")))
+    assert on_disk["n_rows"] == n_mixed
+    # the shards are the dataset: reading them back equals the mix
+    back = spark.read.parquet(out)
+    assert back.count() == n_mixed
+    assert {r.doc_id for r in back.select("doc_id").collect()} == {
+        r.doc_id for r in mixed.select("doc_id").collect()
+    }
