@@ -187,6 +187,7 @@ SCHEDULED_NEXT_WINDOW = frozenset(
         "rel_tpch_q18_large_orders",
         "rel_scalar_strings_extended",
         "rel_spatial_grid_nearest",
+        "stream_scd2_enrichment",
     }
 )
 

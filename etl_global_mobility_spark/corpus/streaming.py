@@ -97,6 +97,50 @@ def q_stream_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_memory(agg, "complete")
 
 
+def q_stream_scd2_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming POINT-IN-TIME enrichment against a versioned (SCD2)
+    dimension: each event joins the dim version VALID AT ITS EVENT
+    TIME — ``user matches AND vstart <= ts < vend`` — not the current
+    version (the classic correctness bug in streaming enrichment:
+    joining today's attributes onto last month's events). The versioned
+    dim is static per micro-batch (broadcast, stateless, non-equi
+    condition allowed for stream-static inner joins); version validity
+    uses half-open intervals so no event matches two versions.
+
+    The dim here: every customer flips segment at a fixed boundary
+    inside the event window, so both versions provably receive rows.
+    """
+    boundary = "2024-01-15 00:00:00"
+    ev = stream_events(spark, sf_dir)
+    c = load_table(spark, sf_dir, "customer")
+    v1 = c.select(
+        F.col("c_custkey").alias("d_uid"),
+        F.col("c_mktsegment").alias("segment"),
+        F.lit("1900-01-01 00:00:00").cast("timestamp").alias("vstart"),
+        F.lit(boundary).cast("timestamp").alias("vend"),
+    )
+    v2 = c.select(
+        F.col("c_custkey").alias("d_uid"),
+        F.concat(F.col("c_mktsegment"), F.lit("_V2")).alias("segment"),
+        F.lit(boundary).cast("timestamp").alias("vstart"),
+        F.lit("2100-01-01 00:00:00").cast("timestamp").alias("vend"),
+    )
+    dim = v1.unionByName(v2)
+    joined = ev.join(
+        F.broadcast(dim),
+        (ev.user_id == dim.d_uid)
+        & (ev.ts >= dim.vstart)
+        & (ev.ts < dim.vend),
+    )
+    agg = joined.groupBy("segment", "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("sum_value"),
+    )
+    return run_stream_to_memory(agg, "complete")
+
+
 def q_stream_medallion_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The streaming medallion pipeline's stream≡batch invariant as an
     ORACLE row (previously pytest-effect-only): lineitem is projected
@@ -339,6 +383,29 @@ SPECS = [
            GROUP BY 1, 2""",
         doc="stream-static enrichment join (stateless dim broadcast per "
         "micro-batch) + windowless aggregation, batch-equal",
+    ),
+    QuerySpec(
+        "stream_scd2_enrichment",
+        q_stream_scd2_enrichment,
+        """WITH dim AS (
+             SELECT c_custkey AS d_uid, c_mktsegment AS segment,
+                    TIMESTAMP '1900-01-01' AS vstart,
+                    TIMESTAMP '2024-01-15' AS vend
+             FROM customer
+             UNION ALL
+             SELECT c_custkey, c_mktsegment || '_V2',
+                    TIMESTAMP '2024-01-15', TIMESTAMP '2100-01-01'
+             FROM customer
+           )
+           SELECT segment, event_type, count(*) AS n,
+                  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                    AS sum_value
+           FROM events JOIN dim
+             ON user_id = d_uid AND ts >= vstart AND ts < vend
+           GROUP BY 1, 2""",
+        doc="streaming point-in-time enrichment vs an SCD2 versioned dim "
+        "(event joins the version valid at its event time, not the "
+        "current one; half-open validity intervals)",
     ),
     QuerySpec(
         "stream_medallion_batch_parity",
