@@ -74,6 +74,7 @@ HEADLINE = [
     "stream_static_join",
     "rel_spatial_grid_nearest",
     "rel_tpch_q18_large_orders",
+    "stream_scd2_enrichment",
 ]
 
 
