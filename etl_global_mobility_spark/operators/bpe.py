@@ -195,3 +195,38 @@ def bpe_token_count(
         return texts.map(one)
 
     return docs.withColumn(out_col, count_bpe(F.col(text_col)))
+
+
+def save_bpe_merges(spark, merges: list[tuple[str, str]], path: str) -> None:
+    """Persist a trained merge list as rank-ordered parquet (+ count in
+    a JSON manifest) — the tokenizer artifact a training pipeline
+    trains once and every downstream job loads. KB-sized by
+    construction (vocab-scale, never corpus-scale)."""
+    import json
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    rows = [(i, l, r) for i, (l, r) in enumerate(merges)]
+    spark.createDataFrame(
+        rows, "rank int, left string, right string"
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "merges"))
+    with open(os.path.join(path, "_bpe_manifest.json"), "w") as f:
+        json.dump({"n_merges": len(merges)}, f)
+
+
+def load_bpe_merges(spark, path: str) -> list[tuple[str, str]]:
+    """Load a merge list saved by :func:`save_bpe_merges`, in training
+    order, validated against the manifest."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_bpe_manifest.json")) as f:
+        n = json.load(f)["n_merges"]
+    rows = (
+        spark.read.parquet(os.path.join(path, "merges"))
+        .orderBy("rank")
+        .collect()
+    )
+    if len(rows) != n:
+        raise ValueError(f"merge artifact has {len(rows)} rows, manifest says {n}")
+    return [(r.left, r.right) for r in rows]

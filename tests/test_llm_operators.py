@@ -1342,3 +1342,38 @@ def test_ann_artifacts_roundtrip_preserves_results(spark, tmp_path):
                           centroids=cents2).collect()
     }
     assert before == after and len(before) == 12
+
+
+def test_bpe_training_is_partition_invariant_and_artifacts_roundtrip(
+    spark, tmp_path
+):
+    """Distributed determinism: the SAME merge list on any partition
+    layout (the tie-break contract is what makes that true), and the
+    saved/loaded artifact applies identically."""
+    from etl_global_mobility_spark.operators.bpe import (
+        bpe_token_count,
+        load_bpe_merges,
+        save_bpe_merges,
+        train_bpe_merges,
+    )
+
+    texts = [
+        "low lower lowest low low",
+        "new newer newest new newer",
+        "low new lower newer",
+        "widest wide wider wide",
+    ] * 3
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    m1 = train_bpe_merges(df, n_merges=6, min_freq=2)
+    m2 = train_bpe_merges(df.repartition(7), n_merges=6, min_freq=2)
+    assert m1 == m2 and len(m1) == 6
+
+    path = str(tmp_path / "bpe")
+    save_bpe_merges(spark, m1, path)
+    loaded = load_bpe_merges(spark, path)
+    assert loaded == m1
+    a = {r.doc_id: r.bpe_tokens for r in bpe_token_count(df, m1).collect()}
+    b = {r.doc_id: r.bpe_tokens for r in bpe_token_count(df, loaded).collect()}
+    assert a == b
