@@ -26,7 +26,12 @@ green driver row, and no query's evidence gets stale:
   ``rel_agg_rollup``, ``rel_join_right``, ``rel_join_semi``,
   ``parity_rounding``, ``rel_window_rank_dense`` — each a close
   sibling of a retained row); the max-staleness invariant in
-  tests/test_corpus_oracle.py forces them into the round-6 window.
+  tests/test_corpus_oracle.py (4 rounds — the tightest bound a
+  50-slot window can sustain over ~166 oracle-backed queries) lets
+  them wait one more round and then forces them into a window. Put
+  them in round 6 anyway: round 6's window must take the 14 round-5
+  additions + these six + the two canaries, leaving ~28 slots to
+  start refreshing the oldest r3 rows.
 
 ``DRIVER_GREEN_PAST_ROUNDS`` records which queries already hold a
 green row (union of CORRECTNESS_r02/r03/r04); those may sit past the
