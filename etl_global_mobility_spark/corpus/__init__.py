@@ -193,6 +193,7 @@ SCHEDULED_NEXT_WINDOW = frozenset(
         "rel_scalar_strings_extended",
         "rel_spatial_grid_nearest",
         "stream_scd2_enrichment",
+        "rel_interval_overlap_join",
     }
 )
 

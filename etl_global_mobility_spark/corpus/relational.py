@@ -1868,6 +1868,57 @@ def q_tpch_q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval×interval overlap join (operators/temporal.py): per-
+    (user, day) activity intervals from events, all overlapping pairs
+    across DIFFERENT users within a day. Bucketized candidates with
+    the overlap-start exactly-once rule — never a cross join; integer
+    microsecond arithmetic end-to-end."""
+    from etl_global_mobility_spark.operators.temporal import (
+        interval_overlap_join,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    iv = (
+        ev.select(
+            "user_id",
+            F.to_date("ts").alias("day"),
+            F.unix_micros("ts").alias("us"),
+        )
+        .groupBy("user_id", "day")
+        .agg(F.min("us").alias("start"), F.max("us").alias("end"))
+    )
+    pairs = interval_overlap_join(
+        iv, iv, bucket_width=6 * 3600 * 1_000_000, partition_cols=["day"]
+    ).filter(F.col("a_user_id") < F.col("b_user_id"))
+    return pairs.select(
+        "day",
+        "a_user_id",
+        "a_start",
+        "a_end",
+        "b_user_id",
+        "b_start",
+        "b_end",
+        "overlap_amount",
+    )
+
+
+_INTERVAL_OVERLAP_SQL = """
+WITH iv AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         min(epoch_ns(ts) // 1000) AS ivs,
+         max(epoch_ns(ts) // 1000) AS ive
+  FROM events GROUP BY 1, 2
+)
+SELECT a.day, a.user_id AS a_user_id, a.ivs AS a_start, a.ive AS a_end,
+       b.user_id AS b_user_id, b.ivs AS b_start, b.ive AS b_end,
+       least(a.ive, b.ive) - greatest(a.ivs, b.ivs) AS overlap_amount
+FROM iv a JOIN iv b
+  ON a.day = b.day AND a.user_id < b.user_id
+ AND a.ivs <= b.ive AND b.ivs <= a.ive
+"""
+
+
 def q_spatial_grid_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grid-bucketed spatial nearest neighbor over deterministic
     customer coordinates (operators/spatial.py): the space-binning
@@ -2500,6 +2551,13 @@ SPECS = [
            GROUP BY l_orderkey, o_orderdate, o_orderpriority
            ORDER BY revenue DESC, l_orderkey LIMIT 10""",
         doc="TPC-H Q3 shape: selective 3-way join + top-10 by revenue",
+    ),
+    QuerySpec(
+        "rel_interval_overlap_join",
+        q_interval_overlap,
+        _INTERVAL_OVERLAP_SQL,
+        doc="interval x interval overlap join (bucketized candidates, "
+        "overlap-start exactly-once rule, integer micros)",
     ),
     QuerySpec(
         "rel_spatial_grid_nearest",

@@ -172,3 +172,67 @@ def sessionize(
         )
         - 1,
     )
+
+
+def interval_overlap_join(
+    a: DataFrame,
+    b: DataFrame,
+    bucket_width: int,
+    start_col: str = "start",
+    end_col: str = "end",
+    partition_cols: list[str] | None = None,
+) -> DataFrame:
+    """All pairs of OVERLAPPING intervals between two sets — the
+    interval×interval join shape (distinct from point-in-interval,
+    rel_range_join_buckets): closed intervals, overlap iff
+    ``a.start <= b.end AND b.start <= a.end`` (touching endpoints
+    count), optionally scoped to equal ``partition_cols``.
+
+    Scale shape: a naive formulation is a cross join with a range
+    predicate — quadratic, and Spark can't hash-partition a pure
+    inequality. Instead both sides explode into the fixed-width
+    buckets their interval spans, and candidates meet ONLY inside a
+    shared bucket (pairs ∝ local interval density). Each qualifying
+    pair would match once per shared bucket, so the join keeps a pair
+    only in the bucket containing the OVERLAP START
+    (``floor(greatest(starts)/width)``) — exactly-once by arithmetic,
+    no distinct/dedup shuffle afterward. ``bucket_width`` trades
+    explode factor (long intervals → many buckets) against bucket
+    collision density; size it near the typical interval length.
+
+    Returns ``partition_cols + (a_* interval, b_* interval,
+    overlap_amount)`` with integer start/end assumed (unix micros,
+    epoch days... — exact arithmetic end-to-end).
+    """
+    if bucket_width <= 0:
+        raise ValueError(f"bucket_width must be positive: {bucket_width}")
+    keys = list(partition_cols or [])
+
+    def bucketed(df: DataFrame, prefix: str) -> DataFrame:
+        s, e = F.col(start_col), F.col(end_col)
+        out = df.select(
+            *keys,
+            *[F.col(c).alias(f"{prefix}_{c}") for c in df.columns if c not in keys],
+            F.explode(
+                F.sequence(
+                    F.floor(s / bucket_width), F.floor(e / bucket_width)
+                )
+            ).alias("_bucket"),
+        )
+        return out
+
+    aa = bucketed(a, "a")
+    bb = bucketed(b, "b")
+    a_s, a_e = F.col(f"a_{start_col}"), F.col(f"a_{end_col}")
+    b_s, b_e = F.col(f"b_{start_col}"), F.col(f"b_{end_col}")
+    overlap_start = F.greatest(a_s, b_s)
+    cond = (
+        (a_s <= b_e)
+        & (b_s <= a_e)
+        # exactly-once: only the bucket holding the overlap start emits
+        & (F.floor(overlap_start / bucket_width) == F.col("_bucket"))
+    )
+    joined = aa.join(bb, [*keys, "_bucket"]).filter(cond)
+    return joined.drop("_bucket").withColumn(
+        "overlap_amount", F.least(a_e, b_e) - F.greatest(a_s, b_s)
+    )

@@ -138,3 +138,32 @@ def test_grid_nearest_neighbor_contract(spark):
     assert out[2].nearest_id == 1
     assert out[3].nearest_id == 2 and out[3].d2 == 4.0
     assert out[5].nearest_id == 1
+
+
+def test_interval_overlap_join_exactly_once_and_touching(spark):
+    """Bucketized interval overlap: a pair overlapping across MANY
+    shared buckets emits exactly once; touching endpoints count
+    (closed intervals); disjoint intervals emit nothing; the
+    partition key scopes candidates."""
+    from etl_global_mobility_spark.operators.temporal import (
+        interval_overlap_join,
+    )
+
+    iv = spark.createDataFrame(
+        [
+            ("d1", 1, 0, 100),    # spans buckets 0..10 at width 10
+            ("d1", 2, 5, 95),     # overlaps 1 across ~9 shared buckets
+            ("d1", 3, 100, 120),  # touches 1 at 100 (closed -> counts)
+            ("d1", 4, 200, 210),  # disjoint
+            ("d2", 5, 0, 100),    # same span, different partition key
+        ],
+        "day string, user_id long, start long, end long",
+    )
+    out = interval_overlap_join(
+        iv, iv, bucket_width=10, partition_cols=["day"]
+    ).filter("a_user_id < b_user_id")
+    pairs = sorted(
+        (r.a_user_id, r.b_user_id, r.overlap_amount) for r in out.collect()
+    )
+    # exactly one row per overlapping pair, despite many shared buckets
+    assert pairs == [(1, 2, 90), (1, 3, 0)]
