@@ -29,7 +29,7 @@ green driver row, and no query's evidence gets stale:
   tests/test_corpus_oracle.py (4 rounds — the tightest bound a
   50-slot window can sustain over ~166 oracle-backed queries) lets
   them wait one more round and then forces them into a window. Put
-  them in round 6 anyway: round 6's window must take the 14 round-5
+  them in round 6 anyway: round 6's window must take the 17 round-5
   additions + these six + the two canaries, leaving ~28 slots to
   start refreshing the oldest r3 rows.
 
@@ -194,6 +194,8 @@ SCHEDULED_NEXT_WINDOW = frozenset(
         "rel_spatial_grid_nearest",
         "stream_scd2_enrichment",
         "rel_interval_overlap_join",
+        "llm_tfidf_topterms",
+        "llm_bigram_novelty",
     }
 )
 

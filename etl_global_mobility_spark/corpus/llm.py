@@ -78,6 +78,20 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_global_mobility_spark.operators.text import tfidf_top_terms
+
+    d = load_table(spark, sf_dir, "documents")
+    return tfidf_top_terms(d, top_k=3)
+
+
+def q_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_global_mobility_spark.operators.text import bigram_novelty
+
+    d = load_table(spark, sf_dir, "documents")
+    return bigram_novelty(d, rare_max_count=2)
+
+
 def q_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language corpus profile: top-5 df-normalized salient terms
     joined with the language's token totals — merges the r3 variants
@@ -1893,6 +1907,56 @@ SPECS = [
                 / greatest(len(text), 1) AS digit_ratio
             FROM documents""",
         doc="per-document text statistics",
+    ),
+    QuerySpec(
+        "llm_tfidf_topterms",
+        q_tfidf_topterms,
+        f"""WITH toks AS (
+              SELECT doc_id AS id, unnest({TOKS}) AS t FROM documents
+            ), tf AS (
+              SELECT id, t, count(*) AS tf FROM toks GROUP BY 1, 2
+            ), dfq AS (
+              SELECT t, count(*) AS df FROM tf GROUP BY 1
+            ), scored AS (
+              SELECT id, t, tf, df, CAST(tf AS DOUBLE) / df AS score
+              FROM tf JOIN dfq USING (t)
+            ), ranked AS (
+              SELECT id, t, tf, df, score,
+                     row_number() OVER (PARTITION BY id
+                                        ORDER BY score DESC, t) AS rank
+              FROM scored
+            )
+            SELECT id AS doc_id, CAST(rank AS INT) AS rank, t AS term,
+                   tf, df, (SELECT count(*) FROM documents) AS n_docs, score
+            FROM ranked WHERE rank <= 3""",
+        doc="per-document TF-IDF top-3 terms (tf/df rational score; "
+        "df + n_docs exposed for any idf curve)",
+    ),
+    QuerySpec(
+        "llm_bigram_novelty",
+        q_bigram_novelty,
+        f"""WITH toks AS (
+              SELECT doc_id AS id, unnest({TOKS}) AS t,
+                     generate_subscripts({TOKS}, 1) AS pos
+              FROM documents
+            ), bg AS (
+              SELECT a.id, a.t || ' ' || b.t AS bg
+              FROM toks a JOIN toks b ON a.id = b.id AND b.pos = a.pos + 1
+            ), corpus AS (
+              SELECT bg, count(*) AS c FROM bg GROUP BY 1
+            ), perdoc AS (
+              SELECT id, count(*) AS n_bigrams,
+                     count(*) FILTER (WHERE c <= 2) AS n_rare
+              FROM bg JOIN corpus USING (bg) GROUP BY id
+            )
+            SELECT d.doc_id,
+                   coalesce(n_bigrams, 0) AS n_bigrams,
+                   coalesce(n_rare, 0) AS n_rare,
+                   CAST(coalesce(n_rare, 0) AS DOUBLE)
+                     / greatest(coalesce(n_bigrams, 0), 1) AS novelty
+            FROM documents d LEFT JOIN perdoc ON perdoc.id = d.doc_id""",
+        doc="corpus-conditioned rare-bigram novelty ratio per document "
+        "(exact-arithmetic cousin of n-gram-LM quality scoring)",
     ),
     QuerySpec(
         "llm_lang_profile",

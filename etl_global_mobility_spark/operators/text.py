@@ -205,6 +205,117 @@ def salient_terms(
     )
 
 
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 3,
+) -> DataFrame:
+    """Per-DOCUMENT top-``top_k`` TF-IDF terms — the materialization
+    step before building a sparse retrieval index or keyword summary
+    (complements :func:`salient_terms`, which ranks per GROUP).
+
+    score = tf / df where tf is the term's count inside the document
+    and df the number of corpus documents containing it. For a fixed
+    document this ranks identically to tf·idf for any monotone idf
+    curve (idf depends only on df), while staying a single IEEE
+    division of two integers — portable across engines, unlike
+    ln(N/df) whose last-ulp differs between libms. The (tf, df,
+    n_docs) columns let callers apply any idf curve downstream.
+
+    Scale shape (100 TB lens): explode → ONE corpus-sized hash
+    aggregation keyed on (doc, term) — uniform keys; document
+    frequencies derive from that same frame with a vocab-sized
+    second aggregation (no extra distinct pass over the corpus,
+    unlike the per-group variant); the tf⋈df join is vocab-sized on
+    the build side (AQE broadcasts it at typical vocab sizes); the
+    final top-k window partitions by document — uniform. ``n_docs``
+    is a 1-row aggregate broadcast via crossJoin (bounded).
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(tokenize(text_col)).alias("t")
+    )
+    tf = toks.groupBy("id", "t").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.select(F.count(F.lit(1)).alias("n_docs"))
+    scored = tf.join(dfreq, "t").withColumn(
+        "score", F.col("tf").cast("double") / F.col("df")
+    )
+    ranked = scored.withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy("id").orderBy(F.col("score").desc(), F.col("t"))
+        ),
+    )
+    return (
+        ranked.filter(F.col("rank") <= top_k)
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col("id").alias(id_col),
+            "rank",
+            F.col("t").alias("term"),
+            "tf",
+            "df",
+            "n_docs",
+            "score",
+        )
+    )
+
+
+def bigram_novelty(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    rare_max_count: int = 2,
+) -> DataFrame:
+    """Corpus-conditioned fluency/novelty signal: the fraction of each
+    document's word bigrams that are RARE in the whole corpus (total
+    occurrences ≤ ``rare_max_count``).
+
+    This is the exact-arithmetic cousin of KenLM-style n-gram-LM
+    quality scoring (the classic corpus-conditional filter): instead
+    of average log-probability — whose float log/sum would break the
+    bit-exact cross-engine oracle — it thresholds each bigram's corpus
+    count and reports an integer ratio (one IEEE division). Low
+    novelty → boilerplate/templated text; very high novelty → noise
+    or OCR garbage; both tails are filter candidates. Complements
+    operators.signals.repetition_signals, which is WITHIN-document.
+
+    Scale shape: bigrams are built array-side (zip_with over two
+    slices — no posexplode self-join), then ONE corpus-sized
+    aggregation keyed on bigram (uniform); the count frame joins back
+    on bigram and re-aggregates per document. Docs with <2 tokens
+    yield n_bigrams = 0 and novelty 0.0.
+    """
+    toks = F.col("__toks")
+    n = F.size(toks)
+    bigrams = F.when(n >= 2, F.zip_with(
+        F.slice(toks, 1, n - 1),
+        F.slice(toks, 2, n - 1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )).otherwise(F.array().cast("array<string>"))
+    per_doc = df.select(
+        F.col(id_col).alias("id"), tokenize(text_col).alias("__toks")
+    ).select("id", F.explode_outer(bigrams).alias("bg"))
+    corpus = per_doc.where(F.col("bg").isNotNull()).groupBy("bg").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    joined = per_doc.join(corpus, "bg", "left")
+    agg = joined.groupBy("id").agg(
+        F.count(F.col("bg")).alias("n_bigrams"),
+        F.count(F.when(F.col("c") <= rare_max_count, 1)).alias("n_rare"),
+    )
+    return agg.select(
+        F.col("id").alias(id_col),
+        "n_bigrams",
+        "n_rare",
+        (
+            F.col("n_rare").cast("double")
+            / F.greatest(F.col("n_bigrams"), F.lit(1))
+        ).alias("novelty"),
+    )
+
+
 def doc_fingerprint(text: str | Column, n_hex: int = 16) -> Column:
     """Deterministic document fingerprint: md5 of the token-normalized
     text (lowercased, whitespace collapsed), first `n_hex` hex chars.

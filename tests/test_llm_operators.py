@@ -1377,3 +1377,60 @@ def test_bpe_training_is_partition_invariant_and_artifacts_roundtrip(
     a = {r.doc_id: r.bpe_tokens for r in bpe_token_count(df, m1).collect()}
     b = {r.doc_id: r.bpe_tokens for r in bpe_token_count(df, loaded).collect()}
     assert a == b
+
+
+# ----------------------------------------------------- tfidf / novelty ----
+def test_tfidf_topterms_ranks_doc_specific_terms(spark):
+    from etl_global_mobility_spark.operators.text import tfidf_top_terms
+
+    df = spark.createDataFrame(
+        [
+            (1, "the the the zebra zebra quark"),
+            (2, "the the muon muon muon zebra"),
+            (3, "the lepton"),
+        ],
+        "doc_id long, text string",
+    )
+    out = tfidf_top_terms(df, top_k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # 'the' appears in every doc (df=3) so any doc-specific term
+    # (df=1) with tf>=1 outranks it unless tf compensates: doc 1 has
+    # tf(the)=3/df 3 = 1.0 vs tf(zebra)=2/df 2 = 1.0 vs quark 1/1 = 1.0
+    # -> tie broken lexicographically: quark, the. Doc 2: muon 3/1=3.0
+    # tops; zebra 1/2=0.5 vs the 2/3=0.66 -> second is 'the'.
+    d2 = by_doc[2]
+    assert [r.term for r in sorted(d2, key=lambda r: r.rank)] == ["muon", "the"]
+    assert all(r.n_docs == 3 for r in out)
+    d1 = sorted(by_doc[1], key=lambda r: r.rank)
+    assert [r.term for r in d1] == ["quark", "the"]
+    # rank never exceeds top_k and scores are non-increasing per doc
+    for rows in by_doc.values():
+        rows = sorted(rows, key=lambda r: r.rank)
+        assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+        assert all(a.score >= b.score for a, b in zip(rows, rows[1:]))
+
+
+def test_bigram_novelty_short_docs_and_rare_ratio(spark):
+    from etl_global_mobility_spark.operators.text import bigram_novelty
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta alpha beta"),   # bigrams: ab, ba, ab
+            (2, "alpha beta gamma"),        # ab, bg
+            (3, "solo"),                    # no bigrams
+            (4, ""),                        # no tokens
+            (5, None),                      # NULL text
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in bigram_novelty(df, rare_max_count=2).collect()}
+    assert set(out) == {1, 2, 3, 4, 5}
+    # corpus counts: 'alpha beta' x3 (not rare at <=2), 'beta alpha' x1,
+    # 'beta gamma' x1 (rare)
+    assert out[1].n_bigrams == 3 and out[1].n_rare == 1
+    assert out[2].n_bigrams == 2 and out[2].n_rare == 1
+    assert out[2].novelty == 0.5
+    for d in (3, 4, 5):
+        assert out[d].n_bigrams == 0 and out[d].novelty == 0.0

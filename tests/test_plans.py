@@ -550,6 +550,7 @@ def test_no_plan_antipatterns_across_entire_corpus(spark):
         "llm_knn_label_vote",         # broadcast bounded query side
         "llm_bm25",                   # broadcast 1-row corpus stats
         "llm_mix_sources",            # broadcast 1-row grand total
+        "llm_tfidf_topterms",         # broadcast 1-row n_docs frame
         "llm_e2e_curation",           # composes mix_sources
     }
     ROW_PYTHON_ALLOWED = {"udf_python_udtf", "udf_udtf_table_arg"}
