@@ -34,6 +34,8 @@ HEADLINE = [
     "parity_quality_reasons",
     "parity_split_quarantine",
     "llm_exact_dedup",
+    "llm_tfidf_topterms",
+    "llm_bigram_novelty",
     "llm_simhash",
     "llm_minhash_neardup",
     "llm_cosine_topk",

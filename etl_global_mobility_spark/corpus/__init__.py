@@ -30,7 +30,7 @@ green driver row, and no query's evidence gets stale:
   50-slot window can sustain over ~166 oracle-backed queries) lets
   them wait one more round and then forces them into a window. Put
   them in round 6 anyway: round 6's window must take the 17 round-5
-  additions + these six + the two canaries, leaving ~28 slots to
+  additions + these six + the two canaries, leaving ~25 slots to
   start refreshing the oldest r3 rows.
 
 ``DRIVER_GREEN_PAST_ROUNDS`` records which queries already hold a
