@@ -1434,3 +1434,31 @@ def test_bigram_novelty_short_docs_and_rare_ratio(spark):
     assert out[2].novelty == 0.5
     for d in (3, 4, 5):
         assert out[d].n_bigrams == 0 and out[d].novelty == 0.0
+
+
+def test_tfidf_and_novelty_are_partition_invariant(spark):
+    """Both corpus-level scores must not depend on physical layout:
+    the aggregations are keyed on (doc, term) / bigram, so any
+    repartitioning of the input must produce the identical result."""
+    from etl_global_mobility_spark.operators.text import (
+        bigram_novelty,
+        tfidf_top_terms,
+    )
+
+    rows = [
+        (i, f"alpha beta w{i % 7} gamma w{i % 3} alpha beta") for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    a = {(r.doc_id, r.rank): (r.term, r.tf, r.df, r.n_docs, r.score)
+         for r in tfidf_top_terms(df, top_k=2).collect()}
+    b = {(r.doc_id, r.rank): (r.term, r.tf, r.df, r.n_docs, r.score)
+         for r in tfidf_top_terms(df.repartition(13), top_k=2).collect()}
+    assert a == b and len(a) == 80
+
+    na = {r.doc_id: (r.n_bigrams, r.n_rare, r.novelty)
+          for r in bigram_novelty(df).collect()}
+    nb = {r.doc_id: (r.n_bigrams, r.n_rare, r.novelty)
+          for r in bigram_novelty(df.repartition(13)).collect()}
+    assert na == nb and len(na) == 40
+    assert all(0.0 <= v[2] <= 1.0 for v in na.values())
