@@ -54,6 +54,7 @@ HEADLINE = [
     "llm_preference_pairs",
     "llm_bm25",
     "llm_hybrid_retrieval_rrf",
+    "llm_mmr_rerank",
     "llm_e2e_curation",
     "llm_e2e_training_examples",
     "llm_semantic_dedup",

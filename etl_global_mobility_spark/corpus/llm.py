@@ -176,6 +176,14 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_exact(e, queries, k=5)
 
 
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from etl_global_mobility_spark.operators.retrieval import mmr_rerank
+
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 4)
+    return mmr_rerank(e, queries, k=5, n_candidates=10, lam=0.7, div=0.3)
+
+
 def q_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < 8)
@@ -1354,6 +1362,80 @@ def _cosine_topk_sql(k: int = 5, n_queries: int = 8) -> str:
     """
 
 
+def _mmr_sql(
+    k: int = 5,
+    nc: int = 10,
+    nq: int = 4,
+    lam: str = "0.7",
+    div: str = "0.3",
+) -> str:
+    """MMR greedy selection unrolled into k argmax CTE steps — plain
+    SQL, no recursion: step t picks, per query, the not-yet-selected
+    candidate maximizing lam·rel − div·greatest(sim to each of the
+    t−1 prior picks). lam/div are literal strings so both engines
+    parse the identical double (never compute 1−lam at runtime)."""
+    steps = [
+        f"""s1 AS (
+      SELECT q_id, c_id, {lam}*rel - {div}*0.0 AS mmr FROM (
+        SELECT q_id, c_id, rel,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY rel DESC, c_id) AS rk
+        FROM cands) WHERE rk = 1)"""
+    ]
+    for t in range(2, k + 1):
+        prior = [f"s{i}" for i in range(1, t)]
+        joins = " ".join(f"JOIN {p} ON {p}.q_id = c.q_id" for p in prior)
+        notin = " AND ".join(f"c.c_id <> {p}.c_id" for p in prior)
+        sim_terms = ", ".join(
+            f"(SELECT sim FROM sims2 v WHERE v.q_id = c.q_id "
+            f"AND v.a_id = c.c_id AND v.b_id = {p}.c_id)"
+            for p in prior
+        )
+        maxsim = f"greatest({sim_terms})" if len(prior) > 1 else sim_terms
+        steps.append(
+            f"""s{t} AS (
+      SELECT q_id, c_id, mmr FROM (
+        SELECT c.q_id, c.c_id,
+               {lam}*c.rel - {div}*{maxsim} AS mmr,
+               row_number() OVER (PARTITION BY c.q_id
+                                  ORDER BY {lam}*c.rel - {div}*{maxsim} DESC,
+                                           c.c_id) AS rk
+        FROM cands c {joins}
+        WHERE {notin}) WHERE rk = 1)"""
+        )
+    steps_sql = ",\n    ".join(steps)
+    union = "\n    UNION ALL\n    ".join(
+        f"SELECT q_id, CAST({t} AS INT) AS mmr_rank, c_id, mmr AS mmr_score "
+        f"FROM s{t}"
+        for t in range(1, k + 1)
+    )
+    return f"""
+    WITH cscored AS (
+      SELECT b.vec_id AS q_id, a.vec_id AS c_id, {_COS} AS rel
+      FROM embeddings a, embeddings b
+      WHERE b.vec_id < {nq} AND a.vec_id <> b.vec_id
+    ), cands AS (
+      SELECT q_id, c_id, rel FROM (
+        SELECT q_id, c_id, rel,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY rel DESC, c_id) AS rk
+        FROM cscored) WHERE rk <= {nc}
+    ), pair AS (
+      SELECT x.q_id, x.c_id AS a_id, y.c_id AS b_id
+      FROM cands x JOIN cands y ON x.q_id = y.q_id AND x.c_id < y.c_id
+    ), sims AS (
+      SELECT p.q_id, p.a_id, p.b_id, {_COS} AS sim
+      FROM pair p JOIN embeddings a ON a.vec_id = p.a_id
+                  JOIN embeddings b ON b.vec_id = p.b_id
+    ), sims2 AS (
+      SELECT q_id, a_id, b_id, sim FROM sims
+      UNION ALL
+      SELECT q_id, b_id, a_id, sim FROM sims
+    ), {steps_sql}
+    {union}
+    """
+
+
 def _lsh_ann_sql(dim: int = 64, n_planes: int = 6, k: int = 5, n_queries: int = 8) -> str:
     planes = random_hyperplanes(dim, n_planes, seed=42)
     terms = []
@@ -2035,6 +2117,15 @@ SPECS = [
         q_cosine_topk,
         _cosine_topk_sql(),
         doc="exact cosine top-k similarity search",
+    ),
+    QuerySpec(
+        "llm_mmr_rerank",
+        q_mmr_rerank,
+        _mmr_sql(),
+        doc="Maximal Marginal Relevance re-ranking (Carbonell & "
+        "Goldstein, SIGIR 1998): redundancy-aware greedy top-k over "
+        "dense-retrieval candidates; oracle unrolls the greedy into "
+        "k argmax CTE steps",
     ),
     QuerySpec(
         "llm_lsh_ann",

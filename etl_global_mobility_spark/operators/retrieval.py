@@ -196,3 +196,121 @@ def rrf_fuse(
         )
         .withColumn("rrf_rank", F.row_number().over(w))
     )
+
+
+def mmr_rerank(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_candidates: int = 10,
+    lam: float = 0.7,
+    div: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    SIGIR 1998) — the standard redundancy-aware final stage of dense
+    retrieval: greedily select ``k`` of the top-``n_candidates``
+    results, each step maximizing ``lam·rel(c) − div·max_{s∈S}
+    sim(c, s)`` so near-duplicate hits don't crowd the context window.
+
+    ``lam``/``div`` are independent parameters (NOT forced to sum to
+    1): computing ``1 − lam`` at runtime would yield 0.30000000000000004
+    for lam=0.7 and break bit-parity with an oracle writing the
+    literal 0.3. Ties break toward the smaller candidate id (strict
+    ``>`` while scanning ids ascending), mirroring ``ORDER BY score
+    DESC, c_id`` exactly.
+
+    Scale shape (100 TB lens): relevance and ALL pairwise candidate
+    similarities are computed in the JVM with the same sequential-fold
+    dot product the cosine oracle proves portable — the corpus streams
+    map-only against a broadcast query side (cosine_topk_exact), and
+    the candidate-embedding fetch broadcasts the tiny candidate list,
+    not the corpus. Only the greedy argmax — O(k·n) comparisons over
+    PRE-COMPUTED doubles, no float arithmetic beyond lam·rel − div·sim
+    — runs in Python, via a cogrouped applyInPandas keyed on q_id:
+    one bounded group per query, embarrassingly parallel across
+    queries, never a driver-side loop.
+    """
+    import pandas as pd
+
+    from etl_global_mobility_spark.operators.similarity import (
+        cosine_topk_exact,
+        dot,
+    )
+
+    cands = cosine_topk_exact(
+        corpus, queries, k=n_candidates, id_col=id_col, vec_col=vec_col
+    ).select("q_id", "c_id", F.col("score").alias("rel"))
+    # The candidate frame feeds THREE consumers (rels + both sides of
+    # the pairwise-sim self-join); without materialization Spark would
+    # replay the corpus-wide retrieval subtree per consumer — three
+    # full corpus scans at 100 TB. It is bounded by contract
+    # (n_queries × n_candidates rows), so checkpoint it once.
+    cands = cands.localCheckpoint(eager=False)
+
+    emb = corpus.select(
+        F.col(id_col).alias("c_id"),
+        F.col(vec_col).alias("c_vec"),
+    )
+    # candidate list is (n_queries × n_candidates) — broadcast it so the
+    # corpus-side embedding fetch is map-only
+    cand_emb = emb.join(
+        F.broadcast(cands.select("q_id", "c_id").distinct()), "c_id"
+    )
+    x, y = cand_emb.alias("x"), cand_emb.alias("y")
+    sims = x.join(
+        y,
+        (F.col("x.q_id") == F.col("y.q_id"))
+        & (F.col("x.c_id") < F.col("y.c_id")),
+    ).select(
+        F.col("x.q_id").alias("q_id"),
+        F.col("x.c_id").alias("a_id"),
+        F.col("y.c_id").alias("b_id"),
+        (
+            dot(F.col("x.c_vec"), F.col("y.c_vec"))
+            / (
+                F.sqrt(dot(F.col("x.c_vec"), F.col("x.c_vec")))
+                * F.sqrt(dot(F.col("y.c_vec"), F.col("y.c_vec")))
+            )
+        ).alias("sim"),
+    )
+
+    def greedy(key, rel_pdf: pd.DataFrame, sim_pdf: pd.DataFrame) -> pd.DataFrame:
+        (q_id,) = key
+        rels = dict(zip(rel_pdf["c_id"], rel_pdf["rel"]))
+        simd: dict[tuple[int, int], float] = {}
+        for a_id, b_id, s in zip(
+            sim_pdf["a_id"], sim_pdf["b_id"], sim_pdf["sim"]
+        ):
+            simd[(a_id, b_id)] = s
+            simd[(b_id, a_id)] = s
+        selected: list[int] = []
+        rows = []
+        while len(selected) < min(k, len(rels)):
+            best_c, best_score = None, None
+            for c in sorted(rels):
+                if c in selected:
+                    continue
+                # max over the SELECTED set only (no 0.0 floor once
+                # non-empty — sims can be negative and the oracle's
+                # greatest() has no floor); empty set contributes 0.0
+                maxsim = max(
+                    (simd[(c, s)] for s in selected), default=0.0
+                )
+                score = lam * rels[c] - div * maxsim
+                if best_c is None or score > best_score:
+                    best_c, best_score = c, score
+            selected.append(best_c)
+            rows.append((q_id, len(selected), best_c, best_score))
+        return pd.DataFrame(
+            rows, columns=["q_id", "mmr_rank", "c_id", "mmr_score"]
+        )
+
+    return (
+        cands.groupBy("q_id")
+        .cogroup(sims.groupBy("q_id"))
+        .applyInPandas(
+            greedy, "q_id bigint, mmr_rank int, c_id bigint, mmr_score double"
+        )
+    )

@@ -265,3 +265,34 @@ def test_rrf_requires_input(spark):
 
     with _pytest.raises(ValueError):
         rrf_fuse([])
+
+
+def test_mmr_rerank_diversifies_near_duplicate_candidates(spark):
+    """A near-duplicate of the best hit must NOT take rank 2 under MMR
+    (pure cosine would rank it 2nd); a moderately relevant but novel
+    vector takes it instead. Also pins determinism across layouts."""
+    from etl_global_mobility_spark.operators.retrieval import mmr_rerank
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),    # the query
+        (10, [0.99, 0.14, 0.0, 0.0]),  # best hit
+        (11, [0.98, 0.15, 0.0, 0.0]),  # near-dup of 10 (2nd by cosine)
+        (12, [0.7, 0.0, 0.7, 0.0]),    # relevant but novel direction
+        (13, [0.6, 0.0, 0.0, 0.8]),    # another novel direction
+        (14, [-1.0, 0.0, 0.0, 0.0]),   # irrelevant
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.filter("vec_id = 0")
+    out = mmr_rerank(df, q, k=3, n_candidates=5, lam=0.5, div=0.5)
+    got = {r.mmr_rank: r.c_id for r in out.collect()}
+    assert got[1] == 10            # pure relevance pick
+    assert got[2] in (12, 13)      # diversity beats the near-dup
+    assert 11 not in got.values()  # the dup never makes top-3
+
+    again = {
+        r.mmr_rank: r.c_id
+        for r in mmr_rerank(
+            df.repartition(7), q, k=3, n_candidates=5, lam=0.5, div=0.5
+        ).collect()
+    }
+    assert again == got

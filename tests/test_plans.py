@@ -545,6 +545,7 @@ def test_no_plan_antipatterns_across_entire_corpus(spark):
         "llm_hybrid_retrieval_rrf",   # broadcast per-ranker top-k lists
         "rel_range_join_buckets",     # broadcast interval table
         "llm_cosine_topk",            # broadcast bounded query side
+        "llm_mmr_rerank",             # composes cosine_topk (broadcast query side)
         "llm_pq_ann",                 # broadcast m x k codebook
         "llm_temperature_mix",        # broadcast 1-row min-tokens frame
         "llm_knn_label_vote",         # broadcast bounded query side
@@ -559,6 +560,7 @@ def test_no_plan_antipatterns_across_entire_corpus(spark):
         "udf_pandas_grouped_map", "udf_map_in_arrow", "udf_apply_in_arrow",
         "udf_cogroup_profile", "llm_multimodal_features", "llm_frame_sample",
         "llm_bpe_train",  # Arrow-batched merge application
+        "llm_mmr_rerank",  # cogrouped greedy over bounded per-query groups
     }
     ARROW_NODES = (
         "ArrowEvalPython", "FlatMapGroupsInPandas", "MapInPandas",
