@@ -29,6 +29,7 @@ HEADLINE = [
     "rel_json_events",
     "rel_pivot_linestatus",
     "rel_agg_stats_moments",
+    "rel_ohlc_downsample",
     "rel_median_disc",
     "rel_join_salted_skew",
     "parity_quality_reasons",

@@ -732,6 +732,38 @@ def q_collect_sorted_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series OHLC downsampling (the metrics/market-data rollup):
+    per (day, event_type) bar — opening value, high, low, closing
+    value, count, exact sum. Open/close are ARG-extrema (`min_by` /
+    `max_by` — value AT the earliest/latest event), not plain extrema.
+
+    Determinism: two events can share a timestamp, so the ordering key
+    is a fixed-width zero-padded string of (epoch_micros, event_id) —
+    lexicographic order == numeric order, unique by event_id, and the
+    oracle's arg_min/arg_max accepts the same VARCHAR key (DuckDB has
+    no composite-key arg-extrema). Single hash aggregation with
+    map-side partial combine — one shuffle at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    key = F.concat(
+        F.lpad(F.unix_micros(F.col("ts")).cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    return ev.groupBy(
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"),
+        "event_type",
+    ).agg(
+        F.min_by(F.col("value"), key).alias("open_v"),
+        F.max("value").alias("high_v"),
+        F.min("value").alias("low_v"),
+        F.max_by(F.col("value"), key).alias("close_v"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("sum_value"),
+    )
+
+
 def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style rollup: event counts/sums at hour AND day
     granularity in one pass via GROUPING SETS (the continuous-aggregate
@@ -3138,6 +3170,23 @@ SPECS = [
                count(*) AS n
             FROM customer GROUP BY c_nationkey""",
         doc="sorted array aggregation (collect_list + sort_array)",
+    ),
+    QuerySpec(
+        "rel_ohlc_downsample",
+        q_ohlc_downsample,
+        """SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+               event_type,
+               arg_min(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                       || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS open_v,
+               max(value) AS high_v,
+               min(value) AS low_v,
+               arg_max(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                       || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS close_v,
+               count(*) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+            FROM events GROUP BY 1, 2""",
+        doc="OHLC time-series downsampling: arg-extrema (min_by/max_by) "
+        "open/close on a unique padded (epoch, id) key, one shuffle",
     ),
     QuerySpec(
         "rel_time_rollup",

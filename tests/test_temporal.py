@@ -167,3 +167,34 @@ def test_interval_overlap_join_exactly_once_and_touching(spark):
     )
     # exactly one row per overlapping pair, despite many shared buckets
     assert pairs == [(1, 2, 90), (1, 3, 0)]
+
+
+def test_ohlc_downsample_tie_breaks_by_event_id(spark):
+    """Two events sharing the bar-opening timestamp: open_v must be
+    the value of the LOWER event_id (the padded (epoch, id) ordering
+    key), identically in any partition layout; plain min/max are
+    unaffected."""
+    from etl_global_mobility_spark.corpus.relational import q_ohlc_downsample
+    import datetime as dt
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1, 9, 0, 0), 7, "trade", 100.0, "{}"),
+        (2, dt.datetime(2024, 1, 1, 9, 0, 0), 7, "trade", 50.0, "{}"),
+        (3, dt.datetime(2024, 1, 1, 17, 0, 0), 7, "trade", 80.0, "{}"),
+        (4, dt.datetime(2024, 1, 1, 17, 0, 0), 7, "trade", 90.0, "{}"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    import tempfile
+
+    for n_parts in (1, 5):
+        with tempfile.TemporaryDirectory() as d:
+            df.repartition(n_parts).write.parquet(f"{d}/events.parquet")
+            (out,) = q_ohlc_downsample(spark, d).collect()
+            assert out.open_v == 100.0   # min key: id 1 wins the ts tie
+            assert out.close_v == 90.0   # max key: id 4 wins at close
+            assert out.high_v == 100.0 and out.low_v == 50.0
+            assert out.n_events == 4
