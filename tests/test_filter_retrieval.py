@@ -296,3 +296,46 @@ def test_mmr_rerank_diversifies_near_duplicate_candidates(spark):
         ).collect()
     }
     assert again == got
+
+
+def test_mmr_rerank_structural_invariants_random_vectors(spark):
+    """Randomized structural contract (fixed seed): for any embedding
+    set, MMR output per query is (1) exactly min(k, n_candidates) rows,
+    (2) a duplicate-free subset of the cosine top-n candidate ids,
+    (3) rank-1 equals the pure-relevance argmax, (4) ranks are
+    contiguous from 1."""
+    import random
+
+    from etl_global_mobility_spark.operators.retrieval import mmr_rerank
+    from etl_global_mobility_spark.operators.similarity import (
+        cosine_topk_exact,
+    )
+
+    rng = random.Random(20260814)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.filter("vec_id < 3")
+    k, nc = 4, 9
+    out = mmr_rerank(df, q, k=k, n_candidates=nc, lam=0.7, div=0.3).collect()
+    cands = cosine_topk_exact(df, q, k=nc).collect()
+    cand_ids = {}
+    best = {}
+    for r in cands:
+        cand_ids.setdefault(r.q_id, set()).add(r.c_id)
+        if r.rank == 1:
+            best[r.q_id] = r.c_id
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.q_id, []).append(r)
+    assert set(by_q) == {0, 1, 2}
+    for q_id, rs in by_q.items():
+        assert len(rs) == min(k, len(cand_ids[q_id]))
+        ids = [r.c_id for r in sorted(rs, key=lambda r: r.mmr_rank)]
+        assert len(set(ids)) == len(ids)
+        assert set(ids) <= cand_ids[q_id]
+        assert ids[0] == best[q_id]
+        assert [r.mmr_rank for r in sorted(rs, key=lambda r: r.mmr_rank)] == list(
+            range(1, len(rs) + 1)
+        )
