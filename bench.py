@@ -66,6 +66,7 @@ HEADLINE = [
     "rel_null_aware_anti_join",
     "rel_dataset_card",
     "stream_tumbling_counts",
+    "stream_ohlc_bars",
     "stream_stateful_profile",
     # round-5 additions
     "llm_temperature_mix",

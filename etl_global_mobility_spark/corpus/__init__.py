@@ -29,8 +29,8 @@ green driver row, and no query's evidence gets stale:
   tests/test_corpus_oracle.py (4 rounds — the tightest bound a
   50-slot window can sustain over ~166 oracle-backed queries) lets
   them wait one more round and then forces them into a window. Put
-  them in round 6 anyway: round 6's window must take the 19 round-5
-  additions + these six + the two canaries, leaving ~23 slots to
+  them in round 6 anyway: round 6's window must take the 20 round-5
+  additions + these six + the two canaries, leaving ~22 slots to
   start refreshing the oldest r3 rows.
 
 ``DRIVER_GREEN_PAST_ROUNDS`` records which queries already hold a
@@ -198,6 +198,7 @@ SCHEDULED_NEXT_WINDOW = frozenset(
         "llm_bigram_novelty",
         "llm_mmr_rerank",
         "rel_ohlc_downsample",
+        "stream_ohlc_bars",
     }
 )
 

@@ -19,6 +19,7 @@ from etl_global_mobility_spark.corpus.base import (
 )
 from etl_global_mobility_spark.streaming.ops import (
     interval_join_streams,
+    ohlc_bars_stream,
     run_stream_to_memory,
     session_window_counts,
     sliding_window_counts,
@@ -31,6 +32,15 @@ from etl_global_mobility_spark.streaming.ops import (
 def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = stream_events(spark, sf_dir)
     return run_stream_to_memory(tumbling_window_counts(ev), "complete")
+
+
+def q_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming OHLC bars: arg-extrema (min_by/max_by) inside a
+    watermarked tumbling window — partial min_by state merges across
+    micro-batches exactly like batch partial aggregation, so the
+    completed run hash-matches the batch SQL oracle."""
+    ev = stream_events(spark, sf_dir)
+    return run_stream_to_memory(ohlc_bars_stream(ev), "complete")
 
 
 def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -415,6 +425,25 @@ SPECS = [
         "row: CSV file-stream → bronze→silver→split → idempotent parquet "
         "commit, read back and hash-matched against an independent "
         "recomputation",
+    ),
+    QuerySpec(
+        "stream_ohlc_bars",
+        q_stream_ohlc,
+        """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS win_start,
+               CAST(date_trunc('day', ts) + INTERVAL 1 DAY AS TIMESTAMP)
+                 AS win_end,
+               event_type,
+               arg_min(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                       || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS open_v,
+               max(value) AS high_v,
+               min(value) AS low_v,
+               arg_max(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
+                       || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS close_v,
+               count(*) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+            FROM events GROUP BY 1, 2, 3""",
+        doc="streaming OHLC bars: mergeable arg-extrema (min_by/max_by) "
+        "in a watermarked tumbling window, stream≡batch by oracle",
     ),
     QuerySpec(
         "stream_tumbling_counts",

@@ -382,3 +382,45 @@ def run_stream_until_idle(
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
+
+
+def ohlc_bars_stream(
+    events: DataFrame, window: str = "1 day", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Watermarked tumbling-window OHLC bars — the streaming twin of
+    corpus.relational.q_ohlc_downsample: open/close are ARG-extrema
+    (min_by/max_by on the unique zero-padded (epoch_micros, event_id)
+    key, deterministic under timestamp ties), high/low plain extrema,
+    count + decimal-exact sum. min_by/max_by are mergeable declarative
+    aggregates, so partial state merges across micro-batches exactly
+    like batch partial aggregation — the stream≡batch invariant holds
+    bit-for-bit and is enforced by the shared SQL oracle."""
+    key = F.concat(
+        F.lpad(F.unix_micros(F.col("ts")).cast("string"), 20, "0"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window), F.col("event_type"))
+        .agg(
+            F.min_by(F.col("value"), key).alias("open_v"),
+            F.max("value").alias("high_v"),
+            F.min("value").alias("low_v"),
+            F.max_by(F.col("value"), key).alias("close_v"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            F.col("window.start").alias("win_start"),
+            F.col("window.end").alias("win_end"),
+            "event_type",
+            "open_v",
+            "high_v",
+            "low_v",
+            "close_v",
+            "n_events",
+            "sum_value",
+        )
+    )
