@@ -1419,7 +1419,7 @@ def _mmr_sql(
         SELECT q_id, c_id, rel,
                row_number() OVER (PARTITION BY q_id
                                   ORDER BY rel DESC, c_id) AS rk
-        FROM cscored) WHERE rk <= {nc}
+        FROM cscored) WHERE rk <= {nc} AND NOT isnan(rel)
     ), pair AS (
       SELECT x.q_id, x.c_id AS a_id, y.c_id AS b_id
       FROM cands x JOIN cands y ON x.q_id = y.q_id AND x.c_id < y.c_id

@@ -732,6 +732,24 @@ def q_collect_sorted_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: SQL mirror of operators.temporal.event_order_key — 19-digit pads
+#: cover the full non-negative BIGINT range (no truncation at any id
+#: or epoch magnitude); change together with the Spark definition.
+OHLC_KEY_SQL = (
+    "lpad(CAST(epoch_us(ts) AS VARCHAR), 19, '0')"
+    " || lpad(CAST(event_id AS VARCHAR), 19, '0')"
+)
+
+#: SQL mirror of operators.temporal.ohlc_aggregates — shared by the
+#: batch and streaming OHLC oracle strings.
+OHLC_AGGS_SQL = f"""arg_min(value, {OHLC_KEY_SQL}) AS open_v,
+               max(value) AS high_v,
+               min(value) AS low_v,
+               arg_max(value, {OHLC_KEY_SQL}) AS close_v,
+               count(*) AS n_events,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value"""
+
+
 def q_ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series OHLC downsampling (the metrics/market-data rollup):
     per (day, event_type) bar — opening value, high, low, closing
@@ -739,29 +757,19 @@ def q_ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     `max_by` — value AT the earliest/latest event), not plain extrema.
 
     Determinism: two events can share a timestamp, so the ordering key
-    is a fixed-width zero-padded string of (epoch_micros, event_id) —
-    lexicographic order == numeric order, unique by event_id, and the
+    is operators.temporal.event_order_key — a fixed-width zero-padded
+    string of (epoch_micros, event_id), lexicographic == numeric over
+    the full non-negative BIGINT range, unique by event_id; the
     oracle's arg_min/arg_max accepts the same VARCHAR key (DuckDB has
     no composite-key arg-extrema). Single hash aggregation with
     map-side partial combine — one shuffle at any scale."""
+    from etl_global_mobility_spark.operators.temporal import ohlc_aggregates
+
     ev = load_table(spark, sf_dir, "events")
-    key = F.concat(
-        F.lpad(F.unix_micros(F.col("ts")).cast("string"), 20, "0"),
-        F.lpad(F.col("event_id").cast("string"), 12, "0"),
-    )
     return ev.groupBy(
         F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"),
         "event_type",
-    ).agg(
-        F.min_by(F.col("value"), key).alias("open_v"),
-        F.max("value").alias("high_v"),
-        F.min("value").alias("low_v"),
-        F.max_by(F.col("value"), key).alias("close_v"),
-        F.count(F.lit(1)).alias("n_events"),
-        F.sum(F.col("value").cast("decimal(18,6)"))
-        .cast("double")
-        .alias("sum_value"),
-    )
+    ).agg(*ohlc_aggregates())
 
 
 def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3174,16 +3182,9 @@ SPECS = [
     QuerySpec(
         "rel_ohlc_downsample",
         q_ohlc_downsample,
-        """SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+        f"""SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
                event_type,
-               arg_min(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
-                       || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS open_v,
-               max(value) AS high_v,
-               min(value) AS low_v,
-               arg_max(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
-                       || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS close_v,
-               count(*) AS n_events,
-               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+               {OHLC_AGGS_SQL}
             FROM events GROUP BY 1, 2""",
         doc="OHLC time-series downsampling: arg-extrema (min_by/max_by) "
         "open/close on a unique padded (epoch, id) key, one shuffle",

@@ -17,6 +17,7 @@ from etl_global_mobility_spark.corpus.base import (
     load_table,
     spark_round_sql,
 )
+from etl_global_mobility_spark.corpus.relational import OHLC_AGGS_SQL
 from etl_global_mobility_spark.streaming.ops import (
     interval_join_streams,
     ohlc_bars_stream,
@@ -429,18 +430,11 @@ SPECS = [
     QuerySpec(
         "stream_ohlc_bars",
         q_stream_ohlc,
-        """SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS win_start,
+        f"""SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS win_start,
                CAST(date_trunc('day', ts) + INTERVAL 1 DAY AS TIMESTAMP)
                  AS win_end,
                event_type,
-               arg_min(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
-                       || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS open_v,
-               max(value) AS high_v,
-               min(value) AS low_v,
-               arg_max(value, lpad(CAST(epoch_us(ts) AS VARCHAR), 20, '0')
-                       || lpad(CAST(event_id AS VARCHAR), 12, '0')) AS close_v,
-               count(*) AS n_events,
-               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+               {OHLC_AGGS_SQL}
             FROM events GROUP BY 1, 2, 3""",
         doc="streaming OHLC bars: mergeable arg-extrema (min_by/max_by) "
         "in a watermarked tumbling window, stream≡batch by oracle",

@@ -239,9 +239,29 @@ def mmr_rerank(
         dot,
     )
 
-    cands = cosine_topk_exact(
-        corpus, queries, k=n_candidates, id_col=id_col, vec_col=vec_col
-    ).select("q_id", "c_id", F.col("score").alias("rel"))
+    from pyspark.sql import types as T
+
+    id_type = corpus.schema[id_col].dataType
+    if not isinstance(id_type, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        raise ValueError(
+            f"mmr_rerank requires an integral id column; {id_col} is "
+            f"{id_type.simpleString()} (the cogrouped greedy emits a "
+            "bigint id schema)"
+        )
+
+    cands = (
+        cosine_topk_exact(
+            corpus, queries, k=n_candidates, id_col=id_col, vec_col=vec_col
+        )
+        .select("q_id", "c_id", F.col("score").alias("rel"))
+        # A zero/NaN vector yields rel = NaN, which both engines rank
+        # FIRST in a descending sort but which the greedy's strict `>`
+        # and the oracle's greatest() would then order-depend on. Drop
+        # NaN-relevance candidates symmetrically (the oracle filters
+        # `NOT isnan(rel)` on its candidate CTE) so the two candidate
+        # sets stay identical.
+        .where(~F.isnan(F.col("rel")))
+    )
     # The candidate frame feeds THREE consumers (rels + both sides of
     # the pairwise-sim self-join); without materialization Spark would
     # replay the corpus-wide retrieval subtree per consumer — three

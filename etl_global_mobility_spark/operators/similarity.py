@@ -73,11 +73,20 @@ def cosine_topk_exact(
     )
     from pyspark.sql import Window
 
+    # Zero-norm (all-zeros) vectors: ANSI mode would throw
+    # DIVIDE_BY_ZERO, so guard the division and emit NaN — exactly
+    # what DuckDB's 0/0 produces — keeping the two engines' candidate
+    # rankings identical (both sort NaN first descending); for every
+    # nonzero pair the guarded expression is the SAME division.
+    nrm_prod = F.col("q_nrm") * F.col("c_nrm")
     scored = (
         c.join(F.broadcast(q), F.col("q_id") != F.col("c_id"))
         .withColumn(
             "score",
-            dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_nrm") * F.col("c_nrm")),
+            F.when(
+                nrm_prod > 0,
+                dot(F.col("q_vec"), F.col("c_vec")) / nrm_prod,
+            ).otherwise(F.lit(float("nan"))),
         )
     )
     w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("c_id"))

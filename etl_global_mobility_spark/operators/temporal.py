@@ -236,3 +236,40 @@ def interval_overlap_join(
     return joined.drop("_bucket").withColumn(
         "overlap_amount", F.least(a_e, b_e) - F.greatest(a_s, b_s)
     )
+
+
+def event_order_key(ts_col: str = "ts", id_col: str = "event_id") -> F.Column:
+    """Unique, lexicographic-equals-numeric ordering key for
+    arg-extrema over events: zero-padded (epoch_micros, event_id),
+    both padded to 19 digits (the full non-negative BIGINT range, so
+    no id or epoch can ever truncate).
+
+    Domain contract (asserted by the shared oracle fragment using the
+    same widths): both epoch_micros and the id are NON-NEGATIVE —
+    zero-padding does not order negative numbers correctly, so
+    pre-1970 timestamps or negative ids are outside the contract.
+    The single definition here is shared by the batch and streaming
+    OHLC operators; the SQL mirror lives in
+    corpus.relational.OHLC_KEY_SQL — change both together.
+    """
+    return F.concat(
+        F.lpad(F.unix_micros(F.col(ts_col)).cast("string"), 19, "0"),
+        F.lpad(F.col(id_col).cast("string"), 19, "0"),
+    )
+
+
+def ohlc_aggregates(value_col: str = "value", key: F.Column | None = None):
+    """The six OHLC aggregate columns (open/high/low/close/count/exact
+    sum) over ``value_col`` ordered by ``key`` — shared by the batch
+    (`rel_ohlc_downsample`) and streaming (`stream_ohlc_bars`) twins so
+    the stream≡batch invariant rests on ONE definition."""
+    k = key if key is not None else event_order_key()
+    v = F.col(value_col)
+    return [
+        F.min_by(v, k).alias("open_v"),
+        F.max(value_col).alias("high_v"),
+        F.min(value_col).alias("low_v"),
+        F.max_by(v, k).alias("close_v"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(v.cast("decimal(18,6)")).cast("double").alias("sum_value"),
+    ]

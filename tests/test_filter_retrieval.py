@@ -339,3 +339,28 @@ def test_mmr_rerank_structural_invariants_random_vectors(spark):
         assert [r.mmr_rank for r in sorted(rs, key=lambda r: r.mmr_rank)] == list(
             range(1, len(rs) + 1)
         )
+
+
+def test_mmr_rerank_rejects_non_integral_ids_and_drops_nan_relevance(spark):
+    from etl_global_mobility_spark.operators.retrieval import mmr_rerank
+    import pytest as _pytest
+
+    sdf = spark.createDataFrame(
+        [("a", [1.0, 0.0])], "vec_id string, embedding array<float>"
+    )
+    with _pytest.raises(ValueError, match="integral id column"):
+        mmr_rerank(sdf, sdf)
+
+    # a zero vector produces NaN cosine relevance; it must be dropped
+    # from the candidate set (symmetric with the oracle's NOT isnan)
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),
+        (2, [0.0, 0.0, 0.0]),   # zero vector -> NaN rel
+        (3, [0.5, 0.5, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.filter("vec_id = 0")
+    out = mmr_rerank(df, q, k=3, n_candidates=3, lam=0.7, div=0.3).collect()
+    ids = {r.c_id for r in out}
+    assert 2 not in ids and ids <= {1, 3}

@@ -198,3 +198,27 @@ def test_ohlc_downsample_tie_breaks_by_event_id(spark):
             assert out.close_v == 90.0   # max key: id 4 wins at close
             assert out.high_v == 100.0 and out.low_v == 50.0
             assert out.n_events == 4
+
+
+def test_event_order_key_no_truncation_at_13_digit_ids(spark):
+    """Regression: the 19-digit id pad must not truncate large ids —
+    with the old 12-digit pad, two 13-digit ids sharing a prefix
+    collided and the arg-extrema tie-break went nondeterministic."""
+    from etl_global_mobility_spark.operators.temporal import (
+        event_order_key,
+        ohlc_aggregates,
+    )
+    import datetime as dt
+
+    t = dt.datetime(2024, 1, 1, 9, 0, 0)
+    rows = [
+        (1234567890123, t, "trade", 5.0),   # shares 12-char prefix...
+        (1234567890129, t, "trade", 9.0),   # ...with this one
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, event_type string, value double"
+    )
+    (out,) = df.groupBy("event_type").agg(*ohlc_aggregates()).collect()
+    assert out.open_v == 5.0 and out.close_v == 9.0
+    keys = df.select(event_order_key().alias("k")).collect()
+    assert len({r.k for r in keys}) == 2 and all(len(r.k) == 38 for r in keys)
