@@ -27,7 +27,7 @@ green driver row, and no query's evidence gets stale:
   ``parity_rounding``, ``rel_window_rank_dense`` — each a close
   sibling of a retained row); the max-staleness invariant in
   tests/test_corpus_oracle.py (4 rounds — the tightest bound a
-  50-slot window can sustain over ~166 oracle-backed queries) lets
+  50-slot window can sustain over ~172 oracle-backed queries) lets
   them wait one more round and then forces them into a window. Put
   them in round 6 anyway: round 6's window must take the 20 round-5
   additions + these six + the two canaries, leaving ~22 slots to

@@ -394,24 +394,16 @@ def ohlc_bars_stream(
     count + decimal-exact sum. min_by/max_by are mergeable declarative
     aggregates, so partial state merges across micro-batches exactly
     like batch partial aggregation — the stream≡batch invariant holds
-    bit-for-bit and is enforced by the shared SQL oracle."""
-    key = F.concat(
-        F.lpad(F.unix_micros(F.col("ts")).cast("string"), 20, "0"),
-        F.lpad(F.col("event_id").cast("string"), 12, "0"),
-    )
+    bit-for-bit and is enforced by the shared SQL oracle. Key and
+    aggregate definitions are SHARED with the batch twin
+    (operators.temporal.event_order_key / ohlc_aggregates) so the
+    invariant rests on one definition, not four synchronized copies."""
+    from etl_global_mobility_spark.operators.temporal import ohlc_aggregates
+
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", window), F.col("event_type"))
-        .agg(
-            F.min_by(F.col("value"), key).alias("open_v"),
-            F.max("value").alias("high_v"),
-            F.min("value").alias("low_v"),
-            F.max_by(F.col("value"), key).alias("close_v"),
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,6)"))
-            .cast("double")
-            .alias("sum_value"),
-        )
+        .agg(*ohlc_aggregates())
         .select(
             F.col("window.start").alias("win_start"),
             F.col("window.end").alias("win_end"),
