@@ -16,22 +16,24 @@ green driver row, and no query's evidence gets stale:
 * round 4 covered the never-driver-checked tail — the r3-new
   relational queries, the 5 llm compositions, the sliding/python-source
   streams, the cogroup UDF (CORRECTNESS_r04: 50/50 green);
-* round 5 (this window) covers the 13 round-4-added queries that were
-  SCHEDULED_NEXT_WINDOW last round, the two standing canaries
-  (``parity_derived_all``, ``llm_exact_dedup``) and — now that every
-  oracle-backed query has held a green row in some round — begins the
-  EVIDENCE-REFRESH rotation: the remaining 35 slots re-check the
-  OLDEST green rows (r2-only evidence, never re-run since). Six
-  r2-only rows did not fit this window (``rel_agg_cube``,
-  ``rel_agg_rollup``, ``rel_join_right``, ``rel_join_semi``,
-  ``parity_rounding``, ``rel_window_rank_dense`` — each a close
-  sibling of a retained row); the max-staleness invariant in
-  tests/test_corpus_oracle.py (4 rounds — the tightest bound a
-  50-slot window can sustain over ~172 oracle-backed queries) lets
-  them wait one more round and then forces them into a window. Put
-  them in round 6 anyway: round 6's window must take the 20 round-5
-  additions + these six + the two canaries, leaving ~22 slots to
-  start refreshing the oldest r3 rows.
+* round 5 covered the 13 round-4 additions, the two canaries, and 35
+  of the 41 r2-only evidence rows (CORRECTNESS_r05: 50/50 green —
+  every oracle-backed query registered through round 4 now holds a
+  green driver row in some round);
+* round 6 (this window) takes the 20 round-5 additions (first driver
+  rows for each), the six r2-only rows the r5 window could not fit
+  (``rel_agg_cube``, ``rel_agg_rollup``, ``rel_join_right``,
+  ``rel_join_semi``, ``parity_rounding``, ``rel_window_rank_dense``
+  — at the staleness bound), the two standing canaries, and 22 of
+  the 48 r3-only evidence rows (the llm operator block — oldest
+  un-refreshed evidence). Round 7's window must take the REMAINING
+  26 r3-only rows (llm_pii_redact, llm_repetition_signals,
+  llm_strip_boilerplate, llm_text_stats, llm_vocab_oov, the three
+  r3 parity rows, the eight r3 relational rows, the five r3
+  streams, the five r3 udf rows) — the tightened 3-round staleness
+  invariant (tests/test_corpus_oracle.py) forces exactly that —
+  plus the two canaries and this round's SCHEDULED_NEXT_WINDOW
+  additions, leaving the balance to start refreshing r4 rows.
 
 ``DRIVER_GREEN_PAST_ROUNDS`` records which queries already hold a
 green row (union of CORRECTNESS_r02/r03/r04); those may sit past the
@@ -48,126 +50,140 @@ from __future__ import annotations
 
 from etl_global_mobility_spark.corpus.base import QuerySpec, load_table
 
-#: First 50 registered names — the driver's round-5 correctness window.
+#: First 50 registered names — the driver's round-6 correctness window.
 DRIVER_WINDOW = (
-    # the 13 round-4 additions (SCHEDULED_NEXT_WINDOW last round) —
+    # the 20 round-5 additions (SCHEDULED_NEXT_WINDOW last round) —
     # first driver rows for each
-    "llm_semantic_dedup",
-    "llm_causal_lm_examples",
-    "llm_quality_classifier",
-    "llm_preference_pairs",
-    "llm_hybrid_retrieval_rrf",
-    "llm_e2e_training_examples",
-    "udf_apply_in_arrow",
-    "rel_null_aware_anti_join",
-    "rel_dataset_card",
-    "rel_listagg",
-    "rel_source_xml",
-    "rel_pagerank",
-    "rel_lateral_topk",
-    # standing canaries (r2+r3+r4 green) for cross-round regression
-    # signal — one parity + one llm
+    "llm_tfidf_topterms",
+    "llm_bigram_novelty",
+    "llm_mmr_rerank",
+    "llm_bpe_pair_stats",
+    "llm_dup_ngram_spans",
+    "llm_temperature_mix",
+    "llm_sentence_chunks",
+    "llm_packing_efficiency",
+    "rel_ohlc_downsample",
+    "stream_ohlc_bars",
+    "stream_scd2_enrichment",
+    "stream_static_join",
+    "stream_medallion_batch_parity",
+    "rel_spatial_grid_nearest",
+    "rel_interval_overlap_join",
+    "rel_tpch_q13_custdist",
+    "rel_tpch_q18_large_orders",
+    "rel_scalar_strings_extended",
+    "rel_source_parquet_zstd",
+    "udf_udtf_table_arg",
+    # the six r2-only evidence rows at the staleness bound
+    "rel_agg_cube",
+    "rel_agg_rollup",
+    "rel_join_right",
+    "rel_join_semi",
+    "parity_rounding",
+    "rel_window_rank_dense",
+    # standing canaries (green every round since r2/r3) for
+    # cross-round regression signal — one parity + one llm
     "parity_derived_all",
     "llm_exact_dedup",
-    # evidence refresh: the 35 oldest green rows (r2-only evidence)
-    "parity_casts",
-    "parity_date_parse",
-    "parity_filter_eq_range",
-    "parity_indicators",
-    "parity_map_lookup",
-    "parity_membership",
-    "parity_quality_rule_counts",
-    "parity_rename_project",
-    "parity_split_clean",
-    "parity_split_quarantine",
-    "parity_unit_conversion",
-    "parity_unit_price",
-    "rel_agg_count_distinct",
-    "rel_agg_grouping_sets",
-    "rel_agg_stats_moments",
-    "rel_dropduplicates",
-    "rel_join_anti",
-    "rel_join_broadcast_dims",
-    "rel_join_full_outer",
-    "rel_join_left_orders",
-    "rel_join_nonequi_self",
-    "rel_join_salted_skew",
-    "rel_median_disc",
-    "rel_pivot_linestatus",
-    "rel_range_join_buckets",
-    "rel_scalar_string_date_math",
-    "rel_subquery_exists",
-    "rel_subquery_scalar",
-    "rel_time_rollup",
-    "rel_topk_global",
-    "rel_unpivot_part",
-    "rel_window_distribution",
-    "rel_window_lag_lead",
-    "rel_window_running_sum",
-    "rel_window_topk_per_group",
+    # evidence refresh: 22 of the 48 r3-only green rows (the llm
+    # operator block — oldest un-refreshed evidence)
+    "llm_asof_join",
+    "llm_bm25",
+    "llm_chunk_documents",
+    "llm_contamination",
+    "llm_cosine_topk",
+    "llm_dedup_components",
+    "llm_embedding_neardup",
+    "llm_feature_hash",
+    "llm_filter_rules",
+    "llm_fingerprint",
+    "llm_frame_sample",
+    "llm_hash_split",
+    "llm_ivf_ann",
+    "llm_language_id",
+    "llm_lsh_ann",
+    "llm_minhash_neardup",
+    "llm_mix_sources",
+    "llm_multimodal_features",
+    "llm_ngram_jaccard",
+    "llm_pack_sequences",
+    "llm_pq_ann",
+    "llm_simhash",
 )
 
-#: Queries holding a green driver row in CORRECTNESS_r02/r03/r04 —
+#: Queries holding a green driver row in CORRECTNESS_r02/r03/r04/r05 —
 #: allowed past the window (their evidence is already recorded; the
 #: local gate still re-verifies them every round). Regenerated each
 #: round as the union of green rows across all CORRECTNESS_r0N.json.
 DRIVER_GREEN_PAST_ROUNDS = frozenset(
     {
-        "llm_asof_join", "llm_bm25", "llm_chunk_documents",
-        "llm_contamination", "llm_cosine_topk", "llm_dedup_components",
-        "llm_dedup_keep_best", "llm_e2e_curation", "llm_embedding_neardup",
-        "llm_exact_dedup", "llm_feature_hash", "llm_filter_rules",
-        "llm_fingerprint", "llm_frame_sample", "llm_hash_split",
-        "llm_ivf_ann", "llm_knn_label_vote", "llm_lang_profile",
-        "llm_language_id", "llm_lsh_ann", "llm_minhash_neardup",
-        "llm_mix_sources", "llm_multimodal_features", "llm_ngram_jaccard",
+        "llm_asof_join", "llm_bm25", "llm_causal_lm_examples",
+        "llm_chunk_documents", "llm_contamination", "llm_cosine_topk",
+        "llm_dedup_components", "llm_dedup_keep_best",
+        "llm_e2e_curation", "llm_e2e_training_examples",
+        "llm_embedding_neardup", "llm_exact_dedup", "llm_feature_hash",
+        "llm_filter_rules", "llm_fingerprint", "llm_frame_sample",
+        "llm_hash_split", "llm_hybrid_retrieval_rrf", "llm_ivf_ann",
+        "llm_knn_label_vote", "llm_lang_profile", "llm_language_id",
+        "llm_lsh_ann", "llm_minhash_neardup", "llm_mix_sources",
+        "llm_multimodal_features", "llm_ngram_jaccard",
         "llm_pack_sequences", "llm_per_source_cap", "llm_pii_redact",
-        "llm_pq_ann", "llm_quality_score", "llm_repetition_signals",
-        "llm_simhash", "llm_split_leakage", "llm_stratified_sample",
-        "llm_strip_boilerplate", "llm_text_stats", "llm_vocab_oov",
-        "parity_casts", "parity_catalog_table_scan", "parity_csv_scan",
+        "llm_pq_ann", "llm_preference_pairs", "llm_quality_classifier",
+        "llm_quality_score", "llm_repetition_signals",
+        "llm_semantic_dedup", "llm_simhash", "llm_split_leakage",
+        "llm_stratified_sample", "llm_strip_boilerplate",
+        "llm_text_stats", "llm_vocab_oov", "parity_casts",
+        "parity_catalog_table_scan", "parity_csv_scan",
         "parity_date_parse", "parity_derived_all",
-        "parity_filter_eq_range", "parity_indicators", "parity_map_lookup",
-        "parity_membership", "parity_quality_reasons",
-        "parity_quality_rule_counts", "parity_rename_project",
-        "parity_rounding", "parity_split_clean", "parity_split_quarantine",
+        "parity_filter_eq_range", "parity_indicators",
+        "parity_map_lookup", "parity_membership",
+        "parity_quality_reasons", "parity_quality_rule_counts",
+        "parity_rename_project", "parity_rounding",
+        "parity_split_clean", "parity_split_quarantine",
         "parity_unit_conversion", "parity_unit_price",
-        "rel_agg_count_distinct", "rel_agg_cube", "rel_agg_grouping_sets",
-        "rel_agg_pricing_summary", "rel_agg_rollup",
-        "rel_agg_stats_moments", "rel_array_ops", "rel_bucketed_join",
-        "rel_cohort_retention", "rel_collect_sorted_lists",
-        "rel_csv_corrupt_records", "rel_decayed_activity",
+        "rel_agg_count_distinct", "rel_agg_cube",
+        "rel_agg_grouping_sets", "rel_agg_pricing_summary",
+        "rel_agg_rollup", "rel_agg_stats_moments", "rel_array_ops",
+        "rel_bucketed_join", "rel_cohort_retention",
+        "rel_collect_sorted_lists", "rel_csv_corrupt_records",
+        "rel_dataset_card", "rel_decayed_activity",
         "rel_dropduplicates", "rel_equidepth_bins",
         "rel_error_safe_functions", "rel_expectations_report",
-        "rel_funnel_analysis", "rel_fuzzy_match", "rel_histogram_prices",
-        "rel_hof_arrays", "rel_incremental_agg", "rel_join_anti",
+        "rel_funnel_analysis", "rel_fuzzy_match",
+        "rel_histogram_prices", "rel_hof_arrays",
+        "rel_incremental_agg", "rel_join_anti",
         "rel_join_broadcast_dims", "rel_join_full_outer",
         "rel_join_hinted_shuffle_hash", "rel_join_left_orders",
         "rel_join_nonequi_self", "rel_join_revenue_by_nation",
         "rel_join_right", "rel_join_salted_skew", "rel_join_semi",
-        "rel_json_events", "rel_mask_redaction", "rel_median_disc",
-        "rel_merge_upsert", "rel_moving_window_sum", "rel_null_safe_join",
-        "rel_percentiles_exact", "rel_pivot_linestatus",
-        "rel_range_join_buckets", "rel_ratio_to_report",
-        "rel_recursive_chain", "rel_resample_ffill", "rel_robust_scaling",
+        "rel_json_events", "rel_lateral_topk", "rel_listagg",
+        "rel_mask_redaction", "rel_median_disc", "rel_merge_upsert",
+        "rel_moving_window_sum", "rel_null_aware_anti_join",
+        "rel_null_safe_join", "rel_pagerank", "rel_percentiles_exact",
+        "rel_pivot_linestatus", "rel_range_join_buckets",
+        "rel_ratio_to_report", "rel_recursive_chain",
+        "rel_resample_ffill", "rel_robust_scaling",
         "rel_running_distinct", "rel_scalar_dates",
         "rel_scalar_string_date_math", "rel_scd2_dimension",
         "rel_scd2_point_in_time", "rel_schema_evolution",
         "rel_sessionize_batch", "rel_set_ops", "rel_snapshot_diff",
         "rel_source_binaryfile", "rel_source_json", "rel_source_orc",
-        "rel_source_python_ds", "rel_subquery_exists",
-        "rel_subquery_scalar", "rel_time_rollup", "rel_topk_global",
+        "rel_source_python_ds", "rel_source_xml",
+        "rel_subquery_exists", "rel_subquery_scalar",
+        "rel_time_rollup", "rel_topk_global",
         "rel_tpch_q3_shipping_priority", "rel_triangle_count",
-        "rel_unpivot_part", "rel_variant_json", "rel_window_distribution",
-        "rel_window_first_last", "rel_window_lag_lead",
-        "rel_window_range_frame", "rel_window_rank_dense",
-        "rel_window_running_sum", "rel_window_topk_per_group",
-        "rel_zorder_key", "stream_dedup_keys", "stream_python_source",
+        "rel_unpivot_part", "rel_variant_json",
+        "rel_window_distribution", "rel_window_first_last",
+        "rel_window_lag_lead", "rel_window_range_frame",
+        "rel_window_rank_dense", "rel_window_running_sum",
+        "rel_window_topk_per_group", "rel_zorder_key",
+        "stream_dedup_keys", "stream_python_source",
         "stream_session_windows", "stream_sliding_counts",
         "stream_stateful_profile", "stream_stream_join",
-        "stream_tumbling_counts", "udf_cogroup_profile",
-        "udf_map_in_arrow", "udf_pandas_grouped_agg",
-        "udf_pandas_grouped_map", "udf_pandas_scalar", "udf_python_udtf",
+        "stream_tumbling_counts", "udf_apply_in_arrow",
+        "udf_cogroup_profile", "udf_map_in_arrow",
+        "udf_pandas_grouped_agg", "udf_pandas_grouped_map",
+        "udf_pandas_scalar", "udf_python_udtf",
     }
 )
 
@@ -175,32 +191,9 @@ DRIVER_GREEN_PAST_ROUNDS = frozenset(
 #: Queries ADDED this round (registered past the already-frozen window):
 #: the NEXT rotation must pull these in. The window-invariant test
 #: treats this as the only legitimate reason an oracle-backed query
-#: lacks both window coverage and a past green row. Round-5 additions
+#: lacks both window coverage and a past green row. Round-6 additions
 #: are appended here as they are registered.
-SCHEDULED_NEXT_WINDOW = frozenset(
-    {
-        "llm_bpe_pair_stats",
-        "stream_medallion_batch_parity",
-        "llm_temperature_mix",
-        "llm_packing_efficiency",
-        "llm_dup_ngram_spans",
-        "rel_tpch_q13_custdist",
-        "udf_udtf_table_arg",
-        "stream_static_join",
-        "rel_source_parquet_zstd",
-        "llm_sentence_chunks",
-        "rel_tpch_q18_large_orders",
-        "rel_scalar_strings_extended",
-        "rel_spatial_grid_nearest",
-        "stream_scd2_enrichment",
-        "rel_interval_overlap_join",
-        "llm_tfidf_topterms",
-        "llm_bigram_novelty",
-        "llm_mmr_rerank",
-        "rel_ohlc_downsample",
-        "stream_ohlc_bars",
-    }
-)
+SCHEDULED_NEXT_WINDOW: frozenset[str] = frozenset()
 
 
 def all_queries() -> dict[str, QuerySpec]:

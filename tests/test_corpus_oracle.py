@@ -98,10 +98,11 @@ def test_driver_evidence_max_staleness():
     in SCHEDULED_NEXT_WINDOW) must have a green driver row recorded
     within the last MAX_STALENESS rounds, counting a slot in the
     current DRIVER_WINDOW as evidence for the upcoming round. With
-    ~160 queries and a 50-slot window the full refresh period is ~3.5
-    rounds, so MAX_STALENESS = 4 is the tightest self-enforcing bound:
-    if a query's last green row ages past it, this test fails until the
-    next window re-checks it.
+    ~175 oracle-backed queries and a 50-slot window the full refresh
+    period is ~3.5 rounds; after the round-6 rotation cleared the
+    r2-only debt, MAX_STALENESS = 3 is sustainable and is the tightest
+    self-enforcing bound: if a query's last green row ages past it,
+    this test fails until the next window re-checks it.
     """
     import glob
     import json
@@ -114,7 +115,7 @@ def test_driver_evidence_max_staleness():
         all_queries,
     )
 
-    MAX_STALENESS = 4
+    MAX_STALENESS = 3
 
     def green(v):
         return (
