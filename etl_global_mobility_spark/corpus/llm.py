@@ -383,6 +383,7 @@ def _hybrid_rrf_sql(k: int = 60, top_k: int = 20, qvec: int = 5) -> str:
                row_number() OVER (ORDER BY {cos} DESC, c.vec_id) AS rank
         FROM embeddings c, embeddings q
         WHERE q.vec_id = {qvec} AND c.vec_id <> {qvec}
+          AND NOT isnan({cos})
       ) WHERE rank <= {top_k}
     ), fused AS (
       SELECT COALESCE(bm.doc_id, cosr.doc_id) AS doc_id,
@@ -1356,7 +1357,7 @@ def _cosine_topk_sql(k: int = 5, n_queries: int = 8) -> str:
     ), ranked AS (
       SELECT q_id, c_id, score,
              row_number() OVER (PARTITION BY q_id ORDER BY score DESC, c_id) AS rank
-      FROM scored
+      FROM scored WHERE NOT isnan(score)
     )
     SELECT q_id, rank, c_id, score FROM ranked WHERE rank <= {k}
     """
@@ -1419,7 +1420,7 @@ def _mmr_sql(
         SELECT q_id, c_id, rel,
                row_number() OVER (PARTITION BY q_id
                                   ORDER BY rel DESC, c_id) AS rk
-        FROM cscored) WHERE rk <= {nc} AND NOT isnan(rel)
+        FROM cscored WHERE NOT isnan(rel)) WHERE rk <= {nc}
     ), pair AS (
       SELECT x.q_id, x.c_id AS a_id, y.c_id AS b_id
       FROM cands x JOIN cands y ON x.q_id = y.q_id AND x.c_id < y.c_id
@@ -1562,7 +1563,7 @@ def _knn_vote_sql(n_queries: int = 8, k: int = 10) -> str:
     ), ranked AS (
       SELECT q_id, c_id, label,
              row_number() OVER (PARTITION BY q_id ORDER BY score DESC, c_id) AS rank
-      FROM scored
+      FROM scored WHERE NOT isnan(score)
     ), votes AS (
       SELECT q_id, label, count(*) AS votes FROM ranked WHERE rank <= {k}
       GROUP BY q_id, label

@@ -203,7 +203,11 @@ def export_training_shards(
     read_cols = []
     if token_col is not None:
         read_cols = [token_col]
-        agg_cols.append(F.sum(token_col).cast("long").alias("tokens"))
+        # coalesce: a shard whose token_col is entirely NULL must report
+        # 0 tokens, not a null that poisons the manifest totals
+        agg_cols.append(
+            F.coalesce(F.sum(token_col), F.lit(0)).cast("long").alias("tokens")
+        )
     written = spark.read.parquet(path).select(*read_cols, *cols)
     per_shard = written.groupBy("shard").agg(*agg_cols).collect()  # bounded:
     # one row per shard file
@@ -220,6 +224,11 @@ def export_training_shards(
     }
     if token_col is not None:
         manifest["total_tokens"] = sum(e["tokens"] for e in shards.values())
-    with open(f"{path.rstrip('/')}/_manifest.json", "w") as f:
-        json.dump(manifest, f, indent=1, sort_keys=True)
+    # through the Hadoop FS wrapper (like compact_partitions' swaps) so
+    # a remote shard path gets its manifest next to the shards, not on
+    # the driver's local disk
+    _fs(spark, path).write_text(
+        f"{path.rstrip('/')}/_manifest.json",
+        json.dumps(manifest, indent=1, sort_keys=True),
+    )
     return manifest

@@ -254,13 +254,12 @@ def mmr_rerank(
             corpus, queries, k=n_candidates, id_col=id_col, vec_col=vec_col
         )
         .select("q_id", "c_id", F.col("score").alias("rel"))
-        # A zero/NaN vector yields rel = NaN, which both engines rank
-        # FIRST in a descending sort but which the greedy's strict `>`
-        # and the oracle's greatest() would then order-depend on. Drop
-        # NaN-relevance candidates symmetrically (the oracle filters
-        # `NOT isnan(rel)` on its candidate CTE) so the two candidate
-        # sets stay identical.
-        .where(~F.isnan(F.col("rel")))
+        # cosine_topk_exact excludes NaN-relevance (zero-norm / NULL
+        # vector) candidates BEFORE ranking by contract, so every rank
+        # 1..n_candidates here is a real-similarity neighbor — matching
+        # the oracle, which applies NOT isnan(rel) pre-ranking too. The
+        # greedy's strict `>` and the oracle's greatest() therefore
+        # never see a NaN.
     )
     # The candidate frame feeds THREE consumers (rels + both sides of
     # the pairwise-sim self-join); without materialization Spark would

@@ -55,6 +55,12 @@ def cosine_topk_exact(
     corpus — the 100 TB side — streams through map tasks with no
     shuffle; only the tiny (n_queries × k) result set shuffles for the
     final per-query ordering. Ties break by corpus id ascending.
+
+    Degenerate candidates (zero-norm or NULL embeddings score NaN, which
+    sorts FIRST descending in Spark and DuckDB alike) are excluded
+    BEFORE ranking — by contract the returned ranks 1..k cover only
+    real-similarity neighbors, so downstream consumers (RRF fusion, kNN
+    vote, MMR) never see a top-k slot eaten by a broken vector.
     """
     # Norms are materialized once per ROW before the join; only the
     # cross dot product runs per PAIR. Same IEEE arithmetic as
@@ -91,7 +97,8 @@ def cosine_topk_exact(
     )
     w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("c_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        scored.filter(~F.isnan(F.col("score")))
+        .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("q_id", "rank", "c_id", "score")
     )

@@ -163,6 +163,10 @@ class _LocalFS:
     def rename(self, src: str, dst: str) -> None:
         os.replace(src, dst)
 
+    def write_text(self, p: str, text: str) -> None:
+        with open(p, "w") as f:
+            f.write(text)
+
 
 class _HadoopFS:  # pragma: no cover - remote FS
     """Thin wrapper over org.apache.hadoop.fs.FileSystem, so staging
@@ -189,6 +193,13 @@ class _HadoopFS:  # pragma: no cover - remote FS
 
     def rename(self, src: str, dst: str) -> None:
         self._fs.rename(self._Path(src), self._Path(dst))
+
+    def write_text(self, p: str, text: str) -> None:
+        out = self._fs.create(self._Path(p), True)
+        try:
+            out.write(bytearray(text, "utf-8"))
+        finally:
+            out.close()
 
 
 def _fs(spark: SparkSession, path: str):

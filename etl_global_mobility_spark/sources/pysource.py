@@ -163,6 +163,7 @@ class SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
 class _WroteFile(WriterCommitMessage):
     path: str
     n_rows: int
+    pid: int
 
 
 class JsonDirWriter(DataSourceWriter):
@@ -182,20 +183,27 @@ class JsonDirWriter(DataSourceWriter):
     def write(self, it: Iterator) -> _WroteFile:
         from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId()
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
+        # Stage under an ATTEMPT-specific name: a retried or speculative
+        # attempt of the same task must never write the same path a
+        # concurrent attempt holds open. Only the attempt whose message
+        # reaches commit() gets renamed to the final name.
+        tmp = os.path.join(
+            self.path, f".part-{pid:05d}-{ctx.taskAttemptId()}.json.tmp"
+        )
         os.makedirs(self.path, exist_ok=True)
-        tmp = os.path.join(self.path, f".part-{pid:05d}.json.tmp")
         n = 0
         with open(tmp, "w") as f:
             for row in it:
                 f.write(json.dumps(row.asDict()) + "\n")
                 n += 1
-        return _WroteFile(path=tmp, n_rows=n)
+        return _WroteFile(path=tmp, n_rows=n, pid=pid)
 
     def commit(self, messages: Sequence[_WroteFile]) -> None:
         total = 0
         for m in messages:
-            final = m.path.replace(".tmp", "").replace("/.part-", "/part-")
+            final = os.path.join(self.path, f"part-{m.pid:05d}.json")
             os.replace(m.path, final)
             total += m.n_rows
         with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
@@ -212,8 +220,10 @@ class JsonDirStreamWriter(DataSourceStreamWriter):
     source/sink matrix (batch read, stream read, batch write, and now
     stream write), with exactly-once spelled out:
 
-    * each micro-batch's tasks stage ``.part-<pid>.json.tmp`` files and
-      report them in commit messages;
+    * each micro-batch's tasks stage ``.part-<pid>-<attempt>.json.tmp``
+      files (attempt-specific, so a retried/speculative attempt never
+      races a concurrent attempt on the same path) and report them in
+      commit messages;
     * ``commit(messages, batchId)`` renames them to the DETERMINISTIC
       final names ``part-<batchId>-<pid>.json`` and drops a per-batch
       marker ``_batch-<batchId>._SUCCESS``. Names are a pure function
@@ -234,21 +244,29 @@ class JsonDirStreamWriter(DataSourceStreamWriter):
     def write(self, it: Iterator) -> _WroteFile:
         from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId()
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
+        # Attempt-specific staging (see JsonDirWriter.write): concurrent
+        # attempts of one task each own a distinct tmp path; commit()
+        # renames only the reported winner to the deterministic
+        # (batchId, pid) final name.
+        tmp = os.path.join(
+            self.path, f".part-{pid:05d}-{ctx.taskAttemptId()}.json.tmp"
+        )
         os.makedirs(self.path, exist_ok=True)
-        tmp = os.path.join(self.path, f".part-{pid:05d}.json.tmp")
         n = 0
         with open(tmp, "w") as f:
             for row in it:
                 f.write(json.dumps(row.asDict()) + "\n")
                 n += 1
-        return _WroteFile(path=tmp, n_rows=n)
+        return _WroteFile(path=tmp, n_rows=n, pid=pid)
 
     def commit(self, messages: Sequence[_WroteFile], batchId: int) -> None:
         total = 0
         for m in messages:
-            pid_part = os.path.basename(m.path).replace(".tmp", "").lstrip(".")
-            final = os.path.join(self.path, f"part-{batchId:05d}-{pid_part[5:]}")
+            final = os.path.join(
+                self.path, f"part-{batchId:05d}-{m.pid:05d}.json"
+            )
             os.replace(m.path, final)
             total += m.n_rows
         marker = os.path.join(self.path, f"_batch-{batchId:05d}._SUCCESS")

@@ -191,8 +191,11 @@ def stream_upsert_to_parquet(
     """Streaming MERGE: an update-mode aggregation streamed into a
     keyed parquet target — each micro-batch's changed rows UPSERT into
     the table (operators.merge.upsert: anti-join out superseded
-    versions, union the new), committed via the staged-swap rename so
-    a crash never leaves a half-written target.
+    versions, union the new), committed via staged-swap renames so a
+    crash never leaves a HALF-WRITTEN target: the old table is parked
+    at a sibling backup path before the staged table is promoted, so
+    every crash point leaves either the old or the new table intact
+    (worst case, the old one at the recoverable ``__old-*`` sibling).
 
     Idempotency without a transaction log: update-mode emits each
     key's CURRENT aggregate state, and upserting identical rows by key
@@ -215,18 +218,28 @@ def stream_upsert_to_parquet(
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        if os.path.exists(target_path):
+        fs = _fs(spark, target_path)
+        if fs.exists(target_path):
             current = spark.read.parquet(target_path)
             merged = upsert(current, batch_df, keys)
         else:
             merged = batch_df
-        staged = f"{target_path.rstrip('/')}__upsert-{uuid.uuid4().hex[:8]}"
+        base = target_path.rstrip("/")
+        staged = f"{base}__upsert-{uuid.uuid4().hex[:8]}"
         merged.write.mode("overwrite").parquet(staged)
-        fs = _fs(spark, staged)
-        if os.path.exists(target_path):
-            fs.rename(target_path, f"{staged}/__old__")
+        # Swap order matters for crash safety: park the old target at a
+        # SIBLING backup path (never inside staged — renaming staged
+        # into place must not carry the old data along), promote
+        # staged, then drop the backup. A crash after step 1 leaves the
+        # backup recoverable next to the target; after step 2 the new
+        # target is already in place.
+        backup = f"{base}__old-{uuid.uuid4().hex[:8]}"
+        had_old = fs.exists(target_path)
+        if had_old:
+            fs.rename(target_path, backup)
         fs.rename(staged, target_path)
-        fs.delete(f"{target_path}/__old__")
+        if had_old:
+            fs.delete(backup)
 
     q = (
         df.writeStream.foreachBatch(write_batch)
