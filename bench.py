@@ -154,6 +154,10 @@ def main() -> None:
     # rounds: round 5 A/B-ran llm_minhash_neardup with round-3 code in
     # a worktree vs current code on the same day — identical minima
     # (0.883s vs 0.875s over n=8), while round 3 had recorded 0.625s.
+    # Round 6 repeated the protocol for llm_lsh_ann (flagged 1.40s →
+    # 1.93s in r5 with no code change on its path): round-4 code in a
+    # worktree vs current, n=8 interleaved, minima 1.557s vs 1.584s —
+    # identical again, and both sides above the 1.40s r4 record.
     # Cross-ROUND per-query deltas under ~1.5x are therefore host
     # drift unless an A/B on the same day reproduces them. Two runs always; a third only when the first two
     # disagree by >1.5x (a noise hit landed on one of them). The min
