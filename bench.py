@@ -80,6 +80,8 @@ HEADLINE = [
     "rel_spatial_grid_nearest",
     "rel_tpch_q18_large_orders",
     "stream_scd2_enrichment",
+    # round-6 additions
+    "llm_incremental_neardup",
 ]
 
 

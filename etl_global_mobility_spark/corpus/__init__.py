@@ -193,7 +193,11 @@ DRIVER_GREEN_PAST_ROUNDS = frozenset(
 #: treats this as the only legitimate reason an oracle-backed query
 #: lacks both window coverage and a past green row. Round-6 additions
 #: are appended here as they are registered.
-SCHEDULED_NEXT_WINDOW: frozenset[str] = frozenset()
+SCHEDULED_NEXT_WINDOW = frozenset(
+    {
+        "llm_incremental_neardup",
+    }
+)
 
 
 def all_queries() -> dict[str, QuerySpec]:

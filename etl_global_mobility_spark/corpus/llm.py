@@ -147,6 +147,27 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(d, k=2, threshold=0.25)
 
 
+def q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup maintenance: docs with doc_id % 10 == 0
+    play the NEW shard arriving against a band-signature index built
+    from everything else. The shard is shingled and broadcast; the
+    index side is one map-only scan (no text, no corpus shuffle). The
+    oracle proves incremental ≡ full: a complete MinHash recompute
+    over the union restricted to pairs involving the shard."""
+    from etl_global_mobility_spark.operators.dedup import (
+        incremental_minhash_neardup,
+        minhash_band_index,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    existing = d.filter(F.col("doc_id") % 10 != 0)
+    shard = d.filter(F.col("doc_id") % 10 == 0)
+    index = minhash_band_index(existing, n_hashes=16, bands=4, k=3)
+    return incremental_minhash_neardup(
+        index, shard, n_hashes=16, bands=4, k=3, jaccard_threshold=0.25
+    )
+
+
 def q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic 80/10/10 train/valid/test split via a stable md5
     bucket of doc_id (operators/splits.py): reproducible on any cluster
@@ -1316,6 +1337,20 @@ def _minhash_sql(n_hashes: int = 16, bands: int = 4, k: int = 3, thr: float = 0.
     """
 
 
+def _incremental_neardup_sql(
+    n_hashes: int = 16, bands: int = 4, k: int = 3, thr: float = 0.25
+) -> str:
+    """Full-recompute oracle for the incremental path: the complete
+    MinHash banding over ALL documents, restricted to pairs where at
+    least one side is in the shard (doc_id % 10 == 0) — by
+    construction exactly what the index-join must produce."""
+    return f"""
+    SELECT id_a, id_b, est_jaccard
+    FROM ({_minhash_sql(n_hashes=n_hashes, bands=bands, k=k, thr=thr)})
+    WHERE id_a % 10 = 0 OR id_b % 10 = 0
+    """
+
+
 def _ngram_jaccard_sql(k: int = 2, thr: float = 0.25, df_max: int = 10_000) -> str:
     # df_max mirrors ngram_jaccard_pairs' document-frequency cap (shingle
     # df > df_max dropped; set sizes recomputed on the capped universe).
@@ -2112,6 +2147,13 @@ SPECS = [
         q_ngram_jaccard,
         _ngram_jaccard_sql(),
         doc="exact n-gram Jaccard via inverted-index join",
+    ),
+    QuerySpec(
+        "llm_incremental_neardup",
+        q_incremental_neardup,
+        _incremental_neardup_sql(),
+        doc="incremental near-dup maintenance: new shard vs persisted "
+        "band-signature index, proven ≡ full recompute on the union",
     ),
     QuerySpec(
         "llm_cosine_topk",

@@ -64,6 +64,40 @@ def test_minhash_recall_on_planted_duplicates(spark):
     assert recall >= 0.75, f"planted-dup recall {recall}: found {found}"
 
 
+def test_incremental_neardup_equals_full_recompute(spark, tmp_path):
+    """The maintenance contract: dedup of a new shard against a
+    persisted band index must emit EXACTLY the pairs a full recompute
+    over (corpus ∪ shard) emits that involve a shard document —
+    new-vs-corpus and new-vs-new, nothing more, nothing less."""
+    from pyspark.sql import functions as F
+
+    from etl_global_mobility_spark.operators.dedup import (
+        incremental_minhash_neardup,
+        minhash_band_index,
+    )
+
+    docs, _ = _mk_docs(spark)
+    existing = docs.filter(F.col("doc_id") % 4 != 0)
+    shard = docs.filter(F.col("doc_id") % 4 == 0)
+
+    idx_path = str(tmp_path / "bandindex")
+    minhash_band_index(existing).write.parquet(idx_path)
+    index = spark.read.parquet(idx_path)
+
+    inc = {
+        (r.id_a, r.id_b, r.est_jaccard)
+        for r in incremental_minhash_neardup(
+            index, shard, jaccard_threshold=0.3
+        ).collect()
+    }
+    full = {
+        (r.id_a, r.id_b, r.est_jaccard)
+        for r in minhash_near_duplicates(docs, jaccard_threshold=0.3).collect()
+        if r.id_a % 4 == 0 or r.id_b % 4 == 0
+    }
+    assert inc == full and inc  # identical, and non-trivially so
+
+
 def test_ngram_jaccard_finds_planted_duplicates(spark):
     docs, planted = _mk_docs(spark)
     pairs = ngram_jaccard_pairs(docs, k=3, threshold=0.5)

@@ -483,6 +483,36 @@ def test_packing_efficiency_is_single_partial_aggregation(spark):
     assert "Generate" not in plan  # no explode: the examples are never built
 
 
+def test_incremental_neardup_cost_proportional_to_shard(spark, tmp_path):
+    """Incremental near-dup against a PERSISTED band index must cost
+    ∝ the new shard, not the corpus: the shard's band rows broadcast
+    onto a map-only scan of the index (no corpus-side shuffle — the
+    only hashpartitioning exchange in the whole plan is the final
+    pair-distinct), and the index scan reads the narrow
+    (id, sig, band, bucket) schema — never the text column, so corpus
+    shingling/md5 is never recomputed."""
+    from pyspark.sql import functions as F
+
+    from etl_global_mobility_spark.corpus.base import load_table
+    from etl_global_mobility_spark.operators.dedup import (
+        incremental_minhash_neardup,
+        minhash_band_index,
+    )
+
+    d = load_table(spark, SF, "documents")
+    idx_path = str(tmp_path / "bandindex")
+    minhash_band_index(d.filter(F.col("doc_id") % 10 != 0)).write.parquet(idx_path)
+    index = spark.read.parquet(idx_path)
+    shard = d.filter(F.col("doc_id") % 10 == 0)
+    res = incremental_minhash_neardup(index, shard, jaccard_threshold=0.25)
+    plan = plan_of(res)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1  # the distinct only
+    read_schema = [seg for seg in plan.split("ReadSchema: ") if "sig" in seg]
+    assert read_schema and "text" not in read_schema[0].split("\n")[0]
+
+
 def test_dup_ngram_spans_marks_via_semi_join(spark):
     """Occurrence marking must be a LeftSemi against the >=min_docs
     gram set (never materializing occurrence x gram pair columns), and
