@@ -82,6 +82,7 @@ HEADLINE = [
     "stream_scd2_enrichment",
     # round-6 additions
     "llm_incremental_neardup",
+    "stream_neardup_dedup",
 ]
 
 

@@ -196,6 +196,7 @@ DRIVER_GREEN_PAST_ROUNDS = frozenset(
 SCHEDULED_NEXT_WINDOW = frozenset(
     {
         "llm_incremental_neardup",
+        "stream_neardup_dedup",
     }
 )
 

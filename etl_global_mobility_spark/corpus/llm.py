@@ -1298,7 +1298,12 @@ def _simhash_sql(bits: int = 32) -> str:
     """
 
 
-def _minhash_sql(n_hashes: int = 16, bands: int = 4, k: int = 3, thr: float = 0.25) -> str:
+def _minhash_banded_cte(n_hashes: int = 16, bands: int = 4, k: int = 3) -> str:
+    """The shared docs → signatures → band-bucket CTE chain (ending in
+    ``banded(id, sig, band, bucket)``) — the SQL mirror of
+    :func:`operators.dedup.minhash_band_index`, reused by the batch
+    pair oracle, the incremental-maintenance oracle and the streaming
+    near-dup oracle."""
     from etl_global_mobility_spark.operators.dedup import MINHASH_P, minhash_coeffs
 
     rows = n_hashes // bands
@@ -1314,8 +1319,7 @@ def _minhash_sql(n_hashes: int = 16, bands: int = 4, k: int = 3, thr: float = 0.
         + ")) AS bucket FROM sigs"
         for b in range(bands)
     )
-    return f"""
-    WITH docs AS (
+    return f"""docs AS (
       SELECT doc_id AS id,
              list_transform({_shingles_sql(k)},
                             s -> {_md5_hash_sql("s", 0)} % {MINHASH_P}) AS hs
@@ -1326,7 +1330,12 @@ def _minhash_sql(n_hashes: int = 16, bands: int = 4, k: int = 3, thr: float = 0.
       SELECT id, {sig_list} AS sig FROM sigged
     ), banded AS (
       {band_selects}
-    ), pairs AS (
+    )"""
+
+
+def _minhash_sql(n_hashes: int = 16, bands: int = 4, k: int = 3, thr: float = 0.25) -> str:
+    return f"""
+    WITH {_minhash_banded_cte(n_hashes, bands, k)}, pairs AS (
       SELECT DISTINCT a.id AS id_a, b.id AS id_b,
              len(list_filter(range(1, {n_hashes + 1}),
                              i -> a.sig[i] = b.sig[i])) / {float(n_hashes)} AS est_jaccard

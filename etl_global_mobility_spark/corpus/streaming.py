@@ -273,6 +273,53 @@ def q_stream_medallion_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_neardup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming NEAR-dup dedup — the contamination-guard bridge
+    between the streaming and dedup surfaces:
+    ``dropDuplicatesWithinWatermark`` (stream_dedup_keys) covers exact
+    keys only, while live ingestion needs to drop documents that are
+    near-copies of anything already seen. The MinHash band bucket is
+    the dedup key: documents land as four parquet files and stream in
+    one-file micro-batches; each batch bands map-only and a stateful
+    aggregation keeps MIN(doc_id) per (band, bucket) — min merges
+    across batches order-invariantly, so the drained state equals the
+    batch aggregation exactly. Finalize: a document is KEPT iff it
+    owns every bucket it occupies (first-arrival-wins). The oracle
+    recomputes the whole thing — signatures, buckets, owners,
+    survivor rule — in DuckDB from the documents table."""
+    import os
+    import shutil
+
+    from etl_global_mobility_spark.streaming.ops import (
+        neardup_bucket_owners_stream,
+        neardup_survivors,
+    )
+
+    repo = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    base = os.path.join(
+        repo, ".tmp", f"neardup_stream_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    land = os.path.join(base, "docs")
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # any file split works: the min-ownership state is split-invariant
+    d.repartition(4).write.mode("overwrite").parquet(land)
+    sdf = (
+        spark.readStream.schema(d.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(land)
+    )
+    from etl_global_mobility_spark.streaming.ops import run_stream_to_memory
+
+    owners = run_stream_to_memory(
+        neardup_bucket_owners_stream(sdf), "complete"
+    )
+    return neardup_survivors(owners, d)
+
+
 def q_stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom Python Data Source STREAM (sources/pysource.py): the
     deterministic generator read as offset-tracked micro-batches and
@@ -384,7 +431,36 @@ SELECT cod_pais, fec_proceso, cod_transporte, cod_ruta, cod_tipo_entrega,
 FROM br WHERE ({_MED_MOTIVO}) IS NULL
 """
 
+def _stream_neardup_sql(n_hashes: int = 16, bands: int = 4, k: int = 3) -> str:
+    from etl_global_mobility_spark.corpus.llm import _minhash_banded_cte
+
+    return f"""
+    WITH {_minhash_banded_cte(n_hashes, bands, k)}, owners AS (
+      SELECT band, bucket, min(id) AS owner_id
+      FROM banded GROUP BY band, bucket
+    )
+    SELECT b.id AS doc_id,
+           CAST(count(*) AS BIGINT) AS n_bands,
+           CAST(sum(CASE WHEN o.owner_id = b.id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_owned,
+           count(*) = sum(CASE WHEN o.owner_id = b.id THEN 1 ELSE 0 END)
+             AS kept
+    FROM banded b JOIN owners o
+      ON b.band = o.band AND b.bucket = o.bucket
+    GROUP BY b.id
+    """
+
+
 SPECS = [
+    QuerySpec(
+        "stream_neardup_dedup",
+        q_stream_neardup_dedup,
+        _stream_neardup_sql(),
+        doc="streaming near-dup dedup: MinHash band bucket as the dedup "
+        "key, MIN(id)-per-bucket state merged across micro-batches "
+        "(split-invariant ⇒ stream ≡ batch), first-arrival-wins keep "
+        "set; oracle recomputes signatures→owners→survivors in SQL",
+    ),
     QuerySpec(
         "stream_static_join",
         q_stream_static_join,

@@ -111,6 +111,77 @@ def streaming_dedup_keys(
     )
 
 
+def neardup_bucket_owners_stream(
+    docs: DataFrame,
+    n_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming near-dup ownership state — the MinHash band bucket as
+    the dedup key, the contamination-guard shape a live ingestion
+    pipeline needs (``dropDuplicatesWithinWatermark`` only covers
+    EXACT keys; near-dups share buckets, not bytes).
+
+    Per micro-batch the banding is map-only (signature + bucket per
+    document, no shuffle); the stateful step keeps MIN(id) per
+    (band, bucket). Min is order- and batch-split-invariant, so the
+    completed stream equals the batch aggregation bit-for-bit no
+    matter how documents split into micro-batches — the property the
+    oracle checks. State size ∝ distinct buckets (≤ bands × docs),
+    the honest cost of remembering what's been seen; RocksDB state
+    store carries it at scale.
+
+    Finalize with :func:`neardup_survivors` after the drain.
+    """
+    from etl_global_mobility_spark.operators.dedup import minhash_band_index
+
+    banded = minhash_band_index(
+        docs, text_col, id_col, n_hashes, bands, k, min_parallelism=None
+    )
+    return banded.groupBy("band", "bucket").agg(F.min("id").alias("owner_id"))
+
+
+def neardup_survivors(
+    owners: DataFrame,
+    docs: DataFrame,
+    n_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Resolve the keep set against drained ownership state: a document
+    SURVIVES iff it owns (is the minimum id of) every band bucket it
+    occupies — first-arrival-wins near-dup dedup. A later doc sharing
+    ≥1 bucket with an earlier one lost that bucket and is dropped.
+
+    Returns ``(doc_id, n_bands, n_owned, kept)``. One map-only banding
+    pass over the docs + a join against the bucket-owner state + one
+    per-doc aggregation.
+    """
+    from etl_global_mobility_spark.operators.dedup import minhash_band_index
+
+    banded = minhash_band_index(docs, text_col, id_col, n_hashes, bands, k)
+    j = banded.join(owners, ["band", "bucket"])
+    return (
+        j.groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bands"),
+            F.sum((F.col("owner_id") == F.col("id")).cast("int"))
+            .cast("bigint")
+            .alias("n_owned"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_bands",
+            "n_owned",
+            (F.col("n_owned") == F.col("n_bands")).alias("kept"),
+        )
+    )
+
+
 def interval_join_streams(
     left: DataFrame,
     right: DataFrame,

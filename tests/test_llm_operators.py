@@ -334,6 +334,52 @@ def test_multimodal_real_decode_when_pillow_present(spark):
     assert by_id[2].feature is None  # undecodable -> NULL, job survives
 
 
+def test_stream_neardup_dedup_equals_batch_and_drops_neardups(spark, tmp_path):
+    """The streaming ownership state (min doc_id per band bucket,
+    merged across one-file micro-batches) must equal the batch
+    aggregation, and the survivor rule must actually drop the planted
+    near-duplicates while keeping their earlier-id originals."""
+    from etl_global_mobility_spark.streaming.ops import (
+        neardup_bucket_owners_stream,
+        neardup_survivors,
+        run_stream_to_memory,
+    )
+
+    docs, planted = _mk_docs(spark)
+    land = str(tmp_path / "docs")
+    docs.repartition(3).write.parquet(land)
+    batch = spark.read.parquet(land)
+
+    sdf = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(land)
+    )
+    stream_owners = {
+        (r.band, r.bucket, r.owner_id)
+        for r in run_stream_to_memory(
+            neardup_bucket_owners_stream(sdf), "complete"
+        ).collect()
+    }
+    batch_owners_df = neardup_bucket_owners_stream(batch)
+    batch_owners = {
+        (r.band, r.bucket, r.owner_id) for r in batch_owners_df.collect()
+    }
+    assert stream_owners == batch_owners and stream_owners
+
+    kept = {
+        r.doc_id: r.kept
+        for r in neardup_survivors(batch_owners_df, batch).collect()
+    }
+    assert set(kept) == {r.doc_id for r in docs.select("doc_id").collect()}
+    # planted dups (higher ids, ~5% word noise) share ≥1 band bucket
+    # with their originals for most plants — those must be dropped,
+    # and every original (lowest id of its cluster) must survive
+    dropped_dups = sum(1 for src, dup in planted if not kept[dup])
+    assert dropped_dups / len(planted) >= 0.75
+    assert all(kept[src] for src, _ in planted)
+
+
 def test_streaming_replay_determinism(spark):
     """Two independent replays of the same bounded stream produce the
     identical windowed aggregation (SURVEY §5 streaming property)."""
