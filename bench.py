@@ -83,6 +83,7 @@ HEADLINE = [
     # round-6 additions
     "llm_incremental_neardup",
     "stream_neardup_dedup",
+    "llm_quality_classifier_trained",
 ]
 
 

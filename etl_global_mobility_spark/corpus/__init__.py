@@ -197,6 +197,7 @@ SCHEDULED_NEXT_WINDOW = frozenset(
     {
         "llm_incremental_neardup",
         "stream_neardup_dedup",
+        "llm_quality_classifier_trained",
     }
 )
 

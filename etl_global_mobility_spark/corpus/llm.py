@@ -327,17 +327,22 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_classifier(d).select("doc_id", "quality_logit", "clf_keep")
 
 
-def _clf_cte_and_logit() -> tuple[str, str]:
+def _clf_cte_and_logit(
+    weights: dict[str, float] | None = None,
+) -> tuple[str, str]:
     """(``m`` CTE body, logit expression over its feature columns) —
     the DuckDB mirror of quality_rules.quality_classifier: identical
     feature expressions (shared shapes with _filter_rules_cte_block)
     and the same left-to-right logit fold — bit-exact doubles. Shared
-    by the standalone classifier mirror and the preference-pair
-    oracle."""
+    by the standalone classifier mirror, the trained-artifact mirror
+    and the preference-pair oracle. ``weights`` values must be exact
+    binary fractions so the printed literal parses to the same double
+    in both engines."""
     from etl_global_mobility_spark.operators.quality_rules import (
-        CLASSIFIER_WEIGHTS as W,
+        CLASSIFIER_WEIGHTS,
     )
 
+    W = weights if weights is not None else CLASSIFIER_WEIGHTS
     sw = "['the', 'a', 'of', 'to', 'and', 'in']"
     logit = (
         f"{W['bias']} + {W['n_words_capped']} * f_nw + {W['mean_word_len']} * f_mwl"
@@ -361,14 +366,45 @@ def _clf_cte_and_logit() -> tuple[str, str]:
     return cte, logit
 
 
-def _quality_classifier_sql() -> str:
-    cte, logit = _clf_cte_and_logit()
+def _quality_classifier_sql(weights: dict[str, float] | None = None) -> str:
+    cte, logit = _clf_cte_and_logit(weights)
     return f"""
     WITH {cte}
     SELECT doc_id, {logit} AS quality_logit,
            COALESCE(({logit}) >= 0.0, FALSE) AS clf_keep
     FROM m
     """
+
+
+def q_quality_classifier_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained-model ARTIFACT round-trip as an oracle row: the
+    frozen trained-weight snapshot is persisted (parquet + manifest,
+    like the BPE/ANN artifacts), reloaded with manifest validation,
+    and every document is scored through the RELOADED weights on the
+    same bit-exact inference path. Parquet doubles round-trip
+    losslessly, so the oracle — the logit with those weights as SQL
+    literals — must hash-match; any drift in save/load breaks it."""
+    import os
+
+    from etl_global_mobility_spark.operators.quality_rules import (
+        TRAINED_SNAPSHOT_WEIGHTS,
+        load_classifier_weights,
+        quality_classifier,
+        save_classifier_weights,
+    )
+
+    repo = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    path = os.path.join(
+        repo, ".tmp", f"clf_model_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    save_classifier_weights(spark, TRAINED_SNAPSHOT_WEIGHTS, path)
+    loaded = load_classifier_weights(spark, path)
+    d = load_table(spark, sf_dir, "documents")
+    return quality_classifier(d, weights=loaded).select(
+        "doc_id", "quality_logit", "clf_keep"
+    )
 
 
 def q_hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2001,6 +2037,10 @@ def _bm25_sql(k1: float = 1.2, b: float = 0.75, top_k: int = 20) -> str:
     FROM topk"""
 
 
+from etl_global_mobility_spark.operators.quality_rules import (  # noqa: E402
+    TRAINED_SNAPSHOT_WEIGHTS as _TRAINED_W,
+)
+
 SPECS = [
     QuerySpec(
         "llm_exact_dedup",
@@ -2214,6 +2254,14 @@ SPECS = [
         q_quality_classifier,
         _quality_classifier_sql(),
         doc="linear quality-classifier inference: bit-exact logit, threshold keep",
+    ),
+    QuerySpec(
+        "llm_quality_classifier_trained",
+        q_quality_classifier_trained,
+        _quality_classifier_sql(_TRAINED_W),
+        doc="trained-model artifact round-trip: weights persisted as "
+        "parquet+manifest, reloaded with validation, scored through the "
+        "bit-exact inference path",
     ),
     QuerySpec(
         "llm_hybrid_retrieval_rrf",

@@ -220,6 +220,68 @@ def classifier_features(text_col: str = "text") -> list[tuple[str, Column]]:
     ]
 
 
+#: A trained-weight SNAPSHOT in :data:`CLASSIFIER_WEIGHTS` key space:
+#: the values a :func:`train_quality_classifier` run on the planted
+#: test corpus produced, rounded to exact binary fractions so the
+#: artifact round-trip below stays bit-exact across engines. The live
+#: training loop is float-iterative (property-tested); this frozen
+#: model is what the oracle-checked artifact path scores with.
+TRAINED_SNAPSHOT_WEIGHTS = {
+    "bias": -1.5,
+    "n_words_capped": 1.75,
+    "mean_word_len": 0.125,
+    "distinct_ratio": 2.25,
+    "digit_ratio": -2.75,
+    "symbol_ratio": -1.25,
+    "has_stopword": 0.75,
+}
+
+
+def save_classifier_weights(spark, weights: dict[str, float], path: str) -> None:
+    """Persist trained classifier weights as parquet (+ JSON manifest)
+    — the model artifact a curation pipeline trains once and every
+    scoring job loads (same artifact pattern as save_bpe_merges /
+    save_ann_artifacts). Parquet doubles round-trip bit-exactly, so a
+    reloaded model scores identically to the in-memory one."""
+    import json
+    import os
+
+    unknown = set(weights) - set(CLASSIFIER_WEIGHTS)
+    if unknown:
+        raise ValueError(f"unknown classifier weight keys: {sorted(unknown)}")
+    os.makedirs(path, exist_ok=True)
+    rows = [(k, float(v)) for k, v in sorted(weights.items())]
+    spark.createDataFrame(rows, "name string, weight double").coalesce(
+        1
+    ).write.mode("overwrite").parquet(os.path.join(path, "weights"))
+    with open(os.path.join(path, "_clf_manifest.json"), "w") as f:
+        json.dump({"n_weights": len(rows), "keys": [k for k, _ in rows]}, f)
+
+
+def load_classifier_weights(spark, path: str) -> dict[str, float]:
+    """Load weights saved by :func:`save_classifier_weights`, validated
+    against the manifest and the known key space — ready to pass
+    straight into ``quality_classifier(df, weights=...)``."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_clf_manifest.json")) as f:
+        manifest = json.load(f)
+    rows = spark.read.parquet(os.path.join(path, "weights")).collect()
+    weights = {r.name: float(r.weight) for r in rows}
+    if len(weights) != manifest["n_weights"] or sorted(weights) != sorted(
+        manifest["keys"]
+    ):
+        raise ValueError(
+            f"weight artifact at {path} disagrees with its manifest: "
+            f"{sorted(weights)} vs {sorted(manifest['keys'])}"
+        )
+    unknown = set(weights) - set(CLASSIFIER_WEIGHTS)
+    if unknown:
+        raise ValueError(f"unknown classifier weight keys: {sorted(unknown)}")
+    return weights
+
+
 def train_quality_classifier(
     df: DataFrame,
     label_col: str,

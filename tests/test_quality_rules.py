@@ -281,3 +281,57 @@ def test_train_quality_classifier_learns_separable_corpus(spark):
     out = quality_classifier(hdf, weights=w).collect()
     acc = sum(1 for r in out if int(r.clf_keep) == r.label) / len(out)
     assert acc >= 0.95, f"held-out accuracy {acc}"
+
+
+def test_classifier_artifact_roundtrip_is_bit_exact(spark, tmp_path):
+    """train → save → load → infer end-to-end: the reloaded model is
+    the trained model to the last bit (parquet doubles are lossless),
+    so scoring through the artifact equals scoring through the
+    in-memory weights row-for-row; manifest tampering is caught."""
+    import json
+    import random
+
+    import pytest
+
+    from etl_global_mobility_spark.operators.quality_rules import (
+        load_classifier_weights,
+        quality_classifier,
+        save_classifier_weights,
+        train_quality_classifier,
+    )
+
+    rng = random.Random(11)
+    words = ["the", "quick", "brown", "fox", "and", "a", "of", "to", "in"]
+    rows = [
+        (i, " ".join(rng.choice(words) for _ in range(30)), 1)
+        for i in range(60)
+    ] + [
+        (100 + i, " ".join(f"{rng.randrange(10**6)}#@!" for _ in range(8)), 0)
+        for i in range(60)
+    ]
+    tdf = spark.createDataFrame(rows, "doc_id long, text string, label int")
+    trained = train_quality_classifier(tdf, label_col="label")
+
+    path = str(tmp_path / "clf_model")
+    save_classifier_weights(spark, trained, path)
+    loaded = load_classifier_weights(spark, path)
+    assert loaded == trained  # dict equality on floats = bit equality
+
+    mem = quality_classifier(tdf, weights=trained).select(
+        "doc_id", "quality_logit", "clf_keep"
+    )
+    art = quality_classifier(tdf, weights=loaded).select(
+        "doc_id", "quality_logit", "clf_keep"
+    )
+    assert sorted(map(tuple, mem.collect())) == sorted(map(tuple, art.collect()))
+
+    # a manifest that disagrees with the parquet must refuse to load
+    mpath = f"{path}/_clf_manifest.json"
+    with open(mpath) as f:
+        manifest = json.load(f)
+    manifest["keys"] = manifest["keys"][:-1]
+    manifest["n_weights"] -= 1
+    with open(mpath, "w") as f:
+        json.dump(manifest, f)
+    with pytest.raises(ValueError, match="disagrees with its manifest"):
+        load_classifier_weights(spark, path)
