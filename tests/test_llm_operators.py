@@ -632,6 +632,128 @@ def test_minhash_neardup_soak_recall_and_runtime(spark):
 
 
 @pytest.mark.slow
+def test_dup_ngram_spans_soak_skewed_grams_and_runtime(spark):
+    """Scale soak for exact-substring dup coverage (VERDICT r5 task 7):
+    10k hash-derived docs, every one sharing a 5-word boilerplate
+    prefix — a df=10k HOT gram the sf0.001 oracle volume cannot
+    exercise (stopword-gram skew is where the semi-join marking and
+    AQE matter) — plus 50 planted full copies. Closed-form expected
+    coverage: the shared prefix contributes exactly 3 dup 3-grams
+    covering 5 tokens on every non-copied doc; copies and their
+    sources are covered end-to-end. Runtime budget trips if the
+    marking ever degenerates toward occurrence×gram blowup."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from etl_global_mobility_spark.operators.dedup import duplicated_ngram_spans
+
+    n, words = 10_000, 40
+    # unique region: word universe 10^9 → cross-doc 3-gram collisions
+    # outside the planted structure are (#grams² / universe³)-improbable
+    unique_part = F.transform(
+        F.sequence(F.lit(1), F.lit(words - 5)),
+        lambda j: F.concat(
+            F.lit("u"),
+            F.pmod(F.hash(F.col("doc_id"), j), F.lit(1_000_000_000)).cast("string"),
+        ),
+    )
+    text = F.concat_ws(
+        " ", F.concat_ws(" ", F.lit("c1 c2 c3 c4 c5")), F.concat_ws(" ", unique_part)
+    )
+    base = spark.range(n).select(F.col("id").alias("doc_id")).select(
+        "doc_id", text.alias("text")
+    )
+    # 50 full copies of docs 0..49 (copy id = n + i → same text ⇒ every
+    # gram of both sides is duplicated)
+    copies = spark.range(50).select((F.col("id") + n).alias("doc_id")).select(
+        "doc_id",
+        F.concat_ws(
+            " ",
+            F.lit("c1 c2 c3 c4 c5"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(words - 5)),
+                    lambda j: F.concat(
+                        F.lit("u"),
+                        F.pmod(
+                            F.hash(F.col("doc_id") - n, j), F.lit(1_000_000_000)
+                        ).cast("string"),
+                    ),
+                ),
+            ),
+        ).alias("text"),
+    )
+    t0 = time.time()
+    rows = duplicated_ngram_spans(
+        base.unionByName(copies), k=3, min_docs=2
+    ).collect()
+    elapsed = time.time() - t0
+    by_id = {r.doc_id: r for r in rows}
+    assert len(by_id) == n + 50
+    copied_ids = set(range(50)) | set(range(n, n + 50))
+    for did, r in by_id.items():
+        assert r.n_tokens == words and r.n_grams == words - 2
+        if did in copied_ids:  # full copy: everything duplicated
+            assert r.covered_tokens == words and r.n_dup_grams == words - 2, did
+        else:  # only the boilerplate prefix: grams at pos 1-3, tokens 1-5
+            assert r.n_dup_grams == 3 and r.covered_tokens == 5, (did, r)
+    assert elapsed < 120, f"dup-ngram soak took {elapsed:.0f}s"
+
+
+@pytest.mark.slow
+def test_interval_overlap_soak_skew_and_exactly_once(spark):
+    """Scale soak for the bucketized interval×interval join (VERDICT r5
+    task 7): 100k lattice intervals + a 400-interval HOT cluster on one
+    spot (dense-bucket skew) + 4 corpus-spanning long intervals (the
+    explode-factor knob: each explodes into ~100k bucket rows). The
+    construction's overlap count is closed-form, so the test asserts
+    EXACT cardinality (any double-count from the overlap-start
+    arithmetic, or any miss from bucket assignment, shifts it) plus
+    pair-level exactly-once, under a runtime budget."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from etl_global_mobility_spark.operators.temporal import interval_overlap_join
+
+    n, m, nl = 100_000, 400, 4
+    base = spark.range(n).select(
+        F.col("id").alias("iid"),
+        (F.col("id") * 10).alias("start"),
+        (F.col("id") * 10 + 14).alias("end"),
+    )
+    hot_anchor = 10 * 5_000
+    hot = spark.range(m).select(
+        (F.col("id") + 1_000_000).alias("iid"),
+        F.lit(hot_anchor).cast("long").alias("start"),
+        F.lit(hot_anchor + 14).cast("long").alias("end"),
+    )
+    longs = spark.range(nl).select(
+        (F.col("id") + 2_000_000).alias("iid"),
+        F.lit(0).cast("long").alias("start"),
+        F.lit(10 * n).cast("long").alias("end"),
+    )
+    ab = base.unionByName(hot).unionByName(longs)
+    t0 = time.time()
+    joined = interval_overlap_join(ab, ab, bucket_width=10).select(
+        "a_iid", "b_iid"
+    )
+    total = joined.count()
+    distinct = joined.distinct().count()
+    elapsed = time.time() - t0
+    # base×base: i overlaps i and i±1 → 3n-2 ordered pairs; hot×hot:
+    # m²; hot×base both orders: each hot interval overlaps base
+    # 4999/5000/5001 → 2·3m; long×(base|hot|long): every pair → 2·nl·n
+    # + 2·nl·m + nl²
+    expected = (3 * n - 2) + m * m + 6 * m + 2 * nl * n + 2 * nl * m + nl * nl
+    assert total == expected, (total, expected)
+    assert distinct == total  # exactly-once by arithmetic, no dedup pass
+    assert elapsed < 120, f"interval soak took {elapsed:.0f}s"
+
+
+@pytest.mark.slow
 def test_ann_soak_recall_floor_at_scale(spark):
     """Larger-scale ANN soak (VERDICT r3 task 8): IVF and PQ recall@10
     against exact cosine on a 20k-vector corpus — ~20x the sf0.01
