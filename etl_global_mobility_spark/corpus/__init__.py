@@ -198,6 +198,8 @@ SCHEDULED_NEXT_WINDOW = frozenset(
         "llm_incremental_neardup",
         "stream_neardup_dedup",
         "llm_quality_classifier_trained",
+        "llm_minhash_verified",
+        "rel_tpch_q5_local_supplier",
     }
 )
 

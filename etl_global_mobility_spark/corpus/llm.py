@@ -147,6 +147,18 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(d, k=2, threshold=0.25)
 
 
+def q_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage near-dup: LSH banding candidates, exact shingle-set
+    Jaccard verify on candidates only (never all pairs) — the
+    production pipeline shape; threshold applies to the EXACT value."""
+    from etl_global_mobility_spark.operators.dedup import minhash_verified_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_verified_pairs(
+        d, n_hashes=16, bands=4, k=3, jaccard_threshold=0.25
+    )
+
+
 def q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental near-dup maintenance: docs with doc_id % 10 == 0
     play the NEW shard arriving against a band-signature index built
@@ -1382,6 +1394,35 @@ def _minhash_sql(n_hashes: int = 16, bands: int = 4, k: int = 3, thr: float = 0.
     """
 
 
+def _minhash_verified_sql(
+    n_hashes: int = 16, bands: int = 4, k: int = 3, thr: float = 0.25
+) -> str:
+    return f"""
+    WITH {_minhash_banded_cte(n_hashes, bands, k)}, cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+             len(list_filter(range(1, {n_hashes + 1}),
+                             i -> a.sig[i] = b.sig[i])) / {float(n_hashes)}
+               AS est_jaccard
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+    ), sh AS (
+      SELECT doc_id AS id, {_shingles_sql(k)} AS sh FROM documents
+    ), verified AS (
+      SELECT c.id_a, c.id_b, c.est_jaccard,
+             len(list_intersect(x.sh, y.sh)) AS inter,
+             len(x.sh) + len(y.sh) AS tot
+      FROM cand c JOIN sh x ON x.id = c.id_a JOIN sh y ON y.id = c.id_b
+    )
+    SELECT id_a, id_b, est_jaccard, jaccard FROM (
+      SELECT id_a, id_b, est_jaccard,
+             CASE WHEN (tot - inter) > 0
+                  THEN CAST(inter AS DOUBLE) / (tot - inter)
+                  ELSE 0.0 END AS jaccard
+      FROM verified
+    ) WHERE jaccard >= {thr}
+    """
+
+
 def _incremental_neardup_sql(
     n_hashes: int = 16, bands: int = 4, k: int = 3, thr: float = 0.25
 ) -> str:
@@ -2203,6 +2244,13 @@ SPECS = [
         _incremental_neardup_sql(),
         doc="incremental near-dup maintenance: new shard vs persisted "
         "band-signature index, proven ≡ full recompute on the union",
+    ),
+    QuerySpec(
+        "llm_minhash_verified",
+        q_minhash_verified,
+        _minhash_verified_sql(),
+        doc="two-stage near-dup: LSH banding candidates + exact "
+        "shingle-set Jaccard verify on candidates only",
     ),
     QuerySpec(
         "llm_cosine_topk",

@@ -1908,6 +1908,47 @@ def q_tpch_q13_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local supplier volume) adapted to the driver schema:
+    the canonical six-table star join — region-filtered nations,
+    customers and suppliers co-located in the same nation
+    (c_nationkey = s_nationkey via the two fact joins), a one-year
+    order window, decimal-exact revenue per nation. region→nation is
+    an explicit broadcast (always tiny); customer and supplier are
+    left UNHINTED on purpose — AQE broadcasts them at small scale,
+    and at 100 TB (where customer is GB-sized) they correctly fall
+    back to shuffle joins on their keys. The date filter pushes to
+    the orders scan."""
+    year_lo, year_hi = "1996-01-01", "1997-01-01"
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = load_table(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(year_lo).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(year_hi).cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(
+            s,
+            (li.l_suppkey == s.s_suppkey)
+            & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+    )
+
+
 def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval×interval overlap join (operators/temporal.py): per-
     (user, day) activity intervals from events, all overlapping pairs
@@ -2591,6 +2632,24 @@ SPECS = [
            GROUP BY l_orderkey, o_orderdate, o_orderpriority
            ORDER BY revenue DESC, l_orderkey LIMIT 10""",
         doc="TPC-H Q3 shape: selective 3-way join + top-10 by revenue",
+    ),
+    QuerySpec(
+        "rel_tpch_q5_local_supplier",
+        q_tpch_q5_local_supplier,
+        f"""SELECT n_name, CAST(sum({_REV}) AS DOUBLE) AS revenue
+           FROM lineitem
+           JOIN orders   ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN supplier ON l_suppkey = s_suppkey
+                        AND c_nationkey = s_nationkey
+           JOIN nation   ON s_nationkey = n_nationkey
+           JOIN region   ON n_regionkey = r_regionkey
+           WHERE r_name = 'ASIA'
+             AND o_orderdate >= TIMESTAMP '1996-01-01'
+             AND o_orderdate <  TIMESTAMP '1997-01-01'
+           GROUP BY n_name""",
+        doc="TPC-H Q5 shape: six-table star join, co-located "
+        "customer/supplier nation, revenue per nation",
     ),
     QuerySpec(
         "rel_interval_overlap_join",

@@ -64,6 +64,53 @@ def test_minhash_recall_on_planted_duplicates(spark):
     assert recall >= 0.75, f"planted-dup recall {recall}: found {found}"
 
 
+def test_minhash_verified_exact_jaccard_on_candidates(spark):
+    """Stage-2 verification contract: the returned pairs are EXACTLY
+    the banding candidates whose true shingle-set Jaccard clears the
+    threshold (computed independently in Python), with the exact value
+    attached — est_jaccard noise neither admits nor evicts a pair."""
+    import re
+
+    from etl_global_mobility_spark.operators.dedup import (
+        minhash_near_duplicates,
+        minhash_verified_pairs,
+    )
+
+    docs, _ = _mk_docs(spark)
+    thr = 0.5
+
+    def shingles(text, k=3):
+        toks = [t for t in re.split(r"\s+", text.lower().strip()) if t]
+        return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    cands = {
+        (r.id_a, r.id_b)
+        for r in minhash_near_duplicates(docs, jaccard_threshold=0.0).collect()
+    }
+
+    def jac(a, b):
+        sa, sb = shingles(texts[a]), shingles(texts[b])
+        u = len(sa | sb)
+        return len(sa & sb) / u if u else 0.0
+
+    expected = {p: jac(*p) for p in cands if jac(*p) >= thr}
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in minhash_verified_pairs(docs, jaccard_threshold=thr).collect()
+    }
+    assert set(got) == set(expected) and expected
+    for p, j in got.items():
+        assert abs(j - expected[p]) < 1e-12, (p, j, expected[p])
+    # the estimate must disagree with the exact value somewhere —
+    # otherwise this test isn't exercising the verification stage
+    est = {
+        (r.id_a, r.id_b): r.est_jaccard
+        for r in minhash_verified_pairs(docs, jaccard_threshold=thr).collect()
+    }
+    assert any(abs(est[p] - got[p]) > 1e-9 for p in got)
+
+
 def test_incremental_neardup_equals_full_recompute(spark, tmp_path):
     """The maintenance contract: dedup of a new shard against a
     persisted band index must emit EXACTLY the pairs a full recompute
