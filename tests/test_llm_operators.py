@@ -145,6 +145,46 @@ def test_incremental_neardup_equals_full_recompute(spark, tmp_path):
     assert inc == full and inc  # identical, and non-trivially so
 
 
+def test_incremental_neardup_two_shard_maintenance_loop(spark, tmp_path):
+    """The full daily-ingest loop over TWO days: dedup shard 1 against
+    the day-0 index, APPEND shard 1's band rows to the index table,
+    dedup shard 2 against the grown index. The union of the three
+    result sets (day-0 batch pairs + two incremental deltas) must
+    equal one full batch recompute over everything — the invariant
+    that makes the incremental path trustworthy indefinitely."""
+    from pyspark.sql import functions as F
+
+    from etl_global_mobility_spark.operators.dedup import (
+        incremental_minhash_neardup,
+        minhash_band_index,
+    )
+
+    docs, _ = _mk_docs(spark)
+    day0 = docs.filter(F.col("doc_id") % 3 == 0)
+    shard1 = docs.filter(F.col("doc_id") % 3 == 1)
+    shard2 = docs.filter(F.col("doc_id") % 3 == 2)
+
+    idx_path = str(tmp_path / "bandindex")
+    minhash_band_index(day0).write.parquet(idx_path)
+
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in minhash_near_duplicates(day0, jaccard_threshold=0.3).collect()
+    }
+    for shard in (shard1, shard2):
+        index = spark.read.parquet(idx_path)
+        delta = incremental_minhash_neardup(index, shard, jaccard_threshold=0.3)
+        pairs |= {(r.id_a, r.id_b) for r in delta.collect()}
+        # close the loop: the shard's band rows join the index
+        minhash_band_index(shard).write.mode("append").parquet(idx_path)
+
+    full = {
+        (r.id_a, r.id_b)
+        for r in minhash_near_duplicates(docs, jaccard_threshold=0.3).collect()
+    }
+    assert pairs == full and full
+
+
 def test_ngram_jaccard_finds_planted_duplicates(spark):
     docs, planted = _mk_docs(spark)
     pairs = ngram_jaccard_pairs(docs, k=3, threshold=0.5)
