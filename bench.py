@@ -86,6 +86,7 @@ HEADLINE = [
     "llm_quality_classifier_trained",
     "llm_minhash_verified",
     "rel_tpch_q5_local_supplier",
+    "rel_tpch_q10_returned_items",
 ]
 
 

@@ -200,6 +200,8 @@ SCHEDULED_NEXT_WINDOW = frozenset(
         "llm_quality_classifier_trained",
         "llm_minhash_verified",
         "rel_tpch_q5_local_supplier",
+        "rel_tpch_q10_returned_items",
+        "rel_tpch_q12_late_shipments",
     }
 )
 

@@ -1949,6 +1949,60 @@ def q_tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned-item reporting) adapted to the driver
+    schema: revenue lost to returns per customer over one quarter —
+    returned lineitems ⋈ quarter-filtered orders ⋈ customer ⋈ nation,
+    decimal-exact revenue, global top-20 customers. The selective
+    return-flag and date filters push to the fact scans; nation
+    broadcasts; the top-20 is TakeOrderedAndProject."""
+    q_lo, q_hi = "1996-01-01", "1996-04-01"
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit(q_lo).cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit(q_hi).cast("timestamp"))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    rev = F.col("l_extendedprice").cast("decimal(18,2)") * (
+        F.lit(1) - F.col("l_discount").cast("decimal(4,2)")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+def q_tpch_q12_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping-mode priority counts) adapted to the
+    driver schema: among LATE shipments (shipped > 90 days after the
+    order date — standing in for Q12's receipt-vs-commit lag), count
+    high-priority vs other orders per linestatus. The canonical
+    join + CASE-conditional aggregation: one fact join, map-side
+    partial counts, bounded group key."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    late = li.join(o, li.l_orderkey == o.o_orderkey).filter(
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("int")
+    return (
+        late.groupBy("l_linestatus")
+        .agg(
+            F.sum(high).cast("bigint").alias("high_line_count"),
+            F.sum(F.lit(1) - high).cast("bigint").alias("low_line_count"),
+        )
+    )
+
+
 def q_interval_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Interval×interval overlap join (operators/temporal.py): per-
     (user, day) activity intervals from events, all overlapping pairs
@@ -2650,6 +2704,37 @@ SPECS = [
            GROUP BY n_name""",
         doc="TPC-H Q5 shape: six-table star join, co-located "
         "customer/supplier nation, revenue per nation",
+    ),
+    QuerySpec(
+        "rel_tpch_q10_returned_items",
+        q_tpch_q10_returned_items,
+        f"""SELECT c_custkey, c_name, n_name, c_acctbal,
+               CAST(sum({_REV}) AS DOUBLE) AS revenue
+           FROM lineitem
+           JOIN orders   ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation   ON c_nationkey = n_nationkey
+           WHERE l_returnflag = 'R'
+             AND o_orderdate >= TIMESTAMP '1996-01-01'
+             AND o_orderdate <  TIMESTAMP '1996-04-01'
+           GROUP BY c_custkey, c_name, n_name, c_acctbal
+           ORDER BY revenue DESC, c_custkey LIMIT 20""",
+        doc="TPC-H Q10 shape: returned-item revenue per customer, "
+        "quarter window, top-20",
+    ),
+    QuerySpec(
+        "rel_tpch_q12_late_shipments",
+        q_tpch_q12_late_shipments,
+        """SELECT l_linestatus,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+           GROUP BY l_linestatus""",
+        doc="TPC-H Q12 shape: late-shipment priority counts "
+        "(join + CASE-conditional aggregation)",
     ),
     QuerySpec(
         "rel_interval_overlap_join",
