@@ -87,6 +87,7 @@ HEADLINE = [
     "llm_minhash_verified",
     "rel_tpch_q5_local_supplier",
     "rel_tpch_q10_returned_items",
+    "llm_normalize_text",
 ]
 
 

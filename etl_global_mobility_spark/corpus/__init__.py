@@ -202,6 +202,9 @@ SCHEDULED_NEXT_WINDOW = frozenset(
         "rel_tpch_q5_local_supplier",
         "rel_tpch_q10_returned_items",
         "rel_tpch_q12_late_shipments",
+        "llm_normalize_text",
+        "llm_ann_recall_report",
+        "rel_skew_report",
     }
 )
 

@@ -147,6 +147,118 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(d, k=2, threshold=0.25)
 
 
+def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval EVALUATION as a first-class operator: per-query
+    recall@k of the LSH ANN against exact cosine ground truth — the
+    index-quality report a pipeline runs before trusting an ANN path
+    at scale. Both sides are the existing oracle-proven operators;
+    the report is two bounded aggregations over their joined top-k
+    sets (never touches the corpus beyond the two retrievals)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 8)
+    exact = cosine_topk_exact(e, queries, k=5).select("q_id", "c_id")
+    ann = lsh_ann_candidates(e, queries, dim=64, n_planes=6, k=5).select(
+        "q_id", "c_id"
+    )
+    hits = (
+        exact.join(ann, ["q_id", "c_id"])
+        .groupBy("q_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    n_exact = exact.groupBy("q_id").agg(F.count(F.lit(1)).alias("n_exact"))
+    return (
+        n_exact.join(hits, "q_id", "left")
+        .select(
+            "q_id",
+            "n_exact",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            (
+                F.coalesce("n_hits", F.lit(0)).cast("double")
+                / F.col("n_exact").cast("double")
+            ).alias("recall"),
+        )
+    )
+
+
+def _ann_recall_report_sql() -> str:
+    return f"""
+    WITH ex AS (
+      SELECT q_id, c_id FROM ({_cosine_topk_sql()})
+    ), an AS (
+      SELECT q_id, c_id FROM ({_lsh_ann_sql()})
+    ), h AS (
+      SELECT q_id, count(*) AS n_hits
+      FROM ex JOIN an USING (q_id, c_id) GROUP BY q_id
+    ), nx AS (
+      SELECT q_id, count(*) AS n_exact FROM ex GROUP BY q_id
+    )
+    SELECT nx.q_id, CAST(n_exact AS BIGINT) AS n_exact,
+           CAST(COALESCE(n_hits, 0) AS BIGINT) AS n_hits,
+           CAST(COALESCE(n_hits, 0) AS DOUBLE) / CAST(n_exact AS DOUBLE)
+             AS recall
+    FROM nx LEFT JOIN h ON nx.q_id = h.q_id
+    """
+
+
+def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-dedup text normalization with deterministic planted mess:
+    a third of the docs get control chars + trailing spaces, a third
+    get exotic-whitespace runs + spaced punctuation — the normalizer
+    must strip/collapse them all so trivially-different bytes can't
+    defeat dedup hashing. Oracle reuses the SAME pattern strings
+    (written in the \\x{...} form Java regex and RE2 parse
+    identically), so the normalized text must match byte-for-byte."""
+    from etl_global_mobility_spark.operators.text import normalize_text
+
+    d = load_table(spark, sf_dir, "documents")
+    messy = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.expr("char(9)"), F.col("text"), F.expr("char(7)"), F.lit("  ")
+            ),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(
+                F.expr("char(160)"),
+                F.expr("char(8201)"),
+                F.col("text"),
+                F.lit(" ."),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return normalize_text(messy).select("doc_id", "norm_text")
+
+
+def _normalize_text_sql() -> str:
+    from etl_global_mobility_spark.operators.text import (
+        NORM_CTRL_RE,
+        NORM_PUNCT_RE,
+        NORM_WS_RE,
+    )
+
+    backref = "\\1"
+    return f"""
+    WITH messy AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN chr(9) || text || chr(7) || '  '
+                  WHEN doc_id % 3 = 1 THEN chr(160) || chr(8201) || text || ' .'
+                  ELSE text END AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           trim(regexp_replace(regexp_replace(regexp_replace(t,
+                '{NORM_CTRL_RE}', '', 'g'),
+                '{NORM_WS_RE}', ' ', 'g'),
+                '{NORM_PUNCT_RE}', '{backref}', 'g')) AS norm_text
+    FROM messy
+    """
+
+
 def q_minhash_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage near-dup: LSH banding candidates, exact shingle-set
     Jaccard verify on candidates only (never all pairs) — the
@@ -2251,6 +2363,21 @@ SPECS = [
         _minhash_verified_sql(),
         doc="two-stage near-dup: LSH banding candidates + exact "
         "shingle-set Jaccard verify on candidates only",
+    ),
+    QuerySpec(
+        "llm_ann_recall_report",
+        q_ann_recall_report,
+        _ann_recall_report_sql(),
+        doc="retrieval evaluation as an operator: per-query recall@k of "
+        "LSH ANN vs exact cosine ground truth",
+    ),
+    QuerySpec(
+        "llm_normalize_text",
+        q_normalize_text,
+        _normalize_text_sql(),
+        doc="pre-dedup text normalization: control-char strip, Unicode "
+        "whitespace collapse, punctuation tightening — byte-identical "
+        "across engines via shared portable regex patterns",
     ),
     QuerySpec(
         "llm_cosine_topk",

@@ -1949,6 +1949,37 @@ def q_tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostic — the pre-flight report that tells you
+    whether a key needs salting/AQE BEFORE a 100 TB shuffle hits one
+    hot partition: per-key row counts for the orders⋈customer key,
+    top-20 heaviest keys with their share of the table and their
+    skew factor (count ÷ mean count, as one exact integer-ratio
+    division). One uniform-key aggregation + a 1-row bounded
+    broadcast; cost ∝ table, output ∝ 20."""
+    o = load_table(spark, sf_dir, "orders")
+    cnt = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n"))
+    tot = cnt.agg(
+        F.sum("n").alias("_total"), F.count(F.lit(1)).alias("_n_keys")
+    )
+    return (
+        cnt.join(F.broadcast(tot))
+        .select(
+            "o_custkey",
+            "n",
+            (F.col("n").cast("double") / F.col("_total").cast("double")).alias(
+                "share"
+            ),
+            (
+                (F.col("n") * F.col("_n_keys")).cast("double")
+                / F.col("_total").cast("double")
+            ).alias("skew_factor"),
+        )
+        .orderBy(F.col("n").desc(), F.col("o_custkey"))
+        .limit(20)
+    )
+
+
 def q_tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 (returned-item reporting) adapted to the driver
     schema: revenue lost to returns per customer over one quarter —
@@ -2704,6 +2735,23 @@ SPECS = [
            GROUP BY n_name""",
         doc="TPC-H Q5 shape: six-table star join, co-located "
         "customer/supplier nation, revenue per nation",
+    ),
+    QuerySpec(
+        "rel_skew_report",
+        q_skew_report,
+        """WITH cnt AS (
+             SELECT o_custkey, count(*) AS n FROM orders GROUP BY o_custkey
+           ), tot AS (
+             SELECT sum(n) AS total, count(*) AS n_keys FROM cnt
+           )
+           SELECT o_custkey, CAST(n AS BIGINT) AS n,
+                  CAST(n AS DOUBLE) / CAST(total AS DOUBLE) AS share,
+                  CAST(n * n_keys AS DOUBLE) / CAST(total AS DOUBLE)
+                    AS skew_factor
+           FROM cnt, tot
+           ORDER BY n DESC, o_custkey LIMIT 20""",
+        doc="join-key skew diagnostic: per-key counts, share, skew "
+        "factor (count / mean), top-20 heaviest keys",
     ),
     QuerySpec(
         "rel_tpch_q10_returned_items",

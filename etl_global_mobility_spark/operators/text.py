@@ -418,3 +418,48 @@ def feature_hash_vectors(
             (F.col("_cnt").cast("double") / F.col("_norm")).alias("weight"),
         )
     )
+
+
+#: Engine-portable normalization patterns (identical text parses the
+#: same under Java regex and RE2): C0 controls minus \t\n\r plus DEL;
+#: every Unicode whitespace (tab/newline/CR, space, NBSP, ogham,
+#: general-punctuation spaces, line/para separators, narrow-NBSP,
+#: math space, ideographic space); space(s) before closing punctuation.
+NORM_CTRL_RE = "[\\x{0000}-\\x{0008}\\x{000B}\\x{000C}\\x{000E}-\\x{001F}\\x{007F}]"
+NORM_WS_RE = (
+    "[\\t\\n\\r \\x{00A0}\\x{1680}\\x{2000}-\\x{200A}"
+    "\\x{2028}\\x{2029}\\x{202F}\\x{205F}\\x{3000}]+"
+)
+NORM_PUNCT_RE = " +([.,;:!?])"
+
+
+def normalize_text(
+    df,
+    text_col: str = "text",
+    out_col: str = "norm_text",
+):
+    """Pre-dedup text normalization — the cleanup stage C4/CCNet-style
+    pipelines run BEFORE hashing so trivially-different bytes (stray
+    control characters, runs of exotic whitespace, spaced-out
+    punctuation) don't defeat exact/near dedup:
+
+    1. control characters (C0 + DEL) stripped;
+    2. every Unicode-whitespace run collapsed to one ASCII space;
+    3. space squeezed out before closing punctuation ``.,;:!?``;
+    4. leading/trailing whitespace trimmed.
+
+    Pure codegen regexp chain over the scan — zero shuffles at any
+    scale. The pattern STRINGS below are module constants written in
+    the ``\\x{...}`` escape form that Java regex and RE2-family
+    engines parse identically, so an oracle can reuse them VERBATIM —
+    the whole point is that two engines produce byte-identical
+    normalized text. NULL text stays NULL (unevaluable rows keep
+    their sentinel, per the quality-engine contract).
+    """
+    col = F.col(text_col)
+    no_ctrl = F.regexp_replace(col, NORM_CTRL_RE, "")
+    one_space = F.regexp_replace(no_ctrl, NORM_WS_RE, " ")
+    # replacement backrefs differ by engine ($1 Java, \\1 RE2) — only
+    # the PATTERN is shared
+    tight = F.regexp_replace(one_space, NORM_PUNCT_RE, "$1")
+    return df.withColumn(out_col, F.trim(tight))

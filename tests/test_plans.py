@@ -583,6 +583,8 @@ def test_no_plan_antipatterns_across_entire_corpus(spark):
         "llm_mix_sources",            # broadcast 1-row grand total
         "llm_tfidf_topterms",         # broadcast 1-row n_docs frame
         "llm_e2e_curation",           # composes mix_sources
+        "rel_skew_report",            # broadcast 1-row total/n_keys frame
+        "llm_ann_recall_report",      # composes cosine_topk (broadcast query side)
     }
     ROW_PYTHON_ALLOWED = {"udf_python_udtf", "udf_udtf_table_arg"}
     ARROW_PYTHON_ALLOWED = {
