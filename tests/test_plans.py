@@ -483,6 +483,31 @@ def test_packing_efficiency_is_single_partial_aggregation(spark):
     assert "Generate" not in plan  # no explode: the examples are never built
 
 
+def test_tpch_q5_broadcasts_region_nation_and_q10_is_topk(spark):
+    """Q5's region→nation side must broadcast (explicit hint); Q10's
+    global top-20 must plan as TakeOrderedAndProject, never a full
+    sort."""
+    from etl_global_mobility_spark.corpus.relational import (
+        q_tpch_q5_local_supplier,
+        q_tpch_q10_returned_items,
+    )
+
+    assert "BroadcastHashJoin" in plan_of(q_tpch_q5_local_supplier(spark, SF))
+    assert "TakeOrderedAndProject" in plan_of(
+        q_tpch_q10_returned_items(spark, SF)
+    )
+
+
+def test_normalize_text_is_shuffle_free_codegen(spark):
+    """The normalization chain must fuse into the scan: no exchange of
+    any kind, whole plan codegen."""
+    from etl_global_mobility_spark.corpus.llm import q_normalize_text
+
+    plan = plan_of(q_normalize_text(spark, SF))
+    assert "Exchange" not in plan
+    assert "*(1) Project" in plan  # whole-stage codegen, single stage
+
+
 def test_incremental_neardup_cost_proportional_to_shard(spark, tmp_path):
     """Incremental near-dup against a PERSISTED band index must cost
     ∝ the new shard, not the corpus: the shard's band rows broadcast
