@@ -88,6 +88,10 @@ HEADLINE = [
     "rel_tpch_q5_local_supplier",
     "rel_tpch_q10_returned_items",
     "llm_normalize_text",
+    "rel_tpch_q6_forecast_revenue",
+    "rel_tpch_q9_product_profit",
+    "rel_tpch_q8_market_share",
+    "rel_tpch_q21_waiting_suppliers",
 ]
 
 

@@ -205,6 +205,18 @@ SCHEDULED_NEXT_WINDOW = frozenset(
         "llm_normalize_text",
         "llm_ann_recall_report",
         "rel_skew_report",
+        "rel_tpch_q2_min_cost",
+        "rel_tpch_q4_order_priority",
+        "rel_tpch_q6_forecast_revenue",
+        "rel_tpch_q7_volume_shipping",
+        "rel_tpch_q8_market_share",
+        "rel_tpch_q9_product_profit",
+        "rel_tpch_q14_promo_effect",
+        "rel_tpch_q16_supplier_cnt",
+        "rel_tpch_q17_small_quantity",
+        "rel_tpch_q19_disjunctive",
+        "rel_tpch_q21_waiting_suppliers",
+        "rel_tpch_q22_global_sales",
     }
 )
 

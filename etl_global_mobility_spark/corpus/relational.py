@@ -2291,6 +2291,456 @@ def q_percentiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecasting revenue change): the pure scan-aggregate —
+    no join at all. Every predicate (ship-year, discount band,
+    quantity cap) is scan-pushable and the whole query is one
+    map-side partial sum + a 1-row final agg; at 100 TB this is the
+    query whose cost is ENTIRELY the parquet scan, which is why its
+    plan is pinned to show PushedFilters and no shuffle beyond the
+    final 1-row exchange. Revenue = extendedprice * discount summed
+    as exact decimal, cast to double once."""
+    li = load_table(spark, sf_dir, "lineitem")
+    gain = F.col("l_extendedprice").cast("decimal(18,2)") * F.col(
+        "l_discount"
+    ).cast("decimal(4,2)")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= F.lit(0.02))
+            & (F.col("l_discount") <= F.lit(0.06))
+            & (F.col("l_quantity") < F.lit(24.0))
+        ).agg(F.sum(gain).cast("double").alias("revenue"))
+    )
+
+
+def q_tpch_q14_promo_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect): one-month lineitem slice joined to
+    part, conditional decimal sum ratio. The month filter pushes to
+    the fact scan; part is left unhinted (AQE broadcasts it at test
+    scale; at 100 TB part scales with SF and correctly shuffles).
+    Both sums stay decimal-exact; the single double division is
+    explicitly parenthesized identically in both engines."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-02-01").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part")
+    rev = _rev_col()
+    agg = li.join(p, li.l_partkey == p.p_partkey).agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", rev)).alias("_promo"),
+        F.sum(rev).alias("_total"),
+    )
+    return agg.select(
+        (
+            F.lit(100.0)
+            * (
+                F.coalesce(F.col("_promo").cast("double"), F.lit(0.0))
+                / F.col("_total").cast("double")
+            )
+        ).alias("promo_revenue_pct")
+    )
+
+
+def q_tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (discounted revenue, adapted to the driver part
+    schema: brand + size + quantity bands stand in for the
+    brand/container/quantity triplets): the canonical DISJUNCTIVE
+    join predicate. Catalyst extracts the common `l_partkey =
+    p_partkey` conjunct as the equi-join key and evaluates the OR
+    blocks as a post-join filter — without that extraction this
+    would degenerate to a cartesian product, which the plan gate
+    forbids; the plan pin asserts the join stays an equi-join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    blocks = (
+        (F.col("p_brand") == "Brand#13")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1.0, 20.0)
+    ) | (
+        (F.col("p_brand") == "Brand#22")
+        & F.col("p_size").between(10, 30)
+        & F.col("l_quantity").between(5.0, 30.0)
+    ) | (
+        (F.col("p_brand") == "Brand#25")
+        & F.col("p_size").between(20, 50)
+        & F.col("l_quantity").between(10.0, 40.0)
+    )
+    return li.join(p, (li.l_partkey == p.p_partkey) & blocks).agg(
+        F.sum(_rev_col()).cast("double").alias("revenue")
+    )
+
+
+def q_tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 (order-priority checking) adapted to the driver schema
+    (no commit/receipt dates): an order counts when SOME lineitem
+    shipped more than 60 days after the order date — the canonical
+    EXISTS, executed as a LEFT SEMI join whose condition spans both
+    sides. Cost: one semi-join shuffle on orderkey (each order
+    emitted at most once, no post-join dedup), then a 5-group agg."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            li,
+            (o.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 60 DAYS")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def q_tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping): revenue shipped between two fixed
+    nations in either direction, by supplier nation / customer
+    nation / ship-year. The two nation copies are explicit
+    broadcasts (25 rows, fixed forever); the either-direction pair
+    filter lands AFTER both nation joins so Catalyst evaluates it on
+    broadcast-joined rows — no fact-fact blowup. Ship-year via
+    F.year ≡ CAST(year() AS INT)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("_n1_key"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("_n2_key"),
+        F.col("n_name").alias("cust_nation"),
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_3")
+        & (F.col("cust_nation") == "NATION_7")
+    ) | (
+        (F.col("supp_nation") == "NATION_7")
+        & (F.col("cust_nation") == "NATION_3")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), s.s_nationkey == F.col("_n1_key"))
+        .join(F.broadcast(n2), c.c_nationkey == F.col("_n2_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(F.sum(_rev_col()).cast("double").alias("revenue"))
+    )
+
+
+def q_tpch_q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share): NATION_3's share of ECONOMY-
+    part revenue sold into AMERICA, per order year. region→nation
+    and the supplier nation are broadcast; the conditional numerator
+    and the total stay decimal-exact and the single share division
+    is parenthesized identically in both engines. NULL numerator
+    (a year with no NATION_3 sales) coalesces to 0 share."""
+    r = load_table(spark, sf_dir, "region").filter(
+        F.col("r_name") == "AMERICA"
+    )
+    n_cust = load_table(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select(F.col("n_nationkey").alias("_nc_key"))
+    n_supp = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("_ns_key"),
+        F.col("n_name").alias("supp_nation"),
+    )
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    rev = _rev_col()
+    agg = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n_cust), c.c_nationkey == F.col("_nc_key"))
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n_supp), s.s_nationkey == F.col("_ns_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(F.when(F.col("supp_nation") == "NATION_3", rev)).alias(
+                "_nat"
+            ),
+            F.sum(rev).alias("_total"),
+        )
+    )
+    return agg.select(
+        "o_year",
+        (
+            F.coalesce(F.col("_nat").cast("double"), F.lit(0.0))
+            / F.col("_total").cast("double")
+        ).alias("mkt_share"),
+    )
+
+
+def q_tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (product-type profit) adapted to the driver schema:
+    there is no partsupp table, so p_retailprice stands in for
+    ps_supplycost (documented adaptation — the join tree and the
+    amount arithmetic keep Q9's shape). Profit per supplier nation
+    per order year over parts whose name contains 'widget'. Both
+    the revenue and cost terms are decimal-exact, so the per-group
+    sums hash-match under any partitioning; the part-name filter
+    prunes the fact join early."""
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").contains("widget")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    amount = _rev_col() - F.col("p_retailprice").cast(
+        "decimal(18,2)"
+    ) * F.col("l_quantity").cast("decimal(18,2)")
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.sum(amount).cast("double").alias("sum_profit"))
+    )
+
+
+def q_tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (minimum-cost supplier) adapted to the driver schema:
+    no partsupp table, so the (part, supplier) supply cost is
+    derived as min(l_extendedprice) over lineitem — pure value
+    comparisons, no float arithmetic, so the correlated minimum is
+    engine-exact. For SMALL parts of size ≥ 10, keep only the
+    EUROPE suppliers achieving the per-part minimum cost — the
+    correlated scalar subquery expressed as a per-part min + join
+    back (the scalable rewrite; the oracle states it as the
+    textbook correlated subquery). Top-100 by account balance."""
+    pair_cost = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("l_extendedprice").alias("supply_cost"))
+    )
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "SMALL") & (F.col("p_size") >= 10)
+    )
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    n = load_table(spark, sf_dir, "nation").join(
+        F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(n.select("n_nationkey", "n_name")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    )
+    eligible = (
+        pair_cost.join(p, pair_cost.l_partkey == p.p_partkey)
+        .join(s, pair_cost.l_suppkey == s.s_suppkey)
+        .select("p_partkey", "s_suppkey", "s_name", "s_acctbal",
+                "n_name", "supply_cost")
+    )
+    min_cost = eligible.groupBy(F.col("p_partkey").alias("_mk")).agg(
+        F.min("supply_cost").alias("_min_cost")
+    )
+    return (
+        eligible.join(
+            min_cost,
+            (eligible.p_partkey == F.col("_mk"))
+            & (eligible.supply_cost == F.col("_min_cost")),
+        )
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "supply_cost")
+        .orderBy(
+            F.col("s_acctbal").desc(),
+            F.col("s_name"),
+            F.col("p_partkey"),
+        )
+        .limit(100)
+    )
+
+
+def q_tpch_q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue, threshold adapted to
+    0.5·avg so the driver data keeps rows at sf0.001): revenue from
+    Brand#13 lineitems whose quantity is below half the part's
+    average quantity, divided by 7 for the yearly figure. The
+    correlated avg subquery is rewritten as brand-filter → per-part
+    avg on the FILTERED subset → join back, so the aggregation input
+    is brand-sized, not corpus-sized. l_quantity is integral, so the
+    double avg is order-independent (exact integer sums ≤ 2^53)."""
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") == "Brand#13"
+    ).select("p_partkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    li2 = li.join(p, li.l_partkey == p.p_partkey).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    stats = li2.groupBy(F.col("l_partkey").alias("_pk")).agg(
+        F.avg("l_quantity").alias("_avg_qty")
+    )
+    return (
+        li2.join(stats, li2.l_partkey == F.col("_pk"))
+        .filter(F.col("l_quantity") < F.lit(0.5) * F.col("_avg_qty"))
+        .agg(
+            (
+                F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast(
+                    "double"
+                )
+                / F.lit(7.0)
+            ).alias("avg_yearly")
+        )
+    )
+
+
+def q_tpch_q16_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (parts/supplier relationship) adapted to the driver
+    schema: (part, supplier) pairs come from distinct lineitem
+    observations (no partsupp), the 'complaints' NOT IN exclusion
+    becomes suppliers with negative account balance. Distinct
+    supplier counts per (brand, type, size) for a 4-value size set,
+    excluding Brand#13 and PROMO parts. Shape: dedup'd fact pairs →
+    anti join (the NOT IN; keys non-null by construction) →
+    count-distinct aggregation."""
+    pairs = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#13")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 14, 23, 45)
+    )
+    bad = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 0
+    ).select(F.col("s_suppkey").alias("_bad_key"))
+    return (
+        pairs.join(p, pairs.l_partkey == p.p_partkey)
+        .join(
+            F.broadcast(bad),
+            pairs.l_suppkey == F.col("_bad_key"),
+            "left_anti",
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def q_tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (suppliers who kept orders waiting) adapted to the
+    driver schema: 'late' is shipping >90 days after the order date
+    (no receipt/commit dates). A NATION_19 supplier (a nation that
+    holds rows at every test SF) waits on a finished order when its
+    line was late, the order involved ≥2 distinct suppliers, and NO
+    OTHER supplier was late. The classic
+    EXISTS + NOT-EXISTS lineitem self-joins are rewritten as ONE
+    per-order aggregation (distinct suppliers, distinct late
+    suppliers) joined back to the late candidates — one shuffle on
+    orderkey instead of two extra fact self-joins; the oracle states
+    the textbook nested form. Top-20 by wait count."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    lo = (
+        load_table(spark, sf_dir, "lineitem")
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+            ).alias("late"),
+        )
+    )
+    per_order = lo.groupBy(F.col("l_orderkey").alias("_ok")).agg(
+        F.countDistinct("l_suppkey").alias("_n_supp"),
+        F.countDistinct(
+            F.when(F.col("late"), F.col("l_suppkey"))
+        ).alias("_n_late"),
+    )
+    cand = lo.filter(F.col("late")).select("l_orderkey", "l_suppkey").distinct()
+    s = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(
+            load_table(spark, sf_dir, "nation").filter(
+                F.col("n_name") == "NATION_19"
+            ).select("n_nationkey")
+        ),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "s_name")
+    return (
+        cand.join(
+            per_order,
+            (cand.l_orderkey == F.col("_ok"))
+            & (F.col("_n_supp") >= 2)
+            & (F.col("_n_late") == 1),
+        )
+        .join(s, cand.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(20)
+    )
+
+
+def q_tpch_q22_global_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (global sales opportunity) adapted to the driver
+    schema: the phone country code becomes c_nationkey mod 5 (same
+    shape: a derived code, a membership filter), 'positive-balance
+    average' is a 1-row scalar subquery broadcast to every row, and
+    'customers with no orders' becomes customers with no RECENT
+    orders (≥ 1999; every synthetic customer has some order, so the
+    unfiltered anti join would be vacuously empty) via LEFT ANTI
+    join against the date-filtered orders. The balance
+    aggregate is summed as decimal and divided once, so the
+    threshold — and therefore the row set — is engine-exact."""
+    c = load_table(spark, sf_dir, "customer").withColumn(
+        "cntrycode", (F.col("c_nationkey") % 5).cast("int")
+    ).filter(F.col("cntrycode").isin(1, 2, 3))
+    pos = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_acctbal") > 0.0
+    )
+    avg_bal = pos.agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("_avg_bal")
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp"))
+        .select(F.col("o_custkey").alias("_o_custkey"))
+    )
+    return (
+        c.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("_avg_bal"))
+        .join(o, F.col("c_custkey") == F.col("_o_custkey"), "left_anti")
+        .groupBy("cntrycode")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("totacctbal"),
+        )
+    )
+
+
 SPECS = [
     QuerySpec(
         "rel_percentiles_exact",
@@ -3544,5 +3994,246 @@ SPECS = [
                     AS sum_total
            FROM merged GROUP BY o_orderstatus""",
         doc="batch MERGE/upsert (anti-join + union), per-status audit",
+    ),
+    QuerySpec(
+        "rel_tpch_q6_forecast_revenue",
+        q_tpch_q6_forecast_revenue,
+        """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                           * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE)
+                  AS revenue
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+             AND l_shipdate <  TIMESTAMP '1997-01-01'
+             AND l_discount >= CAST(0.02 AS DOUBLE)
+             AND l_discount <= CAST(0.06 AS DOUBLE)
+             AND l_quantity < 24.0""",
+        doc="TPC-H Q6 shape: pure scan-aggregate, every predicate "
+        "pushed to the parquet scan, no join",
+    ),
+    QuerySpec(
+        "rel_tpch_q14_promo_effect",
+        q_tpch_q14_promo_effect,
+        f"""WITH agg AS (
+             SELECT sum(CASE WHEN p_type = 'PROMO' THEN {_REV} END)
+                      AS _promo,
+                    sum({_REV}) AS _total
+             FROM lineitem JOIN part ON l_partkey = p_partkey
+             WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+               AND l_shipdate <  TIMESTAMP '1996-02-01')
+           SELECT 100.0 * (coalesce(CAST(_promo AS DOUBLE), 0.0)
+                           / CAST(_total AS DOUBLE))
+                  AS promo_revenue_pct
+           FROM agg""",
+        doc="TPC-H Q14 shape: one-month fact slice x part, conditional "
+        "decimal sum ratio",
+    ),
+    QuerySpec(
+        "rel_tpch_q19_disjunctive",
+        q_tpch_q19_disjunctive_revenue,
+        f"""SELECT CAST(sum({_REV}) AS DOUBLE) AS revenue
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           WHERE (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 15
+                  AND l_quantity BETWEEN 1.0 AND 20.0)
+              OR (p_brand = 'Brand#22' AND p_size BETWEEN 10 AND 30
+                  AND l_quantity BETWEEN 5.0 AND 30.0)
+              OR (p_brand = 'Brand#25' AND p_size BETWEEN 20 AND 50
+                  AND l_quantity BETWEEN 10.0 AND 40.0)""",
+        doc="TPC-H Q19 shape: disjunctive join predicate — Catalyst "
+        "extracts the common equi-key, OR blocks post-filter",
+    ),
+    QuerySpec(
+        "rel_tpch_q4_order_priority",
+        q_tpch_q4_order_priority,
+        """SELECT o_orderpriority, count(*) AS order_count
+           FROM orders
+           WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+             AND o_orderdate <  TIMESTAMP '1996-10-01'
+             AND EXISTS (SELECT 1 FROM lineitem
+                         WHERE l_orderkey = o_orderkey
+                           AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+           GROUP BY o_orderpriority""",
+        doc="TPC-H Q4 shape (late-ship adaptation): EXISTS as left-semi "
+        "join with a cross-side condition, priority counts",
+    ),
+    QuerySpec(
+        "rel_tpch_q7_volume_shipping",
+        q_tpch_q7_volume_shipping,
+        f"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS INT) AS l_year,
+               CAST(sum({_REV}) AS DOUBLE) AS revenue
+           FROM lineitem
+           JOIN orders   ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation n1 ON s_nationkey = n1.n_nationkey
+           JOIN nation n2 ON c_nationkey = n2.n_nationkey
+           WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+             AND l_shipdate <  TIMESTAMP '1998-01-01'
+             AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+               OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+           GROUP BY 1, 2, 3""",
+        doc="TPC-H Q7 shape: bidirectional two-nation volume, "
+        "broadcast nation pair filter, per ship-year",
+    ),
+    QuerySpec(
+        "rel_tpch_q8_market_share",
+        q_tpch_q8_market_share,
+        f"""WITH agg AS (
+             SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+                    sum(CASE WHEN ns.n_name = 'NATION_3'
+                             THEN {_REV} END) AS _nat,
+                    sum({_REV}) AS _total
+             FROM lineitem
+             JOIN part ON l_partkey = p_partkey
+             JOIN orders ON l_orderkey = o_orderkey
+             JOIN customer ON o_custkey = c_custkey
+             JOIN nation nc ON c_nationkey = nc.n_nationkey
+             JOIN region ON nc.n_regionkey = r_regionkey
+             JOIN supplier ON l_suppkey = s_suppkey
+             JOIN nation ns ON s_nationkey = ns.n_nationkey
+             WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+               AND o_orderdate >= TIMESTAMP '1996-01-01'
+               AND o_orderdate <  TIMESTAMP '1998-01-01'
+             GROUP BY 1)
+           SELECT o_year,
+                  coalesce(CAST(_nat AS DOUBLE), 0.0)
+                    / CAST(_total AS DOUBLE) AS mkt_share
+           FROM agg""",
+        doc="TPC-H Q8 shape: 8-table star, national share of regional "
+        "revenue per order year",
+    ),
+    QuerySpec(
+        "rel_tpch_q9_product_profit",
+        q_tpch_q9_product_profit,
+        f"""SELECT n_name AS nation,
+               CAST(year(o_orderdate) AS INT) AS o_year,
+               CAST(sum({_REV}
+                        - CAST(p_retailprice AS DECIMAL(18,2))
+                          * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                 AS sum_profit
+           FROM lineitem
+           JOIN part ON l_partkey = p_partkey
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN supplier ON l_suppkey = s_suppkey
+           JOIN nation ON s_nationkey = n_nationkey
+           WHERE p_name LIKE '%widget%'
+           GROUP BY 1, 2""",
+        doc="TPC-H Q9 shape (p_retailprice stands in for the absent "
+        "partsupp supply cost): profit per supplier nation per year",
+    ),
+    QuerySpec(
+        "rel_tpch_q2_min_cost",
+        q_tpch_q2_min_cost_supplier,
+        """WITH ps AS (
+             SELECT l_partkey, l_suppkey,
+                    min(l_extendedprice) AS supply_cost
+             FROM lineitem GROUP BY 1, 2
+           ), elig AS (
+             SELECT p_partkey, s.s_suppkey, s_name, s_acctbal, n_name,
+                    supply_cost
+             FROM ps
+             JOIN part ON l_partkey = p_partkey
+             JOIN supplier s ON l_suppkey = s.s_suppkey
+             JOIN nation ON s_nationkey = n_nationkey
+             JOIN region ON n_regionkey = r_regionkey
+             WHERE p_type = 'SMALL' AND p_size >= 10
+               AND r_name = 'EUROPE'
+           )
+           SELECT s_acctbal, s_name, n_name, p_partkey, supply_cost
+           FROM elig e
+           WHERE supply_cost = (SELECT min(supply_cost) FROM elig e2
+                                WHERE e2.p_partkey = e.p_partkey)
+           ORDER BY s_acctbal DESC, s_name, p_partkey
+           LIMIT 100""",
+        doc="TPC-H Q2 shape (lineitem min price stands in for the "
+        "absent partsupp cost): correlated per-part minimum, "
+        "region-restricted suppliers, top-100",
+    ),
+    QuerySpec(
+        "rel_tpch_q17_small_quantity",
+        q_tpch_q17_small_quantity,
+        """WITH li2 AS (
+             SELECT l_partkey, l_quantity, l_extendedprice
+             FROM lineitem JOIN part ON l_partkey = p_partkey
+             WHERE p_brand = 'Brand#13'
+           ), st AS (
+             SELECT l_partkey AS _pk, avg(l_quantity) AS _avg_qty
+             FROM li2 GROUP BY 1
+           )
+           SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+                       AS DOUBLE) / 7.0 AS avg_yearly
+           FROM li2 JOIN st ON l_partkey = _pk
+           WHERE l_quantity < 0.5 * _avg_qty""",
+        doc="TPC-H Q17 shape (0.5-avg threshold adaptation): correlated "
+        "per-part average rewritten brand-filter-first",
+    ),
+    QuerySpec(
+        "rel_tpch_q16_supplier_cnt",
+        q_tpch_q16_supplier_cnt,
+        """WITH pairs AS (
+             SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+           )
+           SELECT p_brand, p_type, p_size,
+                  count(DISTINCT l_suppkey) AS supplier_cnt
+           FROM pairs JOIN part ON l_partkey = p_partkey
+           WHERE p_brand <> 'Brand#13' AND p_type <> 'PROMO'
+             AND p_size IN (1, 14, 23, 45)
+             AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                   WHERE s_acctbal < 0)
+           GROUP BY 1, 2, 3""",
+        doc="TPC-H Q16 shape (lineitem pairs stand in for partsupp; "
+        "negative balance stands in for complaints): NOT IN "
+        "exclusion + distinct supplier counts",
+    ),
+    QuerySpec(
+        "rel_tpch_q21_waiting_suppliers",
+        q_tpch_q21_waiting_suppliers,
+        """WITH lo AS (
+             SELECT l_orderkey, l_suppkey,
+                    l_shipdate > o_orderdate + INTERVAL 90 DAY AS late
+             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             WHERE o_orderstatus = 'F'
+           )
+           SELECT s_name, count(*) AS numwait
+           FROM (SELECT DISTINCT l_orderkey, l_suppkey
+                 FROM lo WHERE late) l1
+           JOIN supplier ON l1.l_suppkey = s_suppkey
+           JOIN nation ON s_nationkey = n_nationkey
+           WHERE n_name = 'NATION_19'
+             AND EXISTS (SELECT 1 FROM lo l2
+                         WHERE l2.l_orderkey = l1.l_orderkey
+                           AND l2.l_suppkey <> l1.l_suppkey)
+             AND NOT EXISTS (SELECT 1 FROM lo l3
+                             WHERE l3.l_orderkey = l1.l_orderkey
+                               AND l3.l_suppkey <> l1.l_suppkey
+                               AND l3.late)
+           GROUP BY s_name
+           ORDER BY numwait DESC, s_name
+           LIMIT 20""",
+        doc="TPC-H Q21 shape (ship-lag adaptation): EXISTS + NOT-EXISTS "
+        "self-joins rewritten as one per-order aggregation",
+    ),
+    QuerySpec(
+        "rel_tpch_q22_global_sales",
+        q_tpch_q22_global_sales,
+        """WITH avg_bal AS (
+             SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                      / CAST(count(*) AS DOUBLE) AS _avg_bal
+             FROM customer WHERE c_acctbal > 0.0
+           )
+           SELECT CAST(c_nationkey % 5 AS INT) AS cntrycode,
+                  count(*) AS numcust,
+                  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                    AS totacctbal
+           FROM customer, avg_bal
+           WHERE c_nationkey % 5 IN (1, 2, 3)
+             AND c_acctbal > _avg_bal
+             AND c_custkey NOT IN (SELECT o_custkey FROM orders
+                                   WHERE o_orderdate >=
+                                         TIMESTAMP '1999-01-01')
+           GROUP BY 1""",
+        doc="TPC-H Q22 shape (nationkey mod stands in for the absent "
+        "phone country code): scalar-subquery threshold + anti join "
+        "to orders, per-code balance totals",
     ),
 ]

@@ -610,6 +610,7 @@ def test_no_plan_antipatterns_across_entire_corpus(spark):
         "llm_e2e_curation",           # composes mix_sources
         "rel_skew_report",            # broadcast 1-row total/n_keys frame
         "llm_ann_recall_report",      # composes cosine_topk (broadcast query side)
+        "rel_tpch_q22_global_sales",  # broadcast 1-row avg-balance frame
     }
     ROW_PYTHON_ALLOWED = {"udf_python_udtf", "udf_udtf_table_arg"}
     ARROW_PYTHON_ALLOWED = {
@@ -670,3 +671,65 @@ def test_sentence_chunks_single_exchange(spark):
     plan = plan_of(q_sentence_chunks(spark, SF))
     n_shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
     assert n_shuffles == 1, plan
+
+
+def test_tpch_q6_is_pure_scan_aggregate(spark):
+    """Q6 is the query whose cost at 100 TB is ENTIRELY the scan: all
+    three predicates must reach the parquet reader as PushedFilters,
+    the aggregation must be partial (map-side combine), and the only
+    shuffle is the 1-row final-agg exchange."""
+    from etl_global_mobility_spark.corpus.relational import (
+        q_tpch_q6_forecast_revenue,
+    )
+
+    plan = plan_of(q_tpch_q6_forecast_revenue(spark, SF))
+    # toString truncates the PushedFilters list, so assert the head of
+    # the pushed set plus the ship-date bound that fits before the cut
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+    assert "GreaterThanOrEqual(l_shipda" in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    assert plan.count("Exchange") - plan.count("BroadcastExchange") == 1
+    assert "Join" not in plan
+
+
+def test_tpch_q19_disjunction_keeps_equi_join(spark):
+    """Q19's OR-of-conjunction predicate must NOT degrade the join to a
+    nested-loop/cartesian: Catalyst extracts the common l_partkey =
+    p_partkey conjunct as the equi-join key and the OR blocks become a
+    post-join filter."""
+    from etl_global_mobility_spark.corpus.relational import (
+        q_tpch_q19_disjunctive_revenue,
+    )
+
+    plan = plan_of(q_tpch_q19_disjunctive_revenue(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_tpch_q4_exists_plans_left_semi(spark):
+    """Q4's EXISTS must execute as ONE left-semi join (each order
+    emitted at most once — no post-join distinct), with the cross-side
+    ship-lag condition attached to the join, not a later filter."""
+    from etl_global_mobility_spark.corpus.relational import (
+        q_tpch_q4_order_priority,
+    )
+
+    plan = plan_of(q_tpch_q4_order_priority(spark, SF))
+    assert "LeftSemi" in plan
+    assert "Distinct" not in plan
+
+
+def test_tpch_q21_single_fact_pass_no_self_joins(spark):
+    """Q21's EXISTS + NOT-EXISTS textbook form would self-join lineitem
+    twice; the rewrite computes both conditions in ONE per-order
+    aggregation, so the fact table must appear exactly twice in the
+    plan (the lo frame feeding the agg and the candidate filter), not
+    four times."""
+    from etl_global_mobility_spark.corpus.relational import (
+        q_tpch_q21_waiting_suppliers,
+    )
+
+    plan = plan_of(q_tpch_q21_waiting_suppliers(spark, SF))
+    assert plan.count("lineitem.parquet") <= 2, plan
+    assert "CartesianProduct" not in plan
