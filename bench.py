@@ -92,6 +92,8 @@ HEADLINE = [
     "rel_tpch_q9_product_profit",
     "rel_tpch_q8_market_share",
     "rel_tpch_q21_waiting_suppliers",
+    "llm_winnowing_fingerprint",
+    "llm_length_bucket_batching",
 ]
 
 

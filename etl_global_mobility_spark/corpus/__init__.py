@@ -217,6 +217,8 @@ SCHEDULED_NEXT_WINDOW = frozenset(
         "rel_tpch_q19_disjunctive",
         "rel_tpch_q21_waiting_suppliers",
         "rel_tpch_q22_global_sales",
+        "llm_winnowing_fingerprint",
+        "llm_length_bucket_batching",
     }
 )
 

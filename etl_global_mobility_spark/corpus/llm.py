@@ -2190,6 +2190,98 @@ def _bm25_sql(k1: float = 1.2, b: float = 0.75, top_k: int = 20) -> str:
     FROM topk"""
 
 
+def q_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint report (operators/text.py
+    winnowing_fingerprints, k=5, w=4): per-document count/min/max/
+    xor-fold/density of the winnowed hash set — scalars only, so the
+    full fingerprint pipeline (k-grams → md5 hashes → window minima →
+    distinct) is oracle-checked end to end without array cells."""
+    from etl_global_mobility_spark.operators.text import (
+        winnowing_fingerprints,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return winnowing_fingerprints(d, k=5, w=4)
+
+
+def q_length_bucket_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching report (operators/text.py
+    length_bucket_batching): fixed power-of-two token caps, per-bucket
+    doc counts, exact token sums, padded cost and efficiency."""
+    from etl_global_mobility_spark.operators.text import (
+        length_bucket_batching,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return length_bucket_batching(d)
+
+
+#: DuckDB mirror of the winnowing pipeline (k=5 grams, w=4 windows).
+_WINNOW_SQL = f"""
+    WITH base AS (
+      SELECT doc_id, {TOKS} AS toks FROM documents
+    ), g AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 5 THEN
+               list_transform(range(1, len(toks) - 4 + 1),
+                              i -> array_to_string(toks[i:i + 4], ' '))
+             ELSE CAST([] AS VARCHAR[]) END AS grams
+      FROM base
+    ), h AS (
+      SELECT doc_id,
+             list_transform(grams,
+               s -> CAST('0x' || substr(md5('0:' || s), 1, 15) AS BIGINT))
+               AS hs
+      FROM g
+    ), m AS (
+      SELECT doc_id, len(hs) AS n_grams,
+             CASE WHEN len(hs) >= 4 THEN
+                    list_transform(range(1, len(hs) - 3 + 1),
+                                   j -> list_min(hs[j:j + 3]))
+                  WHEN len(hs) >= 1 THEN [list_min(hs)]
+                  ELSE CAST([] AS BIGINT[]) END AS mins
+      FROM h
+    ), f AS (
+      SELECT doc_id, n_grams, list_distinct(mins) AS fps FROM m
+    )
+    SELECT doc_id, n_grams,
+           len(fps) AS n_fingerprints,
+           list_min(fps) AS fp_min,
+           list_max(fps) AS fp_max,
+           list_reduce(list_prepend(CAST(0 AS BIGINT), fps),
+                       (a, b) -> xor(a, b)) AS fp_xor,
+           CASE WHEN n_grams > 0
+                THEN CAST(len(fps) AS DOUBLE) / CAST(n_grams AS DOUBLE)
+           END AS fp_density
+    FROM f"""
+
+
+#: DuckDB mirror of the length-bucket batching report.
+_LENGTH_BUCKET_SQL = f"""
+    WITH t AS (
+      SELECT doc_id, len({TOKS}) AS tokens FROM documents
+    ), b AS (
+      SELECT doc_id, tokens,
+             CASE WHEN tokens <= 16 THEN 16
+                  WHEN tokens <= 32 THEN 32
+                  WHEN tokens <= 64 THEN 64
+                  WHEN tokens <= 128 THEN 128
+                  WHEN tokens <= 256 THEN 256
+                  WHEN tokens <= 512 THEN 512
+                  WHEN tokens <= 1024 THEN 1024
+                  ELSE 2048 END AS bucket_cap
+      FROM t
+    )
+    SELECT bucket_cap,
+           count(*) AS n_docs,
+           CAST(sum(tokens) AS BIGINT) AS sum_tokens,
+           max(tokens) AS max_tokens,
+           CAST(bucket_cap * count(*) AS BIGINT) AS padded_tokens,
+           CAST(sum(tokens) AS DOUBLE)
+             / CAST(bucket_cap * count(*) AS DOUBLE) AS efficiency
+    FROM b GROUP BY bucket_cap"""
+
+
 from etl_global_mobility_spark.operators.quality_rules import (  # noqa: E402
     TRAINED_SNAPSHOT_WEIGHTS as _TRAINED_W,
 )
@@ -2674,5 +2766,20 @@ SPECS = [
            FROM scored WHERE rk = 1""",
         doc="keep-best canonical selection per near-dup cluster "
         "(quality argmax, tie -> lowest id)",
+    ),
+    QuerySpec(
+        "llm_winnowing_fingerprint",
+        q_winnowing_fingerprint,
+        _WINNOW_SQL,
+        doc="winnowing document fingerprints (Schleimer et al. "
+        "SIGMOD'03): sliding-window minima over k-gram md5 hashes, "
+        "map-side array expressions only",
+    ),
+    QuerySpec(
+        "llm_length_bucket_batching",
+        q_length_bucket_batching,
+        _LENGTH_BUCKET_SQL,
+        doc="length-bucketed batching report: fixed power-of-two "
+        "caps, padded cost and efficiency per bucket",
     ),
 ]

