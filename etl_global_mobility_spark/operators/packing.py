@@ -86,14 +86,19 @@ def chunk_documents(
     starts = F.when(F.size(toks) > 0, F.sequence(F.lit(0), F.size(toks) - 1, F.lit(stride))).otherwise(
         F.array().cast("array<int>")
     )
+    # tokenize ONCE and carry the array through the explode: slicing a
+    # carried array per chunk row is a bounded copy, while re-running
+    # tokenize(text) per chunk row would redo the regex split O(n)
+    # times per document (O(n²/stride) row work on long documents).
     return (
-        docs.select(id_col, F.col(text_col), starts.alias("_starts"))
-        .select(id_col, F.col(text_col), F.explode("_starts").alias("chunk_start"))
+        docs.select(id_col, toks.alias("_toks"), starts.alias("_starts"))
+        .select(id_col, "_toks", F.explode("_starts").alias("chunk_start"))
         .select(
             id_col,
             F.col("chunk_start").cast("bigint").alias("chunk_start"),
             F.array_join(
-                F.slice(tokenize(text_col), F.col("chunk_start") + 1, chunk_size), " "
+                F.slice(F.col("_toks"), F.col("chunk_start") + 1, chunk_size),
+                " ",
             ).alias("chunk_text"),
         )
         .withColumn("chunk_tokens", token_count("chunk_text"))

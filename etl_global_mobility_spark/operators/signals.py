@@ -27,12 +27,19 @@ from etl_global_mobility_spark.operators.text import tokenize
 
 def _word_shingles_all(text_col: str, k: int) -> F.Column:
     """ALL k-word shingles in order (duplicates kept — repetition is the
-    signal here, unlike dedup's distinct-set semantics)."""
+    signal here, unlike dedup's distinct-set semantics). Token array
+    let-bound (text._bind) so the per-shingle slice does not
+    re-tokenize the document per element."""
     from etl_global_mobility_spark.operators.dedup import _shingle_index
+    from etl_global_mobility_spark.operators.text import _bind
 
-    toks = tokenize(text_col)
-    idx = _shingle_index(F.size(toks), k)
-    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+    return _bind(
+        tokenize(text_col),
+        lambda ts: F.transform(
+            _shingle_index(F.size(ts), k),
+            lambda i: F.concat_ws(" ", F.slice(ts, i, k)),
+        ),
+    )
 
 
 def repetition_signals(

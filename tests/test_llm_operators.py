@@ -1860,3 +1860,35 @@ def test_winnowing_and_length_buckets_plan_map_only(spark):
     plan_b = q_length_bucket_batching(spark, SF)._jdf.queryExecution().executedPlan().toString()
     n_shuffles = plan_b.count("Exchange") - plan_b.count("BroadcastExchange")
     assert n_shuffles <= 2  # partial agg + final agg exchange only
+
+
+def test_shingle_pipelines_scale_linearly_on_long_documents(spark):
+    """Regression pin for the let-binding fix: a bare array expression
+    referenced inside an F.transform lambda is re-evaluated per
+    element, turning shingling into O(n_tokens²) row work. On a
+    5 000-token document the quadratic form needs minutes; the
+    let-bound form runs in seconds. Covers _word_shingles (MinHash/
+    Jaccard), _word_shingles_all (repetition), winnowing, and the
+    chunker's carried token array."""
+    import time
+
+    from etl_global_mobility_spark.operators.dedup import _word_shingles
+    from etl_global_mobility_spark.operators.packing import chunk_documents
+    from etl_global_mobility_spark.operators.signals import (
+        repetition_signals,
+    )
+    from etl_global_mobility_spark.operators.text import (
+        winnowing_fingerprints,
+    )
+
+    long_text = " ".join(f"w{i * 6007 % 4999}" for i in range(5000))
+    df = spark.createDataFrame(
+        [(i, long_text) for i in range(8)], ["doc_id", "text"]
+    )
+    t0 = time.time()
+    assert df.select(F.size(_word_shingles("text", 3)).alias("n")).collect()[0]["n"] == 4998
+    winnowing_fingerprints(df).collect()
+    repetition_signals(df).collect()
+    assert chunk_documents(df).count() > 0
+    elapsed = time.time() - t0
+    assert elapsed < 60, f"shingle pipelines took {elapsed:.0f}s on 5k-token docs"
