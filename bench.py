@@ -94,6 +94,7 @@ HEADLINE = [
     "rel_tpch_q21_waiting_suppliers",
     "llm_winnowing_fingerprint",
     "llm_length_bucket_batching",
+    "llm_winnowing_neardup",
 ]
 
 

@@ -219,6 +219,7 @@ SCHEDULED_NEXT_WINDOW = frozenset(
         "rel_tpch_q22_global_sales",
         "llm_winnowing_fingerprint",
         "llm_length_bucket_batching",
+        "llm_winnowing_neardup",
     }
 )
 

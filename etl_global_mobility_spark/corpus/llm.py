@@ -2204,6 +2204,19 @@ def q_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnowing_fingerprints(d, k=5, w=4)
 
 
+def q_winnowing_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style winnowed-fingerprint near-dup pairs
+    (operators/dedup.py winnowing_neardup_pairs, k=5, w=4,
+    min_shared=2, df_max=50): structural recall over shared passages
+    ≥ w+k-1 tokens, inverted-index join bounded by the df cap."""
+    from etl_global_mobility_spark.operators.dedup import (
+        winnowing_neardup_pairs,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return winnowing_neardup_pairs(d, k=5, w=4, min_shared=2, df_max=50)
+
+
 def q_length_bucket_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Length-bucketed batching report (operators/text.py
     length_bucket_batching): fixed power-of-two token caps, per-bucket
@@ -2216,8 +2229,9 @@ def q_length_bucket_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
     return length_bucket_batching(d)
 
 
-#: DuckDB mirror of the winnowing pipeline (k=5 grams, w=4 windows).
-_WINNOW_SQL = f"""
+#: Shared CTE chain of the winnowing pipeline (k=5 grams, w=4
+#: windows) ending in ``f(doc_id, n_grams, fps)``.
+_WINNOW_CTE = f"""
     WITH base AS (
       SELECT doc_id, {TOKS} AS toks FROM documents
     ), g AS (
@@ -2243,7 +2257,11 @@ _WINNOW_SQL = f"""
       FROM h
     ), f AS (
       SELECT doc_id, n_grams, list_distinct(mins) AS fps FROM m
-    )
+    )"""
+
+
+#: DuckDB mirror of the per-document winnowing report.
+_WINNOW_SQL = f"""{_WINNOW_CTE}
     SELECT doc_id, n_grams,
            len(fps) AS n_fingerprints,
            list_min(fps) AS fp_min,
@@ -2254,6 +2272,29 @@ _WINNOW_SQL = f"""
                 THEN CAST(len(fps) AS DOUBLE) / CAST(n_grams AS DOUBLE)
            END AS fp_density
     FROM f"""
+
+
+#: DuckDB mirror of the winnowing near-dup pair join (df-cap 50,
+#: min_shared 2 — the corpus parameters of q_winnowing_neardup).
+_WINNOW_NEARDUP_SQL = f"""{_WINNOW_CTE}
+    , inv AS (
+      SELECT doc_id AS id, unnest(fps) AS fp FROM f
+    ), capped AS (
+      SELECT id, fp FROM (
+        SELECT id, fp, count(*) OVER (PARTITION BY fp) AS fp_df
+        FROM inv)
+      WHERE fp_df <= 50
+    ), sized AS (
+      SELECT id, fp, count(*) OVER (PARTITION BY id) AS n_fp
+      FROM capped
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           count(*) AS n_shared,
+           CAST(count(*) AS DOUBLE)
+             / CAST(least(a.n_fp, b.n_fp) AS DOUBLE) AS overlap
+    FROM sized a JOIN sized b ON a.fp = b.fp AND a.id < b.id
+    GROUP BY a.id, b.id, a.n_fp, b.n_fp
+    HAVING count(*) >= 2"""
 
 
 #: DuckDB mirror of the length-bucket batching report.
@@ -2781,5 +2822,13 @@ SPECS = [
         _LENGTH_BUCKET_SQL,
         doc="length-bucketed batching report: fixed power-of-two "
         "caps, padded cost and efficiency per bucket",
+    ),
+    QuerySpec(
+        "llm_winnowing_neardup",
+        q_winnowing_neardup,
+        _WINNOW_NEARDUP_SQL,
+        doc="MOSS-style near-dup pairs over winnowed fingerprints "
+        "(df-capped inverted-index join, structural recall over "
+        "shared passages)",
     ),
 ]
