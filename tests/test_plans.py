@@ -612,6 +612,14 @@ def test_no_plan_antipatterns_across_entire_corpus(spark):
         "llm_ann_recall_report",      # composes cosine_topk (broadcast query side)
         "rel_tpch_q22_global_sales",  # broadcast 1-row avg-balance frame
     }
+    # Unpartitioned windows (WindowExec with an empty partition spec)
+    # move ALL rows to one task — allowed only where the window input
+    # is BOUNDED by construction (a preceding top-k limit).
+    UNPARTITIONED_WINDOW_BOUNDED = {
+        "llm_bm25",                  # rank over the top-k limit output
+        "llm_hybrid_retrieval_rrf",  # rank over a union of bounded top-k lists
+        "llm_ann_recall_report",     # composes bounded ANN top-k outputs
+    }
     ROW_PYTHON_ALLOWED = {"udf_python_udtf", "udf_udtf_table_arg"}
     ARROW_PYTHON_ALLOWED = {
         "udf_pandas_scalar", "udf_pandas_grouped_agg",
@@ -626,6 +634,35 @@ def test_no_plan_antipatterns_across_entire_corpus(spark):
         "AggregateInPandas",
     )
 
+    def unpartitioned_windows(plan: str) -> bool:
+        # WindowExec prints "Window [exprs], [part], [order]", omitting
+        # EMPTY specs — so a 2-group line is unpartitioned only when
+        # its second group is a SORT spec (contains ASC/DESC); a bare
+        # column list there is a partition with no ordering (running
+        # counts), which distributes fine. (WindowGroupLimit prints its
+        # partition first and doesn't match the "Window " prefix.)
+        for raw in plan.splitlines():
+            line = raw.strip().lstrip("+-: *")
+            if not line.startswith("Window "):
+                continue
+            groups, depth, cur = [], 0, []
+            for ch in line:
+                if ch == "[":
+                    if depth == 0:
+                        cur = []
+                    depth += 1
+                elif ch == "]":
+                    depth -= 1
+                    if depth == 0:
+                        groups.append("".join(cur))
+                elif depth >= 1:
+                    cur.append(ch)
+            if len(groups) == 2 and (
+                " ASC" in groups[1] or " DESC" in groups[1]
+            ):
+                return True
+        return False
+
     bad: list[str] = []
     for name, spec in all_queries().items():
         if name.startswith("stream_"):
@@ -633,6 +670,8 @@ def test_no_plan_antipatterns_across_entire_corpus(spark):
         plan = plan_of(spec.fn(spark, SF))
         if "CartesianProduct" in plan:
             bad.append(f"{name}: CartesianProduct")
+        if unpartitioned_windows(plan) and name not in UNPARTITIONED_WINDOW_BOUNDED:
+            bad.append(f"{name}: unpartitioned (single-task) window")
         if "BroadcastNestedLoopJoin" in plan and name not in BNLJ_BOUNDED_BY_DESIGN:
             bad.append(f"{name}: unjustified BroadcastNestedLoopJoin")
         if (
