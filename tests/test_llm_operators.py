@@ -1892,3 +1892,69 @@ def test_shingle_pipelines_scale_linearly_on_long_documents(spark):
     assert chunk_documents(df).count() > 0
     elapsed = time.time() - t0
     assert elapsed < 60, f"shingle pipelines took {elapsed:.0f}s on 5k-token docs"
+
+
+@pytest.mark.slow
+def test_winnowing_neardup_soak_structural_recall(spark):
+    """Scale soak for MOSS-style winnowed near-dup: 10k hash-derived
+    documents with 100 planted copies sharing the 45-word PREFIX of
+    their source (>> w+k-1 = 8 tokens), so by the winnowing guarantee
+    recall must be 1.0 — structural, not probabilistic (the contrast
+    with the MinHash soak's 0.6 floor). Also asserts zero pairs among
+    unrelated base docs and a runtime budget that trips if the df-cap
+    ever stops bounding the inverted-index join."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from etl_global_mobility_spark.operators.dedup import (
+        winnowing_neardup_pairs,
+    )
+
+    n, words = 10_000, 50
+
+    def word(idc, j, vocab=4000):
+        return F.concat(
+            F.lit("w"), (F.pmod(F.hash(idc, j), F.lit(vocab))).cast("string")
+        )
+
+    base = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(1), F.lit(words)),
+                lambda j: word(F.col("id"), j),
+            ),
+        ).alias("text"),
+    )
+    src = (F.col("id") * 97) % n
+    dups = spark.range(100).select(
+        (F.lit(n) + F.col("id")).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(1), F.lit(words - 5)),
+                lambda j: word(src, j),
+            ),
+            F.transform(
+                F.sequence(F.lit(1), F.lit(5)),
+                lambda j: word(F.col("id") + n, j, 997),
+            ),
+        ).alias("text"),
+    )
+    corpus = base.unionByName(dups)
+    t0 = time.time()
+    pairs = winnowing_neardup_pairs(
+        corpus, k=5, w=4, min_shared=2, df_max=100
+    ).collect()
+    elapsed = time.time() - t0
+    planted = {((i * 97) % n, n + i) for i in range(100)}
+    got = {(r.id_a, r.id_b) for r in pairs}
+    # the 45 shared prefix tokens give 41 shared grams / 38 shared
+    # windows — far above min_shared=2: the guarantee makes this exact
+    missing = planted - got
+    assert not missing, f"winnowing guarantee violated: {sorted(missing)[:5]}"
+    extras = got - planted
+    assert not extras, f"false-positive pairs: {sorted(extras)[:5]}"
+    assert elapsed < 120, f"winnowing soak took {elapsed:.0f}s"
