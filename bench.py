@@ -95,6 +95,7 @@ HEADLINE = [
     "llm_winnowing_fingerprint",
     "llm_length_bucket_batching",
     "llm_winnowing_neardup",
+    "llm_hard_negative_mining",
 ]
 
 

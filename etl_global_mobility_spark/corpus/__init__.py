@@ -220,6 +220,8 @@ SCHEDULED_NEXT_WINDOW = frozenset(
         "llm_winnowing_fingerprint",
         "llm_length_bucket_batching",
         "llm_winnowing_neardup",
+        "llm_hard_negative_mining",
+        "udf_sql_function",
     }
 )
 

@@ -1596,6 +1596,39 @@ def _cosine_topk_sql(k: int = 5, n_queries: int = 8) -> str:
     """
 
 
+def _hard_negative_sql(
+    k: int = 5, n_candidates: int = 10, n_queries: int = 8
+) -> str:
+    """DuckDB mirror of hard_negative_mining: the cosine top-N ranking
+    (same NaN exclusion as _cosine_topk_sql) label-joined, different-
+    label rows re-ranked by similarity rank."""
+    return f"""
+    WITH scored AS (
+      SELECT b.vec_id AS q_id, a.vec_id AS c_id, {_COS} AS score
+      FROM embeddings a, embeddings b
+      WHERE b.vec_id < {n_queries} AND a.vec_id <> b.vec_id
+    ), ranked AS (
+      SELECT q_id, c_id, score,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY score DESC, c_id) AS rank
+      FROM scored WHERE NOT isnan(score)
+    ), negs AS (
+      SELECT r.q_id, qb.label AS q_label, r.c_id, ca.label AS c_label,
+             r.score,
+             row_number() OVER (PARTITION BY r.q_id
+                                ORDER BY r.rank) AS neg_rank
+      FROM ranked r
+      JOIN embeddings qb ON r.q_id = qb.vec_id
+      JOIN embeddings ca ON r.c_id = ca.vec_id
+      WHERE r.rank <= {n_candidates}
+        AND qb.label IS NOT NULL AND ca.label IS NOT NULL
+        AND qb.label <> ca.label
+    )
+    SELECT q_id, q_label, neg_rank, c_id, c_label, score
+    FROM negs WHERE neg_rank <= {k}
+    """
+
+
 def _mmr_sql(
     k: int = 5,
     nc: int = 10,
@@ -2202,6 +2235,19 @@ def q_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return winnowing_fingerprints(d, k=5, w=4)
+
+
+def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPR-style hard negatives (operators/retrieval.py
+    hard_negative_mining): per query the 5 most cosine-similar corpus
+    vectors with a DIFFERENT label, drawn from the exact top-10."""
+    from etl_global_mobility_spark.operators.retrieval import (
+        hard_negative_mining,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 8)
+    return hard_negative_mining(e, queries, k=5, n_candidates=10)
 
 
 def q_winnowing_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2822,6 +2868,14 @@ SPECS = [
         _LENGTH_BUCKET_SQL,
         doc="length-bucketed batching report: fixed power-of-two "
         "caps, padded cost and efficiency per bucket",
+    ),
+    QuerySpec(
+        "llm_hard_negative_mining",
+        q_hard_negative_mining,
+        _hard_negative_sql(),
+        doc="DPR-style hard-negative mining: most-similar different-"
+        "label corpus items per query (contrastive retrieval "
+        "training negatives)",
     ),
     QuerySpec(
         "llm_winnowing_neardup",

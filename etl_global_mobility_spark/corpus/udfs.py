@@ -275,7 +275,52 @@ def q_cogroup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sql_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL scalar UDF (Spark 4 ``CREATE FUNCTION ... RETURN expr``):
+    a price-band classifier declared ONCE in SQL and reused in both
+    the projection and the GROUP BY. Unlike every Python UDF variant,
+    a SQL UDF is inlined into the expression tree at analysis time —
+    the executed plan is pure Catalyst/codegen with NO eval-python
+    node (pinned in test_plans), so it scales exactly like the
+    hand-inlined CASE while staying a named, reusable abstraction."""
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION price_band(p DOUBLE)
+        RETURNS STRING
+        RETURN CASE WHEN p < 905.0 THEN 'low'
+                    WHEN p < 915.0 THEN 'mid'
+                    ELSE 'high' END
+        """
+    )
+    load_table(spark, sf_dir, "part").createOrReplaceTempView(
+        "v_part_sqlfn"
+    )
+    return spark.sql(
+        """
+        SELECT price_band(p_retailprice) AS band,
+               count(*) AS n_parts,
+               CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS sum_price
+        FROM v_part_sqlfn
+        GROUP BY price_band(p_retailprice)
+        """
+    )
+
+
 SPECS = [
+    QuerySpec(
+        "udf_sql_function",
+        q_sql_function,
+        """SELECT CASE WHEN p_retailprice < 905.0 THEN 'low'
+                       WHEN p_retailprice < 915.0 THEN 'mid'
+                       ELSE 'high' END AS band,
+               count(*) AS n_parts,
+               CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS sum_price
+           FROM part GROUP BY 1""",
+        doc="SQL scalar UDF (CREATE FUNCTION ... RETURN): analysis-"
+        "time inlining, pure codegen plan (no Python eval node)",
+    ),
     QuerySpec(
         "udf_cogroup_profile",
         q_cogroup_profile,

@@ -333,3 +333,54 @@ def mmr_rerank(
             greedy, "q_id bigint, mmr_rank int, c_id bigint, mmr_score double"
         )
     )
+
+
+def hard_negative_mining(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_candidates: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive retrieval training (the
+    DPR recipe, Karpukhin et al. EMNLP 2020): for each query, the most
+    SIMILAR corpus items carrying a DIFFERENT label — the negatives
+    that actually move a dense retriever, unlike random negatives the
+    model separates for free. Returns the top ``k`` hard negatives per
+    query (``neg_rank`` 1..k by similarity), drawn from the exact
+    cosine top-``n_candidates``.
+
+    Scale shape: composes :func:`similarity.cosine_topk_exact`
+    (bounded query side broadcast, corpus streams map-only), so the
+    label join touches only queries × n_candidates rows; rows with a
+    NULL label on either side are excluded (a NULL label can't attest
+    a true negative)."""
+    from etl_global_mobility_spark.operators.similarity import (
+        cosine_topk_exact,
+    )
+    from pyspark.sql import Window
+
+    cands = cosine_topk_exact(
+        corpus, queries, k=n_candidates, id_col=id_col, vec_col=vec_col
+    )
+    ql = queries.select(
+        F.col(id_col).alias("q_id"), F.col(label_col).alias("q_label")
+    )
+    cl = corpus.select(
+        F.col(id_col).alias("c_id"), F.col(label_col).alias("c_label")
+    )
+    w = Window.partitionBy("q_id").orderBy("rank")
+    return (
+        cands.join(F.broadcast(ql), "q_id")
+        .join(cl, "c_id")
+        .filter(
+            F.col("q_label").isNotNull()
+            & F.col("c_label").isNotNull()
+            & (F.col("q_label") != F.col("c_label"))
+        )
+        .withColumn("neg_rank", F.row_number().over(w))
+        .filter(F.col("neg_rank") <= k)
+        .select("q_id", "q_label", "neg_rank", "c_id", "c_label", "score")
+    )

@@ -772,3 +772,15 @@ def test_tpch_q21_single_fact_pass_no_self_joins(spark):
     plan = plan_of(q_tpch_q21_waiting_suppliers(spark, SF))
     assert plan.count("lineitem.parquet") <= 2, plan
     assert "CartesianProduct" not in plan
+
+
+def test_sql_udf_inlines_to_pure_codegen(spark):
+    """A SQL scalar UDF must be inlined at analysis time: the executed
+    plan contains NO Python eval node of any kind and stays inside
+    WholeStageCodegen — the scale contrast to every Python UDF."""
+    from etl_global_mobility_spark.corpus.udfs import q_sql_function
+
+    plan = plan_of(q_sql_function(spark, SF))
+    for node in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
+        assert node not in plan, plan
+    assert "HashAggregate" in plan
