@@ -32,8 +32,11 @@ green driver row, and no query's evidence gets stale:
   r3 parity rows, the eight r3 relational rows, the five r3
   streams, the five r3 udf rows) — the tightened 3-round staleness
   invariant (tests/test_corpus_oracle.py) forces exactly that —
-  plus the two canaries and this round's SCHEDULED_NEXT_WINDOW
-  additions, leaving the balance to start refreshing r4 rows.
+  plus the two canaries and as many of this round's 27
+  SCHEDULED_NEXT_WINDOW additions as fit (26 + 2 + 27 = 55 > 50,
+  so ~5 additions legally spill to round 8's schedule — prefer
+  spilling the cheapest/most-local-tested ones, e.g. the scalar
+  TPC-H shapes, and pull them first in round 8).
 
 ``DRIVER_GREEN_PAST_ROUNDS`` records which queries already hold a
 green row (union of CORRECTNESS_r02/r03/r04); those may sit past the

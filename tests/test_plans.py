@@ -611,6 +611,7 @@ def test_no_plan_antipatterns_across_entire_corpus(spark):
         "rel_skew_report",            # broadcast 1-row total/n_keys frame
         "llm_ann_recall_report",      # composes cosine_topk (broadcast query side)
         "rel_tpch_q22_global_sales",  # broadcast 1-row avg-balance frame
+        "llm_hard_negative_mining",   # composes cosine_topk (broadcast query side)
     }
     # Unpartitioned windows (WindowExec with an empty partition spec)
     # move ALL rows to one task — allowed only where the window input
