@@ -96,6 +96,7 @@ HEADLINE = [
     "llm_length_bucket_batching",
     "llm_winnowing_neardup",
     "llm_hard_negative_mining",
+    "llm_token_budget_sample",
 ]
 
 

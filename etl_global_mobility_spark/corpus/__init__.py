@@ -225,6 +225,7 @@ SCHEDULED_NEXT_WINDOW = frozenset(
         "llm_winnowing_neardup",
         "llm_hard_negative_mining",
         "udf_sql_function",
+        "llm_token_budget_sample",
     }
 )
 

@@ -2237,6 +2237,18 @@ def q_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnowing_fingerprints(d, k=5, w=4)
 
 
+def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic token-budget corpus cut (operators/splits.py
+    token_budget_sample): 10k-token budget over 4 md5 shards — each
+    shard keeps its hash-ordered prefix within budget/4 tokens."""
+    from etl_global_mobility_spark.operators.splits import (
+        token_budget_sample,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return token_budget_sample(d, token_budget=10_000, n_shards=4, seed=11)
+
+
 def q_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DPR-style hard negatives (operators/retrieval.py
     hard_negative_mining): per query the 5 most cosine-similar corpus
@@ -2868,6 +2880,32 @@ SPECS = [
         _LENGTH_BUCKET_SQL,
         doc="length-bucketed batching report: fixed power-of-two "
         "caps, padded cost and efficiency per bucket",
+    ),
+    QuerySpec(
+        "llm_token_budget_sample",
+        q_token_budget_sample,
+        f"""WITH t AS (
+             SELECT doc_id,
+                    CAST(len({TOKS}) AS BIGINT) AS n_tokens,
+                    md5('11:' || CAST(doc_id AS VARCHAR)) AS sort_key,
+                    CAST({_md5_hash_sql("CAST(doc_id AS VARCHAR)", 12)}
+                         % 4 AS INT) AS shard
+             FROM documents
+           ), r AS (
+             SELECT doc_id, shard, n_tokens,
+                    row_number() OVER w AS pos,
+                    CAST(sum(n_tokens) OVER (PARTITION BY shard
+                         ORDER BY sort_key, doc_id
+                         ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                      AS cum_tokens
+             FROM t
+             WINDOW w AS (PARTITION BY shard ORDER BY sort_key, doc_id)
+           )
+           SELECT doc_id, shard, pos, n_tokens, cum_tokens
+           FROM r WHERE cum_tokens <= 2500""",
+        doc="deterministic token-budget corpus cut: md5-sharded "
+        "hash-ordered prefixes, per-shard running-total windows "
+        "(never a global sort)",
     ),
     QuerySpec(
         "llm_hard_negative_mining",

@@ -12,7 +12,7 @@ Same id → same split, forever, on any cluster size, with no shuffle
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from etl_global_mobility_spark.operators.dedup import _md5_band_hash
@@ -313,4 +313,60 @@ def preference_pairs(
         (-F.col("__c.neg_id")).alias("chosen_id"),
         (-F.col("__r.neg_id")).alias("rejected_id"),
         (F.col("__c.s") - F.col("__r.s")).alias("margin"),
+    )
+
+
+def token_budget_sample(
+    docs: DataFrame,
+    token_budget: int,
+    n_shards: int = 8,
+    seed: int = 11,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic token-budget corpus cut: md5-shuffle documents
+    into ``n_shards`` pseudo-random shards, give each shard an equal
+    share of the budget, and keep each shard's hash-ordered prefix
+    while the running token total stays within that share — how a
+    100 TB corpus is trimmed to a fixed training budget (say 1 T
+    tokens) WITHOUT a global sort: the only shuffle keys on the
+    shard (n_shards reducers, uniformly loaded by the hash), and the
+    cumulative-sum window is per-shard, never single-task. The cut is
+    a pure function of (id, seed): reproducible across runs, cluster
+    sizes, and partition layouts, and engine-portable (md5 ordering).
+
+    Prefix rule: a document is kept iff the running total INCLUDING it
+    is ≤ the shard budget — later, smaller documents past the first
+    overflow are excluded too (deterministic, and what a streaming
+    writer does). Returns kept rows with shard, hash-order position,
+    and running token totals.
+    """
+    if token_budget <= 0 or n_shards <= 0:
+        raise ValueError(f"positive budget/shards: {token_budget}/{n_shards}")
+    from etl_global_mobility_spark.operators.dedup import _md5_band_hash
+    from etl_global_mobility_spark.operators.text import token_count
+
+    per_shard = token_budget // n_shards
+    key = F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")))
+    shard = (
+        _md5_band_hash(F.col(id_col).cast("string"), seed + 1)
+        % F.lit(n_shards)
+    ).cast("int")
+    w = Window.partitionBy("shard").orderBy("sort_key", id_col)
+    return (
+        docs.select(
+            F.col(id_col),
+            token_count(F.col(text_col)).cast("bigint").alias("n_tokens"),
+            key.alias("sort_key"),
+            shard.alias("shard"),
+        )
+        .withColumn("pos", F.row_number().over(w))
+        .withColumn(
+            "cum_tokens",
+            F.sum("n_tokens").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .filter(F.col("cum_tokens") <= per_shard)
+        .select(id_col, "shard", "pos", "n_tokens", "cum_tokens")
     )

@@ -1958,3 +1958,47 @@ def test_winnowing_neardup_soak_structural_recall(spark):
     extras = got - planted
     assert not extras, f"false-positive pairs: {sorted(extras)[:5]}"
     assert elapsed < 120, f"winnowing soak took {elapsed:.0f}s"
+
+
+def test_token_budget_sample_prefix_rule_and_partition_invariance(spark):
+    """Per-shard totals never exceed the shard budget; the kept set is
+    exactly each shard's hash-ordered prefix (a kept row's cum equals
+    the sum of kept tokens at positions <= its own); and the cut is a
+    pure function of (id, seed) — invariant under repartitioning."""
+    from pyspark.sql import functions as F
+
+    from etl_global_mobility_spark.operators.splits import (
+        token_budget_sample,
+    )
+
+    docs = spark.range(300).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(1), (F.pmod(F.col("id"), 37) + 1).cast("int")),
+                lambda j: F.concat(F.lit("t"), j.cast("string")),
+            ),
+        ).alias("text"),
+    )
+    out = token_budget_sample(docs, token_budget=2000, n_shards=4, seed=11)
+    rows = out.collect()
+    per_shard = 2000 // 4
+    by_shard: dict = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r)
+    assert set(by_shard) <= {0, 1, 2, 3} and by_shard
+    for shard, rs in by_shard.items():
+        rs.sort(key=lambda r: r["pos"])
+        run = 0
+        # positions are a contiguous prefix 1..n and cum matches
+        for i, r in enumerate(rs, start=1):
+            assert r["pos"] == i, (shard, i, r)
+            run += r["n_tokens"]
+            assert r["cum_tokens"] == run
+        assert run <= per_shard
+    # partition invariance: same kept set under a different layout
+    out2 = token_budget_sample(
+        docs.repartition(13), token_budget=2000, n_shards=4, seed=11
+    )
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, out2.collect()))
