@@ -97,6 +97,7 @@ HEADLINE = [
     "llm_winnowing_neardup",
     "llm_hard_negative_mining",
     "llm_token_budget_sample",
+    "llm_epoch_plan",
 ]
 
 

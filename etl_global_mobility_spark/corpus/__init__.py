@@ -226,6 +226,7 @@ SCHEDULED_NEXT_WINDOW = frozenset(
         "llm_hard_negative_mining",
         "udf_sql_function",
         "llm_token_budget_sample",
+        "llm_epoch_plan",
     }
 )
 

@@ -2237,6 +2237,43 @@ def q_winnowing_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnowing_fingerprints(d, k=5, w=4)
 
 
+#: Epoch-plan corpus parameters (weights normalized inside the
+#: operator AND inlined as double literals into the oracle — both
+#: sides parse the identical repr).
+_EPOCH_WEIGHTS = {"src0": 3.0, "src1": 1.0, "src2": 1.0}
+_EPOCH_BUDGET = 50_000
+
+
+def q_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training data-recipe table (operators/splits.py epoch_plan):
+    per-source available tokens, target share, implied epochs."""
+    from etl_global_mobility_spark.operators.splits import epoch_plan
+
+    d = load_table(spark, sf_dir, "documents")
+    return epoch_plan(d, weights=_EPOCH_WEIGHTS, token_budget=_EPOCH_BUDGET)
+
+
+def _epoch_plan_sql() -> str:
+    total = sum(_EPOCH_WEIGHTS.values())
+    case = " ".join(
+        f"WHEN '{s}' THEN CAST({w / total!r} AS DOUBLE)"
+        for s, w in _EPOCH_WEIGHTS.items()
+    )
+    w = f"(CASE source {case} ELSE CAST(0.0 AS DOUBLE) END)"
+    target = f"(CAST({float(_EPOCH_BUDGET)!r} AS DOUBLE) * {w})"
+    return f"""
+    WITH ps AS (
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(CAST(len({TOKS}) AS BIGINT)) AS BIGINT) AS src_tokens
+      FROM documents GROUP BY source
+    )
+    SELECT source, n_docs, src_tokens,
+           {w} AS weight,
+           {target} AS target_tokens,
+           ({target} / CAST(src_tokens AS DOUBLE)) AS epochs
+    FROM ps"""
+
+
 def q_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic token-budget corpus cut (operators/splits.py
     token_budget_sample): 10k-token budget over 4 md5 shards — each
@@ -2880,6 +2917,14 @@ SPECS = [
         _LENGTH_BUCKET_SQL,
         doc="length-bucketed batching report: fixed power-of-two "
         "caps, padded cost and efficiency per bucket",
+    ),
+    QuerySpec(
+        "llm_epoch_plan",
+        q_epoch_plan,
+        _epoch_plan_sql(),
+        doc="training data-recipe table: per-source tokens, target "
+        "share, implied epochs at a token budget (bounded agg + "
+        "literal arithmetic)",
     ),
     QuerySpec(
         "llm_token_budget_sample",

@@ -370,3 +370,66 @@ def token_budget_sample(
         .filter(F.col("cum_tokens") <= per_shard)
         .select(id_col, "shard", "pos", "n_tokens", "cum_tokens")
     )
+
+
+def epoch_plan(
+    df: DataFrame,
+    weights: dict[str, float],
+    token_budget: int,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """The training "data recipe" table (the per-source
+    sampling-proportion/epochs accounting published for LLaMA-class
+    mixtures): given target mixture weights and a total token budget,
+    report for every source its available tokens, target token share,
+    and the number of EPOCHS the budget implies — epochs > 1 flags the
+    sources the run will repeat (the overfitting watch-list), epochs
+    < 1 the ones it undersamples.
+
+    Scale shape: one bounded-key aggregation over the corpus (exact
+    BIGINT token sums), then pure literal arithmetic — the weight map
+    is configuration. target_tokens = budget · w_s/Σw and epochs =
+    target/available are each ONE double operation on exact integers,
+    so an independent engine reproduces the plan bit-for-bit. Sources
+    absent from ``weights`` get weight 0; weight keys absent from the
+    corpus are a configuration error and raise.
+    """
+    if token_budget <= 0:
+        raise ValueError(f"token_budget must be positive: {token_budget}")
+    if not weights:
+        raise ValueError("weights must be non-empty")
+    total_w = sum(weights.values())
+    wn = {s: w / total_w for s, w in weights.items()}
+    from etl_global_mobility_spark.operators.text import token_count
+
+    per_source = (
+        df.select(
+            F.col(source_col).alias("source"),
+            token_count(F.col(text_col)).cast("bigint").alias("_t"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_t").alias("src_tokens"),
+        )
+    )
+    present = {r["source"] for r in per_source.select("source").collect()}
+    missing = sorted(set(wn) - present)
+    if missing:
+        raise ValueError(f"weight keys not in corpus: {missing}")
+    pairs = []
+    for s, w in wn.items():
+        pairs.append(F.lit(s))
+        pairs.append(F.lit(float(w)))
+    w_map = F.create_map(*pairs)
+    weight = F.coalesce(F.element_at(w_map, F.col("source")), F.lit(0.0))
+    target = F.lit(float(token_budget)) * weight
+    return per_source.select(
+        "source",
+        "n_docs",
+        "src_tokens",
+        weight.alias("weight"),
+        target.alias("target_tokens"),
+        (target / F.col("src_tokens").cast("double")).alias("epochs"),
+    )
