@@ -227,6 +227,9 @@ SCHEDULED_NEXT_WINDOW = frozenset(
         "udf_sql_function",
         "llm_token_budget_sample",
         "llm_epoch_plan",
+        "rel_tpch_q15_top_supplier",
+        "rel_tpch_q11_important_parts",
+        "rel_tpch_q20_small_part_suppliers",
     }
 )
 

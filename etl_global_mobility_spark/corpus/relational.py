@@ -2741,6 +2741,98 @@ def q_tpch_q22_global_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): quarterly revenue per supplier, keep
+    the supplier(s) achieving the MAXIMUM — the agg-then-scalar-max-
+    then-equality-join shape (the reference formulates it as a view +
+    scalar subquery; the rewrite is a 1-row broadcast equi-join on the
+    revenue value, which is exact because both sides carry the same
+    decimal-sum-cast-double). Ties all surface, per the spec."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(_rev_col()).cast("double").alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("_max_rev"))
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        rev.join(F.broadcast(mx), F.col("total_revenue") == F.col("_max_rev"))
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+def q_tpch_q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (important stock) adapted to the driver schema (no
+    partsupp): a part is 'important' for NATION_3 when its lineitem
+    value through that nation's suppliers exceeds 0.2% of the nation's
+    total (threshold sized so rows survive at every test SF) — the agg-HAVING-against-global-scalar shape. The 1-row
+    total broadcasts onto the bounded per-part frame (a justified
+    BroadcastNestedLoopJoin); value sums stay decimal-exact and the
+    threshold is ONE double multiply, so the row set is engine-exact."""
+    n = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name") == "NATION_3"
+    ).select("n_nationkey")
+    s = load_table(spark, sf_dir, "supplier").join(
+        F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey")
+    ).select("s_suppkey")
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part = (
+        li.join(s, li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("_pv")
+        )
+    )
+    tot = per_part.agg(F.sum("_pv").alias("_tot"))
+    return (
+        per_part.join(F.broadcast(tot))
+        .filter(
+            F.col("_pv").cast("double")
+            > F.lit(0.002) * F.col("_tot").cast("double")
+        )
+        .select(
+            "l_partkey", F.col("_pv").cast("double").alias("part_value")
+        )
+    )
+
+
+def q_tpch_q20_small_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (potential part promotion) adapted to the driver
+    schema: suppliers who shipped more than 50 units of some SMALL
+    part in 1996 — the chained-IN-subqueries shape (parts IN name
+    filter → (part, supplier) quantity agg → suppliers IN heavy
+    shippers), executed as filter → agg → distinct → LEFT SEMI join.
+    Integral quantity sums are exact in double, so the >50 cut is
+    engine-exact; nation names attach via broadcast."""
+    sp = load_table(spark, sf_dir, "part").filter(
+        F.col("p_type") == "SMALL"
+    ).select("p_partkey")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    heavy = (
+        li.join(sp, li.l_partkey == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("_q"))
+        .filter(F.col("_q") > 50.0)
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        s.join(heavy, s.s_suppkey == heavy.l_suppkey, "left_semi")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", "s_name", "n_name")
+        .orderBy("s_suppkey")
+    )
+
+
 SPECS = [
     QuerySpec(
         "rel_percentiles_exact",
@@ -4235,5 +4327,62 @@ SPECS = [
         doc="TPC-H Q22 shape (nationkey mod stands in for the absent "
         "phone country code): scalar-subquery threshold + anti join "
         "to orders, per-code balance totals",
+    ),
+    QuerySpec(
+        "rel_tpch_q15_top_supplier",
+        q_tpch_q15_top_supplier,
+        f"""WITH rev AS (
+             SELECT l_suppkey,
+                    CAST(sum({_REV}) AS DOUBLE) AS total_revenue
+             FROM lineitem
+             WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+               AND l_shipdate <  TIMESTAMP '1996-04-01'
+             GROUP BY l_suppkey
+           )
+           SELECT s_suppkey, s_name, total_revenue
+           FROM rev JOIN supplier ON l_suppkey = s_suppkey
+           WHERE total_revenue = (SELECT max(total_revenue) FROM rev)""",
+        doc="TPC-H Q15 shape: quarterly supplier revenue, keep the "
+        "maximum (scalar-max equality join; ties all surface)",
+    ),
+    QuerySpec(
+        "rel_tpch_q11_important_parts",
+        q_tpch_q11_important_parts,
+        """WITH v AS (
+             SELECT l_partkey,
+                    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS _pv
+             FROM lineitem
+             JOIN supplier ON l_suppkey = s_suppkey
+             JOIN nation ON s_nationkey = n_nationkey
+             WHERE n_name = 'NATION_3'
+             GROUP BY l_partkey
+           ), t AS (SELECT sum(_pv) AS _tot FROM v)
+           SELECT l_partkey, CAST(_pv AS DOUBLE) AS part_value
+           FROM v, t
+           WHERE CAST(_pv AS DOUBLE) > 0.002 * CAST(_tot AS DOUBLE)""",
+        doc="TPC-H Q11 shape (lineitem value stands in for the absent "
+        "partsupp stock): per-part value share over a global scalar "
+        "threshold",
+    ),
+    QuerySpec(
+        "rel_tpch_q20_small_part_suppliers",
+        q_tpch_q20_small_part_suppliers,
+        """WITH heavy AS (
+             SELECT DISTINCT l_suppkey FROM (
+               SELECT l_partkey, l_suppkey, sum(l_quantity) AS q
+               FROM lineitem JOIN part ON l_partkey = p_partkey
+               WHERE p_type = 'SMALL'
+                 AND l_shipdate >= TIMESTAMP '1996-01-01'
+                 AND l_shipdate <  TIMESTAMP '1997-01-01'
+               GROUP BY 1, 2)
+             WHERE q > 50.0
+           )
+           SELECT s_suppkey, s_name, n_name
+           FROM supplier
+           JOIN nation ON s_nationkey = n_nationkey
+           WHERE s_suppkey IN (SELECT l_suppkey FROM heavy)""",
+        doc="TPC-H Q20 shape (ship volume stands in for the absent "
+        "partsupp availqty): chained IN subqueries as "
+        "filter -> agg -> semi join",
     ),
 ]
