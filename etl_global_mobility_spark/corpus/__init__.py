@@ -32,9 +32,9 @@ green driver row, and no query's evidence gets stale:
   r3 parity rows, the eight r3 relational rows, the five r3
   streams, the five r3 udf rows) — the tightened 3-round staleness
   invariant (tests/test_corpus_oracle.py) forces exactly that —
-  plus the two canaries and as many of this round's 29
-  SCHEDULED_NEXT_WINDOW additions as fit (26 + 2 + 29 = 57 > 50,
-  so ~7 additions legally spill to round 8's schedule — prefer
+  plus the two canaries and as many of this round's 32
+  SCHEDULED_NEXT_WINDOW additions as fit (26 + 2 + 32 = 60 > 50,
+  so ~10 additions legally spill to round 8's schedule — prefer
   spilling the cheapest/most-local-tested ones, e.g. the scalar
   TPC-H shapes, and pull them first in round 8).
 
