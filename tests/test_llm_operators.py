@@ -2002,3 +2002,58 @@ def test_token_budget_sample_prefix_rule_and_partition_invariance(spark):
         docs.repartition(13), token_budget=2000, n_shards=4, seed=11
     )
     assert sorted(map(tuple, rows)) == sorted(map(tuple, out2.collect()))
+
+
+def test_winnowing_matches_python_reference_on_random_docs(spark):
+    """Property check: the Spark winnowing chain (k-grams → md5 60-bit
+    hashes → window minima → distinct) equals an independent pure-
+    Python implementation of Schleimer et al.'s algorithm on random
+    token sequences, including the short-document boundary rules.
+    Catches any drift in gram slicing, hash derivation, window
+    framing, or the let-binding rewrite."""
+    import hashlib
+    import random
+
+    from etl_global_mobility_spark.operators.text import (
+        winnowing_fingerprints,
+    )
+
+    k, w = 5, 4
+
+    def py_winnow(text: str) -> set[int]:
+        toks = [t for t in text.lower().strip().split() if t]
+        if len(toks) < k:
+            return set()
+        grams = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+        hs = [
+            int(hashlib.md5(f"0:{g}".encode()).hexdigest()[:15], 16)
+            for g in grams
+        ]
+        if len(hs) < w:
+            return {min(hs)}
+        return {min(hs[j : j + w]) for j in range(len(hs) - w + 1)}
+
+    rng = random.Random(20260814)
+    rows = []
+    for i in range(40):
+        n = rng.choice([0, 1, 3, 4, 5, 6, 7, 8, 12, 40, 200])
+        rows.append(
+            (i, " ".join(f"v{rng.randrange(50)}" for _ in range(n)))
+        )
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["n_fingerprints"], r["fp_min"], r["fp_max"], r["fp_xor"])
+        for r in winnowing_fingerprints(df, k=k, w=w).collect()
+    }
+    for i, text in rows:
+        ref = py_winnow(text)
+        xor = 0
+        for h in ref:
+            xor ^= h
+        want = (
+            len(ref),
+            min(ref) if ref else None,
+            max(ref) if ref else None,
+            xor,
+        )
+        assert got[i] == want, (i, got[i], want)
