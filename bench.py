@@ -101,6 +101,8 @@ HEADLINE = [
     "rel_tpch_q15_top_supplier",
     "rel_tpch_q11_important_parts",
     "rel_tpch_q20_small_part_suppliers",
+    "rel_mad_outliers",
+    "llm_dedup_cluster_stats",
 ]
 
 

@@ -315,6 +315,25 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_components(pairs).select(F.col("id").alias("doc_id"), "component")
 
 
+def q_dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup audit report: the cluster-size histogram of the near-dup
+    component graph plus the duplicate-document count each size class
+    removes (size − 1 per cluster) — the number a curation run reports
+    before committing a dedup pass. Covers CLUSTERED documents only
+    (singletons never enter the pair graph). Cost beyond the pair
+    graph: two bounded aggregations."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, k=2, threshold=0.25)
+    comp = dedup_components(pairs)
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum(F.col("cluster_size") - F.lit(1)).alias("dup_docs"),
+    )
+
+
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < 8)
@@ -2571,6 +2590,32 @@ SPECS = [
            SELECT id AS doc_id, min(r) AS component
            FROM reach GROUP BY id""",
         doc="near-dup connected components (canonical = min doc_id)",
+    ),
+    QuerySpec(
+        "llm_dedup_cluster_stats",
+        q_dedup_cluster_stats,
+        f"""WITH RECURSIVE pairs AS (
+              SELECT id_a, id_b FROM ({_ngram_jaccard_sql()})
+           ), edges AS (
+              SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION ALL
+              SELECT id_b, id_a FROM pairs
+           ), reach AS (
+              SELECT DISTINCT src AS id, src AS r FROM edges
+              UNION
+              SELECT e.src AS id, reach.r FROM edges e
+              JOIN reach ON reach.id = e.dst
+           ), comp AS (
+              SELECT id, min(r) AS component FROM reach GROUP BY id
+           ), sizes AS (
+              SELECT component, count(*) AS cluster_size
+              FROM comp GROUP BY component
+           )
+           SELECT cluster_size, count(*) AS n_clusters,
+                  CAST(sum(cluster_size - 1) AS BIGINT) AS dup_docs
+           FROM sizes GROUP BY cluster_size""",
+        doc="dedup audit report: near-dup cluster-size histogram + "
+        "duplicate documents removed per size class",
     ),
     QuerySpec(
         "llm_ngram_jaccard",

@@ -2833,6 +2833,44 @@ def q_tpch_q20_small_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection via Median Absolute Deviation: per
+    event type, score = |x − median| / MAD, flag > 3.5 (the classic
+    Iglewicz–Hoaglin cut uses 0.6745·score; the raw ratio keeps the
+    arithmetic to two exact interpolated medians + one subtraction +
+    one division, every step engine-portable — see
+    rel_percentiles_exact for why percentile/quantile_cont match).
+    The two per-group medians and the join back are all keyed on the
+    bounded event_type, so nothing here is corpus-shuffled more than
+    once; a zero MAD (constant group) yields NULL scores rather than
+    Infinity."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    med = ev.groupBy(F.col("event_type").alias("_et1")).agg(
+        F.expr("percentile(value, 0.5D)").alias("_med")
+    )
+    dev = ev.join(
+        F.broadcast(med), F.col("event_type") == F.col("_et1")
+    ).withColumn("_dev", F.abs(F.col("value") - F.col("_med")))
+    mad = dev.groupBy(F.col("event_type").alias("_et2")).agg(
+        F.expr("percentile(_dev, 0.5D)").alias("_mad")
+    )
+    score = F.when(
+        F.col("_mad") > 0.0, F.col("_dev") / F.col("_mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), F.col("event_type") == F.col("_et2"))
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            score.alias("mad_z"),
+            (score > 3.5).alias("is_outlier"),
+        )
+    )
+
+
 SPECS = [
     QuerySpec(
         "rel_percentiles_exact",
@@ -4327,6 +4365,30 @@ SPECS = [
         doc="TPC-H Q22 shape (nationkey mod stands in for the absent "
         "phone country code): scalar-subquery threshold + anti join "
         "to orders, per-code balance totals",
+    ),
+    QuerySpec(
+        "rel_mad_outliers",
+        q_mad_outliers,
+        """WITH med AS (
+             SELECT event_type AS _et1,
+                    quantile_cont(value, 0.5) AS _med
+             FROM events GROUP BY 1
+           ), dev AS (
+             SELECT event_id, event_type, value,
+                    abs(value - _med) AS _dev
+             FROM events JOIN med ON event_type = _et1
+           ), mad AS (
+             SELECT event_type AS _et2,
+                    quantile_cont(_dev, 0.5) AS _mad
+             FROM dev GROUP BY 1
+           )
+           SELECT event_id, event_type, value,
+                  CASE WHEN _mad > 0.0 THEN _dev / _mad END AS mad_z,
+                  CASE WHEN _mad > 0.0 THEN (_dev / _mad) > 3.5
+                  END AS is_outlier
+           FROM dev JOIN mad ON event_type = _et2""",
+        doc="robust per-group outlier detection: |x - median| / MAD "
+        "score + 3.5 cut (exact interpolated medians, bounded keys)",
     ),
     QuerySpec(
         "rel_tpch_q15_top_supplier",
