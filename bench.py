@@ -103,6 +103,7 @@ HEADLINE = [
     "rel_tpch_q20_small_part_suppliers",
     "rel_mad_outliers",
     "llm_dedup_cluster_stats",
+    "stream_windowed_topk",
 ]
 
 

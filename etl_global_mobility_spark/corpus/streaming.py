@@ -44,6 +44,28 @@ def q_stream_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_memory(ohlc_bars_stream(ev), "complete")
 
 
+def q_stream_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming top-k per window: the watermarked tumbling aggregation
+    runs AS the stream (mergeable state, the expensive part); the
+    top-3-per-window rank runs on the completed, bounded result frame
+    — ranking is not a mergeable streaming aggregate, so the honest
+    shape is stream-the-counts + rank-the-snapshot, exactly what a
+    per-trigger foreachBatch reporter does. The rank window partitions
+    on win_start (bounded groups), ties break on event_type."""
+    from pyspark.sql import Window
+
+    ev = stream_events(spark, sf_dir)
+    counts = run_stream_to_memory(tumbling_window_counts(ev), "complete")
+    w = Window.partitionBy("win_start").orderBy(
+        F.col("n").desc(), F.col("event_type")
+    )
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("win_start", "win_end", "event_type", "n", "rk")
+    )
+
+
 def q_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = stream_events(spark, sf_dir)
     return run_stream_to_memory(session_window_counts(ev), "complete")
@@ -524,6 +546,26 @@ SPECS = [
                CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
             FROM events GROUP BY 1, 2, 3""",
         doc="watermarked tumbling-window streaming aggregation",
+    ),
+    QuerySpec(
+        "stream_windowed_topk",
+        q_stream_windowed_topk,
+        """WITH c AS (
+             SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS win_start,
+                    CAST(date_trunc('hour', ts) + INTERVAL 1 HOUR
+                         AS TIMESTAMP) AS win_end,
+                    event_type, count(*) AS n,
+                    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                      AS sum_value
+             FROM events GROUP BY 1, 2, 3
+           )
+           SELECT win_start, win_end, event_type, n, rk FROM (
+             SELECT *, row_number() OVER (PARTITION BY win_start
+                        ORDER BY n DESC, event_type) AS rk
+             FROM c)
+           WHERE rk <= 3""",
+        doc="streaming top-k per window: mergeable windowed counts run "
+        "as the stream, bounded per-window rank on the snapshot",
     ),
     QuerySpec(
         "stream_session_windows",
