@@ -104,6 +104,8 @@ HEADLINE = [
     "rel_mad_outliers",
     "llm_dedup_cluster_stats",
     "stream_windowed_topk",
+    "llm_quality_prune",
+    "llm_cross_source_dups",
 ]
 
 

@@ -315,6 +315,54 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_components(pairs).select(F.col("id").alias("doc_id"), "component")
 
 
+def q_quality_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-based quality pruning: drop the bottom quartile of
+    the heuristic quality score — the distribution-relative curation
+    cut (vs the absolute-threshold filter rules). The p25 threshold is
+    ONE exact interpolated percentile (1-row broadcast); the score and
+    the comparison are bit-portable, so the kept set is engine-exact."""
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select("doc_id", quality_score("text").alias("quality"))
+    thr = scored.agg(
+        F.expr("percentile(quality, 0.25D)").alias("_p25")
+    )
+    return (
+        scored.join(F.broadcast(thr))
+        .filter(F.col("quality") >= F.col("_p25"))
+        .select("doc_id", "quality")
+    )
+
+
+def q_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source duplication matrix: MinHash near-dup pairs grouped
+    by their (canonical) source pair — the leak-analysis report that
+    shows WHERE duplication comes from (within one crawl vs across
+    feeds) before choosing what to drop. Pair generation is the
+    banded LSH join (never all-pairs); the source join touches only
+    pair rows; sources canonicalize with least/greatest so the matrix
+    is triangular."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = minhash_near_duplicates(
+        d, n_hashes=16, bands=4, k=3, jaccard_threshold=0.25
+    ).select("id_a", "id_b")
+    src = d.select(F.col("doc_id"), F.col("source"))
+    a = src.select(
+        F.col("doc_id").alias("id_a"), F.col("source").alias("_sa")
+    )
+    b = src.select(
+        F.col("doc_id").alias("id_b"), F.col("source").alias("_sb")
+    )
+    return (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .groupBy(
+            F.least("_sa", "_sb").alias("source_a"),
+            F.greatest("_sa", "_sb").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
 def q_dedup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup audit report: the cluster-size histogram of the near-dup
     component graph plus the duplicate-document count each size class
@@ -2590,6 +2638,35 @@ SPECS = [
            SELECT id AS doc_id, min(r) AS component
            FROM reach GROUP BY id""",
         doc="near-dup connected components (canonical = min doc_id)",
+    ),
+    QuerySpec(
+        "llm_quality_prune",
+        q_quality_prune,
+        f"""WITH scored AS (
+             SELECT doc_id, {_QUALITY_EXPR} AS quality FROM documents
+           ), thr AS (
+             SELECT quantile_cont(quality, 0.25) AS _p25 FROM scored
+           )
+           SELECT doc_id, quality FROM scored, thr
+           WHERE quality >= _p25""",
+        doc="percentile-based quality pruning: drop the bottom "
+        "quartile of the heuristic score (distribution-relative cut)",
+    ),
+    QuerySpec(
+        "llm_cross_source_dups",
+        q_cross_source_dups,
+        f"""WITH pairs AS (
+             SELECT id_a, id_b FROM ({_minhash_sql()})
+           )
+           SELECT least(da.source, db.source) AS source_a,
+                  greatest(da.source, db.source) AS source_b,
+                  count(*) AS n_pairs
+           FROM pairs
+           JOIN documents da ON pairs.id_a = da.doc_id
+           JOIN documents db ON pairs.id_b = db.doc_id
+           GROUP BY 1, 2""",
+        doc="cross-source duplication matrix: near-dup pairs grouped "
+        "by canonical source pair (leak-analysis report)",
     ),
     QuerySpec(
         "llm_dedup_cluster_stats",

@@ -613,6 +613,7 @@ def test_no_plan_antipatterns_across_entire_corpus(spark):
         "rel_tpch_q22_global_sales",  # broadcast 1-row avg-balance frame
         "llm_hard_negative_mining",   # composes cosine_topk (broadcast query side)
         "rel_tpch_q11_important_parts",  # broadcast 1-row value-total frame
+        "llm_quality_prune",             # broadcast 1-row p25-threshold frame
     }
     # Unpartitioned windows (WindowExec with an empty partition spec)
     # move ALL rows to one task — allowed only where the window input
