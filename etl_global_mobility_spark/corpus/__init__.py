@@ -32,9 +32,9 @@ green driver row, and no query's evidence gets stale:
   r3 parity rows, the eight r3 relational rows, the five r3
   streams, the five r3 udf rows) — the tightened 3-round staleness
   invariant (tests/test_corpus_oracle.py) forces exactly that —
-  plus the two canaries and as many of this round's 37
-  SCHEDULED_NEXT_WINDOW additions as fit (26 + 2 + 37 = 65 > 50,
-  so ~15 additions legally spill to round 8's schedule — prefer
+  plus the two canaries and as many of this round's 38
+  SCHEDULED_NEXT_WINDOW additions as fit (26 + 2 + 38 = 66 > 50,
+  so ~16 additions legally spill to round 8's schedule — prefer
   spilling the cheapest/most-local-tested ones, e.g. the scalar
   TPC-H shapes, and pull them first in round 8).
 
@@ -235,6 +235,7 @@ SCHEDULED_NEXT_WINDOW = frozenset(
         "stream_windowed_topk",
         "llm_quality_prune",
         "llm_cross_source_dups",
+        "rel_source_text_wholetext",
     }
 )
 

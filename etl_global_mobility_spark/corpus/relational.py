@@ -1208,6 +1208,36 @@ def q_source_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_source_text_wholetext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-document-per-file text ingestion (``wholetext``): documents
+    written as a doc_id-partitioned text layout (each document lands
+    wholly in one file under its partition dir — Spark-native write,
+    no driver loop), read back with ``wholetext=true`` so each FILE
+    becomes one row, the doc_id recovered from partition discovery.
+    This is the crawl-dump reality of training-data ingestion: a
+    directory of documents, one file each, no record delimiter
+    contract. The text writer appends one trailing newline per row;
+    the reader strips exactly that (the corpus has no trailing
+    newlines of its own — a serialization defect breaks the md5).
+    Content identity is proven by length + md5 prefix against the
+    original parquet."""
+    out = _roundtrip_dir("wholetext_documents")
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    d.write.mode("overwrite").partitionBy("doc_id").text(out)
+    back = (
+        spark.read.option("wholetext", "true").text(out)
+        .select(
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            F.regexp_replace(F.col("value"), r"\n$", "").alias("_text"),
+        )
+    )
+    return back.select(
+        "doc_id",
+        F.length("_text").alias("n_chars_rt"),
+        F.substring(F.md5("_text"), 1, 16).alias("content_md5"),
+    )
+
+
 def q_source_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORC source: supplier round-tripped through the ORC writer/reader
     (columnar binary — types survive natively, unlike the JSON text
@@ -2905,6 +2935,16 @@ SPECS = [
            FROM part WHERE p_size >= 25""",
         doc="parquet ZSTD codec round-trip (files asserted zstd-encoded) "
         "with pushed-down filter",
+    ),
+    QuerySpec(
+        "rel_source_text_wholetext",
+        q_source_text_wholetext,
+        """SELECT doc_id,
+               CAST(length(text) AS INT) AS n_chars_rt,
+               substr(md5(text), 1, 16) AS content_md5
+           FROM documents""",
+        doc="one-document-per-file wholetext ingestion round-trip "
+        "(partitioned text layout, file -> row, content md5-proven)",
     ),
     QuerySpec(
         "rel_source_xml",
