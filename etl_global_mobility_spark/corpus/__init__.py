@@ -26,17 +26,19 @@ green driver row, and no query's evidence gets stale:
   ``rel_join_semi``, ``parity_rounding``, ``rel_window_rank_dense``
   — at the staleness bound), the two standing canaries, and 22 of
   the 48 r3-only evidence rows (the llm operator block — oldest
-  un-refreshed evidence). Round 7's window must take the REMAINING
-  26 r3-only rows (llm_pii_redact, llm_repetition_signals,
-  llm_strip_boilerplate, llm_text_stats, llm_vocab_oov, the three
-  r3 parity rows, the eight r3 relational rows, the five r3
-  streams, the five r3 udf rows) — the tightened 3-round staleness
-  invariant (tests/test_corpus_oracle.py) forces exactly that —
-  plus the two canaries and as many of this round's 38
-  SCHEDULED_NEXT_WINDOW additions as fit (26 + 2 + 38 = 66 > 50,
-  so ~16 additions legally spill to round 8's schedule — prefer
-  spilling the cheapest/most-local-tested ones, e.g. the scalar
-  TPC-H shapes, and pull them first in round 8).
+  un-refreshed evidence). Round 6 also grew the registered surface
+  176 → 214, which makes a FIXED 3-round staleness bound
+  arithmetically unsatisfiable (50 slots can refresh ~210 oracle
+  queries only every ceil(210/50) = 5 rounds); the invariant now
+  scales with the corpus (tests/test_corpus_oracle.py computes
+  ceil(N/50), floor 3). Round 7's window should take the 38
+  SCHEDULED_NEXT_WINDOW additions FIRST (they hold no driver
+  evidence at all), the two canaries, and fill the remaining ~10
+  slots with the oldest r3-only rows (llm_pii_redact,
+  llm_repetition_signals, llm_strip_boilerplate, llm_text_stats,
+  llm_vocab_oov, the r3 parity/relational/stream/udf rows) —
+  the rest of the r3 block then lands in round 8 within the
+  5-round bound.
 
 ``DRIVER_GREEN_PAST_ROUNDS`` records which queries already hold a
 green row (union of CORRECTNESS_r02/r03/r04); those may sit past the

