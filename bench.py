@@ -106,6 +106,9 @@ HEADLINE = [
     "stream_windowed_topk",
     "llm_quality_prune",
     "llm_cross_source_dups",
+    "llm_unigram_rarity",
+    "llm_cdc_chunks",
+    "llm_sft_chat_format",
 ]
 
 

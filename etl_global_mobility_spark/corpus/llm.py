@@ -2489,6 +2489,144 @@ from etl_global_mobility_spark.operators.quality_rules import (  # noqa: E402
     TRAINED_SNAPSHOT_WEIGHTS as _TRAINED_W,
 )
 
+
+def q_unigram_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM corpus-rarity quality scores (operators/text.py
+    unigram_rarity): per-document mean/max token rarity N/count(term)
+    and hapax fraction — the CCNet-style perplexity-filter shape with
+    rational arithmetic for cross-engine FP parity."""
+    from etl_global_mobility_spark.operators.text import unigram_rarity
+
+    d = load_table(spark, sf_dir, "documents")
+    return unigram_rarity(d)
+
+
+_UNIGRAM_RARITY_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id AS id, unnest({TOKS}) AS term FROM documents
+    ), vocab AS (
+      SELECT term, count(*) AS cnt FROM toks GROUP BY term
+    ), tot AS (
+      SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM vocab
+    )
+    SELECT t.id AS doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(CAST(CAST(tot.n_total AS DOUBLE) / CAST(v.cnt AS DOUBLE)
+                         AS DECIMAL(24,6))) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS mean_rarity,
+           max(CAST(tot.n_total AS DOUBLE) / CAST(v.cnt AS DOUBLE))
+             AS max_rarity,
+           CAST(count(*) FILTER (WHERE v.cnt = 1) AS BIGINT) AS n_hapax,
+           CAST(count(*) FILTER (WHERE v.cnt = 1) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS hapax_frac
+    FROM toks t JOIN vocab v USING (term) CROSS JOIN tot
+    GROUP BY t.id"""
+
+
+def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (operators/text.py cdc_chunks, k=3,
+    mod=16): LBFS/FastCDC-style insertion-stable chunk boundaries from
+    local k-gram hashes; one row per chunk with its md5 content hash —
+    the sub-document dedup granularity."""
+    from etl_global_mobility_spark.operators.text import cdc_chunks
+
+    d = load_table(spark, sf_dir, "documents")
+    return cdc_chunks(d, k=3, mod=16)
+
+
+_CDC_CHUNKS_SQL = f"""
+    WITH base AS (
+      SELECT doc_id, {TOKS} AS toks FROM documents
+    ), g AS (
+      SELECT doc_id, toks,
+             CASE WHEN len(toks) >= 3 THEN
+               list_transform(range(1, len(toks) - 2 + 1),
+                              i -> array_to_string(toks[i:i + 2], ' '))
+             ELSE CAST([] AS VARCHAR[]) END AS grams
+      FROM base
+    ), h AS (
+      SELECT doc_id, toks,
+             list_transform(grams,
+               s -> CAST('0x' || substr(md5('0:' || s), 1, 15) AS BIGINT))
+               AS hs
+      FROM g
+    ), c AS (
+      SELECT doc_id, toks,
+             list_filter(range(1, len(hs) + 1), j -> hs[j] % 16 = 0)
+               AS cuts
+      FROM h
+    ), b AS (
+      SELECT doc_id, toks,
+             [CAST(0 AS BIGINT)]
+               || list_transform(cuts, j -> j + 2)
+               || [CAST(len(toks) AS BIGINT)] AS bs
+      FROM c
+    ), p AS (
+      SELECT doc_id, toks,
+             list_filter(
+               list_transform(range(1, len(bs)),
+                              i -> {{'s': bs[i], 'e': bs[i + 1]}}),
+               q -> q.e > q.s) AS ps
+      FROM b
+    ), e AS (
+      SELECT doc_id, toks, unnest(ps) AS pr FROM p
+    )
+    SELECT doc_id,
+           CAST(row_number() OVER (PARTITION BY doc_id ORDER BY pr.s) - 1
+                AS INT) AS chunk_idx,
+           CAST(pr.s AS INT) AS chunk_start,
+           CAST(pr.e - pr.s AS INT) AS n_tokens,
+           md5(array_to_string(
+                 toks[CAST(pr.s + 1 AS INT):CAST(pr.e AS INT)], ' '))
+             AS chunk_hash
+    FROM e"""
+
+
+def q_sft_chat_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ChatML SFT rendering + loss-mask boundary (operators/splits.py
+    sft_chat_format): system/user/assistant template with a
+    metadata-synthesized instruction; prompt vs completion token
+    spans for prompt-masked loss."""
+    from etl_global_mobility_spark.operators.splits import sft_chat_format
+
+    d = load_table(spark, sf_dir, "documents")
+    return sft_chat_format(d)
+
+
+def _sft_chat_format_sql() -> str:
+    def tc(expr: str) -> str:
+        toks = (
+            f"list_filter(string_split_regex(lower(trim({expr})), '\\s+'), "
+            "x -> len(x) > 0)"
+        )
+        return f"CAST(len({toks}) AS INT)"
+
+    return f"""
+    WITH r AS (
+      SELECT doc_id,
+             '<|im_start|>system' || chr(10)
+               || 'You are a helpful assistant.<|im_end|>' || chr(10)
+               || '<|im_start|>user' || chr(10)
+               || 'Summarize the following ' || lang
+               || ' document from ' || source || '.<|im_end|>' || chr(10)
+               || '<|im_start|>assistant' || chr(10) AS prompt_part,
+             text || '<|im_end|>' AS completion_part
+      FROM documents
+    ), t AS (
+      SELECT doc_id,
+             prompt_part || completion_part AS rendered,
+             {tc('prompt_part')} AS prompt_tokens,
+             {tc('completion_part')} AS completion_tokens
+      FROM r
+    )
+    SELECT doc_id, rendered, prompt_tokens, completion_tokens,
+           prompt_tokens + completion_tokens AS total_tokens,
+           CAST(completion_tokens AS DOUBLE)
+             / CAST(greatest(prompt_tokens + completion_tokens, 1)
+                    AS DOUBLE) AS loss_fraction
+    FROM t"""
+
+
 SPECS = [
     QuerySpec(
         "llm_exact_dedup",
@@ -3089,5 +3227,28 @@ SPECS = [
         doc="MOSS-style near-dup pairs over winnowed fingerprints "
         "(df-capped inverted-index join, structural recall over "
         "shared passages)",
+    ),
+    QuerySpec(
+        "llm_unigram_rarity",
+        q_unigram_rarity,
+        _UNIGRAM_RARITY_SQL,
+        doc="unigram-LM corpus-rarity quality scores (CCNet-style "
+        "perplexity filter, rational arithmetic; vocab-sized agg + "
+        "skew-tolerant term join)",
+    ),
+    QuerySpec(
+        "llm_cdc_chunks",
+        q_cdc_chunks,
+        _CDC_CHUNKS_SQL,
+        doc="content-defined chunking (LBFS/FastCDC boundary rule): "
+        "insertion-stable sub-document chunks with md5 content "
+        "hashes, map-side array pipeline",
+    ),
+    QuerySpec(
+        "llm_sft_chat_format",
+        q_sft_chat_format,
+        _sft_chat_format_sql(),
+        doc="ChatML SFT rendering + prompt/completion loss-mask "
+        "token spans (zero-shuffle codegen projection)",
     ),
 ]

@@ -433,3 +433,69 @@ def epoch_plan(
         target.alias("target_tokens"),
         (target / F.col("src_tokens").cast("double")).alias("epochs"),
     )
+
+
+#: ChatML-style special tokens for SFT rendering (public convention
+#: popularized by the OpenAI ChatML spec; any template works — these
+#: are literals shared verbatim with the oracle SQL).
+CHAT_BOS = "<|im_start|>"
+CHAT_EOS = "<|im_end|>"
+
+
+def sft_chat_format(
+    df: DataFrame,
+    system_prompt: str = "You are a helpful assistant.",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Render documents into ChatML-style supervised-fine-tuning
+    examples and compute the loss-mask boundary. Each document
+    becomes a single-turn conversation: a literal system prompt, a
+    synthesized user instruction derived from the document's metadata
+    (language + source — the instruction-synthesis step of
+    self-instruct-style pipelines), and the document text as the
+    assistant completion. The output carries the fully rendered
+    training string plus ``prompt_tokens`` / ``completion_tokens`` —
+    the span arithmetic a trainer needs to mask loss over the prompt
+    (only assistant tokens receive gradient) — and the loss fraction
+    as a packing-efficiency signal.
+
+    Scale shape: pure map-side string concatenation + array token
+    counts inside one codegen projection over the scan — zero
+    shuffles at any corpus size. All counts are integers; the single
+    double op is the loss-fraction division (guarded for empty
+    renders)."""
+    nl = "\n"
+    prompt_part = F.concat(
+        F.lit(CHAT_BOS + "system" + nl + system_prompt + CHAT_EOS + nl),
+        F.lit(CHAT_BOS + "user" + nl + "Summarize the following "),
+        F.col("lang"),
+        F.lit(" document from "),
+        F.col("source"),
+        F.lit("." + CHAT_EOS + nl),
+        F.lit(CHAT_BOS + "assistant" + nl),
+    )
+    completion_part = F.concat(F.col(text_col), F.lit(CHAT_EOS))
+    from etl_global_mobility_spark.operators.text import token_count
+
+    return df.select(
+        F.col(id_col),
+        F.concat(prompt_part, completion_part).alias("rendered"),
+        token_count(prompt_part).alias("prompt_tokens"),
+        token_count(completion_part).alias("completion_tokens"),
+    ).select(
+        id_col,
+        "rendered",
+        "prompt_tokens",
+        "completion_tokens",
+        (F.col("prompt_tokens") + F.col("completion_tokens")).alias(
+            "total_tokens"
+        ),
+        (
+            F.col("completion_tokens").cast("double")
+            / F.greatest(
+                (F.col("prompt_tokens") + F.col("completion_tokens")),
+                F.lit(1),
+            ).cast("double")
+        ).alias("loss_fraction"),
+    )

@@ -633,3 +633,155 @@ def normalize_text(
     # the PATTERN is shared
     tight = F.regexp_replace(one_space, NORM_PUNCT_RE, "$1")
     return df.withColumn(out_col, F.trim(tight))
+
+def unigram_rarity(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Unigram-LM corpus-rarity scoring — the CCNet/Wenzek'19
+    perplexity-filter shape with rational arithmetic: each token's
+    rarity is ``N / count(term)`` (corpus tokens over the term's
+    corpus frequency, the reciprocal of its unigram probability), and
+    every document reports the mean and max token rarity plus its
+    hapax fraction. High mean rarity → noise/OCR garbage; very low →
+    boilerplate; hapax_frac isolates the typo/gibberish tail. The
+    statistic ranks identically to mean negative log-probability for
+    any monotone curve while staying a single IEEE division per
+    distinct term — portable across engines, unlike ln() whose
+    last-ulp differs between libms (same trade as tfidf_top_terms).
+
+    Scale shape (100 TB lens): explode → ONE vocab-sized hash
+    aggregation (map-side combined); the corpus total is a 1-row
+    aggregate of the VOCAB frame (vocab-sized input, not a second
+    corpus pass) broadcast via crossJoin; tokens⋈vocab joins on term
+    — Zipf-skewed on the probe side (every "the" row hits one build
+    row), which AQE skew-split handles without correctness impact;
+    the per-document re-aggregation keys on doc id (uniform). The
+    mean is DECIMAL-summed (order-independent) and cast to double
+    only at the end."""
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(tokenize(text_col)).alias("term")
+    )
+    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("n_total"))
+    rarity = F.col("n_total").cast("double") / F.col("cnt").cast("double")
+    return (
+        toks.join(vocab, "term")
+        .crossJoin(F.broadcast(total))
+        .select("id", F.col("cnt").alias("c"), rarity.alias("r"))
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (
+                F.sum(F.col("r").cast("decimal(24,6)")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("mean_rarity"),
+            F.max("r").alias("max_rarity"),
+            F.count(F.when(F.col("c") == 1, 1)).alias("n_hapax"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            "n_tokens",
+            "mean_rarity",
+            "max_rarity",
+            "n_hapax",
+            (
+                F.col("n_hapax").cast("double")
+                / F.col("n_tokens").cast("double")
+            ).alias("hapax_frac"),
+        )
+    )
+
+
+def cdc_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    mod: int = 16,
+) -> DataFrame:
+    """Content-defined chunking (the LBFS/FastCDC boundary rule,
+    token-level): a chunk boundary falls after token ``i + k - 1``
+    whenever the 60-bit md5 hash of the k-gram ending there is
+    divisible by ``mod``. Boundaries depend only on LOCAL content —
+    expected chunk length ≈ ``mod`` tokens — so inserting or deleting
+    a passage re-cuts at most its neighboring chunks while every
+    other chunk (and its content hash) survives verbatim. That
+    insertion stability is what makes CDC the sub-document dedup
+    granularity: fixed-width shingles shift wholesale after one
+    inserted word, while CDC chunk hashes keep matching, letting a
+    pipeline drop repeated passages (licence blocks, navigation
+    chrome) across billions of documents by one hash-groupBy over
+    chunk hashes.
+
+    Scale shape: the entire cut computation (k-gram hashes → cut
+    positions → boundary pairs) is map-side array expressions inside
+    one projection — no shuffle, no Python; ``posexplode`` then
+    yields one bounded row per chunk carrying the md5 content hash.
+    Every intermediate array is let-bound via :func:`_bind` (a bare
+    expression inside an F.transform lambda re-evaluates per element
+    — the O(n²) trap), and the token array rides through the explode
+    so chunk text slices without re-tokenizing. Documents shorter
+    than ``k`` tokens form a single chunk; empty documents yield no
+    rows (the DuckDB-unnest convention)."""
+    from etl_global_mobility_spark.operators.dedup import _md5_band_hash
+
+    empty_int = F.array().cast("array<int>")
+
+    def pairs_of(ts: Column, hs: Column) -> Column:
+        cuts = F.when(
+            F.size(hs) >= 1,
+            F.filter(
+                F.sequence(F.lit(1), F.size(hs)),
+                lambda j: F.element_at(hs, j) % mod == 0,
+            ),
+        ).otherwise(empty_int)
+        bounds = F.concat(
+            F.array(F.lit(0)),
+            F.transform(cuts, lambda j: j + F.lit(k - 1)),
+            F.array(F.size(ts)),
+        )
+        return _bind(
+            bounds,
+            lambda bs: F.filter(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(bs) - 1),
+                    lambda b: F.struct(
+                        F.element_at(bs, b).alias("s"),
+                        F.element_at(bs, b + 1).alias("e"),
+                    ),
+                ),
+                lambda p: p["e"] > p["s"],
+            ),
+        )
+
+    carrier = _bind(
+        tokenize(F.col(text_col)),
+        lambda ts: _bind(
+            _winnow_hashes(ts, k),
+            lambda hs: F.struct(
+                ts.alias("toks"), pairs_of(ts, hs).alias("pairs")
+            ),
+        ),
+    )
+    exploded = df.select(
+        F.col(id_col), F.inline(F.array(carrier))
+    ).select(
+        F.col(id_col),
+        F.col("toks"),
+        F.posexplode(F.col("pairs")).alias("chunk_idx", "pair"),
+    )
+    chunk_text = F.concat_ws(
+        " ",
+        F.slice(
+            F.col("toks"),
+            F.col("pair.s") + 1,
+            F.col("pair.e") - F.col("pair.s"),
+        ),
+    )
+    return exploded.select(
+        F.col(id_col),
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.col("pair.s").cast("int").alias("chunk_start"),
+        (F.col("pair.e") - F.col("pair.s")).cast("int").alias("n_tokens"),
+        F.md5(chunk_text).alias("chunk_hash"),
+    )

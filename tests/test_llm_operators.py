@@ -2057,3 +2057,116 @@ def test_winnowing_matches_python_reference_on_random_docs(spark):
             xor,
         )
         assert got[i] == want, (i, got[i], want)
+
+
+# ---------------------------------------------------------------------------
+# round-6 additions: CDC chunking, unigram rarity, SFT chat format
+# ---------------------------------------------------------------------------
+
+
+def test_cdc_chunks_partition_tokens_exactly(spark):
+    """Chunks tile the token array: contiguous, non-empty, covering."""
+    from etl_global_mobility_spark.operators.text import cdc_chunks, tokenize
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog " * 20),
+            (2, "short doc"),
+            (3, "x"),
+            (4, ""),
+        ],
+        "doc_id int, text string",
+    )
+    rows = cdc_chunks(df, k=3, mod=4).orderBy("doc_id", "chunk_idx").collect()
+    n_toks = {
+        r["doc_id"]: r["n"]
+        for r in df.select(
+            "doc_id", F.size(tokenize("text")).alias("n")
+        ).collect()
+    }
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert 4 not in by_doc  # empty doc yields no chunks
+    for doc_id, chunks in by_doc.items():
+        pos = 0
+        for i, c in enumerate(chunks):
+            assert c["chunk_idx"] == i
+            assert c["chunk_start"] == pos
+            assert c["n_tokens"] >= 1
+            pos += c["n_tokens"]
+        assert pos == n_toks[doc_id]
+    assert by_doc[3][0]["n_tokens"] == 1  # shorter than k => one chunk
+
+
+def test_cdc_chunks_insertion_stability(spark):
+    """The CDC property: inserting a passage mid-document preserves
+    the chunk hashes of every chunk not adjacent to the edit (a
+    fixed-width shingle scheme would shift them all)."""
+    from etl_global_mobility_spark.operators.text import cdc_chunks
+
+    base_tokens = [f"tok{i}" for i in range(400)]
+    original = " ".join(base_tokens)
+    edited = " ".join(base_tokens[:200] + ["INSERTED", "PASSAGE"] + base_tokens[200:])
+    df = spark.createDataFrame(
+        [(1, original), (2, edited)], "doc_id int, text string"
+    )
+    rows = cdc_chunks(df, k=3, mod=8).collect()
+    h1 = {r["chunk_hash"] for r in rows if r["doc_id"] == 1}
+    h2 = {r["chunk_hash"] for r in rows if r["doc_id"] == 2}
+    shared = h1 & h2
+    # every chunk except the (at most two) straddling the edit point
+    # survives verbatim
+    assert len(shared) >= len(h1) - 2
+    assert len(shared) >= 1
+
+
+def test_unigram_rarity_hand_computed(spark):
+    """mean rarity = mean over tokens of N/count(term), hapax count."""
+    from etl_global_mobility_spark.operators.text import unigram_rarity
+
+    # corpus: a a a b  /  b c   => N=6; counts: a=3, b=2, c=1
+    df = spark.createDataFrame(
+        [(1, "a a a b"), (2, "b c")], "doc_id int, text string"
+    )
+    out = {r["doc_id"]: r for r in unigram_rarity(df).collect()}
+    r1 = out[1]
+    assert r1["n_tokens"] == 4
+    # (6/3 + 6/3 + 6/3 + 6/2) / 4 = (2+2+2+3)/4 = 2.25
+    assert abs(r1["mean_rarity"] - 2.25) < 1e-9
+    assert r1["max_rarity"] == 3.0
+    assert r1["n_hapax"] == 0
+    r2 = out[2]
+    assert r2["n_tokens"] == 2
+    # (6/2 + 6/1) / 2 = 4.5 ; hapax: c
+    assert abs(r2["mean_rarity"] - 4.5) < 1e-9
+    assert r2["max_rarity"] == 6.0
+    assert r2["n_hapax"] == 1
+    assert abs(r2["hapax_frac"] - 0.5) < 1e-9
+
+
+def test_sft_chat_format_token_spans(spark):
+    """prompt+completion spans sum to the rendered total (the \\n
+    boundary guarantees no token merges), and the rendered string
+    carries the ChatML scaffolding around the document text."""
+    from etl_global_mobility_spark.operators.splits import sft_chat_format
+    from etl_global_mobility_spark.operators.text import token_count
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(7, "Some document body here.", "en", "src0")],
+        "doc_id int, text string, lang string, source string",
+    )
+    out = sft_chat_format(df)
+    row = out.collect()[0]
+    assert row["rendered"].startswith("<|im_start|>system\n")
+    assert "<|im_start|>assistant\nSome document body here.<|im_end|>" in row[
+        "rendered"
+    ]
+    assert row["total_tokens"] == row["prompt_tokens"] + row["completion_tokens"]
+    recount = (
+        out.select(token_count(F.col("rendered")).alias("n")).collect()[0]["n"]
+    )
+    assert recount == row["total_tokens"]
+    assert 0.0 < row["loss_fraction"] <= 1.0
