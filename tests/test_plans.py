@@ -788,3 +788,55 @@ def test_sql_udf_inlines_to_pure_codegen(spark):
     for node in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF"):
         assert node not in plan, plan
     assert "HashAggregate" in plan
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark):
+    """Runtime row-level filtering — the 100 TB join shape Spark adds
+    on top of static pruning: with a selective dimension filter and a
+    shuffle join, the optimizer injects a bloom_filter_agg subquery
+    over the dim keys and applies might_contain() on the fact side
+    BEFORE the shuffle, so most fact rows never leave their input
+    partition. Thresholds default to creation ≤ 10 MB / application
+    ≥ 10 GB scan — exactly the 100 TB regime; test data sits below
+    them, so the application floor is lowered here to make the
+    rewrite observable. Results must be identical with the filter on
+    and off (it is pure pruning)."""
+    from pyspark.sql import functions as F
+
+    overrides = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+
+    def run():
+        li = spark.read.parquet(f"{SF}/lineitem.parquet")
+        o = spark.read.parquet(f"{SF}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        return (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("l_quantity").alias("qty"),
+            )
+        )
+
+    saved = {k: spark.conf.get(k, None) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        df = run()
+        opt = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in opt, opt
+        assert "might_contain" in opt, opt
+        with_filter = {tuple(r) for r in df.collect()}
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    baseline = {tuple(r) for r in run().collect()}
+    assert with_filter == baseline
