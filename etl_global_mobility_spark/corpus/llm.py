@@ -2502,24 +2502,27 @@ def q_unigram_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _UNIGRAM_RARITY_SQL = f"""
-    WITH toks AS (
-      SELECT doc_id AS id, unnest({TOKS}) AS term FROM documents
+    WITH tf AS (
+      SELECT id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id AS id, unnest({TOKS}) AS term FROM documents)
+      GROUP BY id, term
     ), vocab AS (
-      SELECT term, count(*) AS cnt FROM toks GROUP BY term
+      SELECT term, CAST(sum(tf) AS BIGINT) AS cnt FROM tf GROUP BY term
     ), tot AS (
       SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM vocab
     )
     SELECT t.id AS doc_id,
-           CAST(count(*) AS BIGINT) AS n_tokens,
-           CAST(sum(CAST(CAST(tot.n_total AS DOUBLE) / CAST(v.cnt AS DOUBLE)
-                         AS DECIMAL(24,6))) AS DOUBLE)
-             / CAST(count(*) AS DOUBLE) AS mean_rarity,
+           CAST(sum(t.tf) AS BIGINT) AS n_tokens,
+           CAST(sum(t.tf * ((tot.n_total * CAST(1000000 AS BIGINT))
+                            // v.cnt)) AS DOUBLE)
+             / (CAST(sum(t.tf) AS DOUBLE) * 1000000.0) AS mean_rarity,
            max(CAST(tot.n_total AS DOUBLE) / CAST(v.cnt AS DOUBLE))
              AS max_rarity,
-           CAST(count(*) FILTER (WHERE v.cnt = 1) AS BIGINT) AS n_hapax,
-           CAST(count(*) FILTER (WHERE v.cnt = 1) AS DOUBLE)
-             / CAST(count(*) AS DOUBLE) AS hapax_frac
-    FROM toks t JOIN vocab v USING (term) CROSS JOIN tot
+           CAST(coalesce(sum(t.tf) FILTER (WHERE v.cnt = 1), 0) AS BIGINT)
+             AS n_hapax,
+           CAST(coalesce(sum(t.tf) FILTER (WHERE v.cnt = 1), 0) AS DOUBLE)
+             / CAST(sum(t.tf) AS DOUBLE) AS hapax_frac
+    FROM tf t JOIN vocab v USING (term) CROSS JOIN tot
     GROUP BY t.id"""
 
 

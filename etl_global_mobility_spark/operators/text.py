@@ -649,34 +649,62 @@ def unigram_rarity(
     distinct term — portable across engines, unlike ln() whose
     last-ulp differs between libms (same trade as tfidf_top_terms).
 
-    Scale shape (100 TB lens): explode → ONE vocab-sized hash
-    aggregation (map-side combined); the corpus total is a 1-row
-    aggregate of the VOCAB frame (vocab-sized input, not a second
-    corpus pass) broadcast via crossJoin; tokens⋈vocab joins on term
-    — Zipf-skewed on the probe side (every "the" row hits one build
-    row), which AQE skew-split handles without correctness impact;
-    the per-document re-aggregation keys on doc id (uniform). The
-    mean is DECIMAL-summed (order-independent) and cast to double
-    only at the end."""
-    toks = df.select(
-        F.col(id_col).alias("id"), F.explode(tokenize(text_col)).alias("term")
+    Scale shape (100 TB lens): everything runs at (doc, term)
+    granularity, never token-level — ONE corpus scan feeds a
+    (doc, term) tf aggregation whose exchange is shared (Spark
+    ReusedExchange: the vocab branch and the join probe consume the
+    IDENTICAL subtree, so the scan + explode + partial agg execute
+    once); the vocab rollup and its 1-row total are vocab-sized
+    follow-ons (the total broadcasts via crossJoin — bounded). The
+    tf⋈vocab join on term is Zipf-skewed only up to one row per
+    (doc, term) — "the" probes n_docs rows, not n_tokens — which AQE
+    skew-split absorbs; the per-document re-aggregation keys on doc
+    id (uniform). The mean weights each term's rarity by tf and is
+    summed in EXACT integer micro-units (``N·10⁶ div cnt`` — integral
+    division, bit-identical on any engine; a double→DECIMAL cast is
+    NOT portable: Spark rounds the shortest decimal repr of the
+    double while DuckDB rounds its exact binary value, so near-tie
+    addends diverge), cast to double only for the final division.
+    The micro-unit sum needs ``tf·N·10⁶`` per term to fit a BIGINT —
+    at true 100 TB scale widen the sum to DECIMAL(38,0) (still
+    exact); the statistic is unchanged."""
+    tf = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(tokenize(text_col)).alias("term"),
+        )
+        .groupBy("id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
     )
-    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    vocab = tf.groupBy("term").agg(F.sum("tf").alias("cnt"))
     total = vocab.agg(F.sum("cnt").alias("n_total"))
     rarity = F.col("n_total").cast("double") / F.col("cnt").cast("double")
     return (
-        toks.join(vocab, "term")
+        tf.join(vocab, "term")
         .crossJoin(F.broadcast(total))
-        .select("id", F.col("cnt").alias("c"), rarity.alias("r"))
+        .select(
+            "id",
+            "tf",
+            F.col("cnt").alias("c"),
+            rarity.alias("r"),
+            (
+                F.col("tf")
+                * F.expr(
+                    "(n_total * CAST(1000000 AS BIGINT)) DIV cnt"
+                )
+            ).alias("micro_wr"),
+        )
         .groupBy("id")
         .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("tf").alias("n_tokens"),
             (
-                F.sum(F.col("r").cast("decimal(24,6)")).cast("double")
-                / F.count(F.lit(1)).cast("double")
+                F.sum("micro_wr").cast("double")
+                / (F.sum("tf").cast("double") * F.lit(1000000.0))
             ).alias("mean_rarity"),
             F.max("r").alias("max_rarity"),
-            F.count(F.when(F.col("c") == 1, 1)).alias("n_hapax"),
+            F.coalesce(
+                F.sum(F.when(F.col("c") == 1, F.col("tf"))), F.lit(0)
+            ).alias("n_hapax"),
         )
         .select(
             F.col("id").alias(id_col),
