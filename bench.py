@@ -109,6 +109,7 @@ HEADLINE = [
     "llm_unigram_rarity",
     "llm_cdc_chunks",
     "llm_sft_chat_format",
+    "llm_cdc_dup_passages",
 ]
 
 

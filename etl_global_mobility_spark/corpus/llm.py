@@ -2630,6 +2630,19 @@ def _sft_chat_format_sql() -> str:
     FROM t"""
 
 
+
+def q_cdc_dup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-passage report over content-defined chunks
+    (operators/dedup.py cdc_dup_passages, k=3, mod=16, min 4 tokens):
+    one hash-groupBy on insertion-stable chunk content hashes — the
+    cross-document boilerplate sweep."""
+    from etl_global_mobility_spark.operators.dedup import cdc_dup_passages
+
+    d = load_table(spark, sf_dir, "documents")
+    return cdc_dup_passages(d, k=3, mod=16, min_tokens=4)
+
+
+
 SPECS = [
     QuerySpec(
         "llm_exact_dedup",
@@ -3253,5 +3266,19 @@ SPECS = [
         _sft_chat_format_sql(),
         doc="ChatML SFT rendering + prompt/completion loss-mask "
         "token spans (zero-shuffle codegen projection)",
+    ),
+    QuerySpec(
+        "llm_cdc_dup_passages",
+        q_cdc_dup_passages,
+        f"""WITH chunks AS ({_CDC_CHUNKS_SQL})
+    SELECT chunk_hash, count(*) AS n_occ,
+           count(DISTINCT doc_id) AS n_docs,
+           max(n_tokens) AS chunk_tokens,
+           min(doc_id) AS example_doc
+    FROM chunks WHERE n_tokens >= 4
+    GROUP BY chunk_hash HAVING count(*) >= 2""",
+        doc="repeated-passage report over insertion-stable CDC chunk "
+        "hashes (cross-document boilerplate sweep, one uniform "
+        "hash-groupBy)",
     ),
 ]

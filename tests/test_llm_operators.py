@@ -2170,3 +2170,76 @@ def test_sft_chat_format_token_spans(spark):
     )
     assert recount == row["total_tokens"]
     assert 0.0 < row["loss_fraction"] <= 1.0
+
+
+def test_unigram_rarity_partition_invariant_and_bounds(spark):
+    """The micro-unit integer sum makes the mean order-independent by
+    construction: any physical layout must produce the identical
+    result. Also pins the analytic bounds — rarity N/cnt lies in
+    [1, N], so mean_rarity does too; each doc's unique{i} token is a
+    corpus hapax, forcing max_rarity = N exactly and n_hapax = 1."""
+    from etl_global_mobility_spark.operators.text import unigram_rarity
+
+    rows = [
+        (i, f"alpha beta w{i % 7} gamma w{i % 3} unique{i}") for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = {r.doc_id: tuple(r)[1:] for r in unigram_rarity(df).collect()}
+    b = {
+        r.doc_id: tuple(r)[1:]
+        for r in unigram_rarity(df.repartition(17)).collect()
+    }
+    assert a == b and len(a) == 60
+    n_total = 6 * 60
+    for n_tokens, mean_r, max_r, n_hapax, hapax_frac in a.values():
+        assert n_tokens == 6
+        assert 1.0 <= mean_r <= n_total
+        assert max_r == n_total  # every doc holds its unique{i} hapax
+        assert n_hapax == 1 and abs(hapax_frac - 1 / 6) < 1e-12
+
+
+@pytest.mark.slow
+def test_cdc_chunks_soak_boundary_density_and_stability(spark):
+    """Scale soak for content-defined chunking: 10k hash-derived
+    ~60-token documents. Pins (a) the tiling invariant corpus-wide
+    (chunk token counts sum exactly to the corpus token count),
+    (b) the expected-chunk-length contract of the boundary rule
+    (mean chunk length within 3x of `mod` either way — the cut
+    probability is 1/mod per gram), and (c) a runtime budget: the
+    pipeline is one map-side projection + posexplode, so wall time
+    must stay far from quadratic."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from etl_global_mobility_spark.operators.text import cdc_chunks, tokenize
+
+    n, words, mod = 10_000, 60, 16
+    idc = F.col("doc_id")
+    parts = [
+        F.concat(F.lit("w"), F.pmod(F.hash(idc, F.lit(j)), F.lit(5000)).cast("string"))
+        for j in range(words)
+    ]
+    df = spark.range(n).withColumnRenamed("id", "doc_id").select(
+        "doc_id", F.concat_ws(" ", *parts).alias("text")
+    )
+    total_tokens = df.select(
+        F.sum(F.size(tokenize("text")))
+    ).collect()[0][0]
+
+    t0 = time.monotonic()
+    agg = (
+        cdc_chunks(df, k=3, mod=mod)
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("n_tokens").alias("sum_tokens"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .collect()[0]
+    )
+    elapsed = time.monotonic() - t0
+    assert agg["sum_tokens"] == total_tokens
+    assert agg["n_docs"] == n
+    mean_len = agg["sum_tokens"] / agg["n_chunks"]
+    assert mod / 3 <= mean_len <= mod * 3, mean_len
+    assert elapsed < 60, f"CDC soak took {elapsed:.1f}s"
