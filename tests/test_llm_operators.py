@@ -2243,3 +2243,62 @@ def test_cdc_chunks_soak_boundary_density_and_stability(spark):
     mean_len = agg["sum_tokens"] / agg["n_chunks"]
     assert mod / 3 <= mean_len <= mod * 3, mean_len
     assert elapsed < 60, f"CDC soak took {elapsed:.1f}s"
+
+
+def test_cdc_chunks_matches_python_reference_on_random_docs(spark):
+    """Property check: the Spark CDC chain (k-gram md5 hashes → cut
+    positions where hash ≡ 0 mod m → boundary pairs → chunk slices →
+    chunk md5) equals an independent pure-Python implementation on
+    random token sequences, including the short-document and
+    empty-document boundary rules. Catches drift in gram slicing,
+    hash derivation, the cut rule, boundary arithmetic, or the
+    let-binding rewrite."""
+    import hashlib
+    import random
+
+    from etl_global_mobility_spark.operators.text import cdc_chunks
+
+    k, mod = 3, 8
+
+    def py_cdc(text: str) -> list[tuple[int, int, int, str]]:
+        toks = [t for t in text.lower().strip().split() if t]
+        n = len(toks)
+        if n >= k:
+            grams = [" ".join(toks[i : i + k]) for i in range(n - k + 1)]
+            hs = [
+                int(hashlib.md5(f"0:{g}".encode()).hexdigest()[:15], 16)
+                for g in grams
+            ]
+            cuts = [j + 1 for j, h in enumerate(hs) if h % mod == 0]
+        else:
+            cuts = []
+        bounds = [0] + [j + k - 1 for j in cuts] + [n]
+        out = []
+        for s, e in zip(bounds, bounds[1:]):
+            if e > s:
+                body = " ".join(toks[s:e])
+                out.append(
+                    (
+                        len(out),
+                        s,
+                        e - s,
+                        hashlib.md5(body.encode()).hexdigest(),
+                    )
+                )
+        return out
+
+    rng = random.Random(20260815)
+    rows = []
+    for i in range(40):
+        n = rng.choice([0, 1, 2, 3, 4, 5, 8, 16, 60, 250])
+        rows.append((i, " ".join(f"v{rng.randrange(40)}" for _ in range(n))))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got: dict[int, list] = {}
+    for r in cdc_chunks(df, k=k, mod=mod).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["chunk_idx"], r["chunk_start"], r["n_tokens"], r["chunk_hash"])
+        )
+    for i, text in rows:
+        want = py_cdc(text)
+        have = sorted(got.get(i, []))
+        assert have == want, (i, have, want)
