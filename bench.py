@@ -110,6 +110,7 @@ HEADLINE = [
     "llm_cdc_chunks",
     "llm_sft_chat_format",
     "llm_cdc_dup_passages",
+    "llm_kmeans_refine",
 ]
 
 

@@ -31,9 +31,9 @@ green driver row, and no query's evidence gets stale:
   arithmetically unsatisfiable (50 slots can refresh ~210 oracle
   queries only every ceil(210/50) = 5 rounds); the invariant now
   scales with the corpus (tests/test_corpus_oracle.py computes
-  ceil(N/50), floor 3). Round 7's window should take the 42
+  ceil(N/50), floor 3). Round 7's window should take the 43
   SCHEDULED_NEXT_WINDOW additions FIRST (they hold no driver
-  evidence at all), the two canaries, and fill the remaining ~6
+  evidence at all), the two canaries, and fill the remaining ~5
   slots with the oldest r3-only rows (llm_pii_redact,
   llm_repetition_signals, llm_strip_boilerplate, llm_text_stats,
   llm_vocab_oov, then the r3 parity/relational/stream/udf rows) —
@@ -242,6 +242,7 @@ SCHEDULED_NEXT_WINDOW = frozenset(
         "llm_cdc_chunks",
         "llm_sft_chat_format",
         "llm_cdc_dup_passages",
+        "llm_kmeans_refine",
     }
 )
 

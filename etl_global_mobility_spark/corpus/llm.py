@@ -2643,6 +2643,71 @@ def q_cdc_dup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 
+
+def q_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point Lloyd k-means (operators/similarity.py
+    kmeans_fixed_point, k=4, 2 iterations, scale 2^20): an ITERATIVE
+    clustering algorithm made bit-exact across engines by integer
+    quantization — seeds are the 4 lowest-id vectors; the oracle
+    unrolls both Lloyd iterations as CTEs."""
+    from etl_global_mobility_spark.operators.similarity import (
+        kmeans_fixed_point,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return kmeans_fixed_point(e, k=4, iters=2)
+
+
+def _kmeans_sql(k: int = 4, iters: int = 2, scale: int = 1 << 20,
+                dim: int = 64) -> str:
+    rng = f"range(1, {dim + 1})"
+
+    def dist(vq: str, vc: str) -> str:
+        return (f"list_sum(list_transform({rng}, "
+                f"i -> ({vq}[i] - {vc}[i]) * ({vq}[i] - {vc}[i])))")
+
+    parts = [f"""WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(round(x * {float(scale)!r}) AS BIGINT)) AS v
+      FROM embeddings
+    ), c0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, v
+      FROM q ORDER BY vec_id LIMIT {k}
+    )"""]
+    prev = "c0"
+    for t in range(1, iters + 1):
+        parts.append(f""", d{t} AS (
+      SELECT q.vec_id, q.v, c.cid, {dist("q.v", "c.v")} AS d
+      FROM q CROSS JOIN {prev} c
+    ), a{t} AS (
+      SELECT vec_id, v, cid FROM (
+        SELECT vec_id, v, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY d, cid) AS rn
+        FROM d{t}) WHERE rn = 1
+    ), m{t} AS (
+      SELECT cid, i, CAST(sum(v[i]) AS BIGINT) AS s, count(*) AS n
+      FROM a{t}, {rng} r(i) GROUP BY cid, i
+    ), mm{t} AS (
+      SELECT cid, list(s // n ORDER BY i) AS v FROM m{t} GROUP BY cid
+    ), c{t} AS (
+      SELECT c.cid, COALESCE(m.v, c.v) AS v
+      FROM {prev} c LEFT JOIN mm{t} m USING (cid)
+    )""")
+        prev = f"c{t}"
+    parts.append(f""", df AS (
+      SELECT q.vec_id, c.cid, {dist("q.v", "c.v")} AS d
+      FROM q CROSS JOIN {prev} c
+    )
+    SELECT vec_id, cid AS cluster_id, CAST(d AS BIGINT) AS dist_sq FROM (
+      SELECT vec_id, cid, d,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY d, cid) AS rn
+      FROM df) WHERE rn = 1""")
+    return "".join(parts)
+
+
 SPECS = [
     QuerySpec(
         "llm_exact_dedup",
@@ -3280,5 +3345,14 @@ SPECS = [
         doc="repeated-passage report over insertion-stable CDC chunk "
         "hashes (cross-document boilerplate sweep, one uniform "
         "hash-groupBy)",
+    ),
+    QuerySpec(
+        "llm_kmeans_refine",
+        q_kmeans_refine,
+        _kmeans_sql(),
+        doc="fixed-point Lloyd k-means (2 iterations, integer "
+        "quantization): iterative clustering oracle-checked "
+        "bit-exactly; map-only assignment vs literal centroids, "
+        "bounded k x dim driver exchange per iteration",
     ),
 ]

@@ -832,3 +832,109 @@ def load_ann_artifacts(
         if len(rows) != meta["m"] * meta["k"] * meta["sub_dim"]:
             raise ValueError("codebook artifact shape mismatch vs manifest")
     return centroids, codebook
+
+
+def kmeans_fixed_point(
+    corpus: DataFrame,
+    k: int = 4,
+    iters: int = 2,
+    scale: int = 1 << 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means in FIXED-POINT integer arithmetic — the
+    bit-exact companion to :func:`train_ivf_centroids` (which is
+    reproducible only up to float partial-sum order): embeddings are
+    quantized once to an integer grid (``round(x · scale)`` — the
+    multiply is exact because ``scale`` is a power of two, and both
+    Spark and DuckDB round half away from zero), after which every
+    step — squared L2 distances, argmin assignment (ties → lowest
+    centroid id), member means under truncating integer division,
+    and the empty-cluster keep-previous rule — is exact integer math
+    that any engine reproduces bit-identically. Quantized k-means is
+    standard practice at retrieval scale (the PQ/IVF literature
+    trains coarse quantizers on compressed representations); here it
+    additionally makes an ITERATIVE algorithm oracle-checkable.
+
+    Seeds are the ``k`` lowest-id vectors. Returns one row per vector
+    with its final cluster and integer squared distance.
+
+    Scale shape per iteration: ONE map-only assignment pass over
+    literal centroid arrays (no join — the corpus never shuffles for
+    assignment), then one (k × dim)-keyed aggregation with map-side
+    combine; only k × dim (cid, dim, sum, count) aggregate rows ever
+    reach the driver between iterations (bounded by construction,
+    like train_ivf_centroids). The FINAL returned plan is a
+    zero-shuffle codegen projection. Overflow bound: |v| ≤ scale·max|x|,
+    so Σ_dim (Δv)² ≤ dim·(2·scale·max|x|)² must stay under 2⁶³ —
+    at scale 2²⁰, dim 64, |x| ≤ 1 that is ~3·10¹⁴, five orders of
+    magnitude of headroom."""
+    q = corpus.select(
+        F.col(id_col),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.round(x * F.lit(float(scale))).cast("long"),
+        ).alias("__v"),
+    )
+    seeds = q.orderBy(id_col).limit(k).collect()
+    cents = [list(r["__v"]) for r in seeds]
+    dim = len(cents[0])
+
+    def best_of(cs: list[list[int]]) -> F.Column:
+        structs = []
+        for cid, c in enumerate(cs):
+            carr = F.array(*[F.lit(int(x)).cast("long") for x in c])
+            d = F.aggregate(
+                F.zip_with(
+                    F.col("__v"), carr, lambda a, b: (a - b) * (a - b)
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            structs.append(
+                F.struct(d.alias("d"), F.lit(cid).cast("int").alias("cid"))
+            )
+        return F.array_min(F.array(*structs))
+
+    for _ in range(iters):
+        assigned = q.select(
+            "__v", best_of(cents)["cid"].alias("__cid")
+        )
+        agg = (
+            assigned.select(
+                "__cid", F.posexplode("__v").alias("__i", "__x")
+            )
+            .groupBy("__cid", "__i")
+            .agg(F.sum("__x").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        by_cid: dict[int, dict[int, tuple[int, int]]] = {}
+        for r in agg:
+            by_cid.setdefault(r["__cid"], {})[r["__i"]] = (r["s"], r["n"])
+        nxt = []
+        for cid, prev in enumerate(cents):
+            dims = by_cid.get(cid)
+            if not dims:
+                nxt.append(prev)  # empty cluster keeps its centroid
+            else:
+                # truncating integer division (matches SQL DIV / //)
+                nxt.append(
+                    [
+                        (abs(s) // n) * (1 if s >= 0 else -1)
+                        for s, n in (dims[i] for i in range(dim))
+                    ]
+                )
+        cents = nxt
+
+    final = best_of(cents)
+    return q.select(
+        F.col(id_col),
+        F.inline(
+            F.array(
+                F.struct(
+                    final["cid"].alias("cluster_id"),
+                    final["d"].alias("dist_sq"),
+                )
+            )
+        ),
+    )

@@ -2302,3 +2302,37 @@ def test_cdc_chunks_matches_python_reference_on_random_docs(spark):
         want = py_cdc(text)
         have = sorted(got.get(i, []))
         assert have == want, (i, have, want)
+
+
+def test_kmeans_fixed_point_planted_clusters_and_invariance(spark):
+    """Two well-separated planted clusters: after 2 Lloyd iterations
+    every vector must sit with its planted group regardless of seed
+    quality (both seeds start in cluster A; the member-mean update
+    must pull one centroid across). Assignment and integer distances
+    are layout-invariant by construction (integer sums + map-only
+    assignment)."""
+    from etl_global_mobility_spark.operators.similarity import (
+        kmeans_fixed_point,
+    )
+
+    rows = []
+    for i in range(8):  # cluster A near (0.1, 0.1, ...)
+        rows.append((i, [0.1 + 0.001 * i] * 8))
+    for i in range(8, 16):  # cluster B near (0.9, 0.9, ...)
+        rows.append((i, [0.9 - 0.001 * i] * 8))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r["vec_id"]: (r["cluster_id"], r["dist_sq"])
+        for r in kmeans_fixed_point(df, k=2, iters=2).collect()
+    }
+    a = {out[i][0] for i in range(8)}
+    b = {out[i][0] for i in range(8, 16)}
+    assert len(a) == 1 and len(b) == 1 and a != b
+    assert all(d >= 0 for _, d in out.values())
+    out2 = {
+        r["vec_id"]: (r["cluster_id"], r["dist_sq"])
+        for r in kmeans_fixed_point(
+            df.repartition(7), k=2, iters=2
+        ).collect()
+    }
+    assert out == out2
