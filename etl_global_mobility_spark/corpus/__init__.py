@@ -27,9 +27,10 @@ green driver row, and no query's evidence gets stale:
   — at the staleness bound), the two standing canaries, and 22 of
   the 48 r3-only evidence rows (the llm operator block — oldest
   un-refreshed evidence). Round 6 also grew the registered surface
-  176 → 214, which makes a FIXED 3-round staleness bound
-  arithmetically unsatisfiable (50 slots can refresh ~210 oracle
-  queries only every ceil(210/50) = 5 rounds); the invariant now
+  176 → 219 (215 oracle-backed + 4 rows-only), which makes a FIXED
+  3-round staleness bound arithmetically unsatisfiable (50 slots can
+  refresh 215 oracle queries only every ceil(215/50) = 5 rounds); the
+  invariant now
   scales with the corpus (tests/test_corpus_oracle.py computes
   ceil(N/50), floor 3). Round 7's window should take the 43
   SCHEDULED_NEXT_WINDOW additions FIRST (they hold no driver

@@ -222,8 +222,14 @@ def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(
             F.col("doc_id") % 3 == 1,
             F.concat(
+                # NB: a Python literal, NOT char(8201) — Spark's char()
+                # is mod-256 above 255 (char(8201) = TAB), while DuckDB
+                # chr(8201) is the Unicode codepoint U+2009. The
+                # literal keeps the planted mess identical so the
+                # \\x{2000}-\\x{200A} branch of NORM_WS_RE is really
+                # exercised on both engines.
                 F.expr("char(160)"),
-                F.expr("char(8201)"),
+                F.lit("\N{THIN SPACE}"),
                 F.col("text"),
                 F.lit(" ."),
             ),

@@ -1228,7 +1228,11 @@ def q_source_text_wholetext(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.option("wholetext", "true").text(out)
         .select(
             F.col("doc_id").cast("bigint").alias("doc_id"),
-            F.regexp_replace(F.col("value"), r"\n$", "").alias("_text"),
+            # \z, not $: Java's non-MULTILINE $ also matches just
+            # BEFORE a final line terminator, so '\n$' would eat two
+            # newlines from a document ending in '\n'. \z anchors to
+            # the absolute end — exactly the one writer-appended byte.
+            F.regexp_replace(F.col("value"), r"\n\z", "").alias("_text"),
         )
     )
     return back.select(
@@ -2054,7 +2058,14 @@ def q_tpch_q12_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate")
         > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
     )
-    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("int")
+    # coalesce: isin() is NULL for a NULL priority, and F.sum skips
+    # NULLs — which would drop such rows from BOTH counts while the
+    # oracle's CASE ... ELSE 1 END counts them as low. Coalescing to 0
+    # mirrors the SQL exactly (NULL priority → low_line_count).
+    high = F.coalesce(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("int"),
+        F.lit(0),
+    )
     return (
         late.groupBy("l_linestatus")
         .agg(

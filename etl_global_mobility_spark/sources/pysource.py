@@ -166,6 +166,26 @@ class _WroteFile(WriterCommitMessage):
     pid: int
 
 
+def _sweep_stale_tmps(path: str) -> None:
+    """Remove staged files no commit message claimed.
+
+    Attempt-unique tmp names (needed so retried/speculative attempts
+    never race on one path) mean a LOSING attempt's file is never
+    renamed by commit() nor listed in abort()'s messages — without this
+    sweep it would sit in the sink directory forever. Runs after the
+    winners have been promoted/removed, so every remaining ``*.tmp``
+    is garbage by construction; unlinking one a straggler still holds
+    open is safe (the write continues into the unlinked inode).
+    """
+    import glob
+
+    for stale in glob.glob(os.path.join(path, ".part-*.json.tmp")):
+        try:
+            os.remove(stale)
+        except OSError:
+            pass
+
+
 class JsonDirWriter(DataSourceWriter):
     """Writer half of the Data Source API with the two-phase commit
     contract made visible: each task writes a ``.part-*.json.tmp``
@@ -208,11 +228,13 @@ class JsonDirWriter(DataSourceWriter):
             total += m.n_rows
         with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
             f.write(json.dumps({"n_rows": total}))
+        _sweep_stale_tmps(self.path)
 
     def abort(self, messages: Sequence[_WroteFile]) -> None:
         for m in messages:
             if m is not None and os.path.exists(m.path):
                 os.remove(m.path)
+        _sweep_stale_tmps(self.path)
 
 
 class JsonDirStreamWriter(DataSourceStreamWriter):
@@ -272,11 +294,13 @@ class JsonDirStreamWriter(DataSourceStreamWriter):
         marker = os.path.join(self.path, f"_batch-{batchId:05d}._SUCCESS")
         with open(marker, "w") as f:
             f.write(json.dumps({"batch_id": batchId, "n_rows": total}))
+        _sweep_stale_tmps(self.path)
 
     def abort(self, messages: Sequence[_WroteFile], batchId: int) -> None:
         for m in messages:
             if m is not None and os.path.exists(m.path):
                 os.remove(m.path)
+        _sweep_stale_tmps(self.path)
 
 
 class SyntheticEventsSource(DataSource):

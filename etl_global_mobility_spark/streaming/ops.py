@@ -264,9 +264,11 @@ def stream_upsert_to_parquet(
     the table (operators.merge.upsert: anti-join out superseded
     versions, union the new), committed via staged-swap renames so a
     crash never leaves a HALF-WRITTEN target: the old table is parked
-    at a sibling backup path before the staged table is promoted, so
+    at a DETERMINISTIC sibling backup path (``<target>__old__``) before
+    the staged table is promoted, and every batch begins by restoring
+    that backup if a previous swap died between park and promote — so
     every crash point leaves either the old or the new table intact
-    (worst case, the old one at the recoverable ``__old-*`` sibling).
+    AND reachable on restart.
 
     Idempotency without a transaction log: update-mode emits each
     key's CURRENT aggregate state, and upserting identical rows by key
@@ -281,30 +283,48 @@ def stream_upsert_to_parquet(
     above (cost ∝ batch). This operator completes the streaming sink
     matrix with the keyed-state shape.
     """
-    import os
     import uuid
 
     from etl_global_mobility_spark.operators.merge import upsert
     from etl_global_mobility_spark.sinks.writer import _fs
 
+    base = target_path.rstrip("/")
+    # DETERMINISTIC backup path: recovery must be able to FIND the
+    # parked table after a crash. A random suffix would strand the old
+    # table at a name nothing looks for, and the next batch's "target
+    # missing → merged = batch_df" branch would silently rebuild the
+    # table from a single micro-batch.
+    backup = f"{base}__old__"
+
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         fs = _fs(spark, target_path)
+        # Crash recovery BEFORE reading state. The fixed backup name
+        # makes the two interrupted-swap shapes distinguishable:
+        #   target missing + backup present → died between park and
+        #     promote: restore the old table (that swap's staged copy
+        #     may be half-written, so it is never promoted here —
+        #     at-least-once replay re-derives the merge);
+        #   target present + backup present → died between promote and
+        #     cleanup: the new table is live, drop the leftover backup.
+        if fs.exists(backup):
+            if not fs.exists(target_path):
+                fs.rename(backup, target_path)
+            else:
+                fs.delete(backup)
         if fs.exists(target_path):
             current = spark.read.parquet(target_path)
             merged = upsert(current, batch_df, keys)
         else:
             merged = batch_df
-        base = target_path.rstrip("/")
         staged = f"{base}__upsert-{uuid.uuid4().hex[:8]}"
         merged.write.mode("overwrite").parquet(staged)
         # Swap order matters for crash safety: park the old target at a
         # SIBLING backup path (never inside staged — renaming staged
         # into place must not carry the old data along), promote
         # staged, then drop the backup. A crash after step 1 leaves the
-        # backup recoverable next to the target; after step 2 the new
-        # target is already in place.
-        backup = f"{base}__old-{uuid.uuid4().hex[:8]}"
+        # backup recoverable at the fixed path the preamble above
+        # restores from; after step 2 the new target is already live.
         had_old = fs.exists(target_path)
         if had_old:
             fs.rename(target_path, backup)

@@ -319,3 +319,65 @@ def test_stream_upsert_to_parquet_converges_to_batch_answer(spark, tmp_path):
     }
     assert again == want
     assert not glob.glob(str(tmp_path / "profiles__upsert-*"))
+
+
+def test_stream_upsert_recovers_stranded_backup(spark, tmp_path):
+    """Crash-window recovery: a previous swap that died between parking
+    the old table at ``<target>__old__`` and promoting its staged copy
+    leaves NO live target. The next batch must RESTORE the backup and
+    merge into it — not silently rebuild the table from one
+    micro-batch — and must drop the backup after promoting."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from etl_global_mobility_spark.streaming.ops import stream_upsert_to_parquet
+
+    register(spark)
+    target = str(tmp_path / "profiles")
+    backup = target + "__old__"
+    # Simulate the stranded state: prior table parked at the fixed
+    # backup path, target absent. bucket=999 exists ONLY here — if
+    # recovery failed, the rebuilt table could not contain it.
+    spark.createDataFrame(
+        [(999, 7, 123.5)], "bucket int, n bigint, sum_v double"
+    ).write.parquet(backup)
+    assert not os.path.exists(target)
+
+    sdf = (
+        spark.readStream.format("synthetic_events")
+        .option("n_rows", 500)
+        .option("batch_size", 500)
+        .load()
+    )
+    agg = sdf.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+    stream_upsert_to_parquet(
+        agg.select("bucket", "n", F.lit(0.0).alias("sum_v")),
+        target,
+        str(tmp_path / "ckpt_recover"),
+        keys=["bucket"],
+    )
+    rows = {r.bucket: r.n for r in spark.read.parquet(target).collect()}
+    assert rows.get(999) == 7, "parked pre-crash state was lost"
+    assert len(rows) == 9  # 8 stream buckets upserted alongside it
+    assert not os.path.exists(backup)
+
+
+def test_writer_commit_sweeps_unclaimed_tmps(spark, tmp_path):
+    """A losing/failed attempt's attempt-unique tmp file never appears
+    in any commit message; commit must sweep it so stale hidden files
+    don't accumulate in the sink directory forever."""
+    import os
+
+    register(spark)
+    out = str(tmp_path / "sink_sweep")
+    os.makedirs(out)
+    stale = os.path.join(out, ".part-00042-31337.json.tmp")
+    with open(stale, "w") as f:
+        f.write('{"half": "written"\n')
+    _load(spark, 50, 2).write.format("synthetic_events").option(
+        "path", out
+    ).mode("append").save()
+    files = sorted(os.listdir(out))
+    assert not [f for f in files if f.endswith(".tmp")], files
+    assert "_SUCCESS" in files
