@@ -127,6 +127,9 @@ HEADLINE = [
     "rel_skew_report",
     "udf_sql_function",
     "rel_source_text_wholetext",
+    "llm_weighted_sample",
+    "llm_group_advantage",
+    "llm_span_corruption",
 ]
 
 

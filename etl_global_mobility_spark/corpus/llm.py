@@ -2714,6 +2714,175 @@ def _kmeans_sql(k: int = 4, iters: int = 2, scale: int = 1 << 20,
     return "".join(parts)
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling with replacement over the
+    corpus, token count as the weight (longer documents drawn
+    proportionally more often — the standard corpus-mixing primitive
+    when sampling by tokens, not documents). Inverse-CDF on exact
+    integer cumulative weights: engine-portable with no
+    transcendentals; the prefix sum is sharded, never a single-task
+    window (operators/splits.py:weighted_sample_with_replacement)."""
+    from etl_global_mobility_spark.operators.splits import (
+        weighted_sample_with_replacement,
+    )
+    from etl_global_mobility_spark.operators.text import token_count
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).cast("bigint").alias("weight")
+    )
+    return weighted_sample_with_replacement(
+        d, k=40, seed=6, weight_col="weight", n_shards=16
+    )
+
+
+def _weighted_sample_sql(k: int = 40, seed: int = 6, n_shards: int = 16) -> str:
+    shard = _md5_hash_sql("CAST(doc_id AS VARCHAR)", seed + 1)
+    draw_t = _md5_hash_sql("CAST(j AS VARCHAR)", seed + 2)
+    return f"""
+    WITH sh AS (
+      SELECT doc_id, CAST(len({TOKS}) AS BIGINT) AS w,
+             md5('{seed}:' || CAST(doc_id AS VARCHAR)) AS sort_key,
+             CAST({shard} % {n_shards} AS INT) AS shard
+      FROM documents
+    ), pos AS (
+      SELECT * FROM sh WHERE w > 0
+    ), cum AS (
+      SELECT doc_id, w, shard,
+             sum(w) OVER (PARTITION BY shard ORDER BY sort_key, doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cum_hi
+      FROM pos
+    ), tot AS (
+      SELECT shard, max(cum_hi) AS t FROM cum GROUP BY shard
+    ), off AS (
+      SELECT shard,
+             COALESCE(sum(t) OVER (ORDER BY shard
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING), 0) AS o
+      FROM tot
+    ), iv AS (
+      SELECT c.doc_id, c.w, o.o + c.cum_hi AS hi,
+             o.o + c.cum_hi - c.w AS lo
+      FROM cum c JOIN off o USING (shard)
+    ), draws AS (
+      -- CAST: DuckDB sum(BIGINT) is HUGEINT, which pandas widens to
+      -- float64 — the modulo result is < total weight, BIGINT-safe
+      SELECT j AS draw_id,
+             CAST({draw_t} % (SELECT sum(w) FROM pos) AS BIGINT) AS t
+      FROM (SELECT unnest(range(0, {k})) AS j)
+    )
+    SELECT d.draw_id, i.doc_id, i.w AS weight, d.t
+    FROM draws d JOIN iv i ON d.t >= i.lo AND d.t < i.hi"""
+
+
+def q_group_advantage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GRPO-style group-relative advantage over the embeddings table:
+    ``vec_id % 16`` stands in for the prompt group, the stored first
+    embedding component (a parquet float — identical bits in both
+    engines) for the per-response reward. Fixed-point micro-unit
+    moments make the standardization bit-exact
+    (operators/splits.py:group_advantage)."""
+    from etl_global_mobility_spark.operators.splits import group_advantage
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"),
+        (F.col("vec_id") % 16).cast("int").alias("grp"),
+        F.element_at("embedding", 1).cast("double").alias("reward"),
+    )
+    return group_advantage(e, ["grp"], reward_col="reward")
+
+
+def _group_advantage_sql(micro: int = 1_000_000) -> str:
+    return f"""
+    WITH base AS (
+      SELECT vec_id AS doc_id, CAST(vec_id % 16 AS INT) AS grp,
+             CAST(floor(CAST(embedding[1] AS DOUBLE) * {micro}.0)
+                  AS BIGINT) AS r
+      FROM embeddings WHERE embedding[1] IS NOT NULL
+    ), m AS (
+      SELECT grp, count(*) AS n, sum(r) AS s,
+             sum(CAST(r AS HUGEINT) * r) AS s2
+      FROM base GROUP BY grp
+    )
+    SELECT b.grp, b.doc_id,
+           CAST(b.r AS DOUBLE) / {micro}.0 AS reward_us,
+           CASE WHEN m.n * m.s2 - CAST(m.s AS HUGEINT) * m.s <= 0
+                THEN 0.0
+                ELSE CAST(m.n * b.r - m.s AS DOUBLE)
+                     / sqrt(CAST(m.n * m.s2
+                                 - CAST(m.s AS HUGEINT) * m.s AS DOUBLE))
+           END AS advantage,
+           m.n AS group_n
+    FROM base b JOIN m USING (grp)"""
+
+
+def q_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5 span-corruption denoising examples over the corpus: ~15% of
+    tokens masked by a portable hash, consecutive masks merged into
+    sentinel spans, input/target rendered exactly as the pretraining
+    objective consumes them (operators/packing.py:span_corruption)."""
+    from etl_global_mobility_spark.operators.packing import span_corruption
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return span_corruption(d, noise_pct=15, seed=0)
+
+
+def _span_corruption_sql(noise_pct: int = 15, seed: int = 0) -> str:
+    mask = _md5_hash_sql(
+        "CAST(doc_id AS VARCHAR) || ':' || CAST(pos AS VARCHAR)", seed
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, i - 1 AS pos, ts[CAST(i AS INT)] AS tok
+      FROM (SELECT doc_id, {TOKS} AS ts,
+                   unnest(range(1, len({TOKS}) + 1)) AS i
+            FROM documents)
+    ), m AS (
+      SELECT doc_id, pos, tok, ({mask} % 100) < {noise_pct} AS msk
+      FROM tok
+    ), isl AS (
+      SELECT doc_id, pos, tok, msk,
+             msk AND NOT COALESCE(
+               lag(msk) OVER (PARTITION BY doc_id ORDER BY pos),
+               FALSE) AS is_start
+      FROM m
+    ), sp AS (
+      SELECT *,
+             sum(CASE WHEN is_start THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY pos
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW) - 1 AS span_idx
+      FROM isl
+    ), pieces AS (
+      SELECT doc_id, pos, msk, is_start,
+             '<extra_id_' || CAST(span_idx AS VARCHAR) || '>' AS sent,
+             tok
+      FROM sp
+    ), agg AS (
+      SELECT doc_id,
+             string_agg(CASE WHEN NOT msk THEN tok
+                             WHEN is_start THEN sent END,
+                        ' ' ORDER BY pos)
+               FILTER (WHERE NOT msk OR is_start) AS input_text,
+             string_agg(CASE WHEN is_start THEN sent || ' ' || tok
+                             WHEN msk THEN tok END,
+                        ' ' ORDER BY pos)
+               FILTER (WHERE msk) AS tgt_body,
+             sum(CASE WHEN is_start THEN 1 ELSE 0 END) AS n_spans,
+             sum(CASE WHEN msk THEN 1 ELSE 0 END) AS n_masked
+      FROM pieces GROUP BY doc_id
+    )
+    SELECT doc_id, COALESCE(input_text, '') AS input_text,
+           CASE WHEN tgt_body IS NULL
+                THEN '<extra_id_' || CAST(n_spans AS VARCHAR) || '>'
+                ELSE tgt_body || ' <extra_id_'
+                     || CAST(n_spans AS VARCHAR) || '>'
+           END AS target_text,
+           CAST(n_spans AS BIGINT) AS n_spans,
+           CAST(n_masked AS BIGINT) AS n_masked
+    FROM agg"""
+
+
 SPECS = [
     QuerySpec(
         "llm_exact_dedup",
@@ -3360,5 +3529,29 @@ SPECS = [
         "quantization): iterative clustering oracle-checked "
         "bit-exactly; map-only assignment vs literal centroids, "
         "bounded k x dim driver exchange per iteration",
+    ),
+    QuerySpec(
+        "llm_weighted_sample",
+        q_weighted_sample,
+        _weighted_sample_sql(),
+        doc="deterministic weighted sampling with replacement "
+        "(inverse-CDF over exact integer cumulative token weights, "
+        "sharded prefix sum — no transcendentals, no global window)",
+    ),
+    QuerySpec(
+        "llm_group_advantage",
+        q_group_advantage,
+        _group_advantage_sql(),
+        doc="GRPO-style group-relative advantage: fixed-point group "
+        "moments, (n*r - s)/sqrt(n*s2 - s^2) in one identical double "
+        "op sequence; zero-variance groups emit 0",
+    ),
+    QuerySpec(
+        "llm_span_corruption",
+        q_span_corruption,
+        _span_corruption_sql(),
+        doc="T5 span-corruption denoising examples: hash-deterministic "
+        "mask, islands span grouping, sentinel-rendered input/target "
+        "(strings only - nothing to diverge)",
     ),
 ]

@@ -301,3 +301,107 @@ def causal_lm_examples(
             (F.size("_win") - 1).cast("bigint").alias("n_real"),
         )
     )
+
+
+def span_corruption(
+    docs: DataFrame,
+    noise_pct: int = 15,
+    seed: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """T5-style span-corruption (denoising) example construction
+    (Raffel et al. 2020, "Exploring the Limits of Transfer Learning"):
+    mask a deterministic ~``noise_pct``% of each document's tokens,
+    merge CONSECUTIVE masked positions into spans, and emit
+
+    * ``input_text``  — the unmasked tokens with each span replaced by
+      its sentinel ``<extra_id_K>`` (K = span index in position order);
+    * ``target_text`` — for each span its sentinel followed by the
+      masked tokens, closed by the final sentinel ``<extra_id_N>``
+      (N = span count; a document with nothing masked yields
+      ``<extra_id_0>`` alone and an untouched input).
+
+    The mask decision is the portable md5 hash of (seed, doc, pos) mod
+    100 — a pure function of the inputs, so the corruption is
+    reproducible across runs and engines (a real pipeline swaps in an
+    RNG keyed the same way). Span grouping is the classic islands
+    computation: a span starts where ``masked`` rises, the span index
+    is the running count of starts.
+
+    Scale shape: tokens explode where the document lives, the
+    lag/running-count windows and the re-assembling aggregation all
+    key on ``doc_id`` — per-document work bounded by document length,
+    shuffle keyed on the id, no global ordering anywhere. Strings
+    only: no float arithmetic to diverge.
+    """
+    if not 0 <= noise_pct <= 100:
+        raise ValueError(f"noise_pct must be in [0, 100]: {noise_pct}")
+    from etl_global_mobility_spark.operators.dedup import _md5_band_hash
+
+    toks = docs.select(
+        F.col(id_col),
+        F.posexplode(tokenize(F.col(text_col))).alias("pos", "tok"),
+    )
+    masked = (
+        _md5_band_hash(
+            F.concat(F.col(id_col).cast("string"), F.lit(":"), F.col("pos").cast("string")),
+            seed,
+        )
+        % 100
+        < noise_pct
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t = (
+        toks.withColumn("m", masked)
+        .withColumn(
+            "is_start",
+            F.col("m") & ~F.coalesce(F.lag("m").over(w), F.lit(False)),
+        )
+        .withColumn(
+            "span_idx", F.sum(F.col("is_start").cast("int")).over(run) - 1
+        )
+    )
+    sentinel = F.concat(
+        F.lit("<extra_id_"), F.col("span_idx").cast("string"), F.lit(">")
+    )
+    in_piece = F.when(~F.col("m"), F.col("tok")).when(
+        F.col("is_start"), sentinel
+    )  # masked non-start positions contribute nothing to the input
+    tgt_piece = F.when(
+        F.col("is_start"), F.concat(sentinel, F.lit(" "), F.col("tok"))
+    ).when(F.col("m"), F.col("tok"))
+    join_pieces = lambda c: F.concat_ws(  # noqa: E731 — local plumbing
+        " ",
+        F.transform(
+            F.sort_array(F.collect_list(c)), lambda s: s.getField("p")
+        ),
+    )
+    agg = t.groupBy(id_col).agg(
+        join_pieces(
+            F.when(
+                in_piece.isNotNull(), F.struct(F.col("pos"), in_piece.alias("p"))
+            )
+        ).alias("input_text"),
+        join_pieces(
+            F.when(
+                tgt_piece.isNotNull(),
+                F.struct(F.col("pos"), tgt_piece.alias("p")),
+            )
+        ).alias("_tgt_body"),
+        F.sum(F.col("is_start").cast("int")).alias("n_spans"),
+        F.sum(F.col("m").cast("int")).alias("n_masked"),
+    )
+    closing = F.concat(
+        F.lit("<extra_id_"), F.col("n_spans").cast("string"), F.lit(">")
+    )
+    return agg.select(
+        id_col,
+        "input_text",
+        F.when(F.col("_tgt_body") == "", closing)
+        .otherwise(F.concat(F.col("_tgt_body"), F.lit(" "), closing))
+        .alias("target_text"),
+        "n_spans",
+        "n_masked",
+    )

@@ -499,3 +499,155 @@ def sft_chat_format(
             ).cast("double")
         ).alias("loss_fraction"),
     )
+
+
+def weighted_sample_with_replacement(
+    df: DataFrame,
+    k: int,
+    seed: int = 0,
+    weight_col: str = "weight",
+    id_col: str = "doc_id",
+    n_shards: int = 16,
+) -> DataFrame:
+    """Deterministic weighted sampling WITH replacement by inverse-CDF
+    over exact integer cumulative weights: document i owns the global
+    position interval ``[cum_i - w_i, cum_i)``; draw j lands at
+    ``t_j = hash(seed, j) mod total_weight``; the owner of ``t_j`` is
+    the sample. Every quantity is integer arithmetic on a portable md5
+    hash, so the sample is a pure function of (ids, weights, seed) —
+    reproducible across runs, cluster sizes, partition layouts, and
+    engines (no transcendentals: the classic exponential-key scheme
+    u^(1/w) needs ln/pow, whose last-ulp behavior differs across math
+    libraries; inverse-CDF on integers is bit-exact everywhere).
+
+    Scale shape: the cumulative sum is NEVER a single-task global
+    window — documents are md5-bucketed into ``n_shards`` shards, the
+    running sum is per-shard (uniform reducers), and shard offsets are
+    composed from the n_shards-row totals frame (a BOUNDED collect —
+    rows = n_shards, never corpus-sized). The draw lookup broadcasts
+    the k-row draws frame against the interval frame (bounded
+    broadcast: k rows). For k beyond broadcast size, equi-bucket the
+    positions by ``t DIV stride`` first; at corpus-sample sizes the
+    bounded nested-loop is one map-only pass.
+
+    Rows with NULL or non-positive weight are excluded (they own an
+    empty interval by definition). Returns one row per draw:
+    (draw_id, id, weight, t).
+    """
+    if k <= 0 or n_shards <= 0:
+        raise ValueError(f"positive k/n_shards required: {k}/{n_shards}")
+    spark = df.sparkSession
+    sort_key = F.md5(
+        F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))
+    )
+    shard = (
+        _md5_band_hash(F.col(id_col).cast("string"), seed + 1)
+        % F.lit(n_shards)
+    ).cast("int")
+    base = (
+        df.select(
+            F.col(id_col),
+            F.col(weight_col).cast("bigint").alias("w"),
+            sort_key.alias("sort_key"),
+            shard.alias("shard"),
+        )
+        .filter(F.col("w") > 0)
+    )
+    wspec = Window.partitionBy("shard").orderBy("sort_key", id_col)
+    cum = base.withColumn(
+        "cum_hi",
+        F.sum("w").over(
+            wspec.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    cum = cum.localCheckpoint(eager=False)  # read twice: totals + join
+    totals = {
+        r["shard"]: r["t"]
+        for r in cum.groupBy("shard").agg(F.max("cum_hi").alias("t")).collect()
+    }  # bounded collect: ≤ n_shards rows
+    offsets: dict[int, int] = {}
+    acc = 0
+    for s in sorted(totals):
+        offsets[s] = acc
+        acc += totals[s]
+    total_weight = acc
+    if total_weight <= 0:
+        raise ValueError("no rows with positive weight to sample from")
+    om = F.create_map(
+        *[x for s in sorted(offsets) for x in (F.lit(s), F.lit(offsets[s]))]
+    )
+    intervals = cum.select(
+        F.col(id_col),
+        F.col("w"),
+        (F.element_at(om, F.col("shard")) + F.col("cum_hi")).alias("hi"),
+    ).withColumn("lo", F.col("hi") - F.col("w"))
+    draws = spark.range(k).select(
+        F.col("id").alias("draw_id"),
+        (
+            _md5_band_hash(F.col("id").cast("string"), seed + 2)
+            % F.lit(total_weight)
+        ).alias("t"),
+    )
+    return intervals.join(
+        F.broadcast(draws),
+        (F.col("t") >= F.col("lo")) & (F.col("t") < F.col("hi")),
+    ).select("draw_id", id_col, F.col("w").alias("weight"), "t")
+
+
+def group_advantage(
+    df: DataFrame,
+    group_cols: list[str],
+    id_col: str = "doc_id",
+    reward_col: str = "reward",
+    micro: int = 1_000_000,
+) -> DataFrame:
+    """GRPO-style group-relative advantage: standardize each example's
+    reward against ITS GROUP's mean and population std —
+    ``adv = (r - mean_g) / std_g`` — the policy-gradient baseline that
+    group-relative methods (GRPO; also best-of-n re-weighting) use in
+    place of a learned value model. Groups are prompts; rows are the
+    sampled responses.
+
+    Engine-portable float discipline: rewards are first fixed-pointed
+    to integer micro-units (``floor(r * micro)`` — IEEE multiply then
+    floor, identical everywhere; NOT a bare double→BIGINT cast, which
+    truncates in Spark but rounds in DuckDB), so the group
+    moments are EXACT integer/decimal sums with no accumulation-order
+    sensitivity, and the advantage is computed as
+    ``(n·r_i - Σr) / sqrt(n·Σr² - (Σr)²)`` — a single double division
+    + sqrt on exact integers, the same op sequence in any engine.
+    Zero-variance groups (all rewards equal, incl. singleton groups)
+    emit advantage 0.0 by definition rather than NaN.
+
+    Scale shape: one hash aggregation on the group key (map-side
+    partial moments) broadcast-joined back to the rows — rewards need
+    only two exact accumulators (Σr, Σr²) per group; no window, no
+    sort, group count ∝ prompts.
+    """
+    r_us = F.floor(
+        F.col(reward_col).cast("double") * F.lit(float(micro))
+    ).cast("bigint")
+    base = df.filter(F.col(reward_col).isNotNull()).select(
+        *group_cols, F.col(id_col), r_us.alias("_r")
+    )
+    moments = base.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum("_r").alias("_s"),
+        F.sum(F.col("_r").cast("decimal(38,0)") * F.col("_r")).alias("_s2"),
+    )
+    joined = base.join(moments, on=group_cols)
+    num = (F.col("_n") * F.col("_r") - F.col("_s")).cast("double")
+    disc = (
+        F.col("_n").cast("decimal(38,0)") * F.col("_s2")
+        - F.col("_s").cast("decimal(38,0)") * F.col("_s")
+    )
+    adv = F.when(disc <= 0, F.lit(0.0)).otherwise(
+        num / F.sqrt(disc.cast("double"))
+    )
+    return joined.select(
+        *group_cols,
+        id_col,
+        (F.col("_r").cast("double") / F.lit(float(micro))).alias("reward_us"),
+        adv.alias("advantage"),
+        F.col("_n").alias("group_n"),
+    )

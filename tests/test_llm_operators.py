@@ -2336,3 +2336,117 @@ def test_kmeans_fixed_point_planted_clusters_and_invariance(spark):
         ).collect()
     }
     assert out == out2
+
+
+def test_span_corruption_reconstructs_original(spark):
+    """Substituting each target span back into its input sentinel must
+    reproduce the original token stream exactly, for random docs —
+    the round-trip property that defines span corruption."""
+    import re
+
+    rng = random.Random(17)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    rows = [
+        (i, " ".join(rng.choice(words) for _ in range(rng.randint(1, 40))))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from etl_global_mobility_spark.operators.packing import span_corruption
+
+    out = {r["doc_id"]: r for r in span_corruption(df, 30, seed=3).collect()}
+    assert set(out) == {i for i, _ in rows}
+    sent = re.compile(r"<extra_id_(\d+)>")
+    for doc_id, text in rows:
+        r = out[doc_id]
+        # parse the target into span_idx -> tokens
+        parts = sent.split(r["target_text"])
+        assert parts[0] == ""  # target starts with a sentinel
+        spans: dict[int, str] = {}
+        it = iter(parts[1:])
+        for idx, body in zip(it, it):
+            spans[int(idx)] = body.strip()
+        closing = max(spans)
+        assert spans.pop(closing) == ""  # final sentinel closes, empty
+        assert closing == r["n_spans"]
+        rebuilt = sent.sub(
+            lambda m: spans[int(m.group(1))], r["input_text"]
+        )
+        original = " ".join(text.lower().split())
+        assert " ".join(rebuilt.split()) == original, doc_id
+        assert r["n_masked"] == sum(len(s.split()) for s in spans.values())
+    # partition layout must not change anything
+    out2 = {
+        r["doc_id"]: (r["input_text"], r["target_text"])
+        for r in span_corruption(df.repartition(13), 30, seed=3).collect()
+    }
+    assert out2 == {
+        k: (v["input_text"], v["target_text"]) for k, v in out.items()
+    }
+
+
+def test_weighted_sample_intervals_and_invariance(spark):
+    """Each draw must land inside its winner's cumulative-weight
+    interval, draw ids are exhaustive, and the result is invariant to
+    partition layout and proportional-ish to weight in aggregate."""
+    from etl_global_mobility_spark.operators.splits import (
+        weighted_sample_with_replacement,
+    )
+
+    rows = [(i, 1 + (i % 10) * 99) for i in range(200)]  # spread 1..892
+    df = spark.createDataFrame(rows, "doc_id long, weight long")
+    k = 400
+    out = weighted_sample_with_replacement(df, k=k, seed=5).collect()
+    assert sorted(r["draw_id"] for r in out) == list(range(k))
+    total = sum(w for _, w in rows)
+    for r in out:
+        assert 0 <= r["t"] < total
+    # heavy ids (weight 892) must be drawn far more often than weight-1
+    by_w: dict[int, int] = {}
+    wmap = dict(rows)
+    for r in out:
+        by_w[wmap[r["doc_id"]]] = by_w.get(wmap[r["doc_id"]], 0) + 1
+    assert by_w.get(892, 0) > 10 * by_w.get(1, 0)
+    out2 = weighted_sample_with_replacement(
+        df.repartition(17), k=k, seed=5
+    ).collect()
+    assert sorted((r["draw_id"], r["doc_id"]) for r in out) == sorted(
+        (r["draw_id"], r["doc_id"]) for r in out2
+    )
+    with pytest.raises(ValueError):
+        weighted_sample_with_replacement(df, k=0)
+
+
+def test_group_advantage_standardizes(spark):
+    """Within every group the advantages must have ~zero mean and
+    ~unit population std (up to micro-unit quantization); constant
+    groups emit exactly 0.0."""
+    import math
+
+    from etl_global_mobility_spark.operators.splits import group_advantage
+
+    rng = random.Random(5)
+    rows = [
+        (i, i % 5, rng.uniform(-2.0, 2.0) if i % 5 != 4 else 1.25)
+        for i in range(250)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, grp int, reward double")
+    out = group_advantage(df, ["grp"], reward_col="reward").collect()
+    assert len(out) == 250
+    by_grp: dict[int, list[float]] = {}
+    for r in out:
+        by_grp.setdefault(r["grp"], []).append(r["advantage"])
+    for g, advs in by_grp.items():
+        if g == 4:
+            assert all(a == 0.0 for a in advs)  # constant-reward group
+            continue
+        n = len(advs)
+        mean = sum(advs) / n
+        var = sum((a - mean) ** 2 for a in advs) / n
+        assert abs(mean) < 1e-9, (g, mean)
+        assert abs(math.sqrt(var) - 1.0) < 1e-6, (g, var)
+    out2 = group_advantage(
+        df.repartition(11), ["grp"], reward_col="reward"
+    ).collect()
+    assert sorted((r["doc_id"], r["advantage"]) for r in out) == sorted(
+        (r["doc_id"], r["advantage"]) for r in out2
+    )
