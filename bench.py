@@ -130,6 +130,8 @@ HEADLINE = [
     "llm_weighted_sample",
     "llm_group_advantage",
     "llm_span_corruption",
+    "llm_dsir_resample",
+    "llm_rejection_sample",
 ]
 
 

@@ -27,18 +27,16 @@ green driver row, and no query's evidence gets stale:
   — at the staleness bound), the two standing canaries, and 22 of
   the 48 r3-only evidence rows (the llm operator block — oldest
   un-refreshed evidence). Round 6 also grew the registered surface
-  176 → 222 (218 oracle-backed + 4 rows-only), which makes a FIXED
+  176 → 224 (220 oracle-backed + 4 rows-only), which makes a FIXED
   3-round staleness bound arithmetically unsatisfiable (50 slots can
-  refresh 218 oracle queries only every ceil(218/50) = 5 rounds); the
+  refresh 220 oracle queries only every ceil(220/50) = 5 rounds); the
   invariant now
   scales with the corpus (tests/test_corpus_oracle.py computes
-  ceil(N/50), floor 3). Round 7's window should take the 46
+  ceil(N/50), floor 3). Round 7's window should take 48 of the
   SCHEDULED_NEXT_WINDOW additions FIRST (they hold no driver
-  evidence at all), the two canaries, and fill the remaining ~2
-  slots with the oldest r3-only rows (llm_pii_redact,
-  llm_repetition_signals, then the rest of the r3 block lands in
-  round 8 within the 5-round bound — 218 oracle-backed queries,
-  ceil(218/50) = 5).
+  evidence at all) plus the two canaries; any scheduled additions
+  past 48 and the rest of the r3 block land in round 8 within the
+  5-round bound (220 oracle-backed queries, ceil(220/50) = 5).
 
 ``DRIVER_GREEN_PAST_ROUNDS`` records which queries already hold a
 green row (union of CORRECTNESS_r02/r03/r04); those may sit past the
@@ -246,6 +244,8 @@ SCHEDULED_NEXT_WINDOW = frozenset(
         "llm_weighted_sample",
         "llm_group_advantage",
         "llm_span_corruption",
+        "llm_dsir_resample",
+        "llm_rejection_sample",
     }
 )
 

@@ -2714,6 +2714,95 @@ def _kmeans_sql(k: int = 4, iters: int = 2, scale: int = 1 << 20,
     return "".join(parts)
 
 
+def q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance resampling with English documents as the
+    target domain: hashed-unigram count ratio in integer micro-units,
+    deterministic linear-in-importance inclusion coin
+    (operators/signals.py:dsir_importance_resample)."""
+    from etl_global_mobility_spark.operators.signals import (
+        dsir_importance_resample,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return dsir_importance_resample(
+        d, F.col("lang") == "en", n_buckets=4096
+    )
+
+
+def _dsir_sql(
+    n_buckets: int = 4096,
+    micro: int = 1_000_000,
+    scale: int = 1_000_000,
+    seed: int = 0,
+) -> str:
+    bhash = _md5_hash_sql("tok", 0)
+    draw = _md5_hash_sql("CAST(doc_id AS VARCHAR)", seed)
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, is_tgt, {bhash} % {n_buckets} AS b
+      FROM (SELECT doc_id, lang = 'en' AS is_tgt,
+                   unnest({TOKS}) AS tok
+            FROM documents)
+    ), counts AS (
+      SELECT b, count(*) AS raw_cnt,
+             sum(CASE WHEN is_tgt THEN 1 ELSE 0 END) AS tgt_cnt
+      FROM tok GROUP BY b
+    ), w AS (
+      SELECT b,
+             CAST(((tgt_cnt + 1) * {micro}) // (raw_cnt + 1) AS BIGINT) AS w
+      FROM counts
+    ), scores AS (
+      SELECT doc_id, CAST(sum(w) AS BIGINT) AS score,
+             count(*) AS n_tokens
+      FROM tok JOIN w USING (b) GROUP BY doc_id
+    ), mx AS (SELECT max(score) AS m FROM scores)
+    SELECT doc_id, score, n_tokens,
+           {draw} % {scale} AS draw
+    FROM scores, mx
+    WHERE {draw} % {scale} < (score * {scale}) // m"""
+
+
+def q_rejection_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-of-n rejection sampling over classifier-scored documents:
+    ``doc_id % 50`` stands in for the prompt group, the quality logit
+    for the reward; per group the argmax response is kept with its
+    margin over the runner-up (operators/splits.py:rejection_sample)."""
+    from etl_global_mobility_spark.operators.quality_rules import (
+        quality_classifier,
+    )
+    from etl_global_mobility_spark.operators.splits import rejection_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = quality_classifier(d).select(
+        (F.col("doc_id") % 50).alias("grp"), "doc_id", "quality_logit"
+    )
+    return rejection_sample(scored, ["grp"], score_col="quality_logit")
+
+
+def _rejection_sample_sql() -> str:
+    cte, logit = _clf_cte_and_logit()
+    return f"""
+    WITH {cte}, clf AS (
+      SELECT doc_id, {logit} AS s FROM m
+    ), g AS (
+      SELECT doc_id % 50 AS grp, doc_id, s FROM clf WHERE s IS NOT NULL
+    ), r AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY grp
+                                ORDER BY s DESC, doc_id) AS rn,
+             count(*) OVER (PARTITION BY grp) AS n
+      FROM g
+    )
+    SELECT grp,
+           max(CASE WHEN rn = 1 THEN doc_id END) AS chosen_id,
+           max(CASE WHEN rn = 1 THEN s END) AS chosen_score,
+           max(CASE WHEN rn = 2 THEN doc_id END) AS runner_up_id,
+           max(CASE WHEN rn = 1 THEN s END)
+             - max(CASE WHEN rn = 2 THEN s END) AS margin,
+           max(n) AS n_candidates
+    FROM r WHERE rn <= 2 GROUP BY grp"""
+
+
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic weighted sampling with replacement over the
     corpus, token count as the weight (longer documents drawn
@@ -3553,5 +3642,22 @@ SPECS = [
         doc="T5 span-corruption denoising examples: hash-deterministic "
         "mask, islands span grouping, sentinel-rendered input/target "
         "(strings only - nothing to diverge)",
+    ),
+    QuerySpec(
+        "llm_dsir_resample",
+        q_dsir_resample,
+        _dsir_sql(),
+        doc="DSIR-style importance resampling (hashed-unigram "
+        "target/raw ratio in integer micro-units, deterministic "
+        "linear-in-importance inclusion coin; two corpus scans, "
+        "n_buckets-row weight broadcast)",
+    ),
+    QuerySpec(
+        "llm_rejection_sample",
+        q_rejection_sample,
+        _rejection_sample_sql(),
+        doc="best-of-n rejection sampling: per prompt group the "
+        "reward-argmax response with its margin over the runner-up "
+        "(rank window cut to top-2, bounded conditional agg)",
     ),
 ]

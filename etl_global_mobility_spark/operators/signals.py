@@ -162,3 +162,84 @@ def contamination_check(
     return best.filter(F.col("overlap_frac") >= threshold).select(
         F.col("c_id").alias(id_col), "bench_id", "overlap_frac"
     )
+
+
+def dsir_importance_resample(
+    df: DataFrame,
+    target_filter: F.Column,
+    n_buckets: int = 4096,
+    micro: int = 1_000_000,
+    scale: int = 1_000_000,
+    seed: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """DSIR-style importance resampling (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling"),
+    fixed-point variant: score every document by how target-like its
+    HASHED-unigram distribution is, then keep it with probability
+    proportional to that importance — selecting general-corpus data
+    that looks like a target domain without training a model.
+
+    * feature = md5(token) mod ``n_buckets`` (the paper's hashed
+      n-gram features — bounds the count tables at ``n_buckets`` rows
+      regardless of corpus vocabulary);
+    * bucket weight = ``((tgt_cnt+1)·micro) DIV (raw_cnt+1)`` — the
+      add-1-smoothed target/raw ratio in integer micro-units (the
+      paper's log-ratio replaced by the ratio itself: exact integer
+      arithmetic instead of engine-divergent ``ln``; a documented
+      variant, not a claim of log-likelihood equivalence). The target
+      is a SUBSET of the corpus, so raw ≥ tgt and weights are bounded
+      by ~``micro``;
+    * doc score = Σ bucket weights over its tokens — an exact BIGINT,
+      order-independent (≤ tokens·micro, far inside BIGINT);
+    * inclusion: keep iff ``md5(id,seed) mod scale <
+      (score·scale) DIV max_score`` — a deterministic linear-in-
+      importance coin, reproducible anywhere.
+
+    Scale shape: two corpus scans (count pass, score pass — inherent
+    to DSIR), both explode → hash-agg on uniform keys; the weight
+    table (``n_buckets`` rows) and the 1-row max-score frame are the
+    only broadcasts. Returns kept documents with (score, n_tokens,
+    draw) for audit.
+    """
+    if n_buckets <= 0:
+        raise ValueError(f"n_buckets must be positive: {n_buckets}")
+    from etl_global_mobility_spark.operators.dedup import _md5_band_hash
+
+    tok = df.select(
+        F.col(id_col),
+        target_filter.alias("_is_tgt"),
+        F.explode(tokenize(F.col(text_col))).alias("tok"),
+    ).select(
+        id_col,
+        "_is_tgt",
+        (_md5_band_hash(F.col("tok"), 0) % F.lit(n_buckets)).alias("b"),
+    )
+    counts = tok.groupBy("b").agg(
+        F.count(F.lit(1)).alias("raw_cnt"),
+        F.sum(F.col("_is_tgt").cast("bigint")).alias("tgt_cnt"),
+    )
+    weights = counts.select(
+        "b",
+        F.expr(f"((tgt_cnt + 1) * {micro}) div (raw_cnt + 1)").alias("w"),
+    )
+    scores = (
+        tok.join(F.broadcast(weights), "b")
+        .groupBy(id_col)
+        .agg(
+            F.sum("w").alias("score"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+    )
+    mx = scores.agg(F.max("score").alias("_mx"))
+    draw = _md5_band_hash(F.col(id_col).cast("string"), seed) % F.lit(scale)
+    return (
+        scores.crossJoin(F.broadcast(mx))  # 1-row aggregate frame
+        .withColumn("draw", draw)
+        .filter(
+            F.col("draw")
+            < F.expr(f"(score * {scale}) div _mx")
+        )
+        .select(id_col, "score", "n_tokens", "draw")
+    )

@@ -651,3 +651,53 @@ def group_advantage(
         adv.alias("advantage"),
         F.col("_n").alias("group_n"),
     )
+
+
+def rejection_sample(
+    df: DataFrame,
+    group_cols: list[str],
+    id_col: str = "doc_id",
+    score_col: str = "reward",
+) -> DataFrame:
+    """Best-of-n rejection sampling (the RLHF data-collection recipe:
+    sample n responses per prompt, keep the reward-argmax): per group,
+    emit the CHOSEN response (first by score DESC, id ASC), the
+    RUNNER-UP (second by the same order — the margin baseline), the
+    chosen-vs-runner-up margin, and the candidate count. Singleton
+    groups keep their only response with NULL runner-up/margin.
+    NULL scores are excluded before ranking (engines disagree on NULL
+    placement, and an unscored response belongs in no pool).
+
+    Distinct from :func:`preference_pairs` (max vs MIN — the DPO pair)
+    — rejection sampling measures how decisive the argmax was against
+    the NEXT-best, not the worst.
+
+    Scale shape: one rank window partitioned on the group key (never
+    unpartitioned), rows cut to rank ≤ 2 immediately, then a bounded
+    per-group conditional aggregation; output ∝ groups. The margin is
+    one double subtraction — identical everywhere.
+    """
+    base = df.filter(F.col(score_col).isNotNull())
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    ranked = (
+        base.select(*group_cols, id_col, score_col)
+        .withColumn("_n", F.count(F.lit(1)).over(Window.partitionBy(*group_cols)))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 2)
+    )
+    pick = F.struct(F.col(id_col).alias("i"), F.col(score_col).alias("s"))
+    agg = ranked.groupBy(*group_cols).agg(
+        F.max(F.when(F.col("_rn") == 1, pick)).alias("_c"),
+        F.max(F.when(F.col("_rn") == 2, pick)).alias("_r"),
+        F.max("_n").alias("n_candidates"),
+    )
+    return agg.select(
+        *group_cols,
+        F.col("_c.i").alias("chosen_id"),
+        F.col("_c.s").alias("chosen_score"),
+        F.col("_r.i").alias("runner_up_id"),
+        (F.col("_c.s") - F.col("_r.s")).alias("margin"),
+        "n_candidates",
+    )

@@ -2450,3 +2450,58 @@ def test_group_advantage_standardizes(spark):
     assert sorted((r["doc_id"], r["advantage"]) for r in out) == sorted(
         (r["doc_id"], r["advantage"]) for r in out2
     )
+
+
+def test_dsir_resample_favors_target_like_docs(spark):
+    """Importance resampling must keep target-distributed documents at
+    a far higher rate than general ones, deterministically."""
+    from etl_global_mobility_spark.operators.signals import (
+        dsir_importance_resample,
+    )
+
+    rng = random.Random(2)
+    tgt_words = ["science", "theorem", "proof", "lemma"]
+    gen_words = ["cat", "dog", "run", "jump", "blue"]
+    rows = []
+    for i in range(200):
+        pool = tgt_words if i % 4 == 0 else gen_words
+        mixed = [
+            rng.choice(pool if rng.random() < 0.8 else gen_words + tgt_words)
+            for _ in range(20)
+        ]
+        rows.append((i, " ".join(mixed), "tgt" if i % 4 == 0 else "gen"))
+    df = spark.createDataFrame(rows, "doc_id long, text string, domain string")
+    kept = dsir_importance_resample(
+        df, F.col("domain") == "tgt", n_buckets=64
+    ).collect()
+    tgt_kept = sum(1 for r in kept if r["doc_id"] % 4 == 0)
+    gen_kept = len(kept) - tgt_kept
+    assert tgt_kept / 50 > 2 * (gen_kept / 150)
+    # deterministic + partition-invariant
+    kept2 = dsir_importance_resample(
+        df.repartition(9), F.col("domain") == "tgt", n_buckets=64
+    ).collect()
+    assert sorted(r["doc_id"] for r in kept) == sorted(
+        r["doc_id"] for r in kept2
+    )
+
+
+def test_rejection_sample_top2_semantics(spark):
+    """Chosen = (score DESC, id ASC) argmax, runner-up = second by the
+    same order, margin = their gap; singleton groups keep NULLs."""
+    from etl_global_mobility_spark.operators.splits import rejection_sample
+
+    rows = [(i, i % 5, float((i * 7) % 13)) for i in range(25)]
+    rows.append((100, 9, 3.0))
+    g = spark.createDataFrame(rows, "doc_id long, grp int, reward double")
+    out = {r["grp"]: r for r in rejection_sample(g, ["grp"], score_col="reward").collect()}
+    assert out[9]["runner_up_id"] is None and out[9]["margin"] is None
+    assert out[9]["n_candidates"] == 1 and out[9]["chosen_id"] == 100
+    for gk in range(5):
+        vals = [(float((i * 7) % 13), -i) for i in range(25) if i % 5 == gk]
+        best = max(vals)
+        second = max(v for v in vals if v != best)
+        r = out[gk]
+        assert r["chosen_id"] == -best[1] and r["runner_up_id"] == -second[1]
+        assert abs(r["margin"] - (best[0] - second[0])) < 1e-12
+        assert r["n_candidates"] == 5

@@ -616,6 +616,7 @@ def test_no_plan_antipatterns_across_entire_corpus(spark):
         "llm_quality_prune",             # broadcast 1-row p25-threshold frame
         "llm_unigram_rarity",            # broadcast 1-row corpus-total frame
         "llm_weighted_sample",           # broadcast k-row draws frame
+        "llm_dsir_resample",             # broadcast 1-row max-score frame
     }
     # Unpartitioned windows (WindowExec with an empty partition spec)
     # move ALL rows to one task — allowed only where the window input
