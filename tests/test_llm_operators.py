@@ -2505,3 +2505,88 @@ def test_rejection_sample_top2_semantics(spark):
         assert r["chosen_id"] == -best[1] and r["runner_up_id"] == -second[1]
         assert abs(r["margin"] - (best[0] - second[0])) < 1e-12
         assert r["n_candidates"] == 5
+
+
+@pytest.mark.slow
+def test_weighted_sample_soak_proportionality_at_volume(spark):
+    """Scale soak for inverse-CDF weighted sampling: 100k rows /
+    10k draws (250x the oracle volume). Asserts the empirical draw
+    distribution tracks the weight distribution (chi-square-ish bound
+    per weight class), exhaustive unique draw ids, and a runtime
+    budget that fails if the draws join ever degenerates from the
+    bounded broadcast to per-draw corpus scans."""
+    import time
+
+    from etl_global_mobility_spark.operators.splits import (
+        weighted_sample_with_replacement,
+    )
+
+    n, k = 100_000, 10_000
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        (1 + (F.col("id") % 10) * 99).alias("weight"),  # 1..892 classes
+    )
+    t0 = time.time()
+    out = weighted_sample_with_replacement(df, k=k, seed=9).collect()
+    elapsed = time.time() - t0
+    assert len(out) == k
+    assert len({r["draw_id"] for r in out}) == k
+    # expected share of weight class w: n/10 rows of weight w each →
+    # class mass ∝ w; compare empirical vs expected within 20%
+    total_mass = sum(1 + c * 99 for c in range(10)) * (n // 10)
+    by_class: dict[int, int] = {}
+    for r in out:
+        by_class[r["weight"]] = by_class.get(r["weight"], 0) + 1
+    for c in range(10):
+        w = 1 + c * 99
+        expect = k * (w * (n // 10)) / total_mass
+        got = by_class.get(w, 0)
+        if expect >= 100:  # only classes with enough mass to be stable
+            assert abs(got - expect) / expect < 0.2, (w, got, expect)
+    assert elapsed < 90, f"weighted-sample soak took {elapsed:.0f}s"
+
+
+@pytest.mark.slow
+def test_span_corruption_soak_runtime_and_mass(spark):
+    """Scale soak for span corruption: 20k docs x 200 tokens (~40x the
+    oracle volume). Asserts the global masked fraction lands near
+    noise_pct, every doc comes back exactly once, and a runtime budget
+    that fails if the per-doc windows ever collapse to a single
+    partition."""
+    import time
+
+    from etl_global_mobility_spark.operators.packing import span_corruption
+
+    n, toks = 20_000, 200
+    words = F.array(*[F.lit(f"w{i}") for i in range(50)])
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(1), F.lit(toks)),
+                lambda i: F.element_at(
+                    words,
+                    (
+                        (F.xxhash64(F.col("id"), i) % 50 + 50) % 50 + 1
+                    ).cast("int"),
+                ),
+            ),
+        ).alias("text"),
+    )
+    t0 = time.time()
+    agg = (
+        span_corruption(df, noise_pct=15, seed=2)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_masked").alias("masked"),
+            F.sum("n_spans").alias("spans"),
+        )
+        .collect()[0]
+    )
+    elapsed = time.time() - t0
+    assert agg["n_docs"] == n
+    frac = agg["masked"] / (n * toks)
+    assert 0.13 < frac < 0.17, frac  # hash mask tracks noise_pct
+    assert agg["spans"] < agg["masked"]  # consecutive masks do merge
+    assert elapsed < 90, f"span-corruption soak took {elapsed:.0f}s"
