@@ -126,6 +126,58 @@ def _stage_hash_split(df: DataFrame, **kw):
     return hash_split(df, **kw)
 
 
+def _stage_normalize_text(df: DataFrame, text_col: str = "text"):
+    from etl_global_mobility_spark.operators.text import normalize_text
+
+    return (
+        normalize_text(df, text_col=text_col)
+        .withColumn(text_col, F.col("norm_text"))
+        .drop("norm_text")
+    )
+
+
+def _stage_dsir_resample(
+    df: DataFrame,
+    target_col: str,
+    target_value,
+    n_buckets: int = 4096,
+    seed: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    from etl_global_mobility_spark.operators.signals import (
+        dsir_importance_resample,
+    )
+
+    kept = dsir_importance_resample(
+        df,
+        F.col(target_col) == F.lit(target_value),
+        n_buckets=n_buckets,
+        seed=seed,
+        id_col=id_col,
+        text_col=text_col,
+    ).select(id_col)
+    # left-semi keeps the document schema untouched; kept is already
+    # distinct by construction (one row per surviving doc)
+    return df.join(kept, id_col, "left_semi")
+
+
+def _stage_neardup_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", **kw
+):
+    from etl_global_mobility_spark.operators.dedup import (
+        dedup_components,
+        minhash_near_duplicates,
+    )
+
+    pairs = minhash_near_duplicates(df, text_col=text_col, id_col=id_col, **kw)
+    comp = dedup_components(pairs)
+    losers = comp.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")
+
+
 CURATION_STAGES: dict[str, Callable[..., DataFrame]] = {
     "filter_rules": _stage_filter_rules,
     "quality_classifier": _stage_quality_classifier,
@@ -137,6 +189,9 @@ CURATION_STAGES: dict[str, Callable[..., DataFrame]] = {
     "stratified_sample": _stage_stratified_sample,
     "cap_per_stratum": _stage_cap_per_stratum,
     "hash_split": _stage_hash_split,
+    "normalize_text": _stage_normalize_text,
+    "dsir_resample": _stage_dsir_resample,
+    "neardup_dedup": _stage_neardup_dedup,
 }
 
 

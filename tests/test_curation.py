@@ -107,3 +107,47 @@ def test_run_curation_validates_sections(spark, tmp_path):
     cfg.write_text("input:\n  path: '/nope'\nstages:\n  - op: 'exact_dedup'\n")
     with pytest.raises(ConfigError, match="missing section: output"):
         run_curation(spark, str(cfg))
+
+
+def test_new_stages_compose_and_preserve_schema(spark):
+    """normalize_text / dsir_resample / neardup_dedup stages must keep
+    the document schema (so any stage order composes), subset rows
+    monotonically where they filter, and equal the hand-built chain."""
+    from etl_global_mobility_spark.operators.dedup import (
+        dedup_components,
+        minhash_near_duplicates,
+    )
+    from etl_global_mobility_spark.operators.signals import (
+        dsir_importance_resample,
+    )
+    from etl_global_mobility_spark.operators.text import normalize_text
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    declared = build_curation_pipeline(
+        docs,
+        [
+            {"op": "normalize_text"},
+            {"op": "dsir_resample", "target_col": "lang",
+             "target_value": "en", "n_buckets": 512},
+            {"op": "neardup_dedup"},
+        ],
+    )
+    assert declared.columns == docs.columns
+    got = sorted(r["doc_id"] for r in declared.select("doc_id").collect())
+
+    norm = (
+        normalize_text(docs)
+        .withColumn("text", F.col("norm_text"))
+        .drop("norm_text")
+    )
+    kept = dsir_importance_resample(
+        norm, F.col("lang") == "en", n_buckets=512
+    ).select("doc_id")
+    sampled = norm.join(kept, "doc_id", "left_semi")
+    pairs = minhash_near_duplicates(sampled)
+    losers = dedup_components(pairs).filter(
+        F.col("id") != F.col("component")
+    ).select(F.col("id").alias("doc_id"))
+    hand = sampled.join(losers, "doc_id", "left_anti")
+    want = sorted(r["doc_id"] for r in hand.select("doc_id").collect())
+    assert got == want and 0 < len(got) <= docs.count()
