@@ -16,6 +16,7 @@ from etl_global_mobility_spark.operators.similarity import (
     l2_norm,
     lsh_bucket,
 )
+from etl_global_mobility_spark.operators.splits import split_column
 from etl_global_mobility_spark.operators.text import (
     bpe_ish_token_count,
     doc_fingerprint,
@@ -48,4 +49,5 @@ __all__ = [
     "parse_compact_date",
     "factor_map_literal",
     "factor_lookup",
+    "split_column",
 ]
