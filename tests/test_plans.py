@@ -842,3 +842,100 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark):
                 spark.conf.set(k, v)
     baseline = {tuple(r) for r in run().collect()}
     assert with_filter == baseline
+
+
+def test_weighted_sample_shuffles_once_and_broadcasts_draws(spark):
+    """Inverse-CDF weighted sampling: the interval side is the lazily
+    localCheckpointed prefix-sum frame (its shard-keyed window shuffle
+    lives behind the LogicalRDD boundary, computed once — asserted on
+    the pre-checkpoint plan below), the k-row draws frame is broadcast,
+    and the lookup never becomes a cartesian product or a second
+    corpus shuffle."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from etl_global_mobility_spark.corpus.llm import q_weighted_sample
+
+    plan = plan_of(q_weighted_sample(spark, SF))
+    assert "BroadcastExchange" in plan  # the bounded draws side
+    assert "CartesianProduct" not in plan
+    # post-checkpoint: NO additional real shuffle — the join is a
+    # bounded broadcast over the checkpointed interval scan
+    n_shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert n_shuffles == 0, plan
+    # pre-checkpoint shape: the prefix sum itself is ONE shard-keyed
+    # window exchange, never an unpartitioned (single-task) window
+    from etl_global_mobility_spark.corpus.base import load_table
+    from etl_global_mobility_spark.operators.text import token_count
+
+    d = load_table(spark, SF, "documents").select(
+        "doc_id", token_count(F.col("text")).cast("bigint").alias("w")
+    )
+    from etl_global_mobility_spark.operators.dedup import _md5_band_hash
+
+    cum = d.withColumn(
+        "shard", (_md5_band_hash(F.col("doc_id").cast("string"), 7) % 16).cast("int")
+    ).withColumn(
+        "cum",
+        F.sum("w").over(
+            Window.partitionBy("shard")
+            .orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    pre = plan_of(cum)
+    assert "hashpartitioning(shard" in pre, pre
+    assert pre.count("Exchange") - pre.count("BroadcastExchange") == 1, pre
+
+
+def test_group_advantage_single_agg_plus_broadcast_back(spark):
+    """Group moments = ONE partial hash aggregation on the group key;
+    the moments frame (rows ∝ groups) joins back without a second
+    corpus shuffle (AQE broadcast) — the embeddings scan must prune to
+    the two used columns."""
+    from etl_global_mobility_spark.corpus.llm import q_group_advantage
+
+    plan = final_plan_of(q_group_advantage(spark, SF))
+    assert plan.count("HashAggregate") >= 2  # partial + final moments
+    assert "BroadcastHashJoin" in plan, plan  # AQE broadcasts the moments
+    assert "vec_id" in plan and "label" not in plan  # column pruning
+
+
+def test_dsir_resample_bounded_broadcasts_only(spark):
+    """DSIR: the two corpus scans are inherent; everything joined must
+    be bounded — the n_buckets-row weight table and the 1-row max
+    broadcast. No corpus-sized shuffle join, no cartesian product."""
+    from etl_global_mobility_spark.corpus.llm import q_dsir_resample
+
+    plan = final_plan_of(q_dsir_resample(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastExchange") >= 2, plan
+    # the only real shuffles are the two hash aggregations (counts,
+    # per-doc scores) — never a corpus-vs-corpus sort-merge join
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_rejection_sample_topk_window_partitioned(spark):
+    """Best-of-n: the rank window must partition on the group key
+    (never single-task), rows are cut to rank<=2 before the final
+    aggregation, and the aggregation is partial."""
+    from etl_global_mobility_spark.corpus.llm import q_rejection_sample
+
+    plan = plan_of(q_rejection_sample(spark, SF))
+    assert "hashpartitioning(grp" in plan, plan
+    # struct-max aggregation plans as SortAggregate/ObjectHashAggregate
+    # (struct is not a hash-agg buffer type) — still partial+final
+    assert plan.count("Aggregate") >= 2, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_span_corruption_shuffles_only_on_doc_id(spark):
+    """Span corruption: the lag/running-count windows and the
+    reassembly aggregation all key on doc_id, so the operator needs
+    exactly ONE real shuffle of the exploded tokens."""
+    from etl_global_mobility_spark.corpus.llm import q_span_corruption
+
+    plan = plan_of(q_span_corruption(spark, SF))
+    n_shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
+    assert n_shuffles == 1, plan
+    assert "hashpartitioning(doc_id" in plan, plan
