@@ -553,6 +553,14 @@ def weighted_sample_with_replacement(
         )
         .filter(F.col("w") > 0)
     )
+    # Shard totals come from a PLAIN aggregation on the base frame —
+    # not from max(cum_hi) — so the corpus-sized windowed frame is
+    # never materialized twice (nor checkpointed): the window runs
+    # exactly once, inside the final interval plan.
+    totals = {
+        r["shard"]: r["t"]
+        for r in base.groupBy("shard").agg(F.sum("w").alias("t")).collect()
+    }  # bounded collect: ≤ n_shards rows
     wspec = Window.partitionBy("shard").orderBy("sort_key", id_col)
     cum = base.withColumn(
         "cum_hi",
@@ -560,11 +568,6 @@ def weighted_sample_with_replacement(
             wspec.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ),
     )
-    cum = cum.localCheckpoint(eager=False)  # read twice: totals + join
-    totals = {
-        r["shard"]: r["t"]
-        for r in cum.groupBy("shard").agg(F.max("cum_hi").alias("t")).collect()
-    }  # bounded collect: ≤ n_shards rows
     offsets: dict[int, int] = {}
     acc = 0
     for s in sorted(totals):
