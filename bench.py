@@ -132,6 +132,7 @@ HEADLINE = [
     "llm_span_corruption",
     "llm_dsir_resample",
     "llm_rejection_sample",
+    "llm_fim_transform",
 ]
 
 

@@ -27,16 +27,16 @@ green driver row, and no query's evidence gets stale:
   — at the staleness bound), the two standing canaries, and 22 of
   the 48 r3-only evidence rows (the llm operator block — oldest
   un-refreshed evidence). Round 6 also grew the registered surface
-  176 → 224 (220 oracle-backed + 4 rows-only), which makes a FIXED
+  176 → 225 (221 oracle-backed + 4 rows-only), which makes a FIXED
   3-round staleness bound arithmetically unsatisfiable (50 slots can
-  refresh 220 oracle queries only every ceil(220/50) = 5 rounds); the
+  refresh 221 oracle queries only every ceil(221/50) = 5 rounds); the
   invariant now
   scales with the corpus (tests/test_corpus_oracle.py computes
-  ceil(N/50), floor 3). Round 7's window should take 48 of the
+  ceil(N/50), floor 3). Round 7's window should take 48 of the 49
   SCHEDULED_NEXT_WINDOW additions FIRST (they hold no driver
   evidence at all) plus the two canaries; any scheduled additions
   past 48 and the rest of the r3 block land in round 8 within the
-  5-round bound (220 oracle-backed queries, ceil(220/50) = 5).
+  5-round bound (221 oracle-backed queries, ceil(221/50) = 5).
 
 ``DRIVER_GREEN_PAST_ROUNDS`` records which queries already hold a
 green row (union of CORRECTNESS_r02/r03/r04); those may sit past the
@@ -246,6 +246,7 @@ SCHEDULED_NEXT_WINDOW = frozenset(
         "llm_span_corruption",
         "llm_dsir_resample",
         "llm_rejection_sample",
+        "llm_fim_transform",
     }
 )
 

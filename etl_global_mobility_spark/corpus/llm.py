@@ -2714,6 +2714,57 @@ def _kmeans_sql(k: int = 4, iters: int = 2, scale: int = 1 << 20,
     return "".join(parts)
 
 
+def q_fim_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle rendering over the corpus: a hash-chosen
+    half of the documents re-rendered PSM (prefix/suffix/middle with
+    sentinels), the rest raw — zero-shuffle codegen projection
+    (operators/packing.py:fim_transform)."""
+    from etl_global_mobility_spark.operators.packing import fim_transform
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return fim_transform(d, fim_pct=50, seed=3)
+
+
+def _fim_sql(fim_pct: int = 50, seed: int = 3) -> str:
+    from etl_global_mobility_spark.operators.packing import (
+        FIM_MID,
+        FIM_PRE,
+        FIM_SUF,
+    )
+
+    pick = _md5_hash_sql("CAST(doc_id AS VARCHAR)", seed)
+    h1 = _md5_hash_sql("CAST(doc_id AS VARCHAR) || ':a'", seed)
+    h2 = _md5_hash_sql("CAST(doc_id AS VARCHAR) || ':m'", seed)
+    return f"""
+    WITH t AS (
+      SELECT doc_id, {TOKS} AS ts, len({TOKS}) AS n,
+             ({pick} % 100) < {fim_pct} AS pick
+      FROM documents
+    ), cut AS (
+      SELECT doc_id, ts, n, pick AND n >= 3 AS do_fim,
+             CAST(1 + {h1} % (n - 1) AS INT) AS a,
+             CAST({h2} % (n - (1 + {h1} % (n - 1)) + 1) AS INT) AS m
+      FROM t
+    )
+    SELECT doc_id,
+           -- COALESCE: a DuckDB out-of-range/empty slice renders NULL
+           -- (not ''), while Spark concat_ws of an empty slice is ''
+           CASE WHEN do_fim THEN
+             '{FIM_PRE} ' || COALESCE(array_to_string(ts[1:a], ' '), '')
+             || ' {FIM_SUF} '
+             || COALESCE(
+                  array_to_string(ts[a+m+1:CAST(n AS INT)], ' '), '')
+             || ' {FIM_MID} '
+             || COALESCE(array_to_string(ts[a+1:a+m], ' '), '')
+           ELSE array_to_string(ts, ' ') END AS out_text,
+           CASE WHEN do_fim THEN 'psm' ELSE 'raw' END AS mode,
+           CASE WHEN do_fim THEN a ELSE CAST(n AS INT) END AS n_prefix,
+           CASE WHEN do_fim THEN m ELSE 0 END AS n_middle,
+           CASE WHEN do_fim THEN CAST(n - a - m AS INT) ELSE 0 END
+             AS n_suffix
+    FROM cut"""
+
+
 def q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR-style importance resampling with English documents as the
     target domain: hashed-unigram count ratio in integer micro-units,
@@ -3659,5 +3710,13 @@ SPECS = [
         doc="best-of-n rejection sampling: per prompt group the "
         "reward-argmax response with its margin over the runner-up "
         "(rank window cut to top-2, bounded conditional agg)",
+    ),
+    QuerySpec(
+        "llm_fim_transform",
+        q_fim_transform,
+        _fim_sql(),
+        doc="fill-in-the-middle (PSM) rendering: hash-chosen docs "
+        "split at two hash-derived cut points and re-rendered with "
+        "sentinels - zero-shuffle codegen projection",
     ),
 ]

@@ -405,3 +405,79 @@ def span_corruption(
         "n_spans",
         "n_masked",
     )
+
+
+#: FIM sentinels (public convention from the OpenAI FIM paper /
+#: SantaCoder-class code models; literals shared verbatim with SQL).
+FIM_PRE = "<fim_prefix>"
+FIM_SUF = "<fim_suffix>"
+FIM_MID = "<fim_middle>"
+
+
+def fim_transform(
+    docs: DataFrame,
+    fim_pct: int = 50,
+    seed: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Fill-in-the-middle transformation (Bavarian et al. 2022,
+    "Efficient Training of Language Models to Fill in the Middle"):
+    for a deterministic ``fim_pct``% of documents, split the token
+    stream at two hash-chosen cut points into (prefix, middle, suffix)
+    and re-render in PSM order —
+    ``<fim_prefix> P <fim_suffix> S <fim_middle> M`` — so an
+    autoregressive model learns infilling; the rest pass through
+    unchanged (``mode = 'raw'``). Documents under 3 tokens are never
+    transformed (no interior to cut).
+
+    Cut-point derivation (all exact integer arithmetic on the portable
+    md5 hash — a pure function of (id, seed), engine-reproducible):
+    prefix length ``a = 1 + h1 mod (n-1)`` (1..n-1), middle length
+    ``m = h2 mod (n-a+1)`` (0..n-a), suffix the remainder.
+
+    Scale shape: one codegen projection over the scan — tokenization,
+    slicing, and re-rendering are all map-side; ZERO shuffles at any
+    corpus size. The token array is let-bound (``_bind``) so it is
+    computed once per row, not once per derived column.
+    """
+    if not 0 <= fim_pct <= 100:
+        raise ValueError(f"fim_pct must be in [0, 100]: {fim_pct}")
+    from etl_global_mobility_spark.operators.dedup import _md5_band_hash
+    from etl_global_mobility_spark.operators.text import _bind
+
+    sid = F.col(id_col).cast("string")
+    pick = _md5_band_hash(sid, seed) % 100 < fim_pct
+    h1 = _md5_band_hash(F.concat(sid, F.lit(":a")), seed)
+    h2 = _md5_band_hash(F.concat(sid, F.lit(":m")), seed)
+
+    def render(ts):
+        n = F.size(ts)
+        a = (F.lit(1) + h1 % (n - 1)).cast("int")
+        m = (h2 % (n - a + 1)).cast("int")
+        prefix = F.concat_ws(" ", F.slice(ts, 1, a))
+        middle = F.concat_ws(" ", F.slice(ts, a + 1, m))
+        suffix = F.concat_ws(" ", F.slice(ts, a + m + 1, n - a - m))
+        fim = F.concat(
+            F.lit(FIM_PRE + " "), prefix,
+            F.lit(" " + FIM_SUF + " "), suffix,
+            F.lit(" " + FIM_MID + " "), middle,
+        )
+        do_fim = pick & (n >= 3)
+        return F.struct(
+            F.when(do_fim, fim)
+            .otherwise(F.concat_ws(" ", ts))
+            .alias("out_text"),
+            F.when(do_fim, F.lit("psm")).otherwise(F.lit("raw")).alias("mode"),
+            F.when(do_fim, a).otherwise(n.cast("int")).alias("n_prefix"),
+            F.when(do_fim, m).otherwise(F.lit(0)).alias("n_middle"),
+            F.when(do_fim, (n - a - m).cast("int"))
+            .otherwise(F.lit(0))
+            .alias("n_suffix"),
+        )
+
+    s = _bind(tokenize(F.col(text_col)), render)
+    return docs.select(F.col(id_col), s.alias("_s")).select(
+        id_col, "_s.out_text", "_s.mode", "_s.n_prefix", "_s.n_middle",
+        "_s.n_suffix",
+    )

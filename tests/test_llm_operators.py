@@ -2590,3 +2590,36 @@ def test_span_corruption_soak_runtime_and_mass(spark):
     assert 0.13 < frac < 0.17, frac  # hash mask tracks noise_pct
     assert agg["spans"] < agg["masked"]  # consecutive masks do merge
     assert elapsed < 90, f"span-corruption soak took {elapsed:.0f}s"
+
+
+def test_fim_transform_reconstructs_and_respects_rate(spark):
+    """PSM re-rendering: prefix+middle+suffix tokens must equal the
+    original stream for every transformed doc; raw docs pass through;
+    sub-3-token docs are never transformed."""
+    from etl_global_mobility_spark.operators.packing import fim_transform
+
+    rows = [
+        (i, " ".join(f"t{j}" for j in range(3 + i % 10))) for i in range(40)
+    ] + [(100, "a b"), (101, "solo")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    orig = dict(rows)
+    out = fim_transform(docs, fim_pct=60, seed=1).collect()
+    assert {r["doc_id"] for r in out} == set(orig)
+    n_psm = 0
+    for r in out:
+        toks = orig[r["doc_id"]].lower().split()
+        assert r["n_prefix"] + r["n_middle"] + r["n_suffix"] == len(toks)
+        if r["mode"] == "psm":
+            n_psm += 1
+            body = r["out_text"]
+            assert body.startswith("<fim_prefix> ")
+            p = body.split("<fim_prefix> ")[1].split(" <fim_suffix>")[0]
+            s = body.split("<fim_suffix> ")[1].split(" <fim_middle>")[0]
+            m = body.split("<fim_middle>")[1].strip()
+            assert p.split() + m.split() + s.split() == toks, r["doc_id"]
+        else:
+            assert r["out_text"] == " ".join(toks)
+    assert 10 < n_psm < 40  # ~60% of the 40 eligible docs
+    assert all(
+        r["mode"] == "raw" for r in out if r["doc_id"] in (100, 101)
+    )
