@@ -20,23 +20,26 @@ green driver row, and no query's evidence gets stale:
   of the 41 r2-only evidence rows (CORRECTNESS_r05: 50/50 green —
   every oracle-backed query registered through round 4 now holds a
   green driver row in some round);
-* round 6 (this window) takes the 20 round-5 additions (first driver
-  rows for each), the six r2-only rows the r5 window could not fit
-  (``rel_agg_cube``, ``rel_agg_rollup``, ``rel_join_right``,
-  ``rel_join_semi``, ``parity_rounding``, ``rel_window_rank_dense``
-  — at the staleness bound), the two standing canaries, and 22 of
-  the 48 r3-only evidence rows (the llm operator block — oldest
-  un-refreshed evidence). Round 6 also grew the registered surface
-  176 → 225 (221 oracle-backed + 4 rows-only), which makes a FIXED
-  3-round staleness bound arithmetically unsatisfiable (50 slots can
-  refresh 221 oracle queries only every ceil(221/50) = 5 rounds); the
-  invariant now
-  scales with the corpus (tests/test_corpus_oracle.py computes
-  ceil(N/50), floor 3). Round 7's window should take 48 of the 49
-  SCHEDULED_NEXT_WINDOW additions FIRST (they hold no driver
-  evidence at all) plus the two canaries; any scheduled additions
-  past 48 and the rest of the r3 block land in round 8 within the
-  5-round bound (221 oracle-backed queries, ceil(221/50) = 5).
+* round 6 took the 20 round-5 additions, the six r2-only rows at the
+  staleness bound, the two canaries, and 22 of the 48 r3-only
+  evidence rows (CORRECTNESS_r06: 50/50 green — every oracle-backed
+  query registered through round 5 holds a green driver row). Round 6
+  grew the surface 176 → 225, which makes a FIXED 3-round staleness
+  bound arithmetically unsatisfiable; the invariant scales with the
+  corpus (tests/test_corpus_oracle.py computes ceil(N/50), floor 3);
+* round 7 (this window) takes 48 of the 49 round-6 additions — every
+  one except ``rel_source_text_wholetext``, which holds the r8 slot
+  below — plus the two standing canaries. First driver rows for the
+  entire TPC-H tail, winnowing/CDC, k-means, and the sampling/RL
+  block.
+
+ROUND-8 PLAN (reserve now so window arithmetic stays provable): the
+26 r3-only rows not refreshed by the r6 window (``llm_`` composition
+rows + the r3 relational block — exactly the names whose newest green
+row is CORRECTNESS_r03) are at staleness 5 in round 8 and MUST fill
+its window first, plus ``rel_source_text_wholetext`` and the round-7
+additions from SCHEDULED_NEXT_WINDOW; the remaining slots refresh the
+oldest r4 rows. 26 + 1 + |r7 additions| ≤ 50 holds.
 
 ``DRIVER_GREEN_PAST_ROUNDS`` records which queries already hold a
 green row (union of CORRECTNESS_r02/r03/r04); those may sit past the
@@ -53,108 +56,114 @@ from __future__ import annotations
 
 from etl_global_mobility_spark.corpus.base import QuerySpec, load_table
 
-#: First 50 registered names — the driver's round-6 correctness window.
+#: First 50 registered names — the driver's round-7 correctness window.
 DRIVER_WINDOW = (
-    # the 20 round-5 additions (SCHEDULED_NEXT_WINDOW last round) —
-    # first driver rows for each
-    "llm_tfidf_topterms",
-    "llm_bigram_novelty",
-    "llm_mmr_rerank",
-    "llm_bpe_pair_stats",
-    "llm_dup_ngram_spans",
-    "llm_temperature_mix",
-    "llm_sentence_chunks",
-    "llm_packing_efficiency",
-    "rel_ohlc_downsample",
-    "stream_ohlc_bars",
-    "stream_scd2_enrichment",
-    "stream_static_join",
-    "stream_medallion_batch_parity",
-    "rel_spatial_grid_nearest",
-    "rel_interval_overlap_join",
-    "rel_tpch_q13_custdist",
-    "rel_tpch_q18_large_orders",
-    "rel_scalar_strings_extended",
-    "rel_source_parquet_zstd",
-    "udf_udtf_table_arg",
-    # the six r2-only evidence rows at the staleness bound
-    "rel_agg_cube",
-    "rel_agg_rollup",
-    "rel_join_right",
-    "rel_join_semi",
-    "parity_rounding",
-    "rel_window_rank_dense",
+    # 48 of the 49 round-6 additions (SCHEDULED_NEXT_WINDOW last
+    # round) — first driver rows for each. rel_source_text_wholetext
+    # holds the round-8 slot (see ROUND-8 PLAN above).
+    # TPC-H tail — every Q1-Q22 shape analog now driver-checked
+    "rel_tpch_q2_min_cost",
+    "rel_tpch_q4_order_priority",
+    "rel_tpch_q5_local_supplier",
+    "rel_tpch_q6_forecast_revenue",
+    "rel_tpch_q7_volume_shipping",
+    "rel_tpch_q8_market_share",
+    "rel_tpch_q9_product_profit",
+    "rel_tpch_q10_returned_items",
+    "rel_tpch_q11_important_parts",
+    "rel_tpch_q12_late_shipments",
+    "rel_tpch_q14_promo_effect",
+    "rel_tpch_q15_top_supplier",
+    "rel_tpch_q16_supplier_cnt",
+    "rel_tpch_q17_small_quantity",
+    "rel_tpch_q19_disjunctive",
+    "rel_tpch_q20_small_part_suppliers",
+    "rel_tpch_q21_waiting_suppliers",
+    "rel_tpch_q22_global_sales",
+    # dedup / near-dup family
+    "llm_incremental_neardup",
+    "llm_minhash_verified",
+    "llm_winnowing_fingerprint",
+    "llm_winnowing_neardup",
+    "llm_cdc_chunks",
+    "llm_cdc_dup_passages",
+    "llm_dedup_cluster_stats",
+    "llm_cross_source_dups",
+    "stream_neardup_dedup",
+    # quality / text analysis
+    "llm_quality_classifier_trained",
+    "llm_quality_prune",
+    "llm_normalize_text",
+    "llm_unigram_rarity",
+    "llm_length_bucket_batching",
+    # similarity / clustering
+    "llm_ann_recall_report",
+    "llm_kmeans_refine",
+    "llm_hard_negative_mining",
+    # sampling / RL / training-data construction
+    "llm_weighted_sample",
+    "llm_group_advantage",
+    "llm_span_corruption",
+    "llm_dsir_resample",
+    "llm_rejection_sample",
+    "llm_fim_transform",
+    "llm_sft_chat_format",
+    "llm_token_budget_sample",
+    "llm_epoch_plan",
+    # relational / streaming / udf stragglers
+    "rel_skew_report",
+    "rel_mad_outliers",
+    "stream_windowed_topk",
+    "udf_sql_function",
     # standing canaries (green every round since r2/r3) for
     # cross-round regression signal — one parity + one llm
     "parity_derived_all",
     "llm_exact_dedup",
-    # evidence refresh: 22 of the 48 r3-only green rows (the llm
-    # operator block — oldest un-refreshed evidence)
-    "llm_asof_join",
-    "llm_bm25",
-    "llm_chunk_documents",
-    "llm_contamination",
-    "llm_cosine_topk",
-    "llm_dedup_components",
-    "llm_embedding_neardup",
-    "llm_feature_hash",
-    "llm_filter_rules",
-    "llm_fingerprint",
-    "llm_frame_sample",
-    "llm_hash_split",
-    "llm_ivf_ann",
-    "llm_language_id",
-    "llm_lsh_ann",
-    "llm_minhash_neardup",
-    "llm_mix_sources",
-    "llm_multimodal_features",
-    "llm_ngram_jaccard",
-    "llm_pack_sequences",
-    "llm_pq_ann",
-    "llm_simhash",
 )
 
-#: Queries holding a green driver row in CORRECTNESS_r02/r03/r04/r05 —
+#: Queries holding a green driver row in CORRECTNESS_r02…r06 —
 #: allowed past the window (their evidence is already recorded; the
 #: local gate still re-verifies them every round). Regenerated each
 #: round as the union of green rows across all CORRECTNESS_r0N.json.
 DRIVER_GREEN_PAST_ROUNDS = frozenset(
     {
-        "llm_asof_join", "llm_bm25", "llm_causal_lm_examples",
+        "llm_asof_join", "llm_bigram_novelty", "llm_bm25",
+        "llm_bpe_pair_stats", "llm_causal_lm_examples",
         "llm_chunk_documents", "llm_contamination", "llm_cosine_topk",
         "llm_dedup_components", "llm_dedup_keep_best",
-        "llm_e2e_curation", "llm_e2e_training_examples",
-        "llm_embedding_neardup", "llm_exact_dedup", "llm_feature_hash",
-        "llm_filter_rules", "llm_fingerprint", "llm_frame_sample",
-        "llm_hash_split", "llm_hybrid_retrieval_rrf", "llm_ivf_ann",
-        "llm_knn_label_vote", "llm_lang_profile", "llm_language_id",
-        "llm_lsh_ann", "llm_minhash_neardup", "llm_mix_sources",
+        "llm_dup_ngram_spans", "llm_e2e_curation",
+        "llm_e2e_training_examples", "llm_embedding_neardup",
+        "llm_exact_dedup", "llm_feature_hash", "llm_filter_rules",
+        "llm_fingerprint", "llm_frame_sample", "llm_hash_split",
+        "llm_hybrid_retrieval_rrf", "llm_ivf_ann", "llm_knn_label_vote",
+        "llm_lang_profile", "llm_language_id", "llm_lsh_ann",
+        "llm_minhash_neardup", "llm_mix_sources", "llm_mmr_rerank",
         "llm_multimodal_features", "llm_ngram_jaccard",
-        "llm_pack_sequences", "llm_per_source_cap", "llm_pii_redact",
-        "llm_pq_ann", "llm_preference_pairs", "llm_quality_classifier",
+        "llm_pack_sequences", "llm_packing_efficiency",
+        "llm_per_source_cap", "llm_pii_redact", "llm_pq_ann",
+        "llm_preference_pairs", "llm_quality_classifier",
         "llm_quality_score", "llm_repetition_signals",
-        "llm_semantic_dedup", "llm_simhash", "llm_split_leakage",
-        "llm_stratified_sample", "llm_strip_boilerplate",
-        "llm_text_stats", "llm_vocab_oov", "parity_casts",
+        "llm_semantic_dedup", "llm_sentence_chunks", "llm_simhash",
+        "llm_split_leakage", "llm_stratified_sample",
+        "llm_strip_boilerplate", "llm_temperature_mix", "llm_text_stats",
+        "llm_tfidf_topterms", "llm_vocab_oov", "parity_casts",
         "parity_catalog_table_scan", "parity_csv_scan",
         "parity_date_parse", "parity_derived_all",
-        "parity_filter_eq_range", "parity_indicators",
-        "parity_map_lookup", "parity_membership",
-        "parity_quality_reasons", "parity_quality_rule_counts",
-        "parity_rename_project", "parity_rounding",
-        "parity_split_clean", "parity_split_quarantine",
+        "parity_filter_eq_range", "parity_indicators", "parity_map_lookup",
+        "parity_membership", "parity_quality_reasons",
+        "parity_quality_rule_counts", "parity_rename_project",
+        "parity_rounding", "parity_split_clean", "parity_split_quarantine",
         "parity_unit_conversion", "parity_unit_price",
-        "rel_agg_count_distinct", "rel_agg_cube",
-        "rel_agg_grouping_sets", "rel_agg_pricing_summary",
-        "rel_agg_rollup", "rel_agg_stats_moments", "rel_array_ops",
-        "rel_bucketed_join", "rel_cohort_retention",
-        "rel_collect_sorted_lists", "rel_csv_corrupt_records",
-        "rel_dataset_card", "rel_decayed_activity",
-        "rel_dropduplicates", "rel_equidepth_bins",
+        "rel_agg_count_distinct", "rel_agg_cube", "rel_agg_grouping_sets",
+        "rel_agg_pricing_summary", "rel_agg_rollup",
+        "rel_agg_stats_moments", "rel_array_ops", "rel_bucketed_join",
+        "rel_cohort_retention", "rel_collect_sorted_lists",
+        "rel_csv_corrupt_records", "rel_dataset_card",
+        "rel_decayed_activity", "rel_dropduplicates", "rel_equidepth_bins",
         "rel_error_safe_functions", "rel_expectations_report",
-        "rel_funnel_analysis", "rel_fuzzy_match",
-        "rel_histogram_prices", "rel_hof_arrays",
-        "rel_incremental_agg", "rel_join_anti",
+        "rel_funnel_analysis", "rel_fuzzy_match", "rel_histogram_prices",
+        "rel_hof_arrays", "rel_incremental_agg",
+        "rel_interval_overlap_join", "rel_join_anti",
         "rel_join_broadcast_dims", "rel_join_full_outer",
         "rel_join_hinted_shuffle_hash", "rel_join_left_orders",
         "rel_join_nonequi_self", "rel_join_revenue_by_nation",
@@ -162,91 +171,48 @@ DRIVER_GREEN_PAST_ROUNDS = frozenset(
         "rel_json_events", "rel_lateral_topk", "rel_listagg",
         "rel_mask_redaction", "rel_median_disc", "rel_merge_upsert",
         "rel_moving_window_sum", "rel_null_aware_anti_join",
-        "rel_null_safe_join", "rel_pagerank", "rel_percentiles_exact",
-        "rel_pivot_linestatus", "rel_range_join_buckets",
-        "rel_ratio_to_report", "rel_recursive_chain",
-        "rel_resample_ffill", "rel_robust_scaling",
+        "rel_null_safe_join", "rel_ohlc_downsample", "rel_pagerank",
+        "rel_percentiles_exact", "rel_pivot_linestatus",
+        "rel_range_join_buckets", "rel_ratio_to_report",
+        "rel_recursive_chain", "rel_resample_ffill", "rel_robust_scaling",
         "rel_running_distinct", "rel_scalar_dates",
-        "rel_scalar_string_date_math", "rel_scd2_dimension",
-        "rel_scd2_point_in_time", "rel_schema_evolution",
-        "rel_sessionize_batch", "rel_set_ops", "rel_snapshot_diff",
-        "rel_source_binaryfile", "rel_source_json", "rel_source_orc",
+        "rel_scalar_string_date_math", "rel_scalar_strings_extended",
+        "rel_scd2_dimension", "rel_scd2_point_in_time",
+        "rel_schema_evolution", "rel_sessionize_batch", "rel_set_ops",
+        "rel_snapshot_diff", "rel_source_binaryfile", "rel_source_json",
+        "rel_source_orc", "rel_source_parquet_zstd",
         "rel_source_python_ds", "rel_source_xml",
-        "rel_subquery_exists", "rel_subquery_scalar",
-        "rel_time_rollup", "rel_topk_global",
+        "rel_spatial_grid_nearest", "rel_subquery_exists",
+        "rel_subquery_scalar", "rel_time_rollup", "rel_topk_global",
+        "rel_tpch_q13_custdist", "rel_tpch_q18_large_orders",
         "rel_tpch_q3_shipping_priority", "rel_triangle_count",
-        "rel_unpivot_part", "rel_variant_json",
-        "rel_window_distribution", "rel_window_first_last",
-        "rel_window_lag_lead", "rel_window_range_frame",
-        "rel_window_rank_dense", "rel_window_running_sum",
-        "rel_window_topk_per_group", "rel_zorder_key",
-        "stream_dedup_keys", "stream_python_source",
+        "rel_unpivot_part", "rel_variant_json", "rel_window_distribution",
+        "rel_window_first_last", "rel_window_lag_lead",
+        "rel_window_range_frame", "rel_window_rank_dense",
+        "rel_window_running_sum", "rel_window_topk_per_group",
+        "rel_zorder_key", "stream_dedup_keys",
+        "stream_medallion_batch_parity", "stream_ohlc_bars",
+        "stream_python_source", "stream_scd2_enrichment",
         "stream_session_windows", "stream_sliding_counts",
-        "stream_stateful_profile", "stream_stream_join",
-        "stream_tumbling_counts", "udf_apply_in_arrow",
-        "udf_cogroup_profile", "udf_map_in_arrow",
+        "stream_stateful_profile", "stream_static_join",
+        "stream_stream_join", "stream_tumbling_counts",
+        "udf_apply_in_arrow", "udf_cogroup_profile", "udf_map_in_arrow",
         "udf_pandas_grouped_agg", "udf_pandas_grouped_map",
-        "udf_pandas_scalar", "udf_python_udtf",
+        "udf_pandas_scalar", "udf_python_udtf", "udf_udtf_table_arg",
     }
 )
 
 
-#: Queries ADDED this round (registered past the already-frozen window):
+#: Queries ADDED this round (registered past the already-frozen window)
+#: plus the one round-6 addition the 50-slot r7 window could not fit:
 #: the NEXT rotation must pull these in. The window-invariant test
 #: treats this as the only legitimate reason an oracle-backed query
-#: lacks both window coverage and a past green row. Round-6 additions
+#: lacks both window coverage and a past green row. Round-7 additions
 #: are appended here as they are registered.
 SCHEDULED_NEXT_WINDOW = frozenset(
     {
-        "llm_incremental_neardup",
-        "stream_neardup_dedup",
-        "llm_quality_classifier_trained",
-        "llm_minhash_verified",
-        "rel_tpch_q5_local_supplier",
-        "rel_tpch_q10_returned_items",
-        "rel_tpch_q12_late_shipments",
-        "llm_normalize_text",
-        "llm_ann_recall_report",
-        "rel_skew_report",
-        "rel_tpch_q2_min_cost",
-        "rel_tpch_q4_order_priority",
-        "rel_tpch_q6_forecast_revenue",
-        "rel_tpch_q7_volume_shipping",
-        "rel_tpch_q8_market_share",
-        "rel_tpch_q9_product_profit",
-        "rel_tpch_q14_promo_effect",
-        "rel_tpch_q16_supplier_cnt",
-        "rel_tpch_q17_small_quantity",
-        "rel_tpch_q19_disjunctive",
-        "rel_tpch_q21_waiting_suppliers",
-        "rel_tpch_q22_global_sales",
-        "llm_winnowing_fingerprint",
-        "llm_length_bucket_batching",
-        "llm_winnowing_neardup",
-        "llm_hard_negative_mining",
-        "udf_sql_function",
-        "llm_token_budget_sample",
-        "llm_epoch_plan",
-        "rel_tpch_q15_top_supplier",
-        "rel_tpch_q11_important_parts",
-        "rel_tpch_q20_small_part_suppliers",
-        "rel_mad_outliers",
-        "llm_dedup_cluster_stats",
-        "stream_windowed_topk",
-        "llm_quality_prune",
-        "llm_cross_source_dups",
+        # round-6 addition deferred from the r7 window (slot 49 of 49)
         "rel_source_text_wholetext",
-        "llm_unigram_rarity",
-        "llm_cdc_chunks",
-        "llm_sft_chat_format",
-        "llm_cdc_dup_passages",
-        "llm_kmeans_refine",
-        "llm_weighted_sample",
-        "llm_group_advantage",
-        "llm_span_corruption",
-        "llm_dsir_resample",
-        "llm_rejection_sample",
-        "llm_fim_transform",
     }
 )
 
