@@ -246,13 +246,23 @@ def main() -> None:
             times[name] = min([times[name], *retries])
     total = sum(times.values())
 
+    # COMPACT stdout line: the driver tail-captures only ~2 KB, and the
+    # full 100+-query map outgrew that in round 6 (BENCH_r06.json
+    # recorded `parsed: null` — no headline number, no driver-side
+    # baseline). Keep the contract keys (metric/value/unit/queries/sf)
+    # but put only the SLOWEST 12 queries inline; the complete map is
+    # persisted to BENCH_FULL_LATEST.json (committed, preferred by
+    # _load_baseline) so the per-query ratchet never loses resolution.
+    slowest = dict(sorted(times.items(), key=lambda kv: -kv[1])[:12])
     print(
         json.dumps(
             {
                 "metric": "headline_corpus_total_runtime",
                 "value": round(total, 3),
                 "unit": "sec",
-                "queries": times,
+                "queries": slowest,
+                "n_queries": len(times),
+                "queries_full": "BENCH_FULL_LATEST.json",
                 "sf": sf,
             }
         )
@@ -261,18 +271,56 @@ def main() -> None:
     # Regression gate AFTER the JSON line (the driver parses stdout's
     # single line either way): exit nonzero so a >2x per-query
     # regression fails loudly instead of shipping silently.
-    if _check_regressions(times, sf):
+    regressed = _check_regressions(times, sf)
+    # Persist the full map as the next run's baseline — but NEVER
+    # rebase onto a run that tripped the gate (a regression must stay
+    # visible until fixed, not become the new normal), and only at the
+    # baseline SF.
+    if not regressed and abs(sf - 0.1) < 1e-9:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "BENCH_FULL_LATEST.json"),
+            "w",
+        ) as f:
+            json.dump(
+                {
+                    "metric": "headline_corpus_total_runtime",
+                    "value": round(total, 3),
+                    "unit": "sec",
+                    "queries": times,
+                    "sf": sf,
+                    "label": "full-latest",
+                },
+                f,
+                indent=1,
+            )
+            f.write("\n")
+    if regressed:
         sys.exit(1)
 
 
 def _load_baseline() -> tuple[str, dict[str, float]]:
-    """Per-query seconds from the NEWEST BENCH_r*.json in the repo —
-    the operative regression baseline (the driver drops one per round,
-    so the gate always compares against the last recorded round)."""
+    """Per-query seconds for the regression ratchet. Preference order:
+
+    1. BENCH_FULL_LATEST.json — the complete map bench.py itself
+       persists on every green sf0.1 run (survives the driver's ~2 KB
+       tail-capture limit that nulled BENCH_r06's parsed map);
+    2. the NEWEST BENCH_r*.json the driver recorded (compact line:
+       only the 12 slowest queries since round 7, full map before).
+    """
     import glob
     import re
 
     here = os.path.dirname(os.path.abspath(__file__))
+    full = os.path.join(here, "BENCH_FULL_LATEST.json")
+    if os.path.exists(full):
+        try:
+            with open(full) as f:
+                data = json.load(f)
+            if abs(float(data.get("sf", 0.1)) - 0.1) < 1e-9 and data.get("queries"):
+                return str(data.get("label", "full-latest")), dict(data["queries"])
+        except (OSError, ValueError):
+            pass
     best: tuple[int, str] | None = None
     for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
         m = re.search(r"BENCH_r(\d+)\.json$", p)
