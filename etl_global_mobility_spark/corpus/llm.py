@@ -2446,21 +2446,18 @@ _WINNOW_SQL = f"""{_WINNOW_CTE}
 #: min_shared 2 — the corpus parameters of q_winnowing_neardup).
 _WINNOW_NEARDUP_SQL = f"""{_WINNOW_CTE}
     , inv AS (
-      SELECT doc_id AS id, unnest(fps) AS fp FROM f
+      SELECT doc_id AS id, len(fps) AS n_fp, unnest(fps) AS fp FROM f
     ), capped AS (
-      SELECT id, fp FROM (
-        SELECT id, fp, count(*) OVER (PARTITION BY fp) AS fp_df
+      SELECT id, n_fp, fp FROM (
+        SELECT id, n_fp, fp, count(*) OVER (PARTITION BY fp) AS fp_df
         FROM inv)
       WHERE fp_df <= 50
-    ), sized AS (
-      SELECT id, fp, count(*) OVER (PARTITION BY id) AS n_fp
-      FROM capped
     )
     SELECT a.id AS id_a, b.id AS id_b,
            count(*) AS n_shared,
            CAST(count(*) AS DOUBLE)
              / CAST(least(a.n_fp, b.n_fp) AS DOUBLE) AS overlap
-    FROM sized a JOIN sized b ON a.fp = b.fp AND a.id < b.id
+    FROM capped a JOIN capped b ON a.fp = b.fp AND a.id < b.id
     GROUP BY a.id, b.id, a.n_fp, b.n_fp
     HAVING count(*) >= 2"""
 
@@ -2478,16 +2475,19 @@ _LENGTH_BUCKET_SQL = f"""
                   WHEN tokens <= 256 THEN 256
                   WHEN tokens <= 512 THEN 512
                   WHEN tokens <= 1024 THEN 1024
-                  ELSE 2048 END AS bucket_cap
+                  WHEN tokens <= 2048 THEN 2048
+                  ELSE NULL END AS bucket_cap
       FROM t
     )
     SELECT bucket_cap,
            count(*) AS n_docs,
            CAST(sum(tokens) AS BIGINT) AS sum_tokens,
            max(tokens) AS max_tokens,
-           CAST(bucket_cap * count(*) AS BIGINT) AS padded_tokens,
+           CAST(coalesce(bucket_cap * count(*), sum(tokens)) AS BIGINT)
+             AS padded_tokens,
            CAST(sum(tokens) AS DOUBLE)
-             / CAST(bucket_cap * count(*) AS DOUBLE) AS efficiency
+             / CAST(coalesce(bucket_cap * count(*), sum(tokens)) AS DOUBLE)
+             AS efficiency
     FROM b GROUP BY bucket_cap"""
 
 
@@ -2810,7 +2810,7 @@ def _dsir_sql(
     SELECT doc_id, score, n_tokens,
            {draw} % {scale} AS draw
     FROM scores, mx
-    WHERE {draw} % {scale} < (score * {scale}) // m"""
+    WHERE {draw} % {scale} < (CAST(score AS HUGEINT) * {scale}) // m"""
 
 
 def q_rejection_sample(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -242,32 +242,44 @@ def save_classifier_weights(spark, weights: dict[str, float], path: str) -> None
     — the model artifact a curation pipeline trains once and every
     scoring job loads (same artifact pattern as save_bpe_merges /
     save_ann_artifacts). Parquet doubles round-trip bit-exactly, so a
-    reloaded model scores identically to the in-memory one."""
+    reloaded model scores identically to the in-memory one. The
+    manifest routes through the Hadoop-FS wrapper (like the
+    export_training_shards manifest) so on a remote path (s3://,
+    hdfs://) it lands NEXT TO the parquet, not on the driver's local
+    disk."""
     import json
-    import os
+
+    from etl_global_mobility_spark.sinks.writer import _fs
 
     unknown = set(weights) - set(CLASSIFIER_WEIGHTS)
     if unknown:
         raise ValueError(f"unknown classifier weight keys: {sorted(unknown)}")
-    os.makedirs(path, exist_ok=True)
+    fs = _fs(spark, path)
+    fs.mkdirs(path)
+    base = path.rstrip("/")
     rows = [(k, float(v)) for k, v in sorted(weights.items())]
     spark.createDataFrame(rows, "name string, weight double").coalesce(
         1
-    ).write.mode("overwrite").parquet(os.path.join(path, "weights"))
-    with open(os.path.join(path, "_clf_manifest.json"), "w") as f:
-        json.dump({"n_weights": len(rows), "keys": [k for k, _ in rows]}, f)
+    ).write.mode("overwrite").parquet(f"{base}/weights")
+    fs.write_text(
+        f"{base}/_clf_manifest.json",
+        json.dumps({"n_weights": len(rows), "keys": [k for k, _ in rows]}),
+    )
 
 
 def load_classifier_weights(spark, path: str) -> dict[str, float]:
     """Load weights saved by :func:`save_classifier_weights`, validated
     against the manifest and the known key space — ready to pass
-    straight into ``quality_classifier(df, weights=...)``."""
+    straight into ``quality_classifier(df, weights=...)``. Reads the
+    manifest through the Hadoop-FS wrapper so remote artifact paths
+    (s3://, hdfs://) resolve to the artifact, not the driver disk."""
     import json
-    import os
 
-    with open(os.path.join(path, "_clf_manifest.json")) as f:
-        manifest = json.load(f)
-    rows = spark.read.parquet(os.path.join(path, "weights")).collect()
+    from etl_global_mobility_spark.sinks.writer import _fs
+
+    base = path.rstrip("/")
+    manifest = json.loads(_fs(spark, path).read_text(f"{base}/_clf_manifest.json"))
+    rows = spark.read.parquet(f"{base}/weights").collect()
     weights = {r.name: float(r.weight) for r in rows}
     if len(weights) != manifest["n_weights"] or sorted(weights) != sorted(
         manifest["keys"]

@@ -164,6 +164,17 @@ def contamination_check(
     )
 
 
+def _dsir_threshold_expr(scale: int) -> F.Column:
+    """The DSIR inclusion threshold ``(score·scale) DIV _mx`` with the
+    product widened to DECIMAL(38,0): ``score`` ≤ n_tokens·micro, so
+    the BIGINT product overflows for documents past ~9M tokens (at the
+    defaults) and non-ANSI Spark would wrap silently, flipping keep
+    decisions. The oracle mirrors with HUGEINT; ``div`` on decimals
+    returns BIGINT in both engines. Factored out so the overflow
+    regression test can drive it against Python big-int math."""
+    return F.expr(f"(cast(score as decimal(38,0)) * {scale}) div _mx")
+
+
 def dsir_importance_resample(
     df: DataFrame,
     target_filter: F.Column,
@@ -237,9 +248,6 @@ def dsir_importance_resample(
     return (
         scores.crossJoin(F.broadcast(mx))  # 1-row aggregate frame
         .withColumn("draw", draw)
-        .filter(
-            F.col("draw")
-            < F.expr(f"(score * {scale}) div _mx")
-        )
+        .filter(F.col("draw") < _dsir_threshold_expr(scale))
         .select(id_col, "score", "n_tokens", "draw")
     )

@@ -468,11 +468,24 @@ def length_bucket_batching(
     a scale-killer), while cap assignment is a pure map + one bounded
     aggregation, the same plan at 60k docs and at 100 TB. Integer
     token counts keep every sum exact; the efficiency division is the
-    only double op."""
+    only double op.
+
+    Documents LONGER than the largest cap land in an explicit
+    OVERFLOW bucket (``bucket_cap`` NULL): a static-shape loader has
+    no cap that fits them, so their padded cost is reported as their
+    own token sum (dynamic-shape batch, efficiency exactly 1.0) —
+    keeping the 'smallest cap ≥ token count' invariant true for every
+    non-NULL bucket instead of silently under-reporting the padded
+    cost of >max-cap documents."""
     tc = token_count(F.col(text_col))
-    cap = F.lit(LENGTH_BUCKET_CAPS[-1])
+    cap = F.when(
+        tc <= LENGTH_BUCKET_CAPS[-1], F.lit(LENGTH_BUCKET_CAPS[-1])
+    )  # else NULL — the overflow bucket
     for c in reversed(LENGTH_BUCKET_CAPS[:-1]):
         cap = F.when(tc <= c, F.lit(c)).otherwise(cap)
+    padded = F.coalesce(
+        F.col("bucket_cap") * F.col("n_docs"), F.col("sum_tokens")
+    )
     return (
         df.select(F.col(id_col), tc.alias("_tokens"), cap.alias("bucket_cap"))
         .groupBy("bucket_cap")
@@ -486,11 +499,10 @@ def length_bucket_batching(
             "n_docs",
             "sum_tokens",
             "max_tokens",
-            (F.col("bucket_cap") * F.col("n_docs")).alias("padded_tokens"),
-            (
-                F.col("sum_tokens").cast("double")
-                / (F.col("bucket_cap") * F.col("n_docs")).cast("double")
-            ).alias("efficiency"),
+            padded.alias("padded_tokens"),
+            (F.col("sum_tokens").cast("double") / padded.cast("double")).alias(
+                "efficiency"
+            ),
         )
     )
 

@@ -167,6 +167,13 @@ class _LocalFS:
         with open(p, "w") as f:
             f.write(text)
 
+    def read_text(self, p: str) -> str:
+        with open(p) as f:
+            return f.read()
+
+    def mkdirs(self, p: str) -> None:
+        os.makedirs(p, exist_ok=True)
+
 
 class _HadoopFS:  # pragma: no cover - remote FS
     """Thin wrapper over org.apache.hadoop.fs.FileSystem, so staging
@@ -175,6 +182,7 @@ class _HadoopFS:  # pragma: no cover - remote FS
     def __init__(self, spark: SparkSession, path: str):
         jvm = spark.sparkContext._jvm
         conf = spark.sparkContext._jsc.hadoopConfiguration()
+        self._jvm = jvm
         self._Path = jvm.org.apache.hadoop.fs.Path
         self._fs = self._Path(path).getFileSystem(conf)
 
@@ -200,6 +208,18 @@ class _HadoopFS:  # pragma: no cover - remote FS
             out.write(bytearray(text, "utf-8"))
         finally:
             out.close()
+
+    def read_text(self, p: str) -> str:
+        stream = self._fs.open(self._Path(p))
+        try:
+            return self._jvm.org.apache.commons.io.IOUtils.toString(
+                stream, "UTF-8"
+            )
+        finally:
+            stream.close()
+
+    def mkdirs(self, p: str) -> None:
+        self._fs.mkdirs(self._Path(p))
 
 
 def _fs(spark: SparkSession, path: str):

@@ -312,6 +312,19 @@ def stream_upsert_to_parquet(
                 fs.rename(backup, target_path)
             else:
                 fs.delete(backup)
+        # Also sweep staged directories stranded by a crash AFTER
+        # merged.write but BEFORE the park/promote: their random
+        # suffix means nothing ever promotes them, so repeated crashes
+        # would accumulate full table copies. Safe to remove — a
+        # staged dir is only ever promoted within the same batch that
+        # wrote it, and this sink is single-writer (one query per
+        # checkpoint), so anything still named __upsert-* here is
+        # garbage by construction.
+        parent, sep, leaf = base.rpartition("/")
+        if sep and fs.exists(parent):
+            for entry in fs.listdir(parent):
+                if entry.startswith(f"{leaf}__upsert-"):
+                    fs.delete(f"{parent}/{entry}")
         if fs.exists(target_path):
             current = spark.read.parquet(target_path)
             merged = upsert(current, batch_df, keys)

@@ -2623,3 +2623,102 @@ def test_fim_transform_reconstructs_and_respects_rate(spark):
     assert all(
         r["mode"] == "raw" for r in out if r["doc_id"] in (100, 101)
     )
+
+
+def test_length_bucket_overflow_gets_explicit_null_bucket(spark):
+    """ADVICE r6: documents longer than the largest cap must land in
+    an explicit overflow bucket (bucket_cap NULL, padded to their own
+    token sum, efficiency exactly 1.0) — not be squeezed under the
+    2048 cap where padded_tokens under-reports and efficiency > 1."""
+    from etl_global_mobility_spark.operators.text import (
+        LENGTH_BUCKET_CAPS,
+        length_bucket_batching,
+    )
+
+    big = " ".join(f"w{i}" for i in range(LENGTH_BUCKET_CAPS[-1] + 100))
+    big2 = " ".join(f"v{i}" for i in range(LENGTH_BUCKET_CAPS[-1] + 1))
+    rows = [(1, "tiny doc"), (2, big), (3, big2)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["bucket_cap"]: r for r in length_bucket_batching(df).collect()}
+    ov = out[None]
+    assert ov["n_docs"] == 2
+    assert ov["sum_tokens"] == (2148 + 2049)
+    assert ov["padded_tokens"] == ov["sum_tokens"]
+    assert ov["efficiency"] == 1.0
+    # every finite bucket keeps the smallest-cap-≥-tokens invariant
+    for cap, r in out.items():
+        if cap is not None:
+            assert r["max_tokens"] <= cap
+            assert r["efficiency"] <= 1.0
+
+
+def test_winnowing_overlap_denominator_is_full_fingerprint_set(spark):
+    """ADVICE r6: overlap = shared / min(|A|,|B|) must measure |A|,|B|
+    on the FULL fingerprint sets, not the df-capped ones — a
+    boilerplate-heavy pair must not score an inflated overlap just
+    because the cap stripped most of its fingerprints."""
+    import random as _random
+
+    from pyspark.sql import functions as F
+
+    from etl_global_mobility_spark.operators.dedup import (
+        winnowing_neardup_pairs,
+    )
+    from etl_global_mobility_spark.operators.text import winnowing_fp_array
+
+    rng = _random.Random(7)
+    boiler = " ".join(rng.choice("abcdefgh") + str(i) for i in range(40))
+    passage = " ".join("shared" + str(i) for i in range(30))
+    rows = []
+    # docs 0..5 all carry the boilerplate → its fingerprints have
+    # df = 6 > df_max = 3 and get capped out of the index
+    for i in range(6):
+        uniq = " ".join(f"u{i}x{j}" for j in range(30))
+        extra = passage if i < 2 else ""
+        rows.append((i, f"{boiler} {uniq} {extra}"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    full_sizes = {
+        r["doc_id"]: r["n"]
+        for r in docs.select(
+            "doc_id", F.size(winnowing_fp_array("text")).alias("n")
+        ).collect()
+    }
+    pairs = {
+        (r["id_a"], r["id_b"]): r
+        for r in winnowing_neardup_pairs(
+            docs, min_shared=2, df_max=3
+        ).collect()
+    }
+    assert (0, 1) in pairs, "genuine shared passage must survive the cap"
+    r = pairs[(0, 1)]
+    expected = r["n_shared"] / min(full_sizes[0], full_sizes[1])
+    assert abs(r["overlap"] - expected) < 1e-12
+    # capped numerator over full denominator can never exceed 1
+    assert all(p["overlap"] <= 1.0 for p in pairs.values())
+
+
+def test_dsir_threshold_survives_bigint_overflow(spark):
+    """ADVICE r6: (score·scale) wraps BIGINT for scores past ~9.2e12
+    at scale=1e6; the DECIMAL(38,0)-widened threshold must match
+    Python big-int math exactly where the old expression flipped
+    negative."""
+    from etl_global_mobility_spark.operators.signals import (
+        _dsir_threshold_expr,
+    )
+
+    scale = 1_000_000
+    mx = 10_000_000_000_000  # 1e13 — a 10M-token doc at micro=1e6
+    cases = [mx, mx // 2, 9_300_000_000_000, 1]
+    df = spark.createDataFrame(
+        [(s, mx) for s in cases], "score bigint, _mx bigint"
+    )
+    got = {
+        r["score"]: r["thr"]
+        for r in df.select(
+            "score", _dsir_threshold_expr(scale).alias("thr")
+        ).collect()
+    }
+    for s in cases:
+        assert got[s] == (s * scale) // mx, s  # Python ints never wrap
+    assert got[mx] == scale  # top-scored doc: always kept

@@ -381,3 +381,43 @@ def test_writer_commit_sweeps_unclaimed_tmps(spark, tmp_path):
     files = sorted(os.listdir(out))
     assert not [f for f in files if f.endswith(".tmp")], files
     assert "_SUCCESS" in files
+
+
+def test_stream_upsert_sweeps_stranded_staged_dirs(spark, tmp_path):
+    """ADVICE r6: a crash after merged.write but before the
+    park/promote strands a randomly-suffixed <target>__upsert-<hex>
+    directory that nothing ever promotes; the next batch's recovery
+    preamble must sweep such leftovers so repeated crashes don't
+    accumulate full table copies."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from etl_global_mobility_spark.streaming.ops import stream_upsert_to_parquet
+
+    register(spark)
+    target = str(tmp_path / "profiles")
+    stranded = target + "__upsert-deadbeef"
+    spark.createDataFrame(
+        [(1, 1, 0.0)], "bucket int, n bigint, sum_v double"
+    ).write.parquet(stranded)
+
+    sdf = (
+        spark.readStream.format("synthetic_events")
+        .option("n_rows", 500)
+        .option("batch_size", 500)
+        .load()
+    )
+    agg = sdf.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+    stream_upsert_to_parquet(
+        agg.select("bucket", "n", F.lit(0.0).alias("sum_v")),
+        target,
+        str(tmp_path / "ckpt_sweep"),
+        keys=["bucket"],
+    )
+    assert os.path.exists(target)
+    leftovers = [
+        d for d in os.listdir(tmp_path) if d.startswith("profiles__upsert-")
+    ]
+    assert not leftovers, leftovers
+    assert spark.read.parquet(target).count() == 8
