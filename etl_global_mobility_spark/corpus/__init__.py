@@ -213,6 +213,8 @@ SCHEDULED_NEXT_WINDOW = frozenset(
     {
         # round-6 addition deferred from the r7 window (slot 49 of 49)
         "rel_source_text_wholetext",
+        # round-7 additions
+        "rel_source_avro",
     }
 )
 

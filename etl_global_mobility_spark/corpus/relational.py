@@ -1264,6 +1264,29 @@ def q_source_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_source_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro source: supplier round-tripped through the Avro
+    writer/reader (sources/formats.py — row-format binary with
+    embedded writer schema; int/long/double/string survive natively
+    under Avro's own type system), then a filtered projection. Avro is
+    the remaining standard batch format of the source sweep
+    (CSV/JSON/ORC/XML/parquet/binaryFile/text already covered); the
+    oracle recomputes from the original parquet table, so any
+    serialization defect breaks the hash. Scale note: Avro is a ROW
+    format — no row-group filter pushdown — so the engine's 100 TB
+    recipe keeps it at the ingest edge and converts to parquet at the
+    bronze hop (the filter here runs post-scan, as it would there)."""
+    from etl_global_mobility_spark.sources.formats import read_avro, write_avro
+
+    out = _roundtrip_dir("avro_supplier")
+    s = load_table(spark, sf_dir, "supplier")
+    write_avro(s.coalesce(1), out)
+    df = read_avro(spark, out)
+    return df.filter(F.col("s_acctbal") > 0).select(
+        "s_suppkey", "s_nationkey", "s_acctbal"
+    )
+
+
 def q_source_parquet_zstd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Parquet ZSTD codec round-trip: at 100 TB the codec choice is a
     first-order cost knob (zstd ≈ gzip-class ratios at snappy-class
@@ -2947,6 +2970,14 @@ SPECS = [
         """SELECT s_suppkey, s_nationkey, s_acctbal
            FROM supplier WHERE s_acctbal > 0""",
         doc="ORC source round-trip with pushed-down filter",
+    ),
+    QuerySpec(
+        "rel_source_avro",
+        q_source_avro,
+        """SELECT s_suppkey, s_nationkey, s_acctbal
+           FROM supplier WHERE s_acctbal > 0""",
+        doc="Avro source round-trip (embedded-connector resolution, "
+        "sources/formats.py) with post-scan filter",
     ),
     QuerySpec(
         "rel_source_parquet_zstd",
