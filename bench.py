@@ -133,6 +133,11 @@ HEADLINE = [
     "llm_dsir_resample",
     "llm_rejection_sample",
     "llm_fim_transform",
+    # round-7 additions
+    "rel_source_avro",
+    "llm_domain_extract",
+    "llm_domain_blocklist",
+    "llm_domain_cap_report",
 ]
 
 

@@ -215,6 +215,9 @@ SCHEDULED_NEXT_WINDOW = frozenset(
         "rel_source_text_wholetext",
         # round-7 additions
         "rel_source_avro",
+        "llm_domain_extract",
+        "llm_domain_blocklist",
+        "llm_domain_cap_report",
     }
 )
 

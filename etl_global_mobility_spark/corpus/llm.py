@@ -3023,6 +3023,166 @@ def _span_corruption_sql(noise_pct: int = 15, seed: int = 0) -> str:
     FROM agg"""
 
 
+# ------------------------------------------------- domain curation ----
+# The documents table carries no URL column, so the domain queries
+# synthesize a deterministic one from (doc_id, source) — subdomain
+# prefixes, three TLD families (one multi-part, exercising the eTLD+1
+# rule), ports, and query strings — and the OPERATORS do the real
+# parsing (operators/domains.py). The oracle rebuilds the same URL in
+# SQL and mirrors the parse with anchored regexes.
+
+_URL_SQL = (
+    "'https://'"
+    " || CASE doc_id % 4 WHEN 0 THEN 'www.' WHEN 1 THEN 'cdn.' ELSE '' END"
+    " || source"
+    " || CASE doc_id % 3 WHEN 0 THEN '.com'"
+    "         WHEN 1 THEN '.org' ELSE '.co.uk' END"
+    " || CASE WHEN doc_id % 5 = 0 THEN ':8443' ELSE '' END"
+    " || '/p/' || CAST(doc_id AS VARCHAR)"
+    " || CASE WHEN doc_id % 7 = 0 THEN '?ref=rss' ELSE '' END"
+)
+
+_HOST_SQL = r"regexp_extract(url, '^https?://([^/:?#]+)', 1)"
+
+#: DuckDB mirror of operators.domains.registrable_domain (same listed
+#: multi-part suffixes, same anchored extracts).
+_DOMAIN_SQL = r"""CASE WHEN regexp_extract(host, '([^.]+\.[^.]+)$', 1)
+             IN ('co.uk','org.uk','gov.uk','ac.uk',
+                 'co.jp','com.au','com.br','co.in')
+            AND regexp_extract(host, '([^.]+\.[^.]+\.[^.]+)$', 1) <> ''
+       THEN regexp_extract(host, '([^.]+\.[^.]+\.[^.]+)$', 1)
+       ELSE regexp_extract(host, '([^.]+\.[^.]+)$', 1) END"""
+
+#: Blocklist the blocklist query pins: one registrable domain (drops
+#: every subdomain under it), one exact host, one multi-part-suffix
+#: domain.
+_BLOCKLIST = ("src7.org", "cdn.src5.com", "src1.co.uk")
+
+
+def _synth_url() -> F.Column:
+    """Spark twin of _URL_SQL."""
+    did = F.col("doc_id")
+    return F.concat(
+        F.lit("https://"),
+        F.when(did % 4 == 0, F.lit("www."))
+        .when(did % 4 == 1, F.lit("cdn."))
+        .otherwise(F.lit("")),
+        F.col("source"),
+        F.when(did % 3 == 0, F.lit(".com"))
+        .when(did % 3 == 1, F.lit(".org"))
+        .otherwise(F.lit(".co.uk")),
+        F.when(did % 5 == 0, F.lit(":8443")).otherwise(F.lit("")),
+        F.lit("/p/"),
+        did.cast("string"),
+        F.when(did % 7 == 0, F.lit("?ref=rss")).otherwise(F.lit("")),
+    )
+
+
+def q_domain_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL → host / registrable domain (eTLD+1 incl. multi-part
+    suffixes) / tld / path parsing (operators/domains.py
+    extract_url_parts) — map-only, zero shuffles."""
+    from etl_global_mobility_spark.operators.domains import extract_url_parts
+
+    d = load_table(spark, sf_dir, "documents")
+    return extract_url_parts(
+        d.select("doc_id", _synth_url().alias("url"))
+    ).select("doc_id", "url", "host", "domain", "tld", "path")
+
+
+_DOMAIN_EXTRACT_SQL = f"""
+    WITH u AS (
+      SELECT doc_id, {_URL_SQL} AS url FROM documents
+    ), h AS (
+      SELECT doc_id, url, {_HOST_SQL} AS host FROM u
+    )
+    SELECT doc_id, url, host,
+           {_DOMAIN_SQL} AS domain,
+           regexp_extract(host, '\\.([^.]+)$', 1) AS tld,
+           regexp_extract(url, '^[a-z]+://[^/?#]*(/[^?#]*)', 1) AS path
+    FROM h"""
+
+
+def q_domain_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist filter with subdomain semantics (host equals an entry
+    or sits under one) via the map-only suffix-chain ∩ literal-array
+    test (operators/domains.py domain_blocklist_filter) — no join, no
+    shuffle; returns the surviving documents with their parsed parts."""
+    from etl_global_mobility_spark.operators.domains import (
+        domain_blocklist_filter,
+        extract_url_parts,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    parts = extract_url_parts(d.select("doc_id", _synth_url().alias("url")))
+    return domain_blocklist_filter(parts, list(_BLOCKLIST)).select(
+        "doc_id", "host", "domain"
+    )
+
+
+def _blocked_pred_sql() -> str:
+    terms = [
+        f"(host = '{e}' OR host LIKE '%.{e}')" for e in _BLOCKLIST
+    ]
+    return " OR ".join(terms)
+
+
+_DOMAIN_BLOCKLIST_SQL = f"""
+    WITH u AS (
+      SELECT doc_id, {_URL_SQL} AS url FROM documents
+    ), h AS (
+      SELECT doc_id, {_HOST_SQL} AS host FROM u
+    )
+    SELECT doc_id, host, {_DOMAIN_SQL} AS domain
+    FROM h WHERE NOT ({_blocked_pred_sql()})"""
+
+
+def q_domain_cap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain cap (max 5 docs per registrable domain, md5-ordered —
+    C4's 'no domain dominates' policy via cap_per_stratum) followed by
+    the per-domain corpus accounting report: doc/token counts and
+    shares (operators/domains.py cap_per_domain + domain_report)."""
+    from etl_global_mobility_spark.operators.domains import (
+        cap_per_domain,
+        domain_report,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    capped = cap_per_domain(
+        d.select("doc_id", "text", _synth_url().alias("url")), max_docs=5
+    )
+    return domain_report(capped)
+
+
+_DOMAIN_CAP_REPORT_SQL = f"""
+    WITH u AS (
+      SELECT doc_id, text, {_URL_SQL} AS url FROM documents
+    ), h AS (
+      SELECT doc_id, text, {_HOST_SQL} AS host FROM u
+    ), d AS (
+      SELECT doc_id, text, {_DOMAIN_SQL} AS domain FROM h
+    ), capped AS (
+      SELECT doc_id, text, domain FROM (
+        SELECT doc_id, text, domain,
+               row_number() OVER (
+                 PARTITION BY domain
+                 ORDER BY {_md5_hash_sql("CAST(doc_id AS VARCHAR)", 3)},
+                          doc_id) AS rk
+        FROM d)
+      WHERE rk <= 5
+    ), agg AS (
+      SELECT domain, count(*) AS n_docs,
+             CAST(sum(len({TOKS})) AS BIGINT) AS sum_tokens
+      FROM capped GROUP BY domain
+    ), tot AS (
+      SELECT sum(n_docs) AS td, sum(sum_tokens) AS tt FROM agg
+    )
+    SELECT domain, n_docs, sum_tokens,
+           CAST(n_docs AS DOUBLE) / td AS doc_share,
+           CAST(sum_tokens AS DOUBLE) / tt AS token_share
+    FROM agg, tot"""
+
+
 SPECS = [
     QuerySpec(
         "llm_exact_dedup",
@@ -3718,5 +3878,26 @@ SPECS = [
         doc="fill-in-the-middle (PSM) rendering: hash-chosen docs "
         "split at two hash-derived cut points and re-rendered with "
         "sentinels - zero-shuffle codegen projection",
+    ),
+    QuerySpec(
+        "llm_domain_extract",
+        q_domain_extract,
+        _DOMAIN_EXTRACT_SQL,
+        doc="URL -> host/registrable-domain (eTLD+1 with multi-part "
+        "suffixes)/tld/path parsing, map-only",
+    ),
+    QuerySpec(
+        "llm_domain_blocklist",
+        q_domain_blocklist,
+        _DOMAIN_BLOCKLIST_SQL,
+        doc="domain blocklist filter with subdomain semantics via "
+        "map-only suffix-chain x literal-array overlap (no join)",
+    ),
+    QuerySpec(
+        "llm_domain_cap_report",
+        q_domain_cap_report,
+        _DOMAIN_CAP_REPORT_SQL,
+        doc="per-domain cap (max 5, md5-ordered) + per-domain "
+        "doc/token counts and corpus shares",
     ),
 ]

@@ -1,0 +1,196 @@
+"""Domain-level curation — the C4/RefinedWeb-shaped policy layer a web
+pretraining pipeline runs between ingest and quality filtering: parse
+URLs into host/registrable-domain parts, drop blocklisted domains, cap
+any one domain's contribution, and report per-domain corpus shares.
+
+Every operator here is join-free on the corpus side: URL parsing and
+blocklist matching are pure map-only column expressions (the blocklist
+rides into the plan as a bounded literal array — policy lists are
+thousands of entries, not corpus-sized), the cap is one shuffle on the
+domain key with a map-side-pruned group limit, and the report is one
+hash aggregation whose output ∝ distinct domains. That is the plan
+shape that survives 100 TB: nothing in this module grows with corpus
+size except the single keyed aggregation Spark already does with
+map-side combine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from etl_global_mobility_spark.operators.text import _bind
+
+#: Multi-label public suffixes the registrable-domain rule recognizes.
+#: A DELIBERATE approximation of the Public Suffix List (the real PSL
+#: is ~9k entries and updates monthly; production loads it as a config
+#: artifact into this same literal-set mechanism). Under the
+#: approximation, hosts under an unlisted multi-part suffix resolve to
+#: their last two labels — wrong only for the PSL tail, and uniformly
+#: so across engines.
+MULTI_PART_SUFFIXES = (
+    "co.uk",
+    "org.uk",
+    "gov.uk",
+    "ac.uk",
+    "co.jp",
+    "com.au",
+    "com.br",
+    "co.in",
+)
+
+
+def url_host(url: str | Column) -> Column:
+    """Hostname of a URL (no scheme, port, path, query, or fragment) —
+    Spark's JVM-side ``parse_url(url, 'HOST')``; NULL for unparseable
+    values rather than an error (curation inputs are dirty)."""
+    col = F.col(url) if isinstance(url, str) else url
+    return F.parse_url(col, F.lit("HOST"))
+
+
+def registrable_domain(host: str | Column) -> Column:
+    """Registrable domain (eTLD+1) of a hostname: the last two labels,
+    or the last three when the last two form a listed multi-part
+    public suffix (:data:`MULTI_PART_SUFFIXES`) — so
+    ``www.news.example.co.uk`` → ``example.co.uk`` while
+    ``cdn.example.com`` → ``example.com``. Pure codegen expression
+    (two anchored regex extracts + a literal set membership)."""
+    col = F.col(host) if isinstance(host, str) else host
+    last2 = F.regexp_extract(col, r"([^.]+\.[^.]+)$", 1)
+    last3 = F.regexp_extract(col, r"([^.]+\.[^.]+\.[^.]+)$", 1)
+    return F.when(
+        last2.isin(*MULTI_PART_SUFFIXES) & (last3 != ""), last3
+    ).otherwise(last2)
+
+
+def host_suffix_chain(host: str | Column) -> Column:
+    """All dot-suffixes of a hostname as an array —
+    ``a.b.example.com`` → ``[a.b.example.com, b.example.com,
+    example.com, com]``. Bounded by label count (hostnames cap at 127
+    labels; real ones at ~5), so the array is a constant-size map-side
+    value — the equi-matchable form of "host is under domain D" that
+    replaces a non-equi ``endswith`` join with an
+    :func:`pyspark.sql.functions.arrays_overlap` literal test or a
+    hash join on exploded suffixes."""
+    col = F.col(host) if isinstance(host, str) else host
+    return _bind(
+        F.split(col, r"\."),
+        lambda labels: F.transform(
+            F.sequence(F.lit(1), F.size(labels)),
+            lambda i: F.array_join(
+                F.slice(labels, i, F.size(labels) - i + 1), "."
+            ),
+        ),
+    )
+
+
+def extract_url_parts(
+    df: DataFrame, url_col: str = "url"
+) -> DataFrame:
+    """Append ``host``, ``domain`` (registrable), ``tld``, and ``path``
+    columns parsed from ``url_col`` — the map-only projection every
+    domain-policy stage downstream keys on. Zero shuffles; at 100 TB
+    this is a scan-width question, not a compute one."""
+    host = url_host(F.col(url_col))
+    return (
+        df.withColumn("host", host)
+        .withColumn("domain", registrable_domain(F.col("host")))
+        .withColumn("tld", F.regexp_extract(F.col("host"), r"\.([^.]+)$", 1))
+        .withColumn("path", F.parse_url(F.col(url_col), F.lit("PATH")))
+    )
+
+
+def domain_blocklist_filter(
+    df: DataFrame,
+    blocked: list[str],
+    url_col: str = "url",
+    invert: bool = False,
+) -> DataFrame:
+    """Drop every document whose URL host equals a blocklist entry OR
+    sits under one (``cdn.bad.example.com`` is blocked by
+    ``bad.example.com``) — subdomain semantics via
+    :func:`host_suffix_chain` ∩ blocklist, evaluated as a map-only
+    ``arrays_overlap`` against a literal array. No join, no shuffle,
+    no broadcast exchange: the policy list is plan-side by
+    construction (a blocklist is thousands of entries; a list that
+    needs a distributed join is a *labels table*, not a blocklist).
+    ``invert=True`` returns the blocked rows instead (audit mode).
+    """
+    if not blocked:
+        raise ValueError("empty blocklist: refusing a filter that drops nothing")
+    hit = F.arrays_overlap(
+        host_suffix_chain(url_host(F.col(url_col))),
+        F.lit(list(blocked)).cast("array<string>"),
+    )
+    return df.filter(hit if invert else ~hit)
+
+
+def cap_per_domain(
+    df: DataFrame,
+    max_docs: int,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    seed: int = 3,
+) -> DataFrame:
+    """At most ``max_docs`` documents per registrable domain, chosen
+    by deterministic md5 order — the "no single domain dominates the
+    mix" cap (C4 kept heavily-crawled domains from swamping the
+    corpus the same way). Delegates to
+    :func:`operators.splits.cap_per_stratum` keyed on the parsed
+    domain: one shuffle, group limit pruned map-side."""
+    from etl_global_mobility_spark.operators.splits import cap_per_stratum
+
+    with_domain = df.withColumn(
+        "domain", registrable_domain(url_host(F.col(url_col)))
+    )
+    return cap_per_stratum(
+        with_domain, "domain", max_docs, id_col=id_col, seed=seed
+    )
+
+
+def domain_report(
+    df: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-domain corpus accounting: document count, exact token sum,
+    and each domain's share of corpus documents and tokens — the
+    report a curation run publishes before and after domain policy so
+    the mix shift is auditable.
+
+    Scale shape: ONE hash aggregation keyed on domain (map-side
+    combined, output ∝ distinct domains) plus a broadcast of the
+    1-row corpus totals for the share division — never an
+    unpartitioned window."""
+    from etl_global_mobility_spark.operators.text import token_count
+
+    per_domain = (
+        df.select(
+            registrable_domain(url_host(F.col(url_col))).alias("domain"),
+            token_count(F.col(text_col)).alias("_tok"),
+        )
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_tok").alias("sum_tokens"),
+        )
+    )
+    totals = per_domain.agg(
+        F.sum("n_docs").alias("_total_docs"),
+        F.sum("sum_tokens").alias("_total_tokens"),
+    )
+    return (
+        per_domain.crossJoin(F.broadcast(totals))  # 1-row totals frame
+        .select(
+            "domain",
+            "n_docs",
+            "sum_tokens",
+            (F.col("n_docs").cast("double") / F.col("_total_docs")).alias(
+                "doc_share"
+            ),
+            (
+                F.col("sum_tokens").cast("double") / F.col("_total_tokens")
+            ).alias("token_share"),
+        )
+    )

@@ -617,6 +617,7 @@ def test_no_plan_antipatterns_across_entire_corpus(spark):
         "llm_unigram_rarity",            # broadcast 1-row corpus-total frame
         "llm_weighted_sample",           # broadcast k-row draws frame
         "llm_dsir_resample",             # broadcast 1-row max-score frame
+        "llm_domain_cap_report",         # broadcast 1-row corpus-totals frame
     }
     # Unpartitioned windows (WindowExec with an empty partition spec)
     # move ALL rows to one task — allowed only where the window input
