@@ -369,12 +369,27 @@ def semantic_dedup(
     )
 
 
+#: Above this many centroids, the UNROLLED assignment expression (one
+#: zip_with+aggregate subtree per centroid → O(k·dim) generated code)
+#: risks Janino's 64 KB method limit / WholeStageCodegen fallback —
+#: measured fine at the corpus defaults (k ≤ 16), growing linearly
+#: after. At or past the threshold the trainers switch to the LITERAL
+#: path: all centroids ride in ONE array<array<...>> Literal (data,
+#: not code) and a single indexed F.transform lambda computes every
+#: distance — constant-size generated code for any k, same map-only
+#: zero-join plan, and (for the float trainer) the same sequential
+#: summation order, so both paths are bit-identical (pinned by
+#: tests/test_llm_operators.py).
+LARGE_K_CODEGEN_THRESHOLD = 64
+
+
 def train_ivf_centroids(
     corpus: DataFrame,
     n_cells: int = 16,
     n_iters: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    large_k_threshold: int = LARGE_K_CODEGEN_THRESHOLD,
 ) -> list[list[float]]:
     """Spherical k-means (Lloyd's) trainer for the IVF coarse quantizer:
     assign by max cosine, update each centroid to the member mean.
@@ -405,18 +420,37 @@ def train_ivf_centroids(
     )
     for _ in range(n_iters):
         norms = [math.sqrt(sum(x * x for x in v)) for v in cents]
-        scores = F.array(
-            *[
-                F.struct(
+        if n_cells < large_k_threshold:
+            scores = F.array(
+                *[
+                    F.struct(
+                        (
+                            dot(F.col("vec"), F.lit(v))
+                            / (F.sqrt(F.col("nv")) * F.lit(n))
+                        ).alias("cos"),
+                        F.lit(-cid).alias("neg_id"),
+                    )
+                    for cid, (v, n) in enumerate(zip(cents, norms))
+                ]
+            )
+        else:
+            # literal path: centroids as DATA, one lambda as code —
+            # dot() keeps the identical sequential summation order, so
+            # the float results match the unrolled path bit-for-bit
+            cvecs = F.lit([[float(x) for x in v] for v in cents]).cast(
+                "array<array<double>>"
+            )
+            norms_lit = F.lit([float(n) for n in norms])
+            scores = F.transform(
+                cvecs,
+                lambda cv, i: F.struct(
                     (
-                        dot(F.col("vec"), F.lit(v))
-                        / (F.sqrt(F.col("nv")) * F.lit(n))
+                        dot(F.col("vec"), cv)
+                        / (F.sqrt(F.col("nv")) * F.element_at(norms_lit, i + 1))
                     ).alias("cos"),
-                    F.lit(-cid).alias("neg_id"),
-                )
-                for cid, (v, n) in enumerate(zip(cents, norms))
-            ]
-        )
+                    (-i).cast("int").alias("neg_id"),
+                ),
+            )
         assigned = c.withColumn("cell", -F.array_max(scores).getField("neg_id"))
         means = (
             assigned.select("cell", F.posexplode("vec").alias("pos", "x"))
@@ -841,6 +875,7 @@ def kmeans_fixed_point(
     scale: int = 1 << 20,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    large_k_threshold: int = LARGE_K_CODEGEN_THRESHOLD,
 ) -> DataFrame:
     """Lloyd's k-means in FIXED-POINT integer arithmetic — the
     bit-exact companion to :func:`train_ivf_centroids` (which is
@@ -868,7 +903,15 @@ def kmeans_fixed_point(
     zero-shuffle codegen projection. Overflow bound: |v| ≤ scale·max|x|,
     so Σ_dim (Δv)² ≤ dim·(2·scale·max|x|)² must stay under 2⁶³ —
     at scale 2²⁰, dim 64, |x| ≤ 1 that is ~3·10¹⁴, five orders of
-    magnitude of headroom."""
+    magnitude of headroom.
+
+    k ceiling: below ``large_k_threshold`` the assignment unrolls one
+    expression subtree per centroid (fastest — codegen constant-folds
+    the literals, but generated code grows O(k·dim)); at or past it,
+    centroids ride in a single array Literal and one indexed
+    ``transform`` lambda is the only generated code, so any k works
+    without hitting Janino's method-size limit. Both paths are exact
+    integer math and bit-identical (pinned by test)."""
     q = corpus.select(
         F.col(id_col),
         F.transform(
@@ -880,21 +923,40 @@ def kmeans_fixed_point(
     cents = [list(r["__v"]) for r in seeds]
     dim = len(cents[0])
 
+    def _sq_dist(carr: F.Column) -> F.Column:
+        return F.aggregate(
+            F.zip_with(F.col("__v"), carr, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
     def best_of(cs: list[list[int]]) -> F.Column:
-        structs = []
-        for cid, c in enumerate(cs):
-            carr = F.array(*[F.lit(int(x)).cast("long") for x in c])
-            d = F.aggregate(
-                F.zip_with(
-                    F.col("__v"), carr, lambda a, b: (a - b) * (a - b)
+        if len(cs) < large_k_threshold:
+            structs = [
+                F.struct(
+                    _sq_dist(
+                        F.array(*[F.lit(int(x)).cast("long") for x in c])
+                    ).alias("d"),
+                    F.lit(cid).cast("int").alias("cid"),
+                )
+                for cid, c in enumerate(cs)
+            ]
+            return F.array_min(F.array(*structs))
+        # literal path for large k: centroids as one array<array<bigint>>
+        # Literal, a single indexed transform as the only generated code
+        # — exact integer math, so trivially identical to the unrolled
+        # path (ties still break to the lowest cid via (d, cid) min)
+        cvecs = F.lit([[int(x) for x in c] for c in cs]).cast(
+            "array<array<bigint>>"
+        )
+        return F.array_min(
+            F.transform(
+                cvecs,
+                lambda cv, i: F.struct(
+                    _sq_dist(cv).alias("d"), i.cast("int").alias("cid")
                 ),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
             )
-            structs.append(
-                F.struct(d.alias("d"), F.lit(cid).cast("int").alias("cid"))
-            )
-        return F.array_min(F.array(*structs))
+        )
 
     for _ in range(iters):
         assigned = q.select(

@@ -2722,3 +2722,54 @@ def test_dsir_threshold_survives_bigint_overflow(spark):
     for s in cases:
         assert got[s] == (s * scale) // mx, s  # Python ints never wrap
     assert got[mx] == scale  # top-scored doc: always kept
+
+
+def test_kmeans_large_k_literal_path_matches_unrolled(spark):
+    """VERDICT r6: the unrolled per-centroid assignment expression is
+    O(k·dim) generated code; the large-k literal path (centroids as
+    one array Literal + indexed transform) must produce IDENTICAL
+    assignments and distances — exact integer math, ties to lowest
+    cid — so selection by k is purely a codegen-size decision."""
+    import random as _random
+
+    from etl_global_mobility_spark.operators.similarity import (
+        kmeans_fixed_point,
+    )
+
+    rng = _random.Random(11)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    unrolled = kmeans_fixed_point(df, k=6, iters=2, large_k_threshold=10**9)
+    literal = kmeans_fixed_point(df, k=6, iters=2, large_k_threshold=1)
+    a = sorted(map(tuple, unrolled.collect()))
+    b = sorted(map(tuple, literal.collect()))
+    assert a == b
+    # and the literal path actually handles k past the unrolled comfort
+    # zone (smoke: one iteration at k=80 — would be ~80 subtrees unrolled)
+    big = kmeans_fixed_point(df, k=80, iters=1, large_k_threshold=64)
+    assert big.count() == 120
+    assert big.select("cluster_id").distinct().count() <= 80
+
+
+def test_ivf_trainer_literal_path_bit_identical(spark):
+    """Same pin for the float trainer: dot() keeps sequential summation
+    order in both paths, so trained centroids must match bit-for-bit,
+    not approximately."""
+    import random as _random
+
+    from etl_global_mobility_spark.operators.similarity import (
+        train_ivf_centroids,
+    )
+
+    rng = _random.Random(12)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(6)]) for i in range(90)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    unrolled = train_ivf_centroids(
+        df, n_cells=5, n_iters=2, large_k_threshold=10**9
+    )
+    literal = train_ivf_centroids(df, n_cells=5, n_iters=2, large_k_threshold=1)
+    assert unrolled == literal  # exact float equality, not approx
