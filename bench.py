@@ -138,6 +138,8 @@ HEADLINE = [
     "llm_domain_extract",
     "llm_domain_blocklist",
     "llm_domain_cap_report",
+    "llm_url_dedup",
+    "llm_token_fertility",
 ]
 
 

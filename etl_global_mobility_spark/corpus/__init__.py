@@ -218,6 +218,8 @@ SCHEDULED_NEXT_WINDOW = frozenset(
         "llm_domain_extract",
         "llm_domain_blocklist",
         "llm_domain_cap_report",
+        "llm_url_dedup",
+        "llm_token_fertility",
     }
 )
 

@@ -3183,6 +3183,158 @@ _DOMAIN_CAP_REPORT_SQL = f"""
     FROM agg, tot"""
 
 
+def _normalize_url_sql(url: str) -> str:
+    """DuckDB mirror of operators.domains.normalize_url (same anchored
+    RE2 extracts, same tracking-param set, same sort)."""
+    scheme = f"lower(regexp_extract({url}, '^([a-zA-Z][a-zA-Z0-9+.-]*)://', 1))"
+    hostport = (
+        f"lower(regexp_extract({url}, "
+        f"'^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)', 1))"
+    )
+    host = (
+        f"CASE {scheme} WHEN 'https' THEN regexp_replace({hostport}, ':443$', '')"
+        f" WHEN 'http' THEN regexp_replace({hostport}, ':80$', '')"
+        f" ELSE {hostport} END"
+    )
+    path = (
+        f"regexp_replace(regexp_extract({url}, "
+        f"'^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/+$', '')"
+    )
+    params = (
+        f"list_filter(string_split(regexp_extract({url}, '\\?([^#]*)', 1), '&'),"
+        " p -> len(p) > 0 AND NOT starts_with(split_part(p, '=', 1), 'utm_')"
+        " AND split_part(p, '=', 1)"
+        " NOT IN ('ref','fbclid','gclid','mc_cid','mc_eid'))"
+    )
+    qs = f"array_to_string(list_sort({params}), '&')"
+    return (
+        f"{scheme} || '://' || {host} || {path} || "
+        f"CASE WHEN {qs} <> '' THEN '?' || {qs} ELSE '' END"
+    )
+
+
+#: Messy URL variants for the url-dedup query: five documents share a
+#: logical page (pid = doc_id // 5); four of them reach it through
+#: case / trailing-slash / default-port+utm / fragment noise and must
+#: collapse to one canonical URL, while the %5==3 variant carries REAL
+#: (non-tracking) query params in scrambled order and must survive as
+#: its own page with the params sorted.
+_URL_VARIANTS_SQL = """
+      CASE doc_id % 5
+        WHEN 1 THEN 'HTTPS://SITE' || CAST((doc_id // 5) % 12 AS VARCHAR)
+                    || '.COM/p/' || CAST(doc_id // 5 AS VARCHAR) || '/'
+        WHEN 2 THEN 'https://site' || CAST((doc_id // 5) % 12 AS VARCHAR)
+                    || '.com:443/p/' || CAST(doc_id // 5 AS VARCHAR)
+                    || '?utm_source=x'
+        WHEN 3 THEN 'https://site' || CAST((doc_id // 5) % 12 AS VARCHAR)
+                    || '.com/p/' || CAST(doc_id // 5 AS VARCHAR)
+                    || '?b=2&a=1&ref=feed'
+        WHEN 4 THEN 'https://site' || CAST((doc_id // 5) % 12 AS VARCHAR)
+                    || '.com/p/' || CAST(doc_id // 5 AS VARCHAR) || '#frag'
+        ELSE 'https://site' || CAST((doc_id // 5) % 12 AS VARCHAR)
+             || '.com/p/' || CAST(doc_id // 5 AS VARCHAR)
+      END"""
+
+
+def _messy_url() -> F.Column:
+    """Spark twin of _URL_VARIANTS_SQL."""
+    pid = F.floor(F.col("doc_id") / 5).cast("long")
+    h = (pid % 12).cast("string")
+    p = pid.cast("string")
+    v = F.col("doc_id") % 5
+    return (
+        F.when(
+            v == 1,
+            F.concat(
+                F.lit("HTTPS://SITE"), h, F.lit(".COM/p/"), p, F.lit("/")
+            ),
+        )
+        .when(
+            v == 2,
+            F.concat(
+                F.lit("https://site"), h, F.lit(".com:443/p/"), p,
+                F.lit("?utm_source=x"),
+            ),
+        )
+        .when(
+            v == 3,
+            F.concat(
+                F.lit("https://site"), h, F.lit(".com/p/"), p,
+                F.lit("?b=2&a=1&ref=feed"),
+            ),
+        )
+        .when(
+            v == 4,
+            F.concat(
+                F.lit("https://site"), h, F.lit(".com/p/"), p, F.lit("#frag")
+            ),
+        )
+        .otherwise(
+            F.concat(F.lit("https://site"), h, F.lit(".com/p/"), p)
+        )
+    )
+
+
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup (operators/domains.py url_dedup): canonicalize
+    messy crawl URLs (case, default ports, trailing slashes, fragments,
+    tracking params, scrambled param order) and keep one document per
+    canonical URL — longest text wins, ties to lowest id — with the
+    absorbed-duplicate count."""
+    from etl_global_mobility_spark.operators.domains import url_dedup
+
+    d = load_table(spark, sf_dir, "documents")
+    return url_dedup(
+        d.select("doc_id", "text", _messy_url().alias("url"))
+    ).select("canonical_url", "doc_id", "n_dups")
+
+
+_URL_DEDUP_SQL = f"""
+    WITH u AS (
+      SELECT doc_id, text, {_URL_VARIANTS_SQL} AS url FROM documents
+    ), c AS (
+      SELECT doc_id, text, {_normalize_url_sql("url")} AS canonical_url
+      FROM u
+    ), r AS (
+      SELECT doc_id, canonical_url,
+             row_number() OVER (PARTITION BY canonical_url
+                                ORDER BY len(text) DESC, doc_id) AS rn,
+             count(*) OVER (PARTITION BY canonical_url) - 1 AS n_dups
+      FROM c
+    )
+    SELECT canonical_url, doc_id, n_dups FROM r WHERE rn = 1"""
+
+
+def q_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility/compression report per language
+    (operators/text.py token_fertility_report): exact char/token/piece
+    sums, chars-per-token, pieces-per-whitespace-token."""
+    from etl_global_mobility_spark.operators.text import (
+        token_fertility_report,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return token_fertility_report(d)
+
+
+_PIECES = (
+    "len(list_filter(string_split_regex(lower(trim(text)), '[^a-z0-9]+'),"
+    " x -> len(x) > 0))"
+)
+
+_TOKEN_FERTILITY_SQL = f"""
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+           CAST(sum(len({TOKS})) AS BIGINT) AS sum_ws_tokens,
+           CAST(sum({_PIECES}) AS BIGINT) AS sum_pieces,
+           CAST(sum(length(text)) AS DOUBLE)
+             / CAST(sum(len({TOKS})) AS DOUBLE) AS chars_per_token,
+           CAST(sum({_PIECES}) AS DOUBLE)
+             / CAST(sum(len({TOKS})) AS DOUBLE) AS fertility
+    FROM documents GROUP BY lang"""
+
+
 SPECS = [
     QuerySpec(
         "llm_exact_dedup",
@@ -3899,5 +4051,20 @@ SPECS = [
         _DOMAIN_CAP_REPORT_SQL,
         doc="per-domain cap (max 5, md5-ordered) + per-domain "
         "doc/token counts and corpus shares",
+    ),
+    QuerySpec(
+        "llm_url_dedup",
+        q_url_dedup,
+        _URL_DEDUP_SQL,
+        doc="URL-level dedup: canonicalize (case/port/slash/fragment/"
+        "tracking-param/param-order noise) then keep-best per "
+        "canonical URL with absorbed-duplicate counts",
+    ),
+    QuerySpec(
+        "llm_token_fertility",
+        q_token_fertility,
+        _TOKEN_FERTILITY_SQL,
+        doc="tokenizer fertility/compression report per language: "
+        "exact char/token/piece sums, chars-per-token, fertility",
     ),
 ]

@@ -125,6 +125,93 @@ def domain_blocklist_filter(
     return df.filter(hit if invert else ~hit)
 
 
+#: Query parameters stripped by URL canonicalization: click/campaign
+#: trackers that vary per visit without changing the page. ``utm_*``
+#: is matched as a prefix.
+TRACKING_PARAMS = ("ref", "fbclid", "gclid", "mc_cid", "mc_eid")
+
+
+def normalize_url(url: str | Column) -> Column:
+    """Canonical form of a URL for URL-level dedup (the C4 move:
+    one crawl page, one document): lowercase scheme+host, strip the
+    scheme's default port (:443/https, :80/http), strip trailing
+    slashes from the path, drop the fragment, drop tracking query
+    parameters (``utm_*`` prefix + :data:`TRACKING_PARAMS`), and SORT
+    the surviving parameters so ``?b=2&a=1`` and ``?a=1&b=2`` meet.
+    Pure codegen (anchored regex extracts + array ops on the split
+    query string) — zero shuffles, and every step is RE2-safe so the
+    DuckDB oracle reproduces it byte-for-byte."""
+    col = F.col(url) if isinstance(url, str) else url
+    scheme = F.lower(F.regexp_extract(col, r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
+    hostport = F.lower(
+        F.regexp_extract(col, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", 1)
+    )
+    host = (
+        F.when(scheme == "https", F.regexp_replace(hostport, r":443$", ""))
+        .when(scheme == "http", F.regexp_replace(hostport, r":80$", ""))
+        .otherwise(hostport)
+    )
+    path = F.regexp_replace(
+        F.regexp_extract(
+            col, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", 1
+        ),
+        r"/+$",
+        "",
+    )
+    params = F.filter(
+        F.split(F.regexp_extract(col, r"\?([^#]*)", 1), "&"),
+        lambda p: (F.length(p) > 0)
+        & ~F.substring_index(p, "=", 1).startswith("utm_")
+        & ~F.substring_index(p, "=", 1).isin(*TRACKING_PARAMS),
+    )
+    qs = F.array_join(F.array_sort(params), "&")
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit("")),
+    )
+
+
+def url_dedup(
+    df: DataFrame,
+    url_col: str = "url",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """URL-level dedup: canonicalize URLs (:func:`normalize_url`),
+    keep ONE document per canonical URL — the longest text wins (most
+    complete extraction of the same page), ties break to the lowest
+    id — and report how many duplicates each survivor absorbed. This
+    is C4's first dedup pass (crawls re-fetch the same page through
+    tracking-param/port/case variants long before any content
+    similarity runs), and it costs one shuffle on the canonical key:
+    cheaper by orders of magnitude than content near-dup, which then
+    only has to handle the SAME-content-DIFFERENT-url tail.
+
+    Scale shape: map-only canonicalization → one keyed window
+    (row_number + count over the canonical URL; md5-uniform keys —
+    a hot canonical URL IS the signal being measured, and the window
+    state per key is one counter, not the rows)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("canonical_url")
+    ranked = (
+        df.withColumn("canonical_url", normalize_url(F.col(url_col)))
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                w.orderBy(
+                    F.length(F.col(text_col)).desc(), F.col(id_col).asc()
+                )
+            ),
+        )
+        .withColumn("n_dups", F.count(F.lit(1)).over(w) - F.lit(1))
+    )
+    return ranked.filter(F.col("_rn") == 1).drop("_rn")
+
+
 def cap_per_domain(
     df: DataFrame,
     max_docs: int,

@@ -43,6 +43,64 @@ def bpe_ish_token_count(text: str | Column) -> Column:
     return F.size(F.filter(pieces, lambda t: F.length(t) > 0))
 
 
+def subword_piece_count(text: str | Column) -> Column:
+    """RE2-safe subword-piece estimate: maximal alphanumeric runs
+    after lowercasing (``[^a-z0-9]+`` split). Unlike
+    :func:`bpe_ish_token_count`, whose letter→digit lookbehind is
+    Java-regex-only, every step here reproduces in DuckDB — making it
+    the piece counter the ORACLE-CHECKED fertility report uses."""
+    col = F.col(text) if isinstance(text, str) else text
+    pieces = F.split(F.lower(F.trim(col)), r"[^a-z0-9]+")
+    return F.size(F.filter(pieces, lambda t: F.length(t) > 0))
+
+
+def token_fertility_report(
+    df: DataFrame, text_col: str = "text", lang_col: str = "lang"
+) -> DataFrame:
+    """Tokenizer fertility/compression accounting per language: doc
+    count, exact char/whitespace-token/subword-piece sums, characters
+    per token, and fertility (pieces per whitespace token) — the
+    report a tokenizer-selection study runs per corpus slice (fertility
+    >> 1 on a language means the tokenizer fragments it, inflating
+    training cost per effective token; chars/token is the compression
+    ratio that converts a byte budget into a token budget).
+
+    Scale shape: map-only counters → ONE hash aggregation keyed on
+    language (output ∝ languages). Integer sums are exact; the two
+    ratios are the only float ops."""
+    tc = token_count(F.col(text_col))
+    return (
+        df.select(
+            F.col(lang_col).alias("lang"),
+            F.length(F.col(text_col)).alias("_chars"),
+            tc.alias("_ws"),
+            subword_piece_count(F.col(text_col)).alias("_pieces"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_chars").alias("sum_chars"),
+            F.sum("_ws").alias("sum_ws_tokens"),
+            F.sum("_pieces").alias("sum_pieces"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "sum_chars",
+            "sum_ws_tokens",
+            "sum_pieces",
+            (
+                F.col("sum_chars").cast("double")
+                / F.col("sum_ws_tokens").cast("double")
+            ).alias("chars_per_token"),
+            (
+                F.col("sum_pieces").cast("double")
+                / F.col("sum_ws_tokens").cast("double")
+            ).alias("fertility"),
+        )
+    )
+
+
 def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document statistics: chars, tokens, avg token length,
     punctuation/whitespace/digit ratios."""

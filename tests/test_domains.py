@@ -127,3 +127,69 @@ def test_host_suffix_chain_is_label_aligned(spark):
         .first()
     )
     assert row["c"] == ["a.b.example.com", "b.example.com", "example.com", "com"]
+
+
+def test_normalize_url_canonicalization_rules(spark):
+    from etl_global_mobility_spark.operators.domains import normalize_url
+
+    cases = [
+        ("https://Site3.COM:443/p/7/?utm_source=x&b=2&a=1#frag",
+         "https://site3.com/p/7?a=1&b=2"),
+        ("HTTP://example.org:80/a//", "http://example.org/a"),
+        ("https://example.org/a?ref=feed", "https://example.org/a"),
+        ("https://example.org/", "https://example.org"),
+        ("https://example.org", "https://example.org"),
+        # non-default port survives; non-tracking params sort
+        ("http://h.net:8080/x?z=1&y=2", "http://h.net:8080/x?y=2&z=1"),
+        # :443 is only default for https
+        ("http://h.net:443/x", "http://h.net:443/x"),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)], "id long, url string"
+    )
+    got = {
+        r["id"]: r["n"]
+        for r in df.select("id", normalize_url("url").alias("n")).collect()
+    }
+    for i, (u, want) in enumerate(cases):
+        assert got[i] == want, (u, got[i], want)
+
+
+def test_url_dedup_keeps_longest_then_lowest_id(spark):
+    from etl_global_mobility_spark.operators.domains import url_dedup
+
+    rows = [
+        (1, "https://a.com/p", "short"),
+        (2, "https://A.com/p/", "the longest text wins here"),
+        (3, "https://a.com:443/p?utm_source=x", "medium text"),
+        (4, "https://a.com/p?x=1", "unique page"),
+        # tie on length -> lowest id
+        (5, "https://b.com/q", "same"),
+        (6, "https://b.com/q#f", "same"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, text string")
+    out = {r["canonical_url"]: r for r in url_dedup(df).collect()}
+    assert out["https://a.com/p"]["doc_id"] == 2
+    assert out["https://a.com/p"]["n_dups"] == 2
+    assert out["https://a.com/p?x=1"]["n_dups"] == 0
+    assert out["https://b.com/q"]["doc_id"] == 5
+    assert out["https://b.com/q"]["n_dups"] == 1
+    assert len(out) == 3
+
+
+def test_token_fertility_report_exact_sums(spark):
+    from etl_global_mobility_spark.operators.text import (
+        token_fertility_report,
+    )
+
+    rows = [
+        (1, "ab cd-ef", "en"),   # 2 ws tokens, 3 pieces, 8 chars
+        (2, "xyz", "en"),        # 1 ws token, 1 piece, 3 chars
+        (3, "uno dos", "es"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {r["lang"]: r for r in token_fertility_report(df).collect()}
+    en = got["en"]
+    assert (en["n_docs"], en["sum_chars"], en["sum_ws_tokens"], en["sum_pieces"]) == (2, 11, 3, 4)
+    assert abs(en["fertility"] - 4 / 3) < 1e-12
+    assert abs(en["chars_per_token"] - 11 / 3) < 1e-12
