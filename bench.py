@@ -140,6 +140,7 @@ HEADLINE = [
     "llm_domain_cap_report",
     "llm_url_dedup",
     "llm_token_fertility",
+    "llm_int8_quantize",
 ]
 
 

@@ -220,6 +220,7 @@ SCHEDULED_NEXT_WINDOW = frozenset(
         "llm_domain_cap_report",
         "llm_url_dedup",
         "llm_token_fertility",
+        "llm_int8_quantize",
     }
 )
 

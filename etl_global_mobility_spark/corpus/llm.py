@@ -3335,6 +3335,46 @@ _TOKEN_FERTILITY_SQL = f"""
     FROM documents GROUP BY lang"""
 
 
+def q_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector affine int8 (SQ8) quantization report
+    (operators/similarity.py int8_quantize_report): codes
+    round((x−min)/s) at s=(max−min)/255, reconstruction max-abs-err
+    and MSE per vector — the accept/reject number before re-encoding
+    a corpus at 4x compression."""
+    from etl_global_mobility_spark.operators.similarity import (
+        int8_quantize_report,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    return int8_quantize_report(e)
+
+
+_INT8_QUANTIZE_SQL = """
+    WITH b AS (
+      SELECT vec_id, embedding::DOUBLE[] AS v,
+             CAST(len(embedding) AS INT) AS n_dims,
+             list_min(embedding::DOUBLE[]) AS mn,
+             (list_max(embedding::DOUBLE[]) - list_min(embedding::DOUBLE[]))
+               / 255.0 AS s
+      FROM embeddings
+    ), e AS (
+      SELECT vec_id, n_dims, mn, s,
+             list_transform(v, x -> abs(x - (mn +
+               (CASE WHEN s = 0 THEN 0.0 ELSE round((x - mn) / s) END) * s)))
+               AS errs
+      FROM b
+    )
+    SELECT vec_id, n_dims,
+           mn AS vmin,
+           mn + s * 255.0 AS vmax,
+           s AS qscale,
+           list_max(errs) AS max_abs_err,
+           list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                                    list_transform(errs, x -> x * x)),
+                       (a, b) -> a + b) / CAST(n_dims AS DOUBLE) AS mse
+    FROM e"""
+
+
 SPECS = [
     QuerySpec(
         "llm_exact_dedup",
@@ -4066,5 +4106,13 @@ SPECS = [
         _TOKEN_FERTILITY_SQL,
         doc="tokenizer fertility/compression report per language: "
         "exact char/token/piece sums, chars-per-token, fertility",
+    ),
+    QuerySpec(
+        "llm_int8_quantize",
+        q_int8_quantize,
+        _INT8_QUANTIZE_SQL,
+        doc="per-vector affine int8 quantization (SQ8) with "
+        "reconstruction max-abs-err and MSE — map-only, let-bound "
+        "min/max/scale, identical float sequence in both engines",
     ),
 ]

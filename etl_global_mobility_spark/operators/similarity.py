@@ -1000,3 +1000,74 @@ def kmeans_fixed_point(
             )
         ),
     )
+
+
+def int8_quantize_report(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-vector affine int8 quantization with a reconstruction-error
+    report — the standard vector-compression stage before ANN at scale
+    (4x smaller than float32; FAISS's SQ8, Milvus/pgvector int8):
+    each vector is mapped to codes ``q_i = round((x_i − min) / s)``
+    with ``s = (max − min)/255``, reconstructed as ``min + q_i·s``, and
+    scored by its max absolute error and MSE so a pipeline can decide
+    whether SQ8 recall is acceptable before re-encoding a corpus.
+
+    Constant vectors (max == min) quantize to all-zero codes with zero
+    error (s = 0 guard). Every step is a let-bound map-only array
+    expression — min/max/scale evaluate ONCE per row (the _bind rule:
+    a bare array_min referenced inside a transform lambda would
+    re-evaluate per ELEMENT, turning O(dim) into O(dim²)) — and the
+    float sequence (subtract, divide, round-half-away, multiply, add)
+    is identical in DuckDB, so the report is oracle-exact. Zero
+    shuffles; at 100 TB this is scan-bound, like every quantizer
+    encode pass.
+    """
+    from etl_global_mobility_spark.operators.text import _bind
+
+    # float32 storage widens to double ONCE, before any arithmetic —
+    # float-vs-double op parity between engines is not a given, but
+    # f32→f64 widening is exact and identical everywhere
+    v = F.col(vec_col).cast("array<double>")
+
+    def with_stats(vv):
+        return _bind(
+            F.array_min(vv),
+            lambda mn: _bind(
+                (F.array_max(vv) - mn) / F.lit(255.0),
+                lambda s: _bind(
+                    F.zip_with(
+                        vv,
+                        F.transform(
+                            vv,
+                            lambda x: F.when(s == 0.0, F.lit(0.0)).otherwise(
+                                F.round((x - mn) / s)
+                            ),
+                        ),
+                        lambda x, q: F.abs(x - (mn + q * s)),
+                    ),
+                    lambda errs: F.struct(
+                        mn.alias("vmin"),
+                        (mn + s * F.lit(255.0)).alias("vmax"),
+                        s.alias("qscale"),
+                        F.array_max(errs).alias("max_abs_err"),
+                        (
+                            F.aggregate(
+                                errs,
+                                F.lit(0.0),
+                                lambda acc, e: acc + e * e,
+                            )
+                            / F.size(errs).cast("double")
+                        ).alias("mse"),
+                    ),
+                ),
+            ),
+        )
+
+    return corpus.select(
+        F.col(id_col),
+        F.size(v).alias("n_dims"),
+        F.inline(F.array(with_stats(v))),
+    )

@@ -2773,3 +2773,27 @@ def test_ivf_trainer_literal_path_bit_identical(spark):
     )
     literal = train_ivf_centroids(df, n_cells=5, n_iters=2, large_k_threshold=1)
     assert unrolled == literal  # exact float equality, not approx
+
+
+def test_int8_quantize_error_bound_and_plan(spark):
+    """SQ8 guarantee: reconstruction error of affine int8 quantization
+    is at most s/2 per element (round-to-nearest); constant vectors are
+    exact; the encode pass is map-only (zero exchanges)."""
+    import random as _random
+
+    from etl_global_mobility_spark.operators.similarity import (
+        int8_quantize_report,
+    )
+
+    rng = _random.Random(3)
+    rows = [(i, [rng.uniform(-5, 5) for _ in range(16)]) for i in range(50)]
+    rows.append((99, [2.5] * 16))  # constant vector
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["vec_id"]: r for r in int8_quantize_report(df).collect()}
+    for vid, r in out.items():
+        assert r["max_abs_err"] <= r["qscale"] / 2 + 1e-12, vid
+        assert r["mse"] <= (r["qscale"] / 2) ** 2 + 1e-12, vid
+    assert out[99]["qscale"] == 0.0
+    assert out[99]["max_abs_err"] == 0.0 and out[99]["mse"] == 0.0
+    plan = int8_quantize_report(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
