@@ -141,6 +141,8 @@ HEADLINE = [
     "llm_url_dedup",
     "llm_token_fertility",
     "llm_int8_quantize",
+    "llm_k_anonymity",
+    "llm_k_suppress",
 ]
 
 

@@ -221,6 +221,8 @@ SCHEDULED_NEXT_WINDOW = frozenset(
         "llm_url_dedup",
         "llm_token_fertility",
         "llm_int8_quantize",
+        "llm_k_anonymity",
+        "llm_k_suppress",
     }
 )
 

@@ -3375,6 +3375,70 @@ _INT8_QUANTIZE_SQL = """
     FROM e"""
 
 
+#: Quasi-identifier columns for the k-anonymity queries: language,
+#: source, and a coarse length bucket — the metadata triple an
+#: auxiliary dataset could plausibly join on.
+_QUASI = ("lang", "source", "size_bucket")
+
+
+def _with_quasi(d: DataFrame) -> DataFrame:
+    return d.select(
+        "doc_id", "lang", "source",
+        F.expr("n_chars div 500").alias("size_bucket"),
+    )
+
+
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (operators/privacy.py k_anonymity_report):
+    per quasi-identifier equivalence class (lang, source, length
+    bucket) the class size, at-risk flag (size < 3), and corpus
+    share — the release-review table after PII redaction."""
+    from etl_global_mobility_spark.operators.privacy import (
+        k_anonymity_report,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return k_anonymity_report(_with_quasi(d), list(_QUASI), k=3)
+
+
+_K_ANONYMITY_SQL = """
+    WITH q AS (
+      SELECT doc_id, lang, source, n_chars // 500 AS size_bucket
+      FROM documents
+    ), c AS (
+      SELECT lang, source, size_bucket, count(*) AS n_rows
+      FROM q GROUP BY lang, source, size_bucket
+    ), t AS (SELECT sum(n_rows) AS total FROM c)
+    SELECT lang, source, size_bucket, n_rows,
+           n_rows < 3 AS at_risk,
+           CAST(n_rows AS DOUBLE) / total AS row_share
+    FROM c, t"""
+
+
+def q_k_suppress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppression baseline (operators/privacy.py k_anonymity_suppress):
+    the released rows after dropping every quasi-identifier class
+    smaller than k=3 — any metadata join now matches 3-or-none."""
+    from etl_global_mobility_spark.operators.privacy import (
+        k_anonymity_suppress,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return k_anonymity_suppress(_with_quasi(d), list(_QUASI), k=3)
+
+
+_K_SUPPRESS_SQL = """
+    WITH q AS (
+      SELECT doc_id, lang, source, n_chars // 500 AS size_bucket
+      FROM documents
+    ), c AS (
+      SELECT doc_id, lang, source, size_bucket,
+             count(*) OVER (PARTITION BY lang, source, size_bucket) AS n
+      FROM q
+    )
+    SELECT doc_id, lang, source, size_bucket FROM c WHERE n >= 3"""
+
+
 SPECS = [
     QuerySpec(
         "llm_exact_dedup",
@@ -4114,5 +4178,19 @@ SPECS = [
         doc="per-vector affine int8 quantization (SQ8) with "
         "reconstruction max-abs-err and MSE — map-only, let-bound "
         "min/max/scale, identical float sequence in both engines",
+    ),
+    QuerySpec(
+        "llm_k_anonymity",
+        q_k_anonymity,
+        _K_ANONYMITY_SQL,
+        doc="k-anonymity audit per quasi-identifier class (lang, "
+        "source, length bucket): size, at-risk flag, corpus share",
+    ),
+    QuerySpec(
+        "llm_k_suppress",
+        q_k_suppress,
+        _K_SUPPRESS_SQL,
+        doc="k-anonymity suppression baseline: rows surviving the "
+        "class-size >= k filter (keyed window, no join-back)",
     ),
 ]

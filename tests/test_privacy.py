@@ -1,0 +1,79 @@
+"""k-anonymity operators (operators/privacy.py): audit semantics, the
+suppress⊨audit consistency property, and the single-aggregation plan."""
+
+from __future__ import annotations
+
+import pytest
+
+
+def _rows(spark):
+    data = [
+        # (id, lang, region): class (en, eu) has 3 rows; (en, us) 2;
+        # (fr, eu) 1 — so k=3 keeps exactly the first class
+        (1, "en", "eu"),
+        (2, "en", "eu"),
+        (3, "en", "eu"),
+        (4, "en", "us"),
+        (5, "en", "us"),
+        (6, "fr", "eu"),
+    ]
+    return spark.createDataFrame(data, "id long, lang string, region string")
+
+
+def test_k_anonymity_report_classes_and_shares(spark):
+    from etl_global_mobility_spark.operators.privacy import (
+        k_anonymity_report,
+    )
+
+    df = _rows(spark)
+    rep = {
+        (r["lang"], r["region"]): r
+        for r in k_anonymity_report(df, ["lang", "region"], k=3).collect()
+    }
+    assert rep[("en", "eu")]["n_rows"] == 3
+    assert rep[("en", "eu")]["at_risk"] is False
+    assert rep[("en", "us")]["at_risk"] is True
+    assert rep[("fr", "eu")]["at_risk"] is True
+    assert abs(sum(r["row_share"] for r in rep.values()) - 1.0) < 1e-12
+    with pytest.raises(ValueError, match="k must be >= 2"):
+        k_anonymity_report(df, ["lang"], k=1)
+    with pytest.raises(ValueError, match="quasi_cols"):
+        k_anonymity_report(df, [], k=3)
+
+
+def test_k_suppress_consistent_with_report(spark):
+    """Every released row's class must audit as NOT at risk, and the
+    released table must itself be k-anonymous (re-audit finds zero
+    at-risk classes)."""
+    from etl_global_mobility_spark.operators.privacy import (
+        k_anonymity_report,
+        k_anonymity_suppress,
+    )
+
+    df = _rows(spark)
+    kept = k_anonymity_suppress(df, ["lang", "region"], k=3)
+    assert sorted(r["id"] for r in kept.collect()) == [1, 2, 3]
+    re_audit = k_anonymity_report(kept, ["lang", "region"], k=3)
+    assert re_audit.filter("at_risk").count() == 0
+
+
+def test_k_anonymity_plans_single_keyed_pass(spark):
+    """Audit = one hash agg + broadcast 1-row total; suppress = one
+    keyed window — no join-back, no cartesian anything."""
+    from etl_global_mobility_spark.operators.privacy import (
+        k_anonymity_report,
+        k_anonymity_suppress,
+    )
+
+    df = _rows(spark)
+    audit_plan = (
+        k_anonymity_report(df, ["lang", "region"], 3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in audit_plan
+    assert "BroadcastExchange" in audit_plan  # the 1-row total
+    sup_plan = (
+        k_anonymity_suppress(df, ["lang", "region"], 3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Join" not in sup_plan  # keyed window, not a join-back
