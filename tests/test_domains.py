@@ -193,3 +193,68 @@ def test_token_fertility_report_exact_sums(spark):
     assert (en["n_docs"], en["sum_chars"], en["sum_ws_tokens"], en["sum_pieces"]) == (2, 11, 3, 4)
     assert abs(en["fertility"] - 4 / 3) < 1e-12
     assert abs(en["chars_per_token"] - 11 / 3) < 1e-12
+
+
+@pytest.mark.slow
+def test_url_dedup_soak_structural_at_volume(spark):
+    """Round-7 scale soak: 120k documents = 24k logical pages x 5 URL
+    variants (case / trailing slash / default port + utm / real query
+    params / fragment). Structural expectations, not samples: exactly
+    2 canonical URLs per page (the 4 noise variants collapse, the
+    real-param variant survives), absorbed-dup mass 3 per page, and
+    every winner is the longest-text-then-lowest-id member of its
+    class (python reference on a deterministic subset). Runtime budget
+    fails the test if canonicalization ever stops being one map pass +
+    one keyed window."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from etl_global_mobility_spark.operators.domains import url_dedup
+
+    n_pages = 24_000
+
+    def mk(doc_id: int) -> tuple[int, str, str]:
+        pid, v = divmod(doc_id, 5)
+        h = pid % 12
+        base = f"site{h}.com"
+        if v == 1:
+            url = f"HTTPS://SITE{h}.COM/p/{pid}/"
+        elif v == 2:
+            url = f"https://{base}:443/p/{pid}?utm_source=x"
+        elif v == 3:
+            url = f"https://{base}/p/{pid}?b=2&a=1&ref=feed"
+        elif v == 4:
+            url = f"https://{base}/p/{pid}#frag"
+        else:
+            url = f"https://{base}/p/{pid}"
+        text = "w" * ((doc_id * 7919) % 40 + 1)  # deterministic lengths
+        return doc_id, url, text
+
+    rows = [mk(i) for i in range(n_pages * 5)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, url string, text string"
+    ).repartition(32)
+
+    t0 = time.time()
+    out = url_dedup(df).select("canonical_url", "doc_id", "n_dups")
+    agg = out.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("n_dups").alias("dups")
+    ).first()
+    elapsed = time.time() - t0
+    assert agg["n"] == 2 * n_pages
+    assert agg["dups"] == 3 * n_pages
+    assert elapsed < 90, f"url_dedup soak took {elapsed:.1f}s"
+
+    # python reference on the first 200 pages: winner per collapsed class
+    got = {
+        r["canonical_url"]: r["doc_id"]
+        for r in out.filter(
+            ~F.col("canonical_url").contains("?") & (F.col("doc_id") < 1000)
+        ).collect()
+    }
+    for pid in range(200):
+        members = [mk(pid * 5 + v) for v in (0, 1, 2, 4)]
+        want = min(members, key=lambda m: (-len(m[2]), m[0]))[0]
+        cu = f"https://site{pid % 12}.com/p/{pid}"
+        assert got[cu] == want, (pid, got[cu], want)
