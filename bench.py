@@ -282,14 +282,19 @@ def main() -> None:
     # single line either way): exit nonzero so a >2x per-query
     # regression fails loudly instead of shipping silently.
     regressed = _check_regressions(times, sf)
-    # Persist the full map as the next run's baseline — but NEVER
-    # rebase onto a run that tripped the gate (a regression must stay
-    # visible until fixed, not become the new normal), and only at the
-    # baseline SF.
+    # Persist the full map as a CANDIDATE, never directly as the
+    # baseline: if every green run rewrote BENCH_FULL_LATEST.json,
+    # each sub-2x regression would rebase the gate and compound
+    # invisibly (1.0s → 2.4s → 5.2s in two green runs). The baseline
+    # rebases ONCE PER ROUND, deliberately: at round end, promote the
+    # candidate (cp BENCH_FULL_CANDIDATE.json BENCH_FULL_LATEST.json)
+    # and commit — within a round every run keeps comparing against
+    # the same round-start baseline. A tripped run doesn't even write
+    # the candidate.
     if not regressed and abs(sf - 0.1) < 1e-9:
         with open(
             os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                         "BENCH_FULL_LATEST.json"),
+                         "BENCH_FULL_CANDIDATE.json"),
             "w",
         ) as f:
             json.dump(
@@ -312,9 +317,13 @@ def main() -> None:
 def _load_baseline() -> tuple[str, dict[str, float]]:
     """Per-query seconds for the regression ratchet. Preference order:
 
-    1. BENCH_FULL_LATEST.json — the complete map bench.py itself
-       persists on every green sf0.1 run (survives the driver's ~2 KB
-       tail-capture limit that nulled BENCH_r06's parsed map);
+    1. BENCH_FULL_LATEST.json — the complete map, rebased ONCE PER
+       ROUND by deliberately promoting BENCH_FULL_CANDIDATE.json (the
+       file each green sf0.1 run writes) and committing. Runs never
+       rewrite the baseline themselves — that would let sub-2x
+       regressions compound rebase-by-rebase within a round. Survives
+       the driver's ~2 KB tail-capture limit that nulled BENCH_r06's
+       parsed map.
     2. the NEWEST BENCH_r*.json the driver recorded (compact line:
        only the 12 slowest queries since round 7, full map before).
     """

@@ -3045,13 +3045,21 @@ _URL_SQL = (
 _HOST_SQL = r"regexp_extract(url, '^https?://([^/:?#]+)', 1)"
 
 #: DuckDB mirror of operators.domains.registrable_domain (same listed
-#: multi-part suffixes, same anchored extracts).
-_DOMAIN_SQL = r"""CASE WHEN regexp_extract(host, '([^.]+\.[^.]+)$', 1)
+#: multi-part suffixes, same anchored extracts, same trailing-dot /
+#: IPv4-literal / single-label identity branches).
+_DOMAIN_SQL = r"""CASE
+       WHEN regexp_matches(rtrim(host, '.'), '^[0-9.]+$')
+         THEN rtrim(host, '.')
+       WHEN regexp_extract(rtrim(host, '.'), '([^.]+\.[^.]+)$', 1) = ''
+         THEN rtrim(host, '.')
+       WHEN regexp_extract(rtrim(host, '.'), '([^.]+\.[^.]+)$', 1)
              IN ('co.uk','org.uk','gov.uk','ac.uk',
                  'co.jp','com.au','com.br','co.in')
-            AND regexp_extract(host, '([^.]+\.[^.]+\.[^.]+)$', 1) <> ''
-       THEN regexp_extract(host, '([^.]+\.[^.]+\.[^.]+)$', 1)
-       ELSE regexp_extract(host, '([^.]+\.[^.]+)$', 1) END"""
+            AND regexp_extract(rtrim(host, '.'),
+                               '([^.]+\.[^.]+\.[^.]+)$', 1) <> ''
+         THEN regexp_extract(rtrim(host, '.'),
+                             '([^.]+\.[^.]+\.[^.]+)$', 1)
+       ELSE regexp_extract(rtrim(host, '.'), '([^.]+\.[^.]+)$', 1) END"""
 
 #: Blocklist the blocklist query pins: one registrable domain (drops
 #: every subdomain under it), one exact host, one multi-part-suffix
@@ -3208,8 +3216,9 @@ def _normalize_url_sql(url: str) -> str:
     )
     qs = f"array_to_string(list_sort({params}), '&')"
     return (
+        f"CASE WHEN {scheme} = '' THEN {url} ELSE "
         f"{scheme} || '://' || {host} || {path} || "
-        f"CASE WHEN {qs} <> '' THEN '?' || {qs} ELSE '' END"
+        f"CASE WHEN {qs} <> '' THEN '?' || {qs} ELSE '' END END"
     )
 
 
@@ -3295,12 +3304,17 @@ _URL_DEDUP_SQL = f"""
     ), c AS (
       SELECT doc_id, text, {_normalize_url_sql("url")} AS canonical_url
       FROM u
+    ), k AS (
+      SELECT doc_id, text, canonical_url,
+             coalesce(canonical_url,
+                      '__null-url__:' || CAST(doc_id AS VARCHAR)) AS cu_key
+      FROM c
     ), r AS (
       SELECT doc_id, canonical_url,
-             row_number() OVER (PARTITION BY canonical_url
+             row_number() OVER (PARTITION BY cu_key
                                 ORDER BY len(text) DESC, doc_id) AS rn,
-             count(*) OVER (PARTITION BY canonical_url) - 1 AS n_dups
-      FROM c
+             count(*) OVER (PARTITION BY cu_key) - 1 AS n_dups
+      FROM k
     )
     SELECT canonical_url, doc_id, n_dups FROM r WHERE rn = 1"""
 

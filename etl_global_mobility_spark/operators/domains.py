@@ -42,10 +42,13 @@ MULTI_PART_SUFFIXES = (
 
 def url_host(url: str | Column) -> Column:
     """Hostname of a URL (no scheme, port, path, query, or fragment) —
-    Spark's JVM-side ``parse_url(url, 'HOST')``; NULL for unparseable
-    values rather than an error (curation inputs are dirty)."""
+    Spark's JVM-side ``try_parse_url(url, 'HOST')``: NULL for
+    unparseable values rather than an error (curation inputs are
+    dirty, and plain ``parse_url`` THROWS under ANSI mode — the
+    default since Spark 4 — which would kill a 100 TB scan on its
+    first malformed row)."""
     col = F.col(url) if isinstance(url, str) else url
-    return F.parse_url(col, F.lit("HOST"))
+    return F.try_parse_url(col, F.lit("HOST"))
 
 
 def registrable_domain(host: str | Column) -> Column:
@@ -54,13 +57,26 @@ def registrable_domain(host: str | Column) -> Column:
     public suffix (:data:`MULTI_PART_SUFFIXES`) — so
     ``www.news.example.co.uk`` → ``example.co.uk`` while
     ``cdn.example.com`` → ``example.com``. Pure codegen expression
-    (two anchored regex extracts + a literal set membership)."""
-    col = F.col(host) if isinstance(host, str) else host
+    (anchored regex extracts + a literal set membership).
+
+    Hosts with NO registrable-domain structure keep their own identity
+    instead of collapsing into a shared sentinel (which would let
+    cap_per_domain/domain_report lump unrelated hosts into one
+    stratum): single-label hosts (``localhost``) and IPv4 literals
+    (``10.0.1.5`` — the last-two-octet "domain" of an IP is
+    meaningless) return the host itself; a trailing root dot
+    (``example.com.``) is stripped before matching; NULL stays NULL.
+    """
+    raw = F.col(host) if isinstance(host, str) else host
+    col = F.regexp_replace(raw, r"\.+$", "")
     last2 = F.regexp_extract(col, r"([^.]+\.[^.]+)$", 1)
     last3 = F.regexp_extract(col, r"([^.]+\.[^.]+\.[^.]+)$", 1)
-    return F.when(
-        last2.isin(*MULTI_PART_SUFFIXES) & (last3 != ""), last3
-    ).otherwise(last2)
+    return (
+        F.when(col.rlike(r"^[0-9.]+$"), col)  # IPv4 literal
+        .when(last2 == "", col)  # single-label host
+        .when(last2.isin(*MULTI_PART_SUFFIXES) & (last3 != ""), last3)
+        .otherwise(last2)
+    )
 
 
 def host_suffix_chain(host: str | Column) -> Column:
@@ -96,7 +112,7 @@ def extract_url_parts(
         df.withColumn("host", host)
         .withColumn("domain", registrable_domain(F.col("host")))
         .withColumn("tld", F.regexp_extract(F.col("host"), r"\.([^.]+)$", 1))
-        .withColumn("path", F.parse_url(F.col(url_col), F.lit("PATH")))
+        .withColumn("path", F.try_parse_url(F.col(url_col), F.lit("PATH")))
     )
 
 
@@ -118,9 +134,16 @@ def domain_blocklist_filter(
     """
     if not blocked:
         raise ValueError("empty blocklist: refusing a filter that drops nothing")
-    hit = F.arrays_overlap(
-        host_suffix_chain(url_host(F.col(url_col))),
-        F.lit(list(blocked)).cast("array<string>"),
+    # Unparseable/NULL hosts yield a NULL predicate, which filter()
+    # silently DROPS in both polarities — coalesce to false so dirty
+    # rows match no blocklist entry (kept in keep mode, excluded from
+    # the invert-mode audit), keeping keep + blocked == input.
+    hit = F.coalesce(
+        F.arrays_overlap(
+            host_suffix_chain(url_host(F.col(url_col))),
+            F.lit(list(blocked)).cast("array<string>"),
+        ),
+        F.lit(False),
     )
     return df.filter(hit if invert else ~hit)
 
@@ -140,7 +163,13 @@ def normalize_url(url: str | Column) -> Column:
     the surviving parameters so ``?b=2&a=1`` and ``?a=1&b=2`` meet.
     Pure codegen (anchored regex extracts + array ops on the split
     query string) — zero shuffles, and every step is RE2-safe so the
-    DuckDB oracle reproduces it byte-for-byte."""
+    DuckDB oracle reproduces it byte-for-byte.
+
+    URLs with no recognizable ``scheme://`` prefix pass through
+    UNCHANGED (and NULL stays NULL): collapsing every unparseable
+    value to a shared canonical sentinel would make :func:`url_dedup`
+    silently merge unrelated documents — dirty rows keep their own
+    identity instead."""
     col = F.col(url) if isinstance(url, str) else url
     scheme = F.lower(F.regexp_extract(col, r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
     hostport = F.lower(
@@ -165,12 +194,14 @@ def normalize_url(url: str | Column) -> Column:
         & ~F.substring_index(p, "=", 1).isin(*TRACKING_PARAMS),
     )
     qs = F.array_join(F.array_sort(params), "&")
-    return F.concat(
-        scheme,
-        F.lit("://"),
-        host,
-        path,
-        F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit("")),
+    return F.when(scheme == "", col).otherwise(
+        F.concat(
+            scheme,
+            F.lit("://"),
+            host,
+            path,
+            F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit("")),
+        )
     )
 
 
@@ -193,12 +224,24 @@ def url_dedup(
     Scale shape: map-only canonicalization → one keyed window
     (row_number + count over the canonical URL; md5-uniform keys —
     a hot canonical URL IS the signal being measured, and the window
-    state per key is one counter, not the rows)."""
+    state per key is one counter, not the rows).
+
+    NULL-url documents never merge: the window keys on a NULL-safe
+    per-row key (Window.partitionBy groups NULLs TOGETHER, which would
+    collapse every url-less document into one survivor), so each keeps
+    itself with ``canonical_url`` NULL and ``n_dups`` 0."""
     from pyspark.sql import Window
 
-    w = Window.partitionBy("canonical_url")
+    w = Window.partitionBy("_cu_key")
     ranked = (
         df.withColumn("canonical_url", normalize_url(F.col(url_col)))
+        .withColumn(
+            "_cu_key",
+            F.coalesce(
+                F.col("canonical_url"),
+                F.concat(F.lit("__null-url__:"), F.col(id_col).cast("string")),
+            ),
+        )
         .withColumn(
             "_rn",
             F.row_number().over(
@@ -209,7 +252,7 @@ def url_dedup(
         )
         .withColumn("n_dups", F.count(F.lit(1)).over(w) - F.lit(1))
     )
-    return ranked.filter(F.col("_rn") == 1).drop("_rn")
+    return ranked.filter(F.col("_rn") == 1).drop("_rn", "_cu_key")
 
 
 def cap_per_domain(

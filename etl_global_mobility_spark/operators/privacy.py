@@ -62,6 +62,10 @@ def k_anonymity_suppress(
     where the rows already are after the exchange; no join back."""
     if not quasi_cols:
         raise ValueError("quasi_cols must name at least one column")
+    if k < 2:
+        # same guard as the audit: k=1 (or less) suppresses NOTHING and
+        # would hand the full table downstream as a "privacy release"
+        raise ValueError(f"k must be >= 2 for meaningful suppression: {k}")
     from pyspark.sql import Window
 
     w = Window.partitionBy(*quasi_cols)

@@ -258,3 +258,94 @@ def test_url_dedup_soak_structural_at_volume(spark):
         want = min(members, key=lambda m: (-len(m[2]), m[0]))[0]
         cu = f"https://site{pid % 12}.com/p/{pid}"
         assert got[cu] == want, (pid, got[cu], want)
+
+
+def test_normalize_url_dirty_inputs_keep_identity(spark):
+    """Review r7: schemeless/unparseable URLs pass through UNCHANGED
+    and NULL stays NULL — collapsing them to a shared sentinel would
+    make url_dedup merge unrelated documents."""
+    from etl_global_mobility_spark.operators.domains import normalize_url
+
+    rows = [(1, "www.a.com/x"), (2, "b.org/y"), (3, None), (4, "not a url")]
+    df = spark.createDataFrame(rows, "id long, url string")
+    got = {
+        r["id"]: r["n"]
+        for r in df.select("id", normalize_url("url").alias("n")).collect()
+    }
+    assert got[1] == "www.a.com/x"
+    assert got[2] == "b.org/y"
+    assert got[3] is None
+    assert got[4] == "not a url"
+
+
+def test_url_dedup_never_merges_null_or_dirty_urls(spark):
+    from etl_global_mobility_spark.operators.domains import url_dedup
+
+    rows = [
+        (1, None, "alpha"),
+        (2, None, "beta"),
+        (3, "www.a.com/x", "gamma"),
+        (4, "b.org/y", "delta"),
+        (5, "https://ok.com/p", "kept"),
+        (6, "https://ok.com/p/", "kept too but shorter".replace(" too but shorter", "")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, text string")
+    out = url_dedup(df).collect()
+    # 1,2 (NULL) and 3,4 (schemeless, distinct strings) each survive;
+    # 5,6 merge
+    assert sorted(r["doc_id"] for r in out) == [1, 2, 3, 4, 5]
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[1]["canonical_url"] is None and by_id[1]["n_dups"] == 0
+    assert by_id[2]["canonical_url"] is None and by_id[2]["n_dups"] == 0
+    assert by_id[5]["n_dups"] == 1
+
+
+def test_registrable_domain_degenerate_hosts_keep_identity(spark):
+    """Review r7: single-label hosts, IPv4 literals, and trailing-dot
+    hosts must not collapse into '' or bogus last-two-octet domains."""
+    from etl_global_mobility_spark.operators.domains import (
+        registrable_domain,
+    )
+
+    rows = [
+        (1, "localhost"), (2, "intranet"), (3, "10.0.1.5"),
+        (4, "172.16.1.5"), (5, "example.com."), (6, "www.example.com"),
+    ]
+    df = spark.createDataFrame(rows, "id long, host string")
+    got = {
+        r["id"]: r["d"]
+        for r in df.select(
+            "id", registrable_domain("host").alias("d")
+        ).collect()
+    }
+    assert got[1] == "localhost"
+    assert got[2] == "intranet"
+    assert got[3] == "10.0.1.5"      # not '1.5'
+    assert got[4] == "172.16.1.5"    # distinct from 10.0.1.5
+    assert got[5] == "example.com"   # root dot stripped
+    assert got[6] == "example.com"
+
+
+def test_blocklist_keeps_dirty_rows_and_audit_partitions_input(spark):
+    """Review r7: a NULL/unparseable host matches no blocklist entry —
+    kept in keep mode, excluded from the invert audit, and
+    keep + blocked == input in both row sets."""
+    from etl_global_mobility_spark.operators.domains import (
+        domain_blocklist_filter,
+    )
+
+    rows = [
+        (1, "https://bad.net/x", "t"),
+        (2, "not a url", "t"),
+        (3, None, "t"),
+        (4, "https://good.org/y", "t"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, text string")
+    kept = {r["doc_id"] for r in domain_blocklist_filter(df, ["bad.net"]).collect()}
+    blocked = {
+        r["doc_id"]
+        for r in domain_blocklist_filter(df, ["bad.net"], invert=True).collect()
+    }
+    assert kept == {2, 3, 4}
+    assert blocked == {1}
+    assert kept | blocked == {1, 2, 3, 4} and not (kept & blocked)

@@ -77,3 +77,16 @@ def test_k_anonymity_plans_single_keyed_pass(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "Join" not in sup_plan  # keyed window, not a join-back
+
+
+def test_k_suppress_rejects_meaningless_k(spark):
+    """Review r7: k=1 suppresses nothing — the sibling audit already
+    rejects it; suppress must too, not hand the full table downstream
+    as a 'privacy release'."""
+    from etl_global_mobility_spark.operators.privacy import (
+        k_anonymity_suppress,
+    )
+
+    df = _rows(spark)
+    with pytest.raises(ValueError, match="k must be >= 2"):
+        k_anonymity_suppress(df, ["lang"], k=1)
