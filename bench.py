@@ -143,6 +143,7 @@ HEADLINE = [
     "llm_int8_quantize",
     "llm_k_anonymity",
     "llm_k_suppress",
+    "llm_event_sequences",
 ]
 
 

@@ -223,6 +223,7 @@ SCHEDULED_NEXT_WINDOW = frozenset(
         "llm_int8_quantize",
         "llm_k_anonymity",
         "llm_k_suppress",
+        "llm_event_sequences",
     }
 )
 

@@ -3453,6 +3453,44 @@ _K_SUPPRESS_SQL = """
     SELECT doc_id, lang, source, size_bucket FROM c WHERE n >= 3"""
 
 
+def q_event_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-event prediction examples over the event log
+    (operators/temporal.py event_sequence_examples): per user, each
+    event with ≥3 predecessors becomes (previous 3 event types in
+    (ts, id) order, target event type) — constant lag() state per row,
+    never a whole-history collect."""
+    from etl_global_mobility_spark.operators.temporal import (
+        event_sequence_examples,
+    )
+
+    e = load_table(spark, sf_dir, "events")
+    out = event_sequence_examples(e, context_len=3)
+    # driver canonicalizer hashes scalars — render the context array as
+    # the space-joined token string a trainer would consume anyway
+    return out.select(
+        "user_id",
+        "event_id",
+        F.array_join("context", " ").alias("context_text"),
+        "target",
+    )
+
+
+_EVENT_SEQUENCES_SQL = """
+    WITH w AS (
+      SELECT user_id, event_id, event_type,
+             lag(event_type, 3) OVER ord AS c1,
+             lag(event_type, 2) OVER ord AS c2,
+             lag(event_type, 1) OVER ord AS c3,
+             lag(event_id, 3) OVER ord AS anchor
+      FROM events
+      WINDOW ord AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id, event_id,
+           c1 || ' ' || c2 || ' ' || c3 AS context_text,
+           event_type AS target
+    FROM w WHERE anchor IS NOT NULL"""
+
+
 SPECS = [
     QuerySpec(
         "llm_exact_dedup",
@@ -4206,5 +4244,12 @@ SPECS = [
         _K_SUPPRESS_SQL,
         doc="k-anonymity suppression baseline: rows surviving the "
         "class-size >= k filter (keyed window, no join-back)",
+    ),
+    QuerySpec(
+        "llm_event_sequences",
+        q_event_sequences,
+        _EVENT_SEQUENCES_SQL,
+        doc="next-event prediction examples: per-user (ts,id)-ordered "
+        "lag-window contexts + target — constant state per row",
     ),
 ]

@@ -273,3 +273,47 @@ def ohlc_aggregates(value_col: str = "value", key: F.Column | None = None):
         F.count(F.lit(1)).alias("n_events"),
         F.sum(v.cast("decimal(18,6)")).cast("double").alias("sum_value"),
     ]
+
+
+def event_sequence_examples(
+    df: DataFrame,
+    entity_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    token_col: str = "event_type",
+    context_len: int = 3,
+) -> DataFrame:
+    """Next-event prediction examples from an event log — the
+    behavioral-sequence training-data prep (SASRec-style recommenders,
+    session models): for every event with at least ``context_len``
+    predecessors in its entity's timeline, emit (context = the previous
+    ``context_len`` tokens in order, target = this event's token).
+
+    Ordering is total and deterministic: (ts, id) — two events in the
+    same microsecond cannot swap between runs or engines.
+
+    Scale shape: ONE shuffle on the entity key, then ``context_len``
+    lag() reads over the sorted run — per-row state is ``context_len``
+    values, NOT the entity's whole history (the collect_list-then-
+    explode formulation holds a power user's entire timeline in one
+    task's memory; lag holds a constant window regardless of how hot
+    the entity is)."""
+    if context_len < 1:
+        raise ValueError(f"context_len must be >= 1: {context_len}")
+    w = Window.partitionBy(entity_col).orderBy(ts_col, id_col)
+    ctx = [
+        F.lag(F.col(token_col), context_len - i).over(w)
+        for i in range(context_len)
+    ]
+    presence = F.lag(F.col(id_col), context_len).over(w)
+    return (
+        df.select(
+            F.col(entity_col),
+            F.col(id_col),
+            F.array(*ctx).alias("context"),
+            F.col(token_col).alias("target"),
+            presence.alias("_has_full_ctx"),
+        )
+        .filter(F.col("_has_full_ctx").isNotNull())
+        .drop("_has_full_ctx")
+    )

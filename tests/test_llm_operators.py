@@ -2797,3 +2797,38 @@ def test_int8_quantize_error_bound_and_plan(spark):
     assert out[99]["max_abs_err"] == 0.0 and out[99]["mse"] == 0.0
     plan = int8_quantize_report(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_event_sequence_examples_semantics(spark):
+    """Context = the previous context_len tokens in (ts, id) order;
+    events with fewer predecessors emit nothing; same-timestamp ties
+    break by id so sequences are engine- and run-stable."""
+    from datetime import datetime
+
+    from etl_global_mobility_spark.operators.temporal import (
+        event_sequence_examples,
+    )
+
+    t = datetime(2024, 1, 1)
+    rows = [
+        # user 1: a,b,c,d in order; two events share ts (ids 2,3)
+        (1, t.replace(minute=1), 1, "a"),
+        (2, t.replace(minute=2), 1, "b"),
+        (3, t.replace(minute=2), 1, "c"),
+        (4, t.replace(minute=3), 1, "d"),
+        # user 2: too short for context_len=3
+        (5, t.replace(minute=1), 2, "x"),
+        (6, t.replace(minute=2), 2, "y"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    out = event_sequence_examples(df, context_len=3).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["user_id"] == 1 and r["event_id"] == 4
+    assert r["context"] == ["a", "b", "c"] and r["target"] == "d"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="context_len"):
+        event_sequence_examples(df, context_len=0)
