@@ -349,3 +349,84 @@ def test_blocklist_keeps_dirty_rows_and_audit_partitions_input(spark):
     assert kept == {2, 3, 4}
     assert blocked == {1}
     assert kept | blocked == {1, 2, 3, 4} and not (kept & blocked)
+
+
+def test_normalize_url_python_reference_and_idempotence(spark):
+    """500 randomized composed URLs (schemes incl. uppercase and
+    schemeless, hosts with ports, paths with slash runs, tracking +
+    real params in random order, fragments): Spark's normalize_url
+    must match an independent pure-python reimplementation exactly,
+    and must be IDEMPOTENT (canonicalizing a canonical URL is the
+    identity — the property that lets a pipeline re-run the pass
+    safely)."""
+    import random as _random
+    import re
+
+    from pyspark.sql import functions as F
+
+    from etl_global_mobility_spark.operators.domains import (
+        TRACKING_PARAMS,
+        normalize_url,
+    )
+
+    def ref(u):
+        if u is None:
+            return None
+        m = re.match(r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", u)
+        if not m:
+            return u
+        scheme = m.group(1).lower()
+        hostport = re.match(
+            r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)", u
+        ).group(1).lower()
+        if scheme == "https":
+            host = re.sub(r":443$", "", hostport)
+        elif scheme == "http":
+            host = re.sub(r":80$", "", hostport)
+        else:
+            host = hostport
+        pm = re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)", u)
+        path = re.sub(r"/+$", "", pm.group(1))
+        qm = re.search(r"\?([^#]*)", u)
+        qs = ""
+        if qm:
+            keep = [
+                p
+                for p in qm.group(1).split("&")
+                if p
+                and not p.split("=", 1)[0].startswith("utm_")
+                and p.split("=", 1)[0] not in TRACKING_PARAMS
+            ]
+            qs = "&".join(sorted(keep))
+        return f"{scheme}://{host}{path}" + (f"?{qs}" if qs else "")
+
+    rng = _random.Random(29)
+    urls = []
+    for i in range(500):
+        scheme = rng.choice(["https", "http", "HTTPS", "ftp", ""])
+        host = rng.choice(
+            ["Site%d.COM" % (i % 9), "a.b.co.uk", "x.org", "h.net"]
+        )
+        port = rng.choice(["", ":443", ":80", ":8080"])
+        path = rng.choice(["", "/", "/p/%d" % i, "/a/b//", "/x/"])
+        params = rng.sample(
+            ["a=1", "b=2", "utm_source=x", "ref=feed", "z=%d" % i, ""],
+            k=rng.randint(0, 4),
+        )
+        frag = rng.choice(["", "#sec", "#%d" % i])
+        q = "?" + "&".join(params) if params else ""
+        u = (f"{scheme}://" if scheme else "") + host + port + path + q + frag
+        urls.append((i, u))
+    df = spark.createDataFrame(urls, "id long, url string")
+    got = {
+        r["id"]: (r["n1"], r["n2"])
+        for r in df.select(
+            "id",
+            normalize_url("url").alias("n1"),
+            normalize_url(normalize_url("url")).alias("n2"),
+        ).collect()
+    }
+    for i, u in urls:
+        n1, n2 = got[i]
+        assert n1 == ref(u), (u, n1, ref(u))
+        assert n2 == n1, f"not idempotent: {u} -> {n1} -> {n2}"
