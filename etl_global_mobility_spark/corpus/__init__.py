@@ -34,12 +34,21 @@ green driver row, and no query's evidence gets stale:
   block.
 
 ROUND-8 PLAN (reserve now so window arithmetic stays provable): the
-26 r3-only rows not refreshed by the r6 window (``llm_`` composition
-rows + the r3 relational block — exactly the names whose newest green
-row is CORRECTNESS_r03) are at staleness 5 in round 8 and MUST fill
-its window first, plus ``rel_source_text_wholetext`` and the round-7
-additions from SCHEDULED_NEXT_WINDOW; the remaining slots refresh the
-oldest r4 rows. 26 + 1 + |r7 additions| ≤ 50 holds.
+26 rows whose newest green row is CORRECTNESS_r03 (llm_pii_redact,
+llm_repetition_signals, llm_strip_boilerplate, llm_text_stats,
+llm_vocab_oov, parity_catalog_table_scan, parity_csv_scan,
+parity_quality_reasons, rel_agg_pricing_summary,
+rel_collect_sorted_lists, rel_hof_arrays, rel_join_revenue_by_nation,
+rel_json_events, rel_merge_upsert, rel_set_ops,
+rel_window_range_frame, stream_dedup_keys, stream_session_windows,
+stream_stateful_profile, stream_stream_join, stream_tumbling_counts,
+udf_map_in_arrow, udf_pandas_grouped_agg, udf_pandas_grouped_map,
+udf_pandas_scalar, udf_python_udtf) hit the ceil(231/50)=5 staleness
+bound in round 8 and MUST fill its window first, plus the 11
+SCHEDULED_NEXT_WINDOW entries (wholetext + the 10 round-7 additions)
+and the 2 canaries: 26 + 11 + 2 = 39, leaving 11 slots for the
+oldest r4-only rows (48 of those exist; the rest land in round 9,
+inside their own bound).
 
 ``DRIVER_GREEN_PAST_ROUNDS`` records which queries already hold a
 green row (union of CORRECTNESS_r02/r03/r04); those may sit past the
