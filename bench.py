@@ -144,6 +144,8 @@ HEADLINE = [
     "llm_k_anonymity",
     "llm_k_suppress",
     "llm_event_sequences",
+    "llm_keyword_tag",
+    "llm_pmi_collocations",
 ]
 
 

@@ -233,6 +233,8 @@ SCHEDULED_NEXT_WINDOW = frozenset(
         "llm_k_anonymity",
         "llm_k_suppress",
         "llm_event_sequences",
+        "llm_keyword_tag",
+        "llm_pmi_collocations",
     }
 )
 

@@ -3491,6 +3491,80 @@ _EVENT_SEQUENCES_SQL = """
     FROM w WHERE anchor IS NOT NULL"""
 
 
+#: Keyword policy list for the tagging query — chosen to hit the
+#: synthetic vocabulary ('slow', 'big') alongside absent terms, so the
+#: report exercises hits, misses, and multiplicity.
+_TAG_KEYWORDS = ("slow", "big", "error", "crash")
+
+
+def q_keyword_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style keyword tagging (operators/text.py keyword_tag_report):
+    token-exact policy-list hits per document — occurrences, distinct
+    keywords, hit fraction, flag — as one zero-shuffle map pass."""
+    from etl_global_mobility_spark.operators.text import keyword_tag_report
+
+    d = load_table(spark, sf_dir, "documents")
+    return keyword_tag_report(d, list(_TAG_KEYWORDS))
+
+
+_KEYWORD_TAG_SQL = f"""
+    WITH t AS (SELECT doc_id, {TOKS} AS toks FROM documents)
+    SELECT doc_id,
+           CAST(len(toks) AS INT) AS n_tokens,
+           CAST(len(list_filter(toks,
+                t -> list_contains(['slow','big','error','crash'], t)))
+                AS INT) AS n_hits,
+           CAST(len(list_intersect(toks, ['slow','big','error','crash']))
+                AS INT) AS n_distinct_kw,
+           CAST(len(list_filter(toks,
+                t -> list_contains(['slow','big','error','crash'], t)))
+                AS DOUBLE)
+             / CAST(greatest(len(toks), 1) AS DOUBLE) AS hit_frac,
+           len(list_filter(toks,
+                t -> list_contains(['slow','big','error','crash'], t)))
+             >= 1 AS flagged
+    FROM t"""
+
+
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 collocations by exact-integer PMI ordering
+    (operators/text.py pmi_collocations): corpus bigram/unigram counts,
+    (c_xy*N*micro) DIV (c_x*c_y) in DECIMAL-widened arithmetic — the
+    phrase-mining report without engine-divergent ln."""
+    from etl_global_mobility_spark.operators.text import pmi_collocations
+
+    d = load_table(spark, sf_dir, "documents")
+    return pmi_collocations(d, min_count=5, top_k=50)
+
+
+_PMI_SQL = f"""
+    WITH base AS (SELECT {TOKS} AS toks FROM documents),
+    uni AS (
+      SELECT t, count(*) AS c
+      FROM (SELECT unnest(toks) AS t FROM base) GROUP BY t
+    ),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM uni),
+    pairs AS (
+      SELECT unnest(CASE WHEN len(toks) >= 2 THEN
+               list_transform(range(1, len(toks)),
+                              i -> {{'x': toks[i], 'y': toks[i + 1]}})
+             ELSE [] END) AS p
+      FROM base
+    ),
+    bi AS (
+      SELECT p.x AS x, p.y AS y, count(*) AS c_xy
+      FROM pairs GROUP BY 1, 2 HAVING count(*) >= 5
+    )
+    SELECT x, y, c_xy, ux.c AS c_x, uy.c AS c_y,
+           CAST((CAST(c_xy AS HUGEINT) * n_total * 1000000)
+                // (CAST(ux.c AS HUGEINT) * uy.c) AS BIGINT) AS pmi_micro
+    FROM bi
+    JOIN uni ux ON bi.x = ux.t
+    JOIN uni uy ON bi.y = uy.t
+    CROSS JOIN tot
+    ORDER BY pmi_micro DESC, x, y LIMIT 50"""
+
+
 SPECS = [
     QuerySpec(
         "llm_exact_dedup",
@@ -4251,5 +4325,19 @@ SPECS = [
         _EVENT_SEQUENCES_SQL,
         doc="next-event prediction examples: per-user (ts,id)-ordered "
         "lag-window contexts + target — constant state per row",
+    ),
+    QuerySpec(
+        "llm_keyword_tag",
+        q_keyword_tag,
+        _KEYWORD_TAG_SQL,
+        doc="C4-style keyword tagging: token-exact policy-list hits "
+        "per document, zero-shuffle map pass",
+    ),
+    QuerySpec(
+        "llm_pmi_collocations",
+        q_pmi_collocations,
+        _PMI_SQL,
+        doc="top-k collocations by exact-integer PMI ordering "
+        "(no engine-divergent ln); bigram/unigram aggs + top-k",
     ),
 ]

@@ -883,3 +883,119 @@ def cdc_chunks(
         (F.col("pair.e") - F.col("pair.s")).cast("int").alias("n_tokens"),
         F.md5(chunk_text).alias("chunk_hash"),
     )
+
+
+def keyword_tag_report(
+    df: DataFrame,
+    keywords: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    flag_min_hits: int = 1,
+) -> DataFrame:
+    """Keyword tagging — the C4 'badwords' filter shape, generalized to
+    any policy/topic list: per document, total keyword occurrences,
+    distinct keywords matched, the hit fraction of the token stream,
+    and a flag at ``flag_min_hits``. The list rides into the plan as a
+    bounded literal array (policy lists are thousands of entries), so
+    the whole report is a zero-shuffle map pass — at 100 TB this is
+    the cheapest filter a corpus runs, which is exactly why crawls run
+    it FIRST, before any aggregation-shaped signal.
+
+    Matching is token-exact after :func:`tokenize` normalization
+    (lowercase, whitespace split) — deliberately NOT substring
+    matching, which is the documented C4 failure mode (flagging
+    'Scunthorpe' for a 4-letter infix)."""
+    if not keywords:
+        raise ValueError("empty keyword list: the report would tag nothing")
+    kws = F.lit([k.lower() for k in keywords]).cast("array<string>")
+    return (
+        df.select(F.col(id_col), tokenize(text_col).alias("__toks"))
+        .select(
+            id_col,
+            F.size("__toks").alias("n_tokens"),
+            F.size(
+                F.filter("__toks", lambda t: F.array_contains(kws, t))
+            ).alias("n_hits"),
+            F.size(F.array_intersect("__toks", kws)).alias("n_distinct_kw"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "n_hits",
+            "n_distinct_kw",
+            (
+                F.col("n_hits").cast("double")
+                / F.greatest(F.col("n_tokens"), F.lit(1)).cast("double")
+            ).alias("hit_frac"),
+            (F.col("n_hits") >= flag_min_hits).alias("flagged"),
+        )
+    )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int = 50,
+    micro: int = 1_000_000,
+) -> DataFrame:
+    """Top-``top_k`` collocations by pointwise mutual information —
+    the classic 'which word pairs belong together' report a tokenizer/
+    phrase-mining pass runs over a corpus. PMI = log p(xy)/(p(x)p(y));
+    log is monotone and engine-divergent (correctly-rounded ln is not
+    guaranteed identical across engines), so the score is reported as
+    the EXACT integer ratio ``(c_xy · N · micro) DIV (c_x · c_y)`` —
+    the same ordering, bit-reproducible anywhere (DECIMAL(38,0)
+    widening keeps the triple product exact far past BIGINT).
+
+    Scale shape: map-side bigram construction (zip_with over two
+    slices — no posexplode self-join), ONE corpus-sized bigram
+    aggregation and one unigram aggregation (both uniform hash keys,
+    map-side combined, outputs ∝ vocabulary), two equi-joins of the
+    bigram table against the unigram counts (AQE broadcasts the
+    unigram side when the vocabulary is small), a 1-row total-token
+    broadcast, and a distributed TakeOrderedAndProject for the top-k.
+    ``min_count`` prunes the hapax tail BEFORE the joins."""
+    toks = F.col("__toks")
+    n = F.size(toks)
+    bigrams = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(toks, 1, n - 1),
+            F.slice(toks, 2, n - 1),
+            lambda a, b: F.struct(a.alias("x"), b.alias("y")),
+        ),
+    ).otherwise(F.array().cast("array<struct<x:string,y:string>>"))
+    base = df.select(tokenize(text_col).alias("__toks"))
+    uni = (
+        base.select(F.explode(toks).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    total = uni.agg(F.sum("c").alias("n_total"))
+    bi = (
+        base.select(F.explode(bigrams).alias("bg"))
+        .select(F.col("bg.x").alias("x"), F.col("bg.y").alias("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .filter(F.col("c_xy") >= min_count)
+    )
+    scored = (
+        bi.join(uni.select(F.col("t").alias("x"), F.col("c").alias("c_x")), "x")
+        .join(uni.select(F.col("t").alias("y"), F.col("c").alias("c_y")), "y")
+        .crossJoin(F.broadcast(total))  # 1-row corpus token total
+        .select(
+            "x",
+            "y",
+            "c_xy",
+            "c_x",
+            "c_y",
+            F.expr(
+                f"(cast(c_xy as decimal(38,0)) * n_total * {micro})"
+                " div (cast(c_x as decimal(38,0)) * c_y)"
+            ).alias("pmi_micro"),
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi_micro").desc(), F.col("x"), F.col("y")
+    ).limit(top_k)

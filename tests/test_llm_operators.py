@@ -2832,3 +2832,74 @@ def test_event_sequence_examples_semantics(spark):
 
     with _pytest.raises(ValueError, match="context_len"):
         event_sequence_examples(df, context_len=0)
+
+
+def test_keyword_tag_token_exact_no_substring_flags(spark):
+    """The Scunthorpe property: matching is token-exact, never
+    substring — 'bigger' must not hit 'big'; counts are occurrences,
+    distinct, and fraction."""
+    from etl_global_mobility_spark.operators.text import keyword_tag_report
+
+    rows = [
+        (1, "big data big wins"),       # 2 hits, 1 distinct kw
+        (2, "bigger is not big-ger"),   # 0 hits (substring / hyphen)
+        (3, "slow and big"),            # 2 hits, 2 distinct
+        (4, ""),                        # empty doc
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in keyword_tag_report(df, ["big", "slow"]).collect()}
+    assert (out[1]["n_hits"], out[1]["n_distinct_kw"]) == (2, 1)
+    assert out[1]["flagged"] is True
+    assert out[2]["n_hits"] == 0 and out[2]["flagged"] is False
+    assert (out[3]["n_hits"], out[3]["n_distinct_kw"]) == (2, 2)
+    assert out[4]["n_hits"] == 0 and out[4]["hit_frac"] == 0.0
+    assert abs(out[1]["hit_frac"] - 0.5) < 1e-12
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="empty keyword list"):
+        keyword_tag_report(df, [])
+    plan = keyword_tag_report(df, ["big"])._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # zero-shuffle map pass
+
+
+def test_pmi_collocations_ordering_matches_python_reference(spark):
+    """PMI integer ordering vs a pure-python big-int reference on a
+    corpus with planted collocations: 'spark sql' always adjacent
+    (high PMI), 'the the' frequent but independent (low PMI)."""
+    import random as _random
+    from collections import Counter
+
+    from etl_global_mobility_spark.operators.text import pmi_collocations
+
+    rng = _random.Random(17)
+    docs = []
+    for i in range(300):
+        words = []
+        for _ in range(20):
+            r = rng.random()
+            if r < 0.2:
+                words += ["spark", "sql"]  # planted collocation
+            else:
+                words.append(rng.choice(["the", "a", "data", "big"]))
+        docs.append((i, " ".join(words)))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = pmi_collocations(df, min_count=5, top_k=10).collect()
+    # python reference
+    uni, bi = Counter(), Counter()
+    for _, text in docs:
+        ts = text.split()
+        uni.update(ts)
+        bi.update(zip(ts, ts[1:]))
+    n = sum(uni.values())
+    ref = sorted(
+        (
+            ((c * n * 1_000_000) // (uni[x] * uni[y]), x, y)
+            for (x, y), c in bi.items()
+            if c >= 5
+        ),
+        key=lambda t: (-t[0], t[1], t[2]),
+    )[:10]
+    assert [(r["x"], r["y"], r["pmi_micro"]) for r in got] == [
+        (x, y, s) for s, x, y in ref
+    ]
+    assert got[0]["x"] == "spark" and got[0]["y"] == "sql"
