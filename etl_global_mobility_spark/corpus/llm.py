@@ -3497,6 +3497,19 @@ _EVENT_SEQUENCES_SQL = """
 _TAG_KEYWORDS = ("slow", "big", "error", "crash")
 
 
+def q_compression_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib compression-ratio quality signal (operators/signals.py
+    compression_ratio_signal): Arrow-batched pandas UDF per document —
+    rows-only in the ledger (no SQL zlib); determinism + reference
+    parity pinned by pytest."""
+    from etl_global_mobility_spark.operators.signals import (
+        compression_ratio_signal,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return compression_ratio_signal(d)
+
+
 def q_keyword_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4-style keyword tagging (operators/text.py keyword_tag_report):
     token-exact policy-list hits per document — occurrences, distinct
@@ -4325,6 +4338,14 @@ SPECS = [
         _EVENT_SEQUENCES_SQL,
         doc="next-event prediction examples: per-user (ts,id)-ordered "
         "lag-window contexts + target — constant state per row",
+    ),
+    QuerySpec(
+        "llm_compression_signal",
+        q_compression_signal,
+        None,
+        doc="zlib compression-ratio repetitiveness signal (Gopher "
+        "filter family): Arrow-batched pandas UDF — deterministic but "
+        "not SQL-recomputable, rows-only; python-zlib reference test",
     ),
     QuerySpec(
         "llm_keyword_tag",

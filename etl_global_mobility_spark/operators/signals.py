@@ -251,3 +251,66 @@ def dsir_importance_resample(
         .filter(F.col("draw") < _dsir_threshold_expr(scale))
         .select(id_col, "score", "n_tokens", "draw")
     )
+
+
+def compression_ratio_signal(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    level: int = 6,
+    repetitive_max_ratio: float = 0.3,
+) -> DataFrame:
+    """Compression-ratio quality signal (the Gopher/MassiveText-family
+    repetitiveness filter): zlib-compress each document and report
+    compressed/raw byte ratio — templated or looping text compresses
+    far below prose, and a near-1 ratio on long text flags binary
+    noise. This is the one quality signal that genuinely needs Python
+    (no SQL zlib), so it runs as an Arrow-batched pandas UDF — one
+    vectorized call per batch, never per-row Python — and everything
+    around it (byte lengths, ratio, flag) stays JVM-side. zlib output
+    is deterministic for a given (input, level), so the signal is
+    reproducible; it is rows-only in the oracle ledger because DuckDB
+    cannot recompute it.
+
+    Scale shape: zero shuffles — a pure map pass whose cost is the
+    Arrow transfer plus zlib itself (~100 MB/s/core); at 100 TB this
+    runs where the data is, like every other map-only signal."""
+    import pandas as pd  # noqa: F401 - pandas_udf signature
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("int")
+    def _zlib_len(s):
+        import zlib
+
+        return s.fillna("").map(
+            lambda t: len(zlib.compress(t.encode("utf-8"), level))
+        )
+
+    raw_bytes = F.octet_length(F.coalesce(F.col(text_col), F.lit("")))
+    return (
+        df.select(
+            F.col(id_col),
+            raw_bytes.alias("n_bytes"),
+            _zlib_len(F.col(text_col)).alias("n_compressed"),
+        )
+        .select(
+            id_col,
+            "n_bytes",
+            "n_compressed",
+            # empty/NULL docs have no meaningful ratio (zlib's 8-byte
+            # header over 0 bytes is not a signal) — NULL, not 8.0
+            F.when(
+                F.col("n_bytes") > 0,
+                F.col("n_compressed").cast("double")
+                / F.col("n_bytes").cast("double"),
+            ).alias("compression_ratio"),
+        )
+        .withColumn(
+            "flagged_repetitive",
+            F.coalesce(
+                F.col("compression_ratio") < repetitive_max_ratio,
+                F.lit(False),
+            ),
+        )
+    )

@@ -2903,3 +2903,42 @@ def test_pmi_collocations_ordering_matches_python_reference(spark):
         (x, y, s) for s, x, y in ref
     ]
     assert got[0]["x"] == "spark" and got[0]["y"] == "sql"
+
+
+def test_compression_signal_reference_parity_and_semantics(spark):
+    """The ratio must equal python zlib exactly (same level), flag
+    repetitive text and not prose, be partition-invariant, and leave
+    empty/NULL docs unflagged with a NULL ratio."""
+    import zlib
+
+    from etl_global_mobility_spark.operators.signals import (
+        compression_ratio_signal,
+    )
+
+    rows = [
+        (1, "ab " * 500),
+        (2, "the quick brown fox jumps over the lazy dog tonight"),
+        (3, None),
+        (4, ""),
+        (5, "x" * 1000),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in compression_ratio_signal(df).collect()}
+    for i, t in rows:
+        raw = (t or "").encode("utf-8")
+        assert out[i]["n_bytes"] == len(raw)
+        assert out[i]["n_compressed"] == len(zlib.compress(raw, 6)), i
+    assert out[1]["flagged_repetitive"] is True
+    assert out[5]["flagged_repetitive"] is True
+    assert out[2]["flagged_repetitive"] is False
+    assert out[3]["compression_ratio"] is None
+    assert out[4]["compression_ratio"] is None
+    assert out[3]["flagged_repetitive"] is False
+    # partition-invariant (deterministic zlib, map-only)
+    again = {
+        r["doc_id"]: r
+        for r in compression_ratio_signal(df.repartition(5)).collect()
+    }
+    assert {k: tuple(v) for k, v in out.items()} == {
+        k: tuple(v) for k, v in again.items()
+    }

@@ -636,6 +636,8 @@ def test_no_plan_antipatterns_across_entire_corpus(spark):
         "udf_cogroup_profile", "llm_multimodal_features", "llm_frame_sample",
         "llm_bpe_train",  # Arrow-batched merge application
         "llm_mmr_rerank",  # cogrouped greedy over bounded per-query groups
+        "llm_compression_signal",  # zlib has no SQL/JVM twin; one
+        # vectorized pandas_udf, everything around it JVM-side
     }
     ARROW_NODES = (
         "ArrowEvalPython", "FlatMapGroupsInPandas", "MapInPandas",
