@@ -146,6 +146,7 @@ HEADLINE = [
     "llm_event_sequences",
     "llm_keyword_tag",
     "llm_pmi_collocations",
+    "llm_compression_signal",
 ]
 
 
