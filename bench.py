@@ -147,6 +147,7 @@ HEADLINE = [
     "llm_keyword_tag",
     "llm_pmi_collocations",
     "llm_compression_signal",
+    "llm_e2e_web_curation",
 ]
 
 

@@ -235,6 +235,7 @@ SCHEDULED_NEXT_WINDOW = frozenset(
         "llm_event_sequences",
         "llm_keyword_tag",
         "llm_pmi_collocations",
+        "llm_e2e_web_curation",
     }
 )
 

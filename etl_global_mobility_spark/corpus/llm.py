@@ -3578,6 +3578,94 @@ _PMI_SQL = f"""
     ORDER BY pmi_micro DESC, x, y LIMIT 50"""
 
 
+#: Blocklist for the e2e web-curation pipeline — registrable domains
+#: of the messy-URL synthesis (site{0..11}.com).
+_E2E_WEB_BLOCKLIST = ("site2.com", "site7.com")
+
+
+def q_e2e_web_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end web-curation pipeline composing the round-7 domain
+    family over messy crawl URLs: URL-level dedup (canonicalize + keep
+    best) → domain blocklist → keyword-fraction prune (drop docs where
+    policy terms exceed 10% of tokens) → per-domain cap (max 4) →
+    per-domain doc/token share report. Every stage is the operator the
+    standalone queries verify; this query proves they COMPOSE — the
+    C4-shaped preprocessing chain as one lazy plan."""
+    from etl_global_mobility_spark.operators.domains import (
+        cap_per_domain,
+        domain_blocklist_filter,
+        domain_report,
+        url_dedup,
+    )
+    from etl_global_mobility_spark.operators.text import keyword_tag_report
+
+    d = load_table(spark, sf_dir, "documents")
+    with_url = d.select("doc_id", "text", _messy_url().alias("url"))
+    kept = url_dedup(with_url).select("doc_id", "text", "canonical_url")
+    unblocked = domain_blocklist_filter(
+        kept, list(_E2E_WEB_BLOCKLIST), url_col="canonical_url"
+    )
+    tags = keyword_tag_report(unblocked, list(_TAG_KEYWORDS))
+    clean = unblocked.join(
+        tags.filter(F.col("hit_frac") <= 0.1).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    capped = cap_per_domain(clean, max_docs=4, url_col="canonical_url")
+    return domain_report(capped, url_col="canonical_url")
+
+
+_E2E_WEB_SQL = f"""
+    WITH u AS (
+      SELECT doc_id, text, {_URL_VARIANTS_SQL} AS url FROM documents
+    ), c AS (
+      SELECT doc_id, text, {_normalize_url_sql("url")} AS canonical_url
+      FROM u
+    ), r AS (
+      SELECT doc_id, text, canonical_url,
+             row_number() OVER (
+               PARTITION BY coalesce(canonical_url,
+                                     '__null-url__:' || CAST(doc_id AS VARCHAR))
+               ORDER BY len(text) DESC, doc_id) AS rn
+      FROM c
+    ), kept AS (
+      SELECT doc_id, text, canonical_url,
+             regexp_extract(canonical_url, '^https?://([^/:?#]+)', 1) AS host
+      FROM r WHERE rn = 1
+    ), unblocked AS (
+      SELECT * FROM kept
+      WHERE NOT (host = 'site2.com' OR host LIKE '%.site2.com'
+              OR host = 'site7.com' OR host LIKE '%.site7.com')
+    ), tagged AS (
+      SELECT doc_id, text, host,
+             CAST(len(list_filter({TOKS},
+                  t -> list_contains(['slow','big','error','crash'], t)))
+                  AS DOUBLE)
+               / CAST(greatest(len({TOKS}), 1) AS DOUBLE) AS hit_frac
+      FROM unblocked
+    ), clean AS (
+      SELECT doc_id, text, host, {_DOMAIN_SQL} AS domain
+      FROM tagged WHERE hit_frac <= 0.1
+    ), capped AS (
+      SELECT doc_id, text, domain FROM (
+        SELECT doc_id, text, domain,
+               row_number() OVER (
+                 PARTITION BY domain
+                 ORDER BY {_md5_hash_sql("CAST(doc_id AS VARCHAR)", 3)},
+                          doc_id) AS rk
+        FROM clean)
+      WHERE rk <= 4
+    ), agg AS (
+      SELECT domain, count(*) AS n_docs,
+             CAST(sum(len({TOKS})) AS BIGINT) AS sum_tokens
+      FROM capped GROUP BY domain
+    ), tot AS (SELECT sum(n_docs) AS td, sum(sum_tokens) AS tt FROM agg)
+    SELECT domain, n_docs, sum_tokens,
+           CAST(n_docs AS DOUBLE) / td AS doc_share,
+           CAST(sum_tokens AS DOUBLE) / tt AS token_share
+    FROM agg, tot"""
+
+
 SPECS = [
     QuerySpec(
         "llm_exact_dedup",
@@ -4360,5 +4448,13 @@ SPECS = [
         _PMI_SQL,
         doc="top-k collocations by exact-integer PMI ordering "
         "(no engine-divergent ln); bigram/unigram aggs + top-k",
+    ),
+    QuerySpec(
+        "llm_e2e_web_curation",
+        q_e2e_web_curation,
+        _E2E_WEB_SQL,
+        doc="e2e web-curation composition: url dedup -> domain "
+        "blocklist -> keyword-fraction prune -> per-domain cap -> "
+        "share report, one lazy plan",
     ),
 ]

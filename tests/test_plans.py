@@ -620,6 +620,8 @@ def test_no_plan_antipatterns_across_entire_corpus(spark):
         "llm_domain_cap_report",         # broadcast 1-row corpus-totals frame
         "llm_k_anonymity",               # broadcast 1-row class-total frame
         "llm_pmi_collocations",          # broadcast 1-row token-total frame
+        "llm_e2e_web_curation",          # composes domain_report
+        #                                  (broadcast 1-row totals frame)
     }
     # Unpartitioned windows (WindowExec with an empty partition spec)
     # move ALL rows to one task — allowed only where the window input
