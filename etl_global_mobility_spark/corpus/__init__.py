@@ -33,25 +33,22 @@ green driver row, and no query's evidence gets stale:
   entire TPC-H tail, winnowing/CDC, k-means, and the sampling/RL
   block.
 
-ROUND-8 PLAN (reserve now so window arithmetic stays provable): the
-26 rows whose newest green row is CORRECTNESS_r03 (llm_pii_redact,
-llm_repetition_signals, llm_strip_boilerplate, llm_text_stats,
-llm_vocab_oov, parity_catalog_table_scan, parity_csv_scan,
-parity_quality_reasons, rel_agg_pricing_summary,
-rel_collect_sorted_lists, rel_hof_arrays, rel_join_revenue_by_nation,
-rel_json_events, rel_merge_upsert, rel_set_ops,
-rel_window_range_frame, stream_dedup_keys, stream_session_windows,
-stream_stateful_profile, stream_stream_join, stream_tumbling_counts,
-udf_map_in_arrow, udf_pandas_grouped_agg, udf_pandas_grouped_map,
-udf_pandas_scalar, udf_python_udtf) hit the ceil(231/50)=5 staleness
-bound in round 8 and MUST fill its window first, plus the 11
-SCHEDULED_NEXT_WINDOW entries (wholetext + the 10 round-7 additions)
-and the 2 canaries: 26 + 11 + 2 = 39, leaving 11 slots for the
-oldest r4-only rows (48 of those exist; the rest land in round 9,
-inside their own bound).
+* round 8 (this window) takes the 26 rows whose newest green row was
+  CORRECTNESS_r03 (they reach the ceil(234/50)=5 staleness bound this
+  round), all 14 SCHEDULED_NEXT_WINDOW entries from round 7
+  (wholetext + the 13 round-7 additions), the 2 standing canaries,
+  and the 8 alphabetically-first r4-only rows: 26 + 14 + 2 + 8 = 50.
+
+ROUND-9 PLAN (reserve now so window arithmetic stays provable): the
+40 remaining rows whose newest green row is CORRECTNESS_r04 hit the
+staleness bound in round 9 and MUST fill its window first, plus the
+2 canaries: 40 + 2 = 42, leaving exactly 8 slots for round-8
+additions — so round 8 may register AT MOST 8 new oracle-backed
+queries (SCHEDULED_NEXT_WINDOW holds them; the invariant tests
+enforce the cap arithmetically rather than by this comment).
 
 ``DRIVER_GREEN_PAST_ROUNDS`` records which queries already hold a
-green row (union of CORRECTNESS_r02/r03/r04); those may sit past the
+green row (union of all CORRECTNESS_r0N files); those may sit past the
 window. Everything registered is ALWAYS enforced every round by the
 local DuckDB gate (scripts/selfcheck.py via tests/test_corpus_oracle.py),
 which mirrors the driver's pandas canonicalization exactly.
@@ -65,178 +62,186 @@ from __future__ import annotations
 
 from etl_global_mobility_spark.corpus.base import QuerySpec, load_table
 
-#: First 50 registered names — the driver's round-7 correctness window.
+#: First 50 registered names — the driver's round-8 correctness window.
 DRIVER_WINDOW = (
-    # 48 of the 49 round-6 additions (SCHEDULED_NEXT_WINDOW last
-    # round) — first driver rows for each. rel_source_text_wholetext
-    # holds the round-8 slot (see ROUND-8 PLAN above).
-    # TPC-H tail — every Q1-Q22 shape analog now driver-checked
-    "rel_tpch_q2_min_cost",
-    "rel_tpch_q4_order_priority",
-    "rel_tpch_q5_local_supplier",
-    "rel_tpch_q6_forecast_revenue",
-    "rel_tpch_q7_volume_shipping",
-    "rel_tpch_q8_market_share",
-    "rel_tpch_q9_product_profit",
-    "rel_tpch_q10_returned_items",
-    "rel_tpch_q11_important_parts",
-    "rel_tpch_q12_late_shipments",
-    "rel_tpch_q14_promo_effect",
-    "rel_tpch_q15_top_supplier",
-    "rel_tpch_q16_supplier_cnt",
-    "rel_tpch_q17_small_quantity",
-    "rel_tpch_q19_disjunctive",
-    "rel_tpch_q20_small_part_suppliers",
-    "rel_tpch_q21_waiting_suppliers",
-    "rel_tpch_q22_global_sales",
-    # dedup / near-dup family
-    "llm_incremental_neardup",
-    "llm_minhash_verified",
-    "llm_winnowing_fingerprint",
-    "llm_winnowing_neardup",
-    "llm_cdc_chunks",
-    "llm_cdc_dup_passages",
-    "llm_dedup_cluster_stats",
-    "llm_cross_source_dups",
-    "stream_neardup_dedup",
-    # quality / text analysis
-    "llm_quality_classifier_trained",
-    "llm_quality_prune",
-    "llm_normalize_text",
-    "llm_unigram_rarity",
-    "llm_length_bucket_batching",
-    # similarity / clustering
-    "llm_ann_recall_report",
-    "llm_kmeans_refine",
-    "llm_hard_negative_mining",
-    # sampling / RL / training-data construction
-    "llm_weighted_sample",
-    "llm_group_advantage",
-    "llm_span_corruption",
-    "llm_dsir_resample",
-    "llm_rejection_sample",
-    "llm_fim_transform",
-    "llm_sft_chat_format",
-    "llm_token_budget_sample",
-    "llm_epoch_plan",
-    # relational / streaming / udf stragglers
-    "rel_skew_report",
-    "rel_mad_outliers",
-    "stream_windowed_topk",
-    "udf_sql_function",
+    # the 26 rows whose newest green row is CORRECTNESS_r03 — they
+    # reach the corpus-scaled staleness bound this round
+    "llm_pii_redact",
+    "llm_repetition_signals",
+    "llm_strip_boilerplate",
+    "llm_text_stats",
+    "llm_vocab_oov",
+    "parity_catalog_table_scan",
+    "parity_csv_scan",
+    "parity_quality_reasons",
+    "rel_agg_pricing_summary",
+    "rel_collect_sorted_lists",
+    "rel_hof_arrays",
+    "rel_join_revenue_by_nation",
+    "rel_json_events",
+    "rel_merge_upsert",
+    "rel_set_ops",
+    "rel_window_range_frame",
+    "stream_dedup_keys",
+    "stream_session_windows",
+    "stream_stateful_profile",
+    "stream_stream_join",
+    "stream_tumbling_counts",
+    "udf_map_in_arrow",
+    "udf_pandas_grouped_agg",
+    "udf_pandas_grouped_map",
+    "udf_pandas_scalar",
+    "udf_python_udtf",
+    # all 14 SCHEDULED_NEXT_WINDOW entries from round 7 — first
+    # driver rows for the round-7 additions + the deferred wholetext
+    "rel_source_text_wholetext",
+    "rel_source_avro",
+    "llm_domain_extract",
+    "llm_domain_blocklist",
+    "llm_domain_cap_report",
+    "llm_url_dedup",
+    "llm_token_fertility",
+    "llm_int8_quantize",
+    "llm_k_anonymity",
+    "llm_k_suppress",
+    "llm_event_sequences",
+    "llm_keyword_tag",
+    "llm_pmi_collocations",
+    "llm_e2e_web_curation",
+    # 8 alphabetically-first r4-only rows (the remaining 40 fill the
+    # round-9 window at their staleness bound — see ROUND-9 PLAN)
+    "llm_dedup_keep_best",
+    "llm_e2e_curation",
+    "llm_knn_label_vote",
+    "llm_lang_profile",
+    "llm_per_source_cap",
+    "llm_quality_score",
+    "llm_split_leakage",
+    "llm_stratified_sample",
     # standing canaries (green every round since r2/r3) for
     # cross-round regression signal — one parity + one llm
     "parity_derived_all",
     "llm_exact_dedup",
 )
 
-#: Queries holding a green driver row in CORRECTNESS_r02…r06 —
+#: Queries holding a green driver row in CORRECTNESS_r02…r07 —
 #: allowed past the window (their evidence is already recorded; the
 #: local gate still re-verifies them every round). Regenerated each
 #: round as the union of green rows across all CORRECTNESS_r0N.json.
 DRIVER_GREEN_PAST_ROUNDS = frozenset(
     {
-        "llm_asof_join", "llm_bigram_novelty", "llm_bm25",
-        "llm_bpe_pair_stats", "llm_causal_lm_examples",
+        "llm_ann_recall_report", "llm_asof_join", "llm_bigram_novelty",
+        "llm_bm25", "llm_bpe_pair_stats", "llm_causal_lm_examples",
+        "llm_cdc_chunks", "llm_cdc_dup_passages",
         "llm_chunk_documents", "llm_contamination", "llm_cosine_topk",
+        "llm_cross_source_dups", "llm_dedup_cluster_stats",
         "llm_dedup_components", "llm_dedup_keep_best",
-        "llm_dup_ngram_spans", "llm_e2e_curation",
+        "llm_dsir_resample", "llm_dup_ngram_spans", "llm_e2e_curation",
         "llm_e2e_training_examples", "llm_embedding_neardup",
-        "llm_exact_dedup", "llm_feature_hash", "llm_filter_rules",
-        "llm_fingerprint", "llm_frame_sample", "llm_hash_split",
-        "llm_hybrid_retrieval_rrf", "llm_ivf_ann", "llm_knn_label_vote",
-        "llm_lang_profile", "llm_language_id", "llm_lsh_ann",
-        "llm_minhash_neardup", "llm_mix_sources", "llm_mmr_rerank",
-        "llm_multimodal_features", "llm_ngram_jaccard",
+        "llm_epoch_plan", "llm_exact_dedup", "llm_feature_hash",
+        "llm_filter_rules", "llm_fim_transform", "llm_fingerprint",
+        "llm_frame_sample", "llm_group_advantage",
+        "llm_hard_negative_mining", "llm_hash_split",
+        "llm_hybrid_retrieval_rrf", "llm_incremental_neardup",
+        "llm_ivf_ann", "llm_kmeans_refine", "llm_knn_label_vote",
+        "llm_lang_profile", "llm_language_id",
+        "llm_length_bucket_batching", "llm_lsh_ann",
+        "llm_minhash_neardup", "llm_minhash_verified",
+        "llm_mix_sources", "llm_mmr_rerank", "llm_multimodal_features",
+        "llm_ngram_jaccard", "llm_normalize_text",
         "llm_pack_sequences", "llm_packing_efficiency",
         "llm_per_source_cap", "llm_pii_redact", "llm_pq_ann",
         "llm_preference_pairs", "llm_quality_classifier",
-        "llm_quality_score", "llm_repetition_signals",
-        "llm_semantic_dedup", "llm_sentence_chunks", "llm_simhash",
-        "llm_split_leakage", "llm_stratified_sample",
-        "llm_strip_boilerplate", "llm_temperature_mix", "llm_text_stats",
-        "llm_tfidf_topterms", "llm_vocab_oov", "parity_casts",
-        "parity_catalog_table_scan", "parity_csv_scan",
+        "llm_quality_classifier_trained", "llm_quality_prune",
+        "llm_quality_score", "llm_rejection_sample",
+        "llm_repetition_signals", "llm_semantic_dedup",
+        "llm_sentence_chunks", "llm_sft_chat_format", "llm_simhash",
+        "llm_span_corruption", "llm_split_leakage",
+        "llm_stratified_sample", "llm_strip_boilerplate",
+        "llm_temperature_mix", "llm_text_stats", "llm_tfidf_topterms",
+        "llm_token_budget_sample", "llm_unigram_rarity",
+        "llm_vocab_oov", "llm_weighted_sample",
+        "llm_winnowing_fingerprint", "llm_winnowing_neardup",
+        "parity_casts", "parity_catalog_table_scan", "parity_csv_scan",
         "parity_date_parse", "parity_derived_all",
-        "parity_filter_eq_range", "parity_indicators", "parity_map_lookup",
-        "parity_membership", "parity_quality_reasons",
-        "parity_quality_rule_counts", "parity_rename_project",
-        "parity_rounding", "parity_split_clean", "parity_split_quarantine",
+        "parity_filter_eq_range", "parity_indicators",
+        "parity_map_lookup", "parity_membership",
+        "parity_quality_reasons", "parity_quality_rule_counts",
+        "parity_rename_project", "parity_rounding",
+        "parity_split_clean", "parity_split_quarantine",
         "parity_unit_conversion", "parity_unit_price",
-        "rel_agg_count_distinct", "rel_agg_cube", "rel_agg_grouping_sets",
-        "rel_agg_pricing_summary", "rel_agg_rollup",
-        "rel_agg_stats_moments", "rel_array_ops", "rel_bucketed_join",
-        "rel_cohort_retention", "rel_collect_sorted_lists",
-        "rel_csv_corrupt_records", "rel_dataset_card",
-        "rel_decayed_activity", "rel_dropduplicates", "rel_equidepth_bins",
+        "rel_agg_count_distinct", "rel_agg_cube",
+        "rel_agg_grouping_sets", "rel_agg_pricing_summary",
+        "rel_agg_rollup", "rel_agg_stats_moments", "rel_array_ops",
+        "rel_bucketed_join", "rel_cohort_retention",
+        "rel_collect_sorted_lists", "rel_csv_corrupt_records",
+        "rel_dataset_card", "rel_decayed_activity",
+        "rel_dropduplicates", "rel_equidepth_bins",
         "rel_error_safe_functions", "rel_expectations_report",
-        "rel_funnel_analysis", "rel_fuzzy_match", "rel_histogram_prices",
-        "rel_hof_arrays", "rel_incremental_agg",
-        "rel_interval_overlap_join", "rel_join_anti",
-        "rel_join_broadcast_dims", "rel_join_full_outer",
-        "rel_join_hinted_shuffle_hash", "rel_join_left_orders",
-        "rel_join_nonequi_self", "rel_join_revenue_by_nation",
-        "rel_join_right", "rel_join_salted_skew", "rel_join_semi",
-        "rel_json_events", "rel_lateral_topk", "rel_listagg",
+        "rel_funnel_analysis", "rel_fuzzy_match",
+        "rel_histogram_prices", "rel_hof_arrays",
+        "rel_incremental_agg", "rel_interval_overlap_join",
+        "rel_join_anti", "rel_join_broadcast_dims",
+        "rel_join_full_outer", "rel_join_hinted_shuffle_hash",
+        "rel_join_left_orders", "rel_join_nonequi_self",
+        "rel_join_revenue_by_nation", "rel_join_right",
+        "rel_join_salted_skew", "rel_join_semi", "rel_json_events",
+        "rel_lateral_topk", "rel_listagg", "rel_mad_outliers",
         "rel_mask_redaction", "rel_median_disc", "rel_merge_upsert",
         "rel_moving_window_sum", "rel_null_aware_anti_join",
         "rel_null_safe_join", "rel_ohlc_downsample", "rel_pagerank",
         "rel_percentiles_exact", "rel_pivot_linestatus",
         "rel_range_join_buckets", "rel_ratio_to_report",
-        "rel_recursive_chain", "rel_resample_ffill", "rel_robust_scaling",
-        "rel_running_distinct", "rel_scalar_dates",
-        "rel_scalar_string_date_math", "rel_scalar_strings_extended",
-        "rel_scd2_dimension", "rel_scd2_point_in_time",
-        "rel_schema_evolution", "rel_sessionize_batch", "rel_set_ops",
-        "rel_snapshot_diff", "rel_source_binaryfile", "rel_source_json",
-        "rel_source_orc", "rel_source_parquet_zstd",
+        "rel_recursive_chain", "rel_resample_ffill",
+        "rel_robust_scaling", "rel_running_distinct",
+        "rel_scalar_dates", "rel_scalar_string_date_math",
+        "rel_scalar_strings_extended", "rel_scd2_dimension",
+        "rel_scd2_point_in_time", "rel_schema_evolution",
+        "rel_sessionize_batch", "rel_set_ops", "rel_skew_report",
+        "rel_snapshot_diff", "rel_source_binaryfile",
+        "rel_source_json", "rel_source_orc", "rel_source_parquet_zstd",
         "rel_source_python_ds", "rel_source_xml",
         "rel_spatial_grid_nearest", "rel_subquery_exists",
         "rel_subquery_scalar", "rel_time_rollup", "rel_topk_global",
-        "rel_tpch_q13_custdist", "rel_tpch_q18_large_orders",
-        "rel_tpch_q3_shipping_priority", "rel_triangle_count",
-        "rel_unpivot_part", "rel_variant_json", "rel_window_distribution",
-        "rel_window_first_last", "rel_window_lag_lead",
-        "rel_window_range_frame", "rel_window_rank_dense",
-        "rel_window_running_sum", "rel_window_topk_per_group",
-        "rel_zorder_key", "stream_dedup_keys",
-        "stream_medallion_batch_parity", "stream_ohlc_bars",
+        "rel_tpch_q10_returned_items", "rel_tpch_q11_important_parts",
+        "rel_tpch_q12_late_shipments", "rel_tpch_q13_custdist",
+        "rel_tpch_q14_promo_effect", "rel_tpch_q15_top_supplier",
+        "rel_tpch_q16_supplier_cnt", "rel_tpch_q17_small_quantity",
+        "rel_tpch_q18_large_orders", "rel_tpch_q19_disjunctive",
+        "rel_tpch_q20_small_part_suppliers",
+        "rel_tpch_q21_waiting_suppliers", "rel_tpch_q22_global_sales",
+        "rel_tpch_q2_min_cost", "rel_tpch_q3_shipping_priority",
+        "rel_tpch_q4_order_priority", "rel_tpch_q5_local_supplier",
+        "rel_tpch_q6_forecast_revenue", "rel_tpch_q7_volume_shipping",
+        "rel_tpch_q8_market_share", "rel_tpch_q9_product_profit",
+        "rel_triangle_count", "rel_unpivot_part", "rel_variant_json",
+        "rel_window_distribution", "rel_window_first_last",
+        "rel_window_lag_lead", "rel_window_range_frame",
+        "rel_window_rank_dense", "rel_window_running_sum",
+        "rel_window_topk_per_group", "rel_zorder_key",
+        "stream_dedup_keys", "stream_medallion_batch_parity",
+        "stream_neardup_dedup", "stream_ohlc_bars",
         "stream_python_source", "stream_scd2_enrichment",
         "stream_session_windows", "stream_sliding_counts",
         "stream_stateful_profile", "stream_static_join",
         "stream_stream_join", "stream_tumbling_counts",
-        "udf_apply_in_arrow", "udf_cogroup_profile", "udf_map_in_arrow",
+        "stream_windowed_topk", "udf_apply_in_arrow",
+        "udf_cogroup_profile", "udf_map_in_arrow",
         "udf_pandas_grouped_agg", "udf_pandas_grouped_map",
-        "udf_pandas_scalar", "udf_python_udtf", "udf_udtf_table_arg",
+        "udf_pandas_scalar", "udf_python_udtf", "udf_sql_function",
+        "udf_udtf_table_arg",
     }
 )
 
 
-#: Queries ADDED this round (registered past the already-frozen window)
-#: plus the one round-6 addition the 50-slot r7 window could not fit:
-#: the NEXT rotation must pull these in. The window-invariant test
-#: treats this as the only legitimate reason an oracle-backed query
-#: lacks both window coverage and a past green row. Round-7 additions
-#: are appended here as they are registered.
+#: Queries ADDED this round (registered past the already-frozen
+#: window): the NEXT rotation must pull these in. The window-invariant
+#: test treats this as the only legitimate reason an oracle-backed
+#: query lacks both window coverage and a past green row. Round-8
+#: additions are appended here as they are registered — AT MOST 8
+#: (see ROUND-9 PLAN in the module docstring).
 SCHEDULED_NEXT_WINDOW = frozenset(
-    {
-        # round-6 addition deferred from the r7 window (slot 49 of 49)
-        "rel_source_text_wholetext",
-        # round-7 additions
-        "rel_source_avro",
-        "llm_domain_extract",
-        "llm_domain_blocklist",
-        "llm_domain_cap_report",
-        "llm_url_dedup",
-        "llm_token_fertility",
-        "llm_int8_quantize",
-        "llm_k_anonymity",
-        "llm_k_suppress",
-        "llm_event_sequences",
-        "llm_keyword_tag",
-        "llm_pmi_collocations",
-        "llm_e2e_web_curation",
-    }
+    set()
 )
 
 
