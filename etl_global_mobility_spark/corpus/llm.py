@@ -3209,7 +3209,7 @@ def _normalize_url_sql(url: str) -> str:
         f"'^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)', 1), '/+$', '')"
     )
     params = (
-        f"list_filter(string_split(regexp_extract({url}, '\\?([^#]*)', 1), '&'),"
+        f"list_filter(string_split(regexp_extract({url}, '^[^?#]*\\?([^#]*)', 1), '&'),"
         " p -> len(p) > 0 AND NOT starts_with(split_part(p, '=', 1), 'utm_')"
         " AND split_part(p, '=', 1)"
         " NOT IN ('ref','fbclid','gclid','mc_cid','mc_eid'))"

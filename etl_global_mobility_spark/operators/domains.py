@@ -187,8 +187,13 @@ def normalize_url(url: str | Column) -> Column:
         r"/+$",
         "",
     )
+    # The '?' must precede any '#': an unanchored `\?` would treat a
+    # '?' INSIDE the fragment as the query start, so an SPA
+    # hash-routing URL like 'https://app.com/p#/route?tab=1' would
+    # wrongly canonicalize to 'https://app.com/p?tab=1' instead of
+    # 'https://app.com/p'.
     params = F.filter(
-        F.split(F.regexp_extract(col, r"\?([^#]*)", 1), "&"),
+        F.split(F.regexp_extract(col, r"^[^?#]*\?([^#]*)", 1), "&"),
         lambda p: (F.length(p) > 0)
         & ~F.substring_index(p, "=", 1).startswith("utm_")
         & ~F.substring_index(p, "=", 1).isin(*TRACKING_PARAMS),
@@ -221,38 +226,44 @@ def url_dedup(
     cheaper by orders of magnitude than content near-dup, which then
     only has to handle the SAME-content-DIFFERENT-url tail.
 
-    Scale shape: map-only canonicalization → one keyed window
-    (row_number + count over the canonical URL; md5-uniform keys —
-    a hot canonical URL IS the signal being measured, and the window
-    state per key is one counter, not the rows).
+    Scale shape: map-only canonicalization → ONE mergeable
+    aggregation — ``groupBy(canonical key).agg(max_by(row, (length,
+    -id)), count-1)``. ``max_by`` combines map-side (partial
+    aggregation), so a pathologically hot canonical URL — a page
+    duplicated 10^7 times in a crawl is exactly the case this
+    operator exists for — reduces to one candidate row PER MAP
+    PARTITION before the shuffle, never a single-task sort. (The
+    previous shape, row_number + count over a keyed window, shuffled
+    every duplicate of the hot URL to one task; the count defeated
+    WindowGroupLimit's map-side top-1 pruning.)
 
-    NULL-url documents never merge: the window keys on a NULL-safe
-    per-row key (Window.partitionBy groups NULLs TOGETHER, which would
-    collapse every url-less document into one survivor), so each keeps
-    itself with ``canonical_url`` NULL and ``n_dups`` 0."""
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("_cu_key")
-    ranked = (
-        df.withColumn("canonical_url", normalize_url(F.col(url_col)))
-        .withColumn(
-            "_cu_key",
-            F.coalesce(
-                F.col("canonical_url"),
-                F.concat(F.lit("__null-url__:"), F.col(id_col).cast("string")),
-            ),
-        )
-        .withColumn(
-            "_rn",
-            F.row_number().over(
-                w.orderBy(
-                    F.length(F.col(text_col)).desc(), F.col(id_col).asc()
-                )
-            ),
-        )
-        .withColumn("n_dups", F.count(F.lit(1)).over(w) - F.lit(1))
+    NULL-url documents never merge: the aggregation keys on a
+    NULL-safe per-row key (groupBy would group NULLs TOGETHER, which
+    would collapse every url-less document into one survivor), so each
+    keeps itself with ``canonical_url`` NULL and ``n_dups`` 0."""
+    data_cols = list(df.columns)
+    with_key = df.withColumn(
+        "canonical_url", normalize_url(F.col(url_col))
+    ).withColumn(
+        "_cu_key",
+        F.coalesce(
+            F.col("canonical_url"),
+            F.concat(F.lit("__null-url__:"), F.col(id_col).cast("string")),
+        ),
     )
-    return ranked.filter(F.col("_rn") == 1).drop("_rn", "_cu_key")
+    # max of (length, -id) struct == longest text, ties to LOWEST id —
+    # identical keep-best rule as ORDER BY length DESC, id ASC limit 1.
+    best = with_key.groupBy("_cu_key").agg(
+        F.max_by(
+            F.struct(*data_cols, "canonical_url"),
+            F.struct(
+                F.length(F.col(text_col)).alias("_len"),
+                (-F.col(id_col)).alias("_neg_id"),
+            ),
+        ).alias("_best"),
+        (F.count(F.lit(1)) - F.lit(1)).alias("n_dups"),
+    )
+    return best.select("_best.*", "n_dups")
 
 
 def cap_per_domain(
