@@ -17,138 +17,24 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-HEADLINE = [
-    "rel_join_revenue_by_nation",
-    "rel_join_left_orders",
-    "rel_join_nonequi_self",
-    "rel_agg_pricing_summary",
-    "rel_agg_count_distinct",
-    "rel_window_topk_per_group",
-    "rel_window_running_sum",
-    "rel_topk_global",
-    "rel_json_events",
-    "rel_pivot_linestatus",
-    "rel_agg_stats_moments",
-    "rel_ohlc_downsample",
-    "rel_median_disc",
-    "rel_join_salted_skew",
-    "parity_quality_reasons",
-    "parity_split_quarantine",
-    "llm_exact_dedup",
-    "llm_tfidf_topterms",
-    "llm_bigram_novelty",
-    "llm_simhash",
-    "llm_minhash_neardup",
-    "llm_cosine_topk",
-    "llm_lsh_ann",
-    "llm_ivf_ann",
-    "llm_embedding_neardup",
-    "llm_asof_join",
-    "llm_frame_sample",
-    "llm_pack_sequences",
-    "llm_chunk_documents",
-    "llm_causal_lm_examples",
-    "llm_strip_boilerplate",
-    "llm_pq_ann",
-    "llm_filter_rules",
-    "llm_quality_classifier",
-    "llm_preference_pairs",
-    "llm_bm25",
-    "llm_hybrid_retrieval_rrf",
-    "llm_mmr_rerank",
-    "llm_e2e_curation",
-    "llm_e2e_training_examples",
-    "llm_semantic_dedup",
-    "rel_decayed_activity",
-    "rel_histogram_prices",
-    "rel_pagerank",
-    "rel_lateral_topk",
-    "rel_null_aware_anti_join",
-    "rel_dataset_card",
-    "stream_tumbling_counts",
-    "stream_ohlc_bars",
-    "stream_stateful_profile",
-    # round-5 additions
-    "llm_temperature_mix",
-    "llm_dup_ngram_spans",
-    "llm_bpe_pair_stats",
-    "llm_packing_efficiency",
-    "rel_tpch_q13_custdist",
-    "stream_medallion_batch_parity",
-    "llm_sentence_chunks",
-    "stream_static_join",
-    "rel_spatial_grid_nearest",
-    "rel_tpch_q18_large_orders",
-    "stream_scd2_enrichment",
-    # round-6 additions
-    "llm_incremental_neardup",
-    "stream_neardup_dedup",
-    "llm_quality_classifier_trained",
-    "llm_minhash_verified",
-    "rel_tpch_q5_local_supplier",
-    "rel_tpch_q10_returned_items",
-    "llm_normalize_text",
-    "rel_tpch_q6_forecast_revenue",
-    "rel_tpch_q9_product_profit",
-    "rel_tpch_q8_market_share",
-    "rel_tpch_q21_waiting_suppliers",
-    "llm_winnowing_fingerprint",
-    "llm_length_bucket_batching",
-    "llm_winnowing_neardup",
-    "llm_hard_negative_mining",
-    "llm_token_budget_sample",
-    "llm_epoch_plan",
-    "rel_tpch_q15_top_supplier",
-    "rel_tpch_q11_important_parts",
-    "rel_tpch_q20_small_part_suppliers",
-    "rel_mad_outliers",
-    "llm_dedup_cluster_stats",
-    "stream_windowed_topk",
-    "llm_quality_prune",
-    "llm_cross_source_dups",
-    "llm_unigram_rarity",
-    "llm_cdc_chunks",
-    "llm_sft_chat_format",
-    "llm_cdc_dup_passages",
-    "llm_kmeans_refine",
-    # completes SURVEY's "every round-6 addition bench-listed" claim:
-    # the remaining TPC-H shapes and report/diagnostic queries, so the
-    # per-query 2x ratchet covers the full round-6 surface
-    "rel_tpch_q2_min_cost",
-    "rel_tpch_q4_order_priority",
-    "rel_tpch_q7_volume_shipping",
-    "rel_tpch_q12_late_shipments",
-    "rel_tpch_q14_promo_effect",
-    "rel_tpch_q16_supplier_cnt",
-    "rel_tpch_q17_small_quantity",
-    "rel_tpch_q19_disjunctive",
-    "rel_tpch_q22_global_sales",
-    "llm_ann_recall_report",
-    "rel_skew_report",
-    "udf_sql_function",
-    "rel_source_text_wholetext",
-    "llm_weighted_sample",
-    "llm_group_advantage",
-    "llm_span_corruption",
-    "llm_dsir_resample",
-    "llm_rejection_sample",
-    "llm_fim_transform",
-    # round-7 additions
-    "rel_source_avro",
-    "llm_domain_extract",
-    "llm_domain_blocklist",
-    "llm_domain_cap_report",
-    "llm_url_dedup",
-    "llm_token_fertility",
-    "llm_int8_quantize",
-    "llm_k_anonymity",
-    "llm_k_suppress",
-    "llm_event_sequences",
-    "llm_keyword_tag",
-    "llm_pmi_collocations",
-    "llm_compression_signal",
-    "llm_e2e_web_curation",
-]
+#: Per-query perf-gate EXEMPTIONS. Round-8 verdict closed the coverage
+#: gap the other way: the ratchet now covers EVERY registered query
+#: (the full corpus, not a hand-maintained headline list — a 3x
+#: regression in an unlisted query used to be invisible). A query may
+#: be exempted ONLY by name, with the reason recorded here; exemptions
+#: are skipped entirely (not timed), so they must name queries whose
+#: bench cost is dominated by out-of-scope machinery, not plan cost.
+#: Currently empty: every registered query is timed and ratcheted.
+BENCH_EXEMPT: dict[str, str] = {}
+
+
+def headline_names() -> list[str]:
+    """Every registered query, in registration order (driver window
+    first, then module order) minus BENCH_EXEMPT — the bench surface
+    IS the corpus, so a new query is ratcheted the round it lands."""
+    from etl_global_mobility_spark.corpus import all_queries
+
+    return [n for n in all_queries() if n not in BENCH_EXEMPT]
 
 
 def main() -> None:
@@ -213,6 +99,7 @@ def main() -> None:
     )
 
     specs = all_queries()
+    headline = headline_names()
     times: dict[str, float] = {}
     total = 0.0
     # Best-of-N per query: single-run times on this host swing up to
@@ -240,7 +127,7 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
         return round(time.time() - t0, 3)
 
-    for name in HEADLINE:
+    for name in headline:
         spec = specs[name]
         runs = [run_once(spec), run_once(spec)]
         if max(runs) > 1.5 * min(runs):
@@ -254,7 +141,7 @@ def main() -> None:
     # a single bad sample must not fail the bench — only a regression
     # that survives 4 total runs does.
     _, baseline = _load_baseline() if abs(sf - 0.1) < 1e-9 else ("none", {})
-    for name in HEADLINE:
+    for name in headline:
         base = baseline.get(name)
         if base and times[name] > 2.0 * base + 0.5:
             retries = [run_once(specs[name]), run_once(specs[name])]
@@ -329,8 +216,13 @@ def _load_baseline() -> tuple[str, dict[str, float]]:
        regressions compound rebase-by-rebase within a round. Survives
        the driver's ~2 KB tail-capture limit that nulled BENCH_r06's
        parsed map.
-    2. the NEWEST BENCH_r*.json the driver recorded (compact line:
-       only the 12 slowest queries since round 7, full map before).
+    2. the NEWEST BENCH_r*.json the driver recorded that carries a
+       FULL per-query map. Files from round 7 onward print a compact
+       line (12 slowest only, detectable via n_queries > len(queries));
+       falling back to one of those would silently shrink the ratchet
+       to 12 queries, so compact files are SKIPPED in favor of the
+       newest full-map file, and any fallback past BENCH_FULL_LATEST
+       warns loudly on stderr.
     """
     import glob
     import re
@@ -345,25 +237,44 @@ def _load_baseline() -> tuple[str, dict[str, float]]:
                 return str(data.get("label", "full-latest")), dict(data["queries"])
         except (OSError, ValueError):
             pass
-    best: tuple[int, str] | None = None
+    print(
+        "bench: WARNING — BENCH_FULL_LATEST.json missing or unusable; "
+        "falling back to driver-recorded BENCH_r*.json files "
+        "(full-map files only — compact 12-slowest files are skipped)",
+        file=sys.stderr,
+    )
+    candidates: list[tuple[int, str]] = []
     for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
         m = re.search(r"BENCH_r(\d+)\.json$", p)
         if m:
-            rnd = int(m.group(1))
-            if best is None or rnd > best[0]:
-                best = (rnd, p)
-    if best is None:
-        return "none", {}
-    try:
-        with open(best[1]) as f:
-            data = json.load(f)
-        if "queries" not in data:  # driver wraps our line under "parsed"
-            data = data.get("parsed") or {}
-        if abs(float(data.get("sf", 0.1)) - 0.1) > 1e-9:
-            return "none", {}  # baseline only holds at its own SF
-        return f"r{best[0]}", dict(data.get("queries", {}))
-    except (OSError, ValueError):
-        return "none", {}
+            candidates.append((int(m.group(1)), p))
+    for rnd, path in sorted(candidates, reverse=True):
+        try:
+            with open(path) as f:
+                data = json.load(f)
+            if "queries" not in data:  # driver wraps our line under "parsed"
+                data = data.get("parsed") or {}
+            if abs(float(data.get("sf", 0.1)) - 0.1) > 1e-9:
+                continue  # baseline only holds at its own SF
+            queries = dict(data.get("queries", {}))
+            n_queries = data.get("n_queries", len(queries))
+            if n_queries > len(queries):  # compact file: 12-slowest only
+                print(
+                    f"bench: skipping compact BENCH_r{rnd}.json "
+                    f"({len(queries)} of {n_queries} queries inline)",
+                    file=sys.stderr,
+                )
+                continue
+            if queries:
+                return f"r{rnd}", queries
+        except (OSError, ValueError):
+            continue
+    print(
+        "bench: WARNING — no full-map baseline found; per-query "
+        "ratchet is INACTIVE this run",
+        file=sys.stderr,
+    )
+    return "none", {}
 
 
 #: Baseline entries known to be measurement ARTIFACTS, not achievable

@@ -175,7 +175,7 @@ class _LocalFS:
         os.makedirs(p, exist_ok=True)
 
 
-class _HadoopFS:  # pragma: no cover - remote FS
+class _HadoopFS:  # covered via file:// in tests/test_writer.py
     """Thin wrapper over org.apache.hadoop.fs.FileSystem, so staging
     swap/cleanup works on object stores too (no silent no-op)."""
 
@@ -210,11 +210,18 @@ class _HadoopFS:  # pragma: no cover - remote FS
             out.close()
 
     def read_text(self, p: str) -> str:
+        # Drain through Hadoop's own org.apache.hadoop.io.IOUtils
+        # (hadoop-common — Spark always ships it) instead of
+        # commons-io, which is only a TRANSITIVE dependency and could
+        # be shaded/absent; py4j returns the byte[] as a Python
+        # bytearray by value, so collect into a JVM-side buffer.
         stream = self._fs.open(self._Path(p))
+        out = self._jvm.java.io.ByteArrayOutputStream()
         try:
-            return self._jvm.org.apache.commons.io.IOUtils.toString(
-                stream, "UTF-8"
+            self._jvm.org.apache.hadoop.io.IOUtils.copyBytes(
+                stream, out, 4096, False
             )
+            return bytes(out.toByteArray()).decode("utf-8")
         finally:
             stream.close()
 

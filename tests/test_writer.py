@@ -196,3 +196,29 @@ def test_delta_replacewhere_live_when_available(spark, tmp_path):
         )
         got = {(r.pais, r.v) for r in spark.read.format("delta").load(path).collect()}
         assert got == {("EC", 9), ("PE", 2)}  # PE untouched, EC replaced
+
+
+def test_hadoop_fs_wrapper_round_trip_on_file_scheme(spark, tmp_path):
+    """_HadoopFS is the remote-path (s3://, hdfs://) branch of _fs();
+    exercise every method against Hadoop's LocalFileSystem via a
+    file:// URI so the gateway-JVM calls (including read_text's
+    hadoop-common IOUtils drain — round-8 advice: no commons-io
+    dependence) are covered, not pragma'd away."""
+    from etl_global_mobility_spark.sinks.writer import _HadoopFS, _fs
+
+    root = f"file://{tmp_path}"
+    fs = _fs(spark, root)
+    assert isinstance(fs, _HadoopFS)
+
+    p = f"{root}/manifest.json"
+    payload = '{"k": "v", "unicode": "é中"}'
+    fs.write_text(p, payload)
+    assert fs.exists(p)
+    assert fs.read_text(p) == payload
+    assert fs.size(p) == len(payload.encode("utf-8"))
+    fs.mkdirs(f"{root}/sub")
+    assert sorted(fs.listdir(root)) == ["manifest.json", "sub"]
+    fs.rename(p, f"{root}/sub/renamed.json")
+    assert fs.read_text(f"{root}/sub/renamed.json") == payload
+    fs.delete(f"{root}/sub")
+    assert not fs.exists(f"{root}/sub")
