@@ -241,7 +241,11 @@ DRIVER_GREEN_PAST_ROUNDS = frozenset(
 #: additions are appended here as they are registered — AT MOST 8
 #: (see ROUND-9 PLAN in the module docstring).
 SCHEDULED_NEXT_WINDOW = frozenset(
-    set()
+    {
+        # round-8 additions
+        "llm_multimodal_alignment",
+        "llm_alignment_report",
+    }
 )
 
 

@@ -3666,6 +3666,126 @@ _E2E_WEB_SQL = f"""
     FROM agg, tot"""
 
 
+
+
+def _alignment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesize (image, text) embedding pairs from the embeddings
+    table — consecutive-id pairs: even vec_id plays the image side,
+    vec_id+1 the text/caption side (at curation time pairs arrive
+    pre-encoded in one row; this join is test-data synthesis only).
+    Two degenerate pairs are planted deterministically so the gate's
+    NaN/NULL policy is exercised end-to-end: img_id 6 gets a zero-norm
+    image embedding (cosine NaN), img_id 8 a NULL text embedding."""
+    e = load_table(spark, sf_dir, "embeddings")
+    img = e.select(
+        F.col("vec_id").alias("img_id"),
+        F.col("embedding").alias("image_embedding"),
+    )
+    txt = e.select(
+        (F.col("vec_id") - 1).alias("img_id"),
+        F.col("vec_id").alias("txt_id"),
+        F.col("embedding").alias("text_embedding"),
+    )
+    return (
+        img.join(txt, "img_id")
+        .filter(F.col("img_id") % 2 == 0)
+        .withColumn(
+            "image_embedding",
+            F.when(
+                F.col("img_id") == 6,
+                F.array_repeat(F.lit(0.0).cast("float"), 64),
+            ).otherwise(F.col("image_embedding")),
+        )
+        .withColumn(
+            "text_embedding",
+            F.when(F.col("img_id") == 8, F.lit(None).cast("array<float>"))
+            .otherwise(F.col("text_embedding")),
+        )
+    )
+
+
+def q_multimodal_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLIP-score alignment gate (operators/alignment.py
+    alignment_gate): per-pair image-text cosine, keep pairs scoring
+    >= 0.1 (threshold is encoder-specific; LAION used 0.28 for real
+    CLIP embeddings), NaN/NULL pairs dropped explicitly — the
+    LAION-5B curation filter as a map-only corpus pass."""
+    from etl_global_mobility_spark.operators.alignment import (
+        alignment_gate,
+    )
+
+    pairs = _alignment_pairs(spark, sf_dir)
+    return alignment_gate(pairs, threshold=0.1).select(
+        "img_id", "txt_id", "alignment"
+    )
+
+
+def q_alignment_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alignment-score distribution report (operators/alignment.py
+    alignment_report): fixed-width histogram over [-1, 1] plus a
+    'degenerate' row for NaN/NULL pairs — the bounded-output audit run
+    before committing to a keep threshold on a 100 TB pair corpus."""
+    from etl_global_mobility_spark.operators.alignment import (
+        alignment_report,
+    )
+
+    return alignment_report(
+        _alignment_pairs(spark, sf_dir), threshold=0.1, n_bins=20
+    )
+
+
+_ALIGN_PAIRS_SQL = """
+      SELECT a.vec_id AS img_id, b.vec_id AS txt_id,
+             CASE WHEN a.vec_id = 6 THEN {zero64}::DOUBLE[]
+                  ELSE a.embedding::DOUBLE[] END AS ie,
+             CASE WHEN a.vec_id = 8 THEN NULL
+                  ELSE b.embedding::DOUBLE[] END AS te
+      FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+      WHERE a.vec_id % 2 = 0
+""".replace("{zero64}", "[0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]")
+
+#: shared scored-pairs CTE: the SAME guarded-cosine op sequence as
+#: operators/alignment.py _safe_cosine (NULL side -> NULL, zero-norm
+#: -> NaN, else the identical IEEE division).
+_ALIGN_SCORED_SQL = """
+      SELECT img_id, txt_id,
+             CASE WHEN ie IS NULL OR te IS NULL THEN NULL
+                  WHEN sqrt(list_dot_product(ie, ie))
+                       * sqrt(list_dot_product(te, te)) > 0
+                  THEN list_dot_product(ie, te)
+                       / (sqrt(list_dot_product(ie, ie))
+                          * sqrt(list_dot_product(te, te)))
+                  ELSE 'NaN'::DOUBLE END AS alignment
+      FROM pairs
+"""
+
+_MULTIMODAL_ALIGNMENT_SQL = f"""
+    WITH pairs AS ({_ALIGN_PAIRS_SQL}), scored AS ({_ALIGN_SCORED_SQL})
+    SELECT img_id, txt_id, alignment FROM scored
+    WHERE CASE WHEN isnan(alignment) THEN false
+               ELSE alignment >= 0.1 END"""
+
+_ALIGNMENT_REPORT_SQL = f"""
+    WITH pairs AS ({_ALIGN_PAIRS_SQL}), scored AS ({_ALIGN_SCORED_SQL}),
+    binned AS (
+      SELECT CASE WHEN alignment IS NULL OR isnan(alignment) THEN NULL
+                  ELSE least(CAST(floor((alignment + 1.0) / 2.0 * 20)
+                                  AS INT), 19) END AS bin,
+             CASE WHEN isnan(alignment) THEN false
+                  ELSE alignment >= 0.1 END AS kept
+      FROM scored
+    ), per_bin AS (
+      SELECT bin, count(*) AS n_pairs,
+             CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+      FROM binned GROUP BY bin
+    ), tot AS (SELECT sum(n_pairs) AS t FROM per_bin)
+    SELECT coalesce(CAST(bin AS VARCHAR), 'degenerate') AS bucket,
+           CASE WHEN bin IS NOT NULL THEN (bin * 2 - 20) / 20 END AS score_lo,
+           n_pairs, n_kept,
+           CAST(n_pairs AS DOUBLE) / t AS share
+    FROM per_bin, tot"""
+
+
 SPECS = [
     QuerySpec(
         "llm_exact_dedup",
@@ -4456,5 +4576,21 @@ SPECS = [
         doc="e2e web-curation composition: url dedup -> domain "
         "blocklist -> keyword-fraction prune -> per-domain cap -> "
         "share report, one lazy plan",
+    ),
+    QuerySpec(
+        "llm_multimodal_alignment",
+        q_multimodal_alignment,
+        _MULTIMODAL_ALIGNMENT_SQL,
+        doc="CLIP-score image-text alignment gate: per-pair cosine, "
+        "keep >= threshold, NaN/NULL pairs dropped explicitly — "
+        "map-only corpus pass (LAION-5B curation shape)",
+    ),
+    QuerySpec(
+        "llm_alignment_report",
+        q_alignment_report,
+        _ALIGNMENT_REPORT_SQL,
+        doc="alignment-score distribution report: fixed-width bins "
+        "over [-1,1] + degenerate row, keep counts per bin — bounded "
+        "one-agg threshold-tuning audit",
     ),
 ]

@@ -622,6 +622,7 @@ def test_no_plan_antipatterns_across_entire_corpus(spark):
         "llm_pmi_collocations",          # broadcast 1-row token-total frame
         "llm_e2e_web_curation",          # composes domain_report
         #                                  (broadcast 1-row totals frame)
+        "llm_alignment_report",          # broadcast 1-row pair-total frame
     }
     # Unpartitioned windows (WindowExec with an empty partition spec)
     # move ALL rows to one task — allowed only where the window input
