@@ -40,6 +40,65 @@ MULTI_PART_SUFFIXES = (
 )
 
 
+def save_suffix_list(spark, suffixes, path: str) -> None:
+    """Persist a public-suffix list as a parquet + JSON-manifest config
+    artifact (same pattern as save_classifier_weights /
+    save_bpe_merges): production fetches the real PSL
+    (publicsuffix.org, ~9k multi-part entries) once, persists it here,
+    and every curation job loads it into the SAME literal-set
+    mechanism :data:`MULTI_PART_SUFFIXES` approximates. KB-sized,
+    any-engine-readable, and the manifest routes through the Hadoop-FS
+    wrapper so remote paths (s3://, hdfs://) keep manifest and parquet
+    together."""
+    import json
+
+    from etl_global_mobility_spark.sinks.writer import _fs
+
+    entries = sorted({s.strip().lower() for s in suffixes if s and s.strip()})
+    if not entries:
+        raise ValueError("empty suffix list: refusing a useless artifact")
+    bad = [s for s in entries if "." not in s or s.startswith(".")]
+    if bad:
+        raise ValueError(
+            f"suffix entries must be dotted multi-part suffixes: {bad[:5]}"
+        )
+    fs = _fs(spark, path)
+    fs.mkdirs(path)
+    base = path.rstrip("/")
+    spark.createDataFrame(
+        [(s,) for s in entries], "suffix string"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{base}/suffixes")
+    fs.write_text(
+        f"{base}/_psl_manifest.json",
+        json.dumps({"n_suffixes": len(entries)}),
+    )
+
+
+def load_suffix_list(spark, path: str) -> tuple[str, ...]:
+    """Load a suffix-list artifact saved by :func:`save_suffix_list`,
+    validated against its manifest — ready to pass as the
+    ``suffixes=`` override of :func:`registrable_domain` /
+    :func:`extract_url_parts`. The collect is bounded by construction
+    (a PSL is ~9k rows — a config artifact, not data)."""
+    import json
+
+    from etl_global_mobility_spark.sinks.writer import _fs
+
+    base = path.rstrip("/")
+    manifest = json.loads(
+        _fs(spark, path).read_text(f"{base}/_psl_manifest.json")
+    )
+    entries = tuple(
+        sorted(r.suffix for r in spark.read.parquet(f"{base}/suffixes").collect())
+    )
+    if len(entries) != manifest["n_suffixes"]:
+        raise ValueError(
+            f"suffix artifact at {path} disagrees with its manifest: "
+            f"{len(entries)} rows vs {manifest['n_suffixes']} declared"
+        )
+    return entries
+
+
 def url_host(url: str | Column) -> Column:
     """Hostname of a URL (no scheme, port, path, query, or fragment) —
     Spark's JVM-side ``try_parse_url(url, 'HOST')``: NULL for
@@ -51,10 +110,14 @@ def url_host(url: str | Column) -> Column:
     return F.try_parse_url(col, F.lit("HOST"))
 
 
-def registrable_domain(host: str | Column) -> Column:
+def registrable_domain(
+    host: str | Column, suffixes: tuple[str, ...] | None = None
+) -> Column:
     """Registrable domain (eTLD+1) of a hostname: the last two labels,
     or the last three when the last two form a listed multi-part
-    public suffix (:data:`MULTI_PART_SUFFIXES`) — so
+    public suffix (``suffixes``, defaulting to the
+    :data:`MULTI_PART_SUFFIXES` approximation — load the real PSL via
+    :func:`load_suffix_list` and pass it here) — so
     ``www.news.example.co.uk`` → ``example.co.uk`` while
     ``cdn.example.com`` → ``example.com``. Pure codegen expression
     (anchored regex extracts + a literal set membership).
@@ -71,10 +134,11 @@ def registrable_domain(host: str | Column) -> Column:
     col = F.regexp_replace(raw, r"\.+$", "")
     last2 = F.regexp_extract(col, r"([^.]+\.[^.]+)$", 1)
     last3 = F.regexp_extract(col, r"([^.]+\.[^.]+\.[^.]+)$", 1)
+    listed = tuple(suffixes) if suffixes is not None else MULTI_PART_SUFFIXES
     return (
         F.when(col.rlike(r"^[0-9.]+$"), col)  # IPv4 literal
         .when(last2 == "", col)  # single-label host
-        .when(last2.isin(*MULTI_PART_SUFFIXES) & (last3 != ""), last3)
+        .when(last2.isin(*listed) & (last3 != ""), last3)
         .otherwise(last2)
     )
 
@@ -101,7 +165,9 @@ def host_suffix_chain(host: str | Column) -> Column:
 
 
 def extract_url_parts(
-    df: DataFrame, url_col: str = "url"
+    df: DataFrame,
+    url_col: str = "url",
+    suffixes: tuple[str, ...] | None = None,
 ) -> DataFrame:
     """Append ``host``, ``domain`` (registrable), ``tld``, and ``path``
     columns parsed from ``url_col`` — the map-only projection every
@@ -110,7 +176,7 @@ def extract_url_parts(
     host = url_host(F.col(url_col))
     return (
         df.withColumn("host", host)
-        .withColumn("domain", registrable_domain(F.col("host")))
+        .withColumn("domain", registrable_domain(F.col("host"), suffixes))
         .withColumn("tld", F.regexp_extract(F.col("host"), r"\.([^.]+)$", 1))
         .withColumn("path", F.try_parse_url(F.col(url_col), F.lit("PATH")))
     )
