@@ -245,6 +245,7 @@ SCHEDULED_NEXT_WINDOW = frozenset(
         # round-8 additions
         "llm_multimodal_alignment",
         "llm_alignment_report",
+        "llm_bitext_mining",
     }
 )
 

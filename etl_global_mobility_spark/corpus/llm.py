@@ -3786,6 +3786,100 @@ _ALIGNMENT_REPORT_SQL = f"""
     FROM per_bin, tot"""
 
 
+
+
+def q_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based bitext mining (operators/retrieval.py
+    mine_bitext_pairs — Artetxe & Schwenk ACL 2019, the
+    CCMatrix/LASER parallel-corpus construction operator): even
+    vec_ids play the source language (bounded mining batch, < 24),
+    odd vec_ids the target corpus; each source's best target by the
+    ratio margin over both sides' k-NN neighborhood density, mined at
+    margin >= 1.3."""
+    from etl_global_mobility_spark.operators.retrieval import (
+        mine_bitext_pairs,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    src = e.filter((F.col("vec_id") % 2 == 0) & (F.col("vec_id") < 24))
+    tgt = e.filter(F.col("vec_id") % 2 == 1)
+    return mine_bitext_pairs(src, tgt, k=4, threshold=1.3)
+
+
+def _knn_avg_sql(frm: str, out: str) -> str:
+    """Fixed-order k-NN-average mirror (k=4): rank-i conditional
+    extraction + explicit written-order addition chain — the same
+    determinism trick as the Spark side (_fixed_order_knn_avg)."""
+    return f"""
+      SELECT q_id,
+             (coalesce(s1, 0.0) + coalesce(s2, 0.0)
+              + coalesce(s3, 0.0) + coalesce(s4, 0.0))
+             / (CAST(s1 IS NOT NULL AS INT) + CAST(s2 IS NOT NULL AS INT)
+                + CAST(s3 IS NOT NULL AS INT)
+                + CAST(s4 IS NOT NULL AS INT)) AS {out}
+      FROM (
+        SELECT q_id,
+               max(CASE WHEN rank = 1 THEN score END) AS s1,
+               max(CASE WHEN rank = 2 THEN score END) AS s2,
+               max(CASE WHEN rank = 3 THEN score END) AS s3,
+               max(CASE WHEN rank = 4 THEN score END) AS s4
+        FROM {frm} GROUP BY q_id)
+    """
+
+
+_BITEXT_MINING_SQL = f"""
+    WITH src AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+      WHERE vec_id % 2 = 0 AND vec_id < 24
+    ), tgt AS (
+      SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+      WHERE vec_id % 2 = 1
+    ), fwd_scored AS (
+      SELECT s.vec_id AS q_id, t.vec_id AS c_id,
+             list_dot_product(s.emb, t.emb)
+               / (sqrt(list_dot_product(s.emb, s.emb))
+                  * sqrt(list_dot_product(t.emb, t.emb))) AS score
+      FROM src s, tgt t
+    ), fwd AS (
+      SELECT q_id, c_id, score,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY score DESC, c_id) AS rank
+      FROM fwd_scored WHERE NOT isnan(score)
+    ), fwdk AS (
+      SELECT * FROM fwd WHERE rank <= 4
+    ), ax AS ({_knn_avg_sql("fwdk", "nbr_src")}
+    ), cand AS (
+      SELECT DISTINCT c_id FROM fwdk
+    ), bwd_scored AS (
+      SELECT t.vec_id AS q_id, s.vec_id AS c_id,
+             list_dot_product(t.emb, s.emb)
+               / (sqrt(list_dot_product(t.emb, t.emb))
+                  * sqrt(list_dot_product(s.emb, s.emb))) AS score
+      FROM tgt t JOIN cand ON t.vec_id = cand.c_id CROSS JOIN src s
+    ), bwd AS (
+      SELECT q_id, c_id, score,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY score DESC, c_id) AS rank
+      FROM bwd_scored WHERE NOT isnan(score)
+    ), bwdk AS (
+      SELECT * FROM bwd WHERE rank <= 4
+    ), ay AS ({_knn_avg_sql("bwdk", "nbr_tgt")}
+    ), joined AS (
+      SELECT f.q_id, f.c_id, f.score,
+             (2.0 * f.score) / (ax.nbr_src + ay.nbr_tgt) AS margin
+      FROM fwdk f
+      JOIN ax ON f.q_id = ax.q_id
+      JOIN ay ON f.c_id = ay.q_id
+    ), best AS (
+      SELECT q_id, c_id, score, margin,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY margin DESC, c_id) AS rk
+      FROM joined
+    )
+    SELECT q_id AS src_id, c_id AS tgt_id, score AS cos, margin
+    FROM best WHERE rk = 1 AND margin >= 1.3"""
+
+
 SPECS = [
     QuerySpec(
         "llm_exact_dedup",
@@ -4592,5 +4686,14 @@ SPECS = [
         doc="alignment-score distribution report: fixed-width bins "
         "over [-1,1] + degenerate row, keep counts per bin — bounded "
         "one-agg threshold-tuning audit",
+    ),
+    QuerySpec(
+        "llm_bitext_mining",
+        q_bitext_mining,
+        _BITEXT_MINING_SQL,
+        doc="margin-based bitext mining (Artetxe & Schwenk 2019): "
+        "best cross-lingual candidate per source by ratio margin over "
+        "both sides' k-NN neighborhood density, fixed-order double "
+        "arithmetic — the CCMatrix parallel-corpus constructor",
     ),
 ]

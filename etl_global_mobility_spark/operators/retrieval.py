@@ -384,3 +384,97 @@ def hard_negative_mining(
         .filter(F.col("neg_rank") <= k)
         .select("q_id", "q_label", "neg_rank", "c_id", "c_label", "score")
     )
+
+
+def _fixed_order_knn_avg(cands: DataFrame, k: int, out_col: str) -> DataFrame:
+    """Average similarity of each query's k-NN list, summed in FIXED
+    written order (rank 1 + rank 2 + …): a plain ``avg(score)`` over
+    doubles is partial-aggregation-order-dependent, so two engines (or
+    two partition layouts) can disagree in the last ulp — the rank-i
+    conditional-extraction + explicit addition chain is the same
+    determinism trick as rel_decayed_activity's lag chain. Missing
+    ranks (a side smaller than k) contribute nothing and shrink the
+    divisor."""
+    per_q = cands.groupBy("q_id").agg(
+        *[
+            F.max(F.when(F.col("rank") == i, F.col("score"))).alias(f"_s{i}")
+            for i in range(1, k + 1)
+        ]
+    )
+    total = F.coalesce(F.col("_s1"), F.lit(0.0))
+    n = F.col("_s1").isNotNull().cast("int")
+    for i in range(2, k + 1):
+        total = total + F.coalesce(F.col(f"_s{i}"), F.lit(0.0))
+        n = n + F.col(f"_s{i}").isNotNull().cast("int")
+    return per_q.select("q_id", (total / n).alias(out_col))
+
+
+def mine_bitext_pairs(
+    src: DataFrame,
+    tgt: DataFrame,
+    k: int = 4,
+    threshold: float = 1.05,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Margin-based bitext mining (Artetxe & Schwenk, ACL 2019 — the
+    CCMatrix/LASER parallel-corpus construction operator): for each
+    source-language embedding x, its best target-language candidate y
+    scored by the RATIO margin
+
+        margin(x, y) = cos(x, y) / ((avgNN_k(x) + avgNN_k(y)) / 2)
+
+    where ``avgNN_k`` is the mean cosine of each side's k nearest
+    neighbors in the OTHER language — absolute cosine is not
+    comparable across sentences (hubness), the margin over each
+    point's own neighborhood density is. Pairs with
+    ``margin >= threshold`` are mined as translations (1.0 = "no
+    better than its neighborhood"; CCMatrix mined at ~1.06).
+
+    Scale shape: composes :func:`similarity.cosine_topk_exact` twice —
+    ``src`` is the bounded mining batch (broadcast; mine in batches at
+    100 TB, or swap the exact top-k for the ANN shortlist — the margin
+    arithmetic is unchanged), the target corpus streams map-only; the
+    backward direction queries ONLY the ≤ |src|·k distinct forward
+    candidates. Neighborhood averages use a fixed-order addition chain
+    so the doubles are bit-reproducible across engines and partition
+    layouts. Zero-norm embeddings score NaN in the top-k and are
+    excluded there.
+
+    Returns one row per source item whose best candidate clears the
+    threshold: (src_id, tgt_id, cos, margin)."""
+    from etl_global_mobility_spark.operators.similarity import (
+        cosine_topk_exact,
+    )
+
+    fwd = cosine_topk_exact(tgt, src, k=k, id_col=id_col, vec_col=vec_col)
+    a_src = _fixed_order_knn_avg(fwd, k, "nbr_src")
+    cand_tgt = tgt.join(
+        fwd.select(F.col("c_id").alias(id_col)).distinct(), id_col, "left_semi"
+    )
+    bwd = cosine_topk_exact(src, cand_tgt, k=k, id_col=id_col, vec_col=vec_col)
+    a_tgt = (
+        _fixed_order_knn_avg(bwd, k, "nbr_tgt")
+        .withColumnRenamed("q_id", "c_id")
+    )
+    scored = (
+        fwd.join(F.broadcast(a_src), "q_id")
+        .join(F.broadcast(a_tgt), "c_id")
+        .withColumn(
+            "margin",
+            (F.lit(2.0) * F.col("score"))
+            / (F.col("nbr_src") + F.col("nbr_tgt")),
+        )
+    )
+    best = scored.groupBy("q_id").agg(
+        F.max_by(
+            F.struct("c_id", "score", "margin"),
+            F.struct(F.col("margin"), (-F.col("c_id")).alias("_nid")),
+        ).alias("_best")
+    )
+    return best.select(
+        F.col("q_id").alias("src_id"),
+        F.col("_best.c_id").alias("tgt_id"),
+        F.col("_best.score").alias("cos"),
+        F.col("_best.margin").alias("margin"),
+    ).filter(F.col("margin") >= threshold)

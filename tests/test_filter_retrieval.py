@@ -364,3 +364,85 @@ def test_mmr_rerank_rejects_non_integral_ids_and_drops_nan_relevance(spark):
     out = mmr_rerank(df, q, k=3, n_candidates=3, lam=0.7, div=0.3).collect()
     ids = {r.c_id for r in out}
     assert 2 not in ids and ids <= {1, 3}
+
+
+def test_bitext_mining_finds_planted_translation(spark):
+    """A target vector that is a near-copy of a source vector is that
+    source's translation: it must be mined with the TOP margin, while
+    a source with no counterpart in a uniform neighborhood stays near
+    margin 1 (cos ~ its own k-NN average) and falls below a modest
+    threshold."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from etl_global_mobility_spark.operators.retrieval import (
+        mine_bitext_pairs,
+    )
+
+    rng = random.Random(7)
+
+    def vec(seed=None):
+        r = random.Random(seed) if seed is not None else rng
+        return [r.uniform(-1, 1) for _ in range(16)]
+
+    base = vec(seed=99)
+    near = [v + 0.01 * i for i, v in enumerate(base)]  # near-copy
+    src_rows = [(0, base), (2, vec()), (4, vec())]
+    tgt_rows = [(1, near)] + [(2 * i + 1, vec()) for i in range(1, 12)]
+    src = spark.createDataFrame(
+        src_rows, "vec_id long, embedding array<double>"
+    )
+    tgt = spark.createDataFrame(
+        tgt_rows, "vec_id long, embedding array<double>"
+    )
+
+    mined = {
+        r["src_id"]: r
+        for r in mine_bitext_pairs(src, tgt, k=4, threshold=0.0).collect()
+    }
+    # the planted pair wins for src 0, with a big margin
+    assert mined[0]["tgt_id"] == 1
+    assert mined[0]["cos"] > 0.95
+    assert mined[0]["margin"] > 1.5
+    # unpaired sources sit near margin 1 — a real threshold separates
+    high = {
+        r["src_id"]
+        for r in mine_bitext_pairs(src, tgt, k=4, threshold=1.5).collect()
+    }
+    assert 0 in high
+    assert high <= {0, 2, 4}
+
+    # determinism: partition layout changes nothing
+    a = sorted(
+        (r["src_id"], r["tgt_id"], r["margin"])
+        for r in mine_bitext_pairs(src, tgt, k=4, threshold=0.0).collect()
+    )
+    b = sorted(
+        (r["src_id"], r["tgt_id"], r["margin"])
+        for r in mine_bitext_pairs(
+            src.repartition(5), tgt.repartition(7), k=4, threshold=0.0
+        ).collect()
+    )
+    assert a == b
+
+
+def test_bitext_mining_small_side_shrinks_divisor(spark):
+    """A target side smaller than k still mines: the neighborhood
+    average divides by the ranks that EXIST, not a padded k."""
+    from etl_global_mobility_spark.operators.retrieval import (
+        mine_bitext_pairs,
+    )
+
+    src = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    tgt = spark.createDataFrame(
+        [(1, [1.0, 0.1]), (3, [0.5, 0.5])],
+        "vec_id long, embedding array<double>",
+    )
+    rows = mine_bitext_pairs(src, tgt, k=4, threshold=0.0).collect()
+    assert {r["src_id"] for r in rows} == {0, 2}
+    for r in rows:
+        assert r["margin"] is not None and r["margin"] > 0

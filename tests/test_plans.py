@@ -623,6 +623,8 @@ def test_no_plan_antipatterns_across_entire_corpus(spark):
         "llm_e2e_web_curation",          # composes domain_report
         #                                  (broadcast 1-row totals frame)
         "llm_alignment_report",          # broadcast 1-row pair-total frame
+        "llm_bitext_mining",             # composes cosine_topk (broadcast
+        #                                  bounded mining batch)
     }
     # Unpartitioned windows (WindowExec with an empty partition spec)
     # move ALL rows to one task — allowed only where the window input
