@@ -24,6 +24,9 @@ from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
 from etl_global_mobility_spark.corpus.base import QuerySpec, load_table
+from etl_global_mobility_spark.operators.parallelism import (
+    ensure_grouped_compute_parallelism,
+)
 
 
 # UDFs are built lazily inside each query: the @pandas_udf decorator
@@ -73,7 +76,9 @@ def q_pandas_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_table(spark, sf_dir, "orders")
+    o = ensure_grouped_compute_parallelism(
+        load_table(spark, sf_dir, "orders"), ["o_custkey"]
+    )
     return o.groupBy("o_custkey").agg(
         _range_udaf()(F.col("o_totalprice")).alias("price_spread"),
         _count_udaf()(F.col("o_orderkey")).alias("n_orders"),
@@ -83,8 +88,14 @@ def q_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_pandas_grouped_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     """applyInPandas: per-customer min-anchored price delta (whole-group
     transform; single-op subtraction per row → deterministic)."""
-    o = load_table(spark, sf_dir, "orders").select(
-        "o_custkey", "o_orderkey", "o_totalprice"
+    # pandas cost scales with GROUP COUNT, not bytes: pre-partition by
+    # the key so AQE's bytes-based coalescing can't serialize ~15k
+    # per-group Python calls onto 2 tasks (14 s -> ~2 s at sf0.1)
+    o = ensure_grouped_compute_parallelism(
+        load_table(spark, sf_dir, "orders").select(
+            "o_custkey", "o_orderkey", "o_totalprice"
+        ),
+        ["o_custkey"],
     )
 
     schema = T.StructType(
@@ -136,7 +147,12 @@ def q_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pyarrow as pa
     import pyarrow.compute as pc
 
-    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    o = ensure_grouped_compute_parallelism(
+        load_table(spark, sf_dir, "orders").select(
+            "o_custkey", "o_totalprice"
+        ),
+        ["o_custkey"],
+    )
 
     def per_group(tbl: pa.Table) -> pa.Table:
         cents = pc.cast(
@@ -237,9 +253,15 @@ def q_cogroup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from etl_global_mobility_spark.corpus.base import load_table as _lt
 
     ev = _lt(spark, sf_dir, "events")
-    views = ev.filter(F.col("event_type") == "view").select("user_id", "value")
-    buys = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id", "value"
+    views = ensure_grouped_compute_parallelism(
+        ev.filter(F.col("event_type") == "view").select("user_id", "value"),
+        ["user_id"],
+    )
+    buys = ensure_grouped_compute_parallelism(
+        ev.filter(F.col("event_type") == "purchase").select(
+            "user_id", "value"
+        ),
+        ["user_id"],
     )
 
     schema = T.StructType(

@@ -46,3 +46,44 @@ def ensure_compute_parallelism(
     if target <= 1 or df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)
+
+
+def ensure_grouped_compute_parallelism(
+    df: DataFrame,
+    keys: list[str] | tuple[str, ...],
+    min_parallelism: int | str | None = AUTO,
+) -> DataFrame:
+    """Keyed twin of :func:`ensure_compute_parallelism` for pandas
+    grouped/cogrouped transforms: hash-partition ``df`` BY THE GROUP
+    KEY into at least ``min_parallelism`` slices before
+    ``groupBy(keys).applyInPandas(...)``.
+
+    Why the row guard isn't enough: the grouped transform introduces
+    its own ENSURE_REQUIREMENTS shuffle, and AQE coalesces THAT
+    shuffle's output by BYTES — but per-group pandas cost scales with
+    GROUP COUNT, not bytes, so a few-MB orders table with 15k customer
+    groups lands on 2 tasks and serializes 15k Python invocations
+    (measured 14 s → 2.5 s at sf0.1 on local[32]). An explicit
+    ``repartition(n, keys)`` (REPARTITION_BY_NUM origin) satisfies the
+    grouped-map ClusteredDistribution — so it REPLACES the implicit
+    shuffle rather than adding one — and AQE never coalesces a
+    user-specified partition count.
+
+    ``AUTO`` targets max(defaultParallelism, spark.sql.shuffle
+    .partitions): the same count the replaced shuffle would have used
+    at scale, so the at-100 TB plan is unchanged; only the
+    small-input + many-groups corner gains cores. ``None`` disables
+    (plan tests pin the implicit-shuffle shape)."""
+    if min_parallelism is None:
+        return df
+    if min_parallelism == AUTO:
+        sess = df.sparkSession
+        target = max(
+            sess.sparkContext.defaultParallelism,
+            int(sess.conf.get("spark.sql.shuffle.partitions", "200")),
+        )
+    else:
+        target = int(min_parallelism)
+    if target <= 1:
+        return df
+    return df.repartition(target, *keys)

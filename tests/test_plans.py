@@ -921,3 +921,35 @@ def test_span_corruption_shuffles_only_on_doc_id(spark):
     n_shuffles = plan.count("Exchange") - plan.count("BroadcastExchange")
     assert n_shuffles == 1, plan
     assert "hashpartitioning(doc_id" in plan, plan
+
+
+def test_grouped_pandas_parallelism_guard_single_exchange(spark):
+    """ensure_grouped_compute_parallelism must REPLACE the grouped-map
+    shuffle, not add one (hash-partitioning on the group key satisfies
+    the ClusteredDistribution requirement), and its user-specified
+    partition count must survive AQE — otherwise AQE's bytes-based
+    coalescing serializes thousands of per-group Python calls onto 2
+    tasks (measured 14 s -> 2 s on udf_pandas_grouped_map at sf0.1)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from etl_global_mobility_spark.operators.parallelism import (
+        ensure_grouped_compute_parallelism,
+    )
+
+    df = spark.range(2000).select(
+        (F.col("id") % 97).alias("k"), F.col("id").alias("v")
+    )
+    guarded = ensure_grouped_compute_parallelism(df, ["k"], 16)
+
+    def ident(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pdf
+
+    out = guarded.groupBy("k").applyInPandas(ident, "k long, v long")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # exactly ONE shuffle: the user repartition; no second
+    # ENSURE_REQUIREMENTS exchange above it
+    assert plan.count("Exchange") == 1, plan
+    assert "REPARTITION_BY_NUM" in plan, plan
+    # the count survives into the Python stage even with AQE on
+    assert out.rdd.getNumPartitions() == 16
