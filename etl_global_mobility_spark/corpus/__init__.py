@@ -246,6 +246,7 @@ SCHEDULED_NEXT_WINDOW = frozenset(
         "llm_multimodal_alignment",
         "llm_alignment_report",
         "llm_bitext_mining",
+        "llm_cluster_profile",
     }
 )
 

@@ -3880,6 +3880,90 @@ _BITEXT_MINING_SQL = f"""
     FROM best WHERE rk = 1 AND margin >= 1.3"""
 
 
+
+
+def q_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus cartography: per-cluster composition report over the
+    fixed-point k-means assignment (the Nomic-Atlas-style "what is in
+    my data" map a curation run produces before choosing mixture
+    weights). Composes kmeans_fixed_point (bit-exact iterative
+    clustering) with a documents join (vec_id = doc_id) and two
+    mergeable aggregations: per-(cluster, source) counts roll up to
+    per-cluster doc counts, dominant source via min_by on
+    (-count, source) (max count, ties to the lexicographically first
+    source), exact char sums, and mean squared distance (cluster
+    tightness) — integer sums, ONE double division each, so the report
+    is engine-exact on top of an ITERATIVE algorithm."""
+    from etl_global_mobility_spark.operators.similarity import (
+        kmeans_fixed_point,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    d = load_table(spark, sf_dir, "documents")
+    assign = kmeans_fixed_point(e, k=4, iters=2)
+    j = assign.join(d, assign.vec_id == d.doc_id).select(
+        "cluster_id", "dist_sq", "source", "n_chars"
+    )
+    per_cs = j.groupBy("cluster_id", "source").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("n_chars").alias("chars"),
+        F.sum("dist_sq").alias("dsum"),
+    )
+    return (
+        per_cs.groupBy("cluster_id")
+        .agg(
+            F.sum("cnt").alias("n_docs"),
+            F.min_by(
+                F.struct(F.col("source"), F.col("cnt")),
+                F.struct((-F.col("cnt")).alias("_nc"), F.col("source")),
+            ).alias("_top"),
+            F.sum("chars").alias("sum_chars"),
+            F.sum("dsum").alias("sum_dist"),
+        )
+        .select(
+            "cluster_id",
+            "n_docs",
+            F.col("_top.source").alias("top_source"),
+            F.col("_top.cnt").alias("top_source_docs"),
+            "sum_chars",
+            (F.col("sum_chars").cast("double") / F.col("n_docs")).alias(
+                "mean_chars"
+            ),
+            (F.col("sum_dist").cast("double") / F.col("n_docs")).alias(
+                "mean_dist_sq"
+            ),
+        )
+    )
+
+
+def _cluster_profile_sql() -> str:
+    return f"""
+    WITH j AS (
+      SELECT a.cluster_id, a.dist_sq, d.source, d.n_chars
+      FROM ({_kmeans_sql()}) a JOIN documents d ON a.vec_id = d.doc_id
+    ), per_cs AS (
+      SELECT cluster_id, source, count(*) AS cnt,
+             CAST(sum(n_chars) AS BIGINT) AS chars,
+             CAST(sum(dist_sq) AS BIGINT) AS dsum
+      FROM j GROUP BY cluster_id, source
+    ), tops AS (
+      SELECT cluster_id, source, cnt,
+             row_number() OVER (PARTITION BY cluster_id
+                                ORDER BY cnt DESC, source) AS rk
+      FROM per_cs
+    ), agg AS (
+      SELECT cluster_id, CAST(sum(cnt) AS BIGINT) AS n_docs,
+             CAST(sum(chars) AS BIGINT) AS sum_chars,
+             CAST(sum(dsum) AS BIGINT) AS sum_dist
+      FROM per_cs GROUP BY cluster_id
+    )
+    SELECT a.cluster_id, a.n_docs, t.source AS top_source,
+           t.cnt AS top_source_docs, a.sum_chars,
+           CAST(a.sum_chars AS DOUBLE) / a.n_docs AS mean_chars,
+           CAST(a.sum_dist AS DOUBLE) / a.n_docs AS mean_dist_sq
+    FROM agg a JOIN tops t ON a.cluster_id = t.cluster_id AND t.rk = 1"""
+
+
 SPECS = [
     QuerySpec(
         "llm_exact_dedup",
@@ -4695,5 +4779,14 @@ SPECS = [
         "best cross-lingual candidate per source by ratio margin over "
         "both sides' k-NN neighborhood density, fixed-order double "
         "arithmetic — the CCMatrix parallel-corpus constructor",
+    ),
+    QuerySpec(
+        "llm_cluster_profile",
+        q_cluster_profile,
+        _cluster_profile_sql(),
+        doc="corpus cartography: per-cluster doc counts, dominant "
+        "source, char sums, and mean squared distance over the "
+        "bit-exact fixed-point k-means assignment — the what's-in-my-"
+        "data map behind mixture decisions",
     ),
 ]
