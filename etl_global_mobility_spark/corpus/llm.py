@@ -3769,8 +3769,9 @@ _ALIGNMENT_REPORT_SQL = f"""
     WITH pairs AS ({_ALIGN_PAIRS_SQL}), scored AS ({_ALIGN_SCORED_SQL}),
     binned AS (
       SELECT CASE WHEN alignment IS NULL OR isnan(alignment) THEN NULL
-                  ELSE least(CAST(floor((alignment + 1.0) / 2.0 * 20)
-                                  AS INT), 19) END AS bin,
+                  ELSE least(greatest(
+                         CAST(floor((alignment + 1.0) / 2.0 * 20) AS INT),
+                         0), 19) END AS bin,
              CASE WHEN isnan(alignment) THEN false
                   ELSE alignment >= 0.1 END AS kept
       FROM scored

@@ -116,9 +116,17 @@ def alignment_report(
     on a 100 TB pair corpus.
     """
     score = _safe_cosine(F.col(img_col), F.col(txt_col))
-    # exact cos==1.0 lands on the top edge; clamp into the last bin
+    # clamp BOTH edges into the boundary bins: exact cos==1.0 lands on
+    # the top edge, and sqrt rounding can put a perfectly
+    # anti-aligned pair a ulp BELOW -1 (dot/(sqrt(s)·sqrt(s)) is not
+    # exactly -1), which would otherwise mint a phantom bin "-1"
     bin_idx = F.least(
-        F.floor((score + F.lit(1.0)) / F.lit(2.0) * F.lit(n_bins)).cast("int"),
+        F.greatest(
+            F.floor(
+                (score + F.lit(1.0)) / F.lit(2.0) * F.lit(n_bins)
+            ).cast("int"),
+            F.lit(0),
+        ),
         F.lit(n_bins - 1),
     )
     binned = pairs.select(
