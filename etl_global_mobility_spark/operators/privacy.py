@@ -58,19 +58,34 @@ def k_anonymity_suppress(
     data; suppression is the correctness baseline it's measured
     against.)
 
-    One keyed window (count over the quasi tuple) — the filter happens
-    where the rows already are after the exchange; no join back."""
+    Mergeable class-size aggregation + left-semi join back on the
+    surviving classes (round 8; previously a count-over-window, which
+    moved EVERY row of a giant equivalence class to one task and
+    sorted it there — the window twin of the hot-key join problem,
+    except AQE can skew-split a JOIN but never a window). The
+    aggregation combines map-side so the class-size frame is ∝
+    distinct combinations; AQE broadcasts it when small and
+    skew-splits the row-side shuffle when one class dominates."""
     if not quasi_cols:
         raise ValueError("quasi_cols must name at least one column")
     if k < 2:
         # same guard as the audit: k=1 (or less) suppresses NOTHING and
         # would hand the full table downstream as a "privacy release"
         raise ValueError(f"k must be >= 2 for meaningful suppression: {k}")
-    from pyspark.sql import Window
-
-    w = Window.partitionBy(*quasi_cols)
-    return (
-        df.withColumn("_class_n", F.count(F.lit(1)).over(w))
+    keep = (
+        df.groupBy(*quasi_cols)
+        .agg(F.count(F.lit(1)).alias("_class_n"))
         .filter(F.col("_class_n") >= k)
-        .drop("_class_n")
+        .select(
+            *[F.col(c).alias(f"_k_{c}") for c in quasi_cols]
+        )
     )
+    # null-safe equality: groupBy puts NULL quasi values in one class
+    # (as the old window did), so the join back must match them too —
+    # plain '=' would silently drop every NULL-attribute row. <=> is
+    # still an equi-join key (hash/SMJ + AQE skew-split all apply).
+    cond = None
+    for c in quasi_cols:
+        clause = F.col(c).eqNullSafe(F.col(f"_k_{c}"))
+        cond = clause if cond is None else cond & clause
+    return df.join(keep, cond, "left_semi")

@@ -58,8 +58,12 @@ def test_k_suppress_consistent_with_report(spark):
 
 
 def test_k_anonymity_plans_single_keyed_pass(spark):
-    """Audit = one hash agg + broadcast 1-row total; suppress = one
-    keyed window — no join-back, no cartesian anything."""
+    """Audit = one hash agg + broadcast 1-row total; suppress (round
+    8) = mergeable class-size agg + LEFT-SEMI join back — the shape
+    AQE can skew-split when one equivalence class dominates, unlike
+    the previous count-over-window which moved a giant class to one
+    sorting task. The agg must combine map-side and the join must be
+    semi (rows pass through once, never duplicated)."""
     from etl_global_mobility_spark.operators.privacy import (
         k_anonymity_report,
         k_anonymity_suppress,
@@ -76,7 +80,10 @@ def test_k_anonymity_plans_single_keyed_pass(spark):
         k_anonymity_suppress(df, ["lang", "region"], 3)
         ._jdf.queryExecution().executedPlan().toString()
     )
-    assert "Join" not in sup_plan  # keyed window, not a join-back
+    assert "Window" not in sup_plan  # hot-key window shape retired
+    assert "LeftSemi" in sup_plan
+    assert "partial_count" in sup_plan  # class sizes combine map-side
+    assert "CartesianProduct" not in sup_plan
 
 
 def test_k_suppress_rejects_meaningless_k(spark):
@@ -90,3 +97,25 @@ def test_k_suppress_rejects_meaningless_k(spark):
     df = _rows(spark)
     with pytest.raises(ValueError, match="k must be >= 2"):
         k_anonymity_suppress(df, ["lang"], k=1)
+
+
+def test_k_suppress_null_quasi_values_form_a_class(spark):
+    """Round-8 join-back regression guard: groupBy puts NULL quasi
+    values in ONE class (as the old window's partitionBy did), so the
+    null-safe semi join must keep a NULL class that reaches k and drop
+    one that doesn't — a plain '=' join would silently drop every
+    NULL-attribute row regardless of class size."""
+    from etl_global_mobility_spark.operators.privacy import (
+        k_anonymity_suppress,
+    )
+
+    rows = [
+        (1, None, "r1"), (2, None, "r1"), (3, None, "r1"),  # NULL class, n=3
+        (4, None, "r2"),                                    # NULL class, n=1
+        (5, "en", "r1"), (6, "en", "r1"), (7, "en", "r1"),
+    ]
+    df = spark.createDataFrame(rows, "id long, lang string, region string")
+    kept = {
+        r["id"] for r in k_anonymity_suppress(df, ["lang", "region"], 3).collect()
+    }
+    assert kept == {1, 2, 3, 5, 6, 7}
