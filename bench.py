@@ -206,6 +206,9 @@ def main() -> None:
         sys.exit(1)
 
 
+_BASELINE_CACHE: tuple[str, dict[str, float]] | None = None
+
+
 def _load_baseline() -> tuple[str, dict[str, float]]:
     """Per-query seconds for the regression ratchet. Preference order:
 
@@ -227,6 +230,15 @@ def _load_baseline() -> tuple[str, dict[str, float]]:
     import glob
     import re
 
+    global _BASELINE_CACHE
+    if _BASELINE_CACHE is not None:
+        return _BASELINE_CACHE
+
+    def _done(v):
+        global _BASELINE_CACHE
+        _BASELINE_CACHE = v
+        return v
+
     here = os.path.dirname(os.path.abspath(__file__))
     full = os.path.join(here, "BENCH_FULL_LATEST.json")
     if os.path.exists(full):
@@ -234,7 +246,9 @@ def _load_baseline() -> tuple[str, dict[str, float]]:
             with open(full) as f:
                 data = json.load(f)
             if abs(float(data.get("sf", 0.1)) - 0.1) < 1e-9 and data.get("queries"):
-                return str(data.get("label", "full-latest")), dict(data["queries"])
+                return _done(
+                    (str(data.get("label", "full-latest")), dict(data["queries"]))
+                )
         except (OSError, ValueError):
             pass
     print(
@@ -266,7 +280,7 @@ def _load_baseline() -> tuple[str, dict[str, float]]:
                 )
                 continue
             if queries:
-                return f"r{rnd}", queries
+                return _done((f"r{rnd}", queries))
         except (OSError, ValueError):
             continue
     print(
@@ -274,7 +288,7 @@ def _load_baseline() -> tuple[str, dict[str, float]]:
         "ratchet is INACTIVE this run",
         file=sys.stderr,
     )
-    return "none", {}
+    return _done(("none", {}))
 
 
 #: Baseline entries known to be measurement ARTIFACTS, not achievable

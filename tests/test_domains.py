@@ -522,3 +522,43 @@ def test_suffix_list_artifact_validation(spark, tmp_path):
         json.dump({"n_suffixes": 7}, f)
     with _pytest.raises(ValueError, match="disagrees with its manifest"):
         load_suffix_list(spark, path)
+
+
+@pytest.mark.slow
+def test_url_dedup_hot_key_soak(spark):
+    """The round-8 verdict scenario, directly: ONE canonical URL
+    duplicated 200k times (plus 20k distinct singletons). The
+    mergeable max_by shape must reduce the hot key map-side and finish
+    inside a budget; the winner must still be the longest-text /
+    lowest-id member and absorb exactly 199,999 duplicates."""
+    import time
+
+    from etl_global_mobility_spark.operators.domains import url_dedup
+
+    n_hot, n_cold = 200_000, 20_000
+    hot = spark.range(n_hot).selectExpr(
+        "id AS doc_id",
+        # case noise so canonicalization actually runs on the hot rows
+        "CASE WHEN id % 2 = 0 THEN 'https://hot.com/page' "
+        "ELSE 'HTTPS://HOT.COM/page/' END AS url",
+        # longest text at id 123456: length grows with id except one
+        # planted maximum
+        "repeat('x', CASE WHEN id = 123456 THEN 500 "
+        "ELSE CAST(id % 100 AS INT) END) AS text",
+    )
+    cold = spark.range(n_cold).selectExpr(
+        f"id + {n_hot} AS doc_id",
+        f"concat('https://cold.com/p/', id) AS url",
+        "'y' AS text",
+    )
+    df = hot.unionAll(cold).repartition(32)
+    t0 = time.time()
+    out = url_dedup(df)
+    hot_row = out.filter(out.canonical_url == "https://hot.com/page").collect()
+    n_total = out.count()
+    elapsed = time.time() - t0
+    assert len(hot_row) == 1
+    assert hot_row[0]["doc_id"] == 123456
+    assert hot_row[0]["n_dups"] == n_hot - 1
+    assert n_total == 1 + n_cold
+    assert elapsed < 90, f"hot-key url_dedup soak took {elapsed:.1f}s"
