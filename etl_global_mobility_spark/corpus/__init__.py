@@ -247,6 +247,8 @@ SCHEDULED_NEXT_WINDOW = frozenset(
         "llm_alignment_report",
         "llm_bitext_mining",
         "llm_cluster_profile",
+        "rel_agg_conditional_modern",
+        "llm_cluster_balanced_sample",
     }
 )
 

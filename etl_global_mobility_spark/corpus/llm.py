@@ -3965,6 +3965,45 @@ def _cluster_profile_sql() -> str:
     FROM agg a JOIN tops t ON a.cluster_id = t.cluster_id AND t.rk = 1"""
 
 
+
+
+def q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced diversity sampling (operators/splits.py
+    cluster_balanced_sample over the fixed-point k-means assignment):
+    every cluster downsampled toward the smallest cluster's mass with
+    the exact-integer md5 coin — kept rows with their cluster size and
+    the min-cluster target attached."""
+    from etl_global_mobility_spark.operators.similarity import (
+        kmeans_fixed_point,
+    )
+    from etl_global_mobility_spark.operators.splits import (
+        cluster_balanced_sample,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    assign = kmeans_fixed_point(e, k=4, iters=2).select(
+        "vec_id", "cluster_id"
+    )
+    return cluster_balanced_sample(assign, id_col="vec_id", seed=9)
+
+
+def _cluster_balanced_sql() -> str:
+    coin = _md5_hash_sql("CAST(vec_id AS VARCHAR)", 9)
+    return f"""
+    WITH assign AS (
+      SELECT vec_id, cluster_id FROM ({_kmeans_sql()})
+    ), sizes AS (
+      SELECT cluster_id, count(*) AS cluster_n
+      FROM assign GROUP BY cluster_id
+    ), mn AS (
+      SELECT CAST(min(cluster_n) AS BIGINT) AS min_n FROM sizes
+    )
+    SELECT a.cluster_id, a.vec_id,
+           CAST(s.cluster_n AS BIGINT) AS cluster_n, mn.min_n
+    FROM assign a JOIN sizes s ON a.cluster_id = s.cluster_id, mn
+    WHERE {coin} % s.cluster_n < mn.min_n"""
+
+
 SPECS = [
     QuerySpec(
         "llm_exact_dedup",
@@ -4789,5 +4828,14 @@ SPECS = [
         "source, char sums, and mean squared distance over the "
         "bit-exact fixed-point k-means assignment — the what's-in-my-"
         "data map behind mixture decisions",
+    ),
+    QuerySpec(
+        "llm_cluster_balanced_sample",
+        q_cluster_balanced_sample,
+        _cluster_balanced_sql(),
+        doc="cluster-balanced diversity sampling: every k-means "
+        "cluster downsampled toward the smallest cluster's mass via "
+        "the exact-integer md5 coin (h % cluster_n < min_n) — "
+        "DataComp/SemDeDup-pipeline rebalancing",
     ),
 ]

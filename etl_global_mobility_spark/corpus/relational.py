@@ -2944,6 +2944,29 @@ def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def q_agg_conditional_modern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modern conditional aggregates in one grouped pass (Spark 3.5+/4
+    surface): count_if, bool_and/bool_or, and a FILTER-clause-shaped
+    conditional sum — the idiomatic replacements for
+    sum(CASE WHEN ... THEN 1 ELSE 0 END) bookkeeping. All reduce to
+    the same partial/final hash aggregation (map-side combined), so
+    the modern spellings cost nothing over the CASE forms."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count_if(F.col("l_quantity") > 25).alias("n_big_qty"),
+        F.bool_and(F.col("l_quantity") > 0).alias("all_positive"),
+        F.bool_or(F.col("l_discount") > F.lit(0.09)).alias("any_deep_discount"),
+        F.sum(
+            F.when(
+                F.col("l_linestatus") == "F",
+                F.col("l_quantity").cast("decimal(18,2)"),
+            )
+        ).cast("double").alias("sum_qty_finished"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
 SPECS = [
     QuerySpec(
         "rel_percentiles_exact",
@@ -4538,5 +4561,21 @@ SPECS = [
         doc="TPC-H Q20 shape (ship volume stands in for the absent "
         "partsupp availqty): chained IN subqueries as "
         "filter -> agg -> semi join",
+    ),
+    QuerySpec(
+        "rel_agg_conditional_modern",
+        q_agg_conditional_modern,
+        """
+        SELECT l_returnflag,
+               CAST(count_if(l_quantity > 25) AS BIGINT) AS n_big_qty,
+               bool_and(l_quantity > 0) AS all_positive,
+               bool_or(l_discount > 0.09) AS any_deep_discount,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
+                    FILTER (WHERE l_linestatus = 'F') AS DOUBLE)
+                 AS sum_qty_finished,
+               count(*) AS n_rows
+        FROM lineitem GROUP BY l_returnflag""",
+        doc="modern conditional aggregates (count_if / bool_and / "
+        "bool_or / FILTER-clause sum) in one map-side-combined pass",
     ),
 ]

@@ -704,3 +704,41 @@ def rejection_sample(
         (F.col("_c.s") - F.col("_r.s")).alias("margin"),
         "n_candidates",
     )
+
+
+def cluster_balanced_sample(
+    df: DataFrame,
+    cluster_col: str = "cluster_id",
+    id_col: str = "doc_id",
+    seed: int = 9,
+) -> DataFrame:
+    """Cluster-balanced diversity sampling (the DataComp /
+    SemDeDup-pipeline rebalancing step, arXiv:2304.14108 §3.4 family):
+    downsample every cluster toward the SMALLEST cluster's mass so no
+    dense region of embedding space dominates training — the
+    cluster-level complement of per-source mixing, run after a
+    clustering pass (e.g. ``similarity.kmeans_fixed_point``).
+
+    The coin is exact integer arithmetic: keep a row iff
+    ``md5_hash(id) % cluster_n < min_n`` — expected kept per cluster
+    ≈ min_n, the smallest cluster keeps EVERYTHING (h % n < n is
+    always true), and the decision is a pure function of (id, seed),
+    so partition layout, engine, and retry all reproduce the same
+    sample bit-for-bit. No float rates anywhere.
+
+    Scale shape: one map-side-combined size aggregation on the bounded
+    cluster key, a broadcast join of the tiny size frame + 1-row min,
+    then a map-side filter — no corpus-sized shuffle. Returns kept
+    rows with ``cluster_n`` and ``min_n`` attached."""
+    from etl_global_mobility_spark.operators.dedup import _md5_band_hash
+
+    sizes = df.groupBy(cluster_col).agg(F.count(F.lit(1)).alias("cluster_n"))
+    min_row = sizes.agg(F.min("cluster_n").alias("min_n"))
+    coin = _md5_band_hash(F.col(id_col).cast("string"), seed) % F.col(
+        "cluster_n"
+    )
+    return (
+        df.join(F.broadcast(sizes), cluster_col)
+        .crossJoin(F.broadcast(min_row))  # 1-row min frame
+        .filter(coin < F.col("min_n"))
+    )

@@ -2942,3 +2942,44 @@ def test_compression_signal_reference_parity_and_semantics(spark):
     assert {k: tuple(v) for k, v in out.items()} == {
         k: tuple(v) for k, v in again.items()
     }
+
+
+def test_cluster_balanced_sample_semantics(spark):
+    """Exact-integer balancing invariants: the SMALLEST cluster keeps
+    every row (h % n < n is vacuously true), larger clusters land near
+    the min-cluster mass, cluster_n/min_n ride along correctly, and
+    the decision is partition-layout-invariant."""
+    from pyspark.sql import functions as F
+
+    from etl_global_mobility_spark.operators.splits import (
+        cluster_balanced_sample,
+    )
+
+    # cluster 0: 40 rows, cluster 1: 400 rows, cluster 2: 4000 rows
+    rows = (
+        [(i, 0) for i in range(40)]
+        + [(100 + i, 1) for i in range(400)]
+        + [(1000 + i, 2) for i in range(4000)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, cluster_id int")
+    out = cluster_balanced_sample(df, id_col="doc_id", seed=9)
+    counts = {
+        r["cluster_id"]: r["n"]
+        for r in out.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert counts[0] == 40  # min cluster keeps EVERYTHING
+    # larger clusters land near min_n = 40 (hash-binomial spread)
+    assert 20 <= counts[1] <= 60, counts
+    assert 20 <= counts[2] <= 60, counts
+    # min_n/cluster_n attached and correct
+    row = out.filter(F.col("cluster_id") == 2).first()
+    assert row["cluster_n"] == 4000 and row["min_n"] == 40
+    # deterministic under partition layout
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(
+        r["doc_id"]
+        for r in cluster_balanced_sample(
+            df.repartition(13), id_col="doc_id", seed=9
+        ).collect()
+    )
+    assert a == b

@@ -625,6 +625,7 @@ def test_no_plan_antipatterns_across_entire_corpus(spark):
         "llm_alignment_report",          # broadcast 1-row pair-total frame
         "llm_bitext_mining",             # composes cosine_topk (broadcast
         #                                  bounded mining batch)
+        "llm_cluster_balanced_sample",   # broadcast 1-row min-cluster frame
     }
     # Unpartitioned windows (WindowExec with an empty partition spec)
     # move ALL rows to one task — allowed only where the window input
