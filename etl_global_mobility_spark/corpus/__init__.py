@@ -249,6 +249,7 @@ SCHEDULED_NEXT_WINDOW = frozenset(
         "llm_cluster_profile",
         "rel_agg_conditional_modern",
         "llm_cluster_balanced_sample",
+        "llm_dataset_drift",
     }
 )
 

@@ -4004,6 +4004,75 @@ def _cluster_balanced_sql() -> str:
     WHERE {coin} % s.cluster_n < mn.min_n"""
 
 
+
+
+def q_dataset_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Release-over-release corpus drift report — the aggregate-level
+    diff a data-release review reads next to the row-level CDC
+    (rel_snapshot_diff): per-source doc/token counts of the previous
+    release FULL-OUTER-joined to the current one, with deltas and the
+    doc percent change (NULL for sources new in this release — no
+    base to divide by). The "previous release" here is a deterministic
+    subset (doc_id % 10 != 0) so both engines rebuild the same pair of
+    snapshots; in production the old side is last release's committed
+    card. Two bounded source-keyed aggregations + a tiny full-outer
+    join — output ∝ distinct sources, never corpus-sized."""
+    from etl_global_mobility_spark.operators.text import token_count
+
+    d = load_table(spark, sf_dir, "documents")
+
+    def card(frame, tag):
+        return frame.groupBy("source").agg(
+            F.count(F.lit(1)).alias(f"docs_{tag}"),
+            F.sum(token_count("text")).alias(f"tokens_{tag}"),
+        )
+
+    old = card(d.filter(F.col("doc_id") % 10 != 0), "old")
+    new = card(d, "new")
+    j = old.join(new, "source", "full_outer")
+    docs_old = F.coalesce(F.col("docs_old"), F.lit(0))
+    docs_new = F.coalesce(F.col("docs_new"), F.lit(0))
+    tokens_old = F.coalesce(F.col("tokens_old"), F.lit(0))
+    tokens_new = F.coalesce(F.col("tokens_new"), F.lit(0))
+    return j.select(
+        "source",
+        docs_old.alias("docs_old"),
+        docs_new.alias("docs_new"),
+        (docs_new - docs_old).alias("docs_delta"),
+        tokens_old.alias("tokens_old"),
+        tokens_new.alias("tokens_new"),
+        (tokens_new - tokens_old).alias("tokens_delta"),
+        F.when(
+            docs_old > 0,
+            (docs_new - docs_old).cast("double") / docs_old,
+        ).alias("docs_pct_change"),
+    )
+
+
+_DATASET_DRIFT_SQL = f"""
+    WITH old AS (
+      SELECT source, count(*) AS docs_old,
+             CAST(sum(len({TOKS})) AS BIGINT) AS tokens_old
+      FROM documents WHERE doc_id % 10 <> 0 GROUP BY source
+    ), new AS (
+      SELECT source, count(*) AS docs_new,
+             CAST(sum(len({TOKS})) AS BIGINT) AS tokens_new
+      FROM documents GROUP BY source
+    )
+    SELECT coalesce(o.source, n.source) AS source,
+           coalesce(o.docs_old, 0) AS docs_old,
+           coalesce(n.docs_new, 0) AS docs_new,
+           coalesce(n.docs_new, 0) - coalesce(o.docs_old, 0) AS docs_delta,
+           coalesce(o.tokens_old, 0) AS tokens_old,
+           coalesce(n.tokens_new, 0) AS tokens_new,
+           coalesce(n.tokens_new, 0) - coalesce(o.tokens_old, 0)
+             AS tokens_delta,
+           CASE WHEN coalesce(o.docs_old, 0) > 0 THEN
+             CAST(coalesce(n.docs_new, 0) - coalesce(o.docs_old, 0)
+                  AS DOUBLE) / o.docs_old END AS docs_pct_change
+    FROM old o FULL OUTER JOIN new n ON o.source = n.source"""
+
+
 SPECS = [
     QuerySpec(
         "llm_exact_dedup",
@@ -4837,5 +4906,13 @@ SPECS = [
         "cluster downsampled toward the smallest cluster's mass via "
         "the exact-integer md5 coin (h % cluster_n < min_n) — "
         "DataComp/SemDeDup-pipeline rebalancing",
+    ),
+    QuerySpec(
+        "llm_dataset_drift",
+        q_dataset_drift,
+        _DATASET_DRIFT_SQL,
+        doc="release-over-release corpus drift: per-source doc/token "
+        "deltas + pct change via two bounded cards full-outer-joined "
+        "— the aggregate diff next to row-level CDC",
     ),
 ]
