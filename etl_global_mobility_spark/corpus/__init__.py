@@ -33,19 +33,28 @@ green driver row, and no query's evidence gets stale:
   entire TPC-H tail, winnowing/CDC, k-means, and the sampling/RL
   block.
 
-* round 8 (this window) takes the 26 rows whose newest green row was
-  CORRECTNESS_r03 (they reach the ceil(234/50)=5 staleness bound this
-  round), all 14 SCHEDULED_NEXT_WINDOW entries from round 7
-  (wholetext + the 13 round-7 additions), the 2 standing canaries,
-  and the 8 alphabetically-first r4-only rows: 26 + 14 + 2 + 8 = 50.
+* round 8 took the 26 rows whose newest green row was
+  CORRECTNESS_r03, all 14 SCHEDULED_NEXT_WINDOW entries from round 7,
+  the 2 standing canaries, and the 8 alphabetically-first r4-only
+  rows (CORRECTNESS_r08: 50/50 green — every oracle-backed query
+  registered through round 7 holds a green driver row);
+* round 9 (this window) takes the 40 remaining rows whose newest
+  green row is CORRECTNESS_r04 (at the ceil(241/50)=5 staleness
+  bound), all 7 SCHEDULED_NEXT_WINDOW entries from round 8 (first
+  driver rows for the alignment gate, bitext mining, cluster
+  cartography/sampling, dataset drift, conditional aggregates), the
+  2 standing canaries, and 1 spare spent on the earliest-deadline
+  r5-only row: 40 + 7 + 2 + 1 = 50.
 
-ROUND-9 PLAN (reserve now so window arithmetic stays provable): the
-40 remaining rows whose newest green row is CORRECTNESS_r04 hit the
-staleness bound in round 9 and MUST fill its window first, plus the
-2 canaries: 40 + 2 = 42, leaving exactly 8 slots for round-8
-additions — so round 8 may register AT MOST 8 new oracle-backed
-queries (SCHEDULED_NEXT_WINDOW holds them; the invariant tests
-enforce the cap arithmetically rather than by this comment).
+ROUND-10 PLAN (reserve now so window arithmetic stays provable): the
+47 remaining r5-only rows hit their hard staleness deadline at round
+11 (trip condition is current_round - latest > 5), so round 10 takes
+the round-9 additions (SCHEDULED_NEXT_WINDOW, at most 8), the 2
+canaries, and the 40 alphabetically-first remaining r5-only rows:
+8 + 2 + 40 = 50; the last 7 r5-only rows lead the round-11 window at
+their deadline. Round 9 may therefore register AT MOST 8 new
+oracle-backed queries (the invariant tests enforce the staleness
+arithmetic rather than this comment).
 
 ``DRIVER_GREEN_PAST_ROUNDS`` records which queries already hold a
 green row (union of all CORRECTNESS_r0N files); those may sit past the
@@ -62,69 +71,69 @@ from __future__ import annotations
 
 from etl_global_mobility_spark.corpus.base import QuerySpec, load_table
 
-#: First 50 registered names — the driver's round-8 correctness window.
+#: First 50 registered names — the driver's round-9 correctness window.
 DRIVER_WINDOW = (
-    # the 26 rows whose newest green row is CORRECTNESS_r03 — they
+    # the 40 rows whose newest green row is CORRECTNESS_r04 — they
     # reach the corpus-scaled staleness bound this round
-    "llm_pii_redact",
-    "llm_repetition_signals",
-    "llm_strip_boilerplate",
-    "llm_text_stats",
-    "llm_vocab_oov",
-    "parity_catalog_table_scan",
-    "parity_csv_scan",
-    "parity_quality_reasons",
-    "rel_agg_pricing_summary",
-    "rel_collect_sorted_lists",
-    "rel_hof_arrays",
-    "rel_join_revenue_by_nation",
-    "rel_json_events",
-    "rel_merge_upsert",
-    "rel_set_ops",
-    "rel_window_range_frame",
-    "stream_dedup_keys",
-    "stream_session_windows",
-    "stream_stateful_profile",
-    "stream_stream_join",
-    "stream_tumbling_counts",
-    "udf_map_in_arrow",
-    "udf_pandas_grouped_agg",
-    "udf_pandas_grouped_map",
-    "udf_pandas_scalar",
-    "udf_python_udtf",
-    # all 14 SCHEDULED_NEXT_WINDOW entries from round 7 — first
-    # driver rows for the round-7 additions + the deferred wholetext
-    "rel_source_text_wholetext",
-    "rel_source_avro",
-    "llm_domain_extract",
-    "llm_domain_blocklist",
-    "llm_domain_cap_report",
-    "llm_url_dedup",
-    "llm_token_fertility",
-    "llm_int8_quantize",
-    "llm_k_anonymity",
-    "llm_k_suppress",
-    "llm_event_sequences",
-    "llm_keyword_tag",
-    "llm_pmi_collocations",
-    "llm_e2e_web_curation",
-    # 8 alphabetically-first r4-only rows (the remaining 40 fill the
-    # round-9 window at their staleness bound — see ROUND-9 PLAN)
-    "llm_dedup_keep_best",
-    "llm_e2e_curation",
-    "llm_knn_label_vote",
-    "llm_lang_profile",
-    "llm_per_source_cap",
-    "llm_quality_score",
-    "llm_split_leakage",
-    "llm_stratified_sample",
+    "rel_array_ops",
+    "rel_bucketed_join",
+    "rel_cohort_retention",
+    "rel_csv_corrupt_records",
+    "rel_decayed_activity",
+    "rel_equidepth_bins",
+    "rel_error_safe_functions",
+    "rel_expectations_report",
+    "rel_funnel_analysis",
+    "rel_fuzzy_match",
+    "rel_histogram_prices",
+    "rel_incremental_agg",
+    "rel_join_hinted_shuffle_hash",
+    "rel_mask_redaction",
+    "rel_moving_window_sum",
+    "rel_null_safe_join",
+    "rel_percentiles_exact",
+    "rel_ratio_to_report",
+    "rel_recursive_chain",
+    "rel_resample_ffill",
+    "rel_robust_scaling",
+    "rel_running_distinct",
+    "rel_scalar_dates",
+    "rel_scd2_dimension",
+    "rel_scd2_point_in_time",
+    "rel_schema_evolution",
+    "rel_sessionize_batch",
+    "rel_snapshot_diff",
+    "rel_source_binaryfile",
+    "rel_source_json",
+    "rel_source_orc",
+    "rel_source_python_ds",
+    "rel_tpch_q3_shipping_priority",
+    "rel_triangle_count",
+    "rel_variant_json",
+    "rel_window_first_last",
+    "rel_zorder_key",
+    "stream_python_source",
+    "stream_sliding_counts",
+    "udf_cogroup_profile",
+    # all 7 SCHEDULED_NEXT_WINDOW entries from round 8 — first driver
+    # rows for the round-8 additions
+    "llm_multimodal_alignment",
+    "llm_alignment_report",
+    "llm_bitext_mining",
+    "llm_cluster_profile",
+    "llm_cluster_balanced_sample",
+    "llm_dataset_drift",
+    "rel_agg_conditional_modern",
+    # 1 spare spent on the earliest-deadline (alphabetically-first)
+    # r5-only row — see ROUND-10 PLAN
+    "llm_causal_lm_examples",
     # standing canaries (green every round since r2/r3) for
     # cross-round regression signal — one parity + one llm
     "parity_derived_all",
     "llm_exact_dedup",
 )
 
-#: Queries holding a green driver row in CORRECTNESS_r02…r07 —
+#: Queries holding a green driver row in CORRECTNESS_r02…r08 —
 #: allowed past the window (their evidence is already recorded; the
 #: local gate still re-verifies them every round). Regenerated each
 #: round as the union of green rows across all CORRECTNESS_r0N.json.
@@ -136,22 +145,26 @@ DRIVER_GREEN_PAST_ROUNDS = frozenset(
         "llm_chunk_documents", "llm_contamination", "llm_cosine_topk",
         "llm_cross_source_dups", "llm_dedup_cluster_stats",
         "llm_dedup_components", "llm_dedup_keep_best",
-        "llm_dsir_resample", "llm_dup_ngram_spans", "llm_e2e_curation",
-        "llm_e2e_training_examples", "llm_embedding_neardup",
-        "llm_epoch_plan", "llm_exact_dedup", "llm_feature_hash",
+        "llm_domain_blocklist", "llm_domain_cap_report",
+        "llm_domain_extract", "llm_dsir_resample",
+        "llm_dup_ngram_spans", "llm_e2e_curation",
+        "llm_e2e_training_examples", "llm_e2e_web_curation",
+        "llm_embedding_neardup", "llm_epoch_plan",
+        "llm_event_sequences", "llm_exact_dedup", "llm_feature_hash",
         "llm_filter_rules", "llm_fim_transform", "llm_fingerprint",
         "llm_frame_sample", "llm_group_advantage",
         "llm_hard_negative_mining", "llm_hash_split",
         "llm_hybrid_retrieval_rrf", "llm_incremental_neardup",
-        "llm_ivf_ann", "llm_kmeans_refine", "llm_knn_label_vote",
-        "llm_lang_profile", "llm_language_id",
+        "llm_int8_quantize", "llm_ivf_ann", "llm_k_anonymity",
+        "llm_k_suppress", "llm_keyword_tag", "llm_kmeans_refine",
+        "llm_knn_label_vote", "llm_lang_profile", "llm_language_id",
         "llm_length_bucket_batching", "llm_lsh_ann",
         "llm_minhash_neardup", "llm_minhash_verified",
         "llm_mix_sources", "llm_mmr_rerank", "llm_multimodal_features",
         "llm_ngram_jaccard", "llm_normalize_text",
         "llm_pack_sequences", "llm_packing_efficiency",
-        "llm_per_source_cap", "llm_pii_redact", "llm_pq_ann",
-        "llm_preference_pairs", "llm_quality_classifier",
+        "llm_per_source_cap", "llm_pii_redact", "llm_pmi_collocations",
+        "llm_pq_ann", "llm_preference_pairs", "llm_quality_classifier",
         "llm_quality_classifier_trained", "llm_quality_prune",
         "llm_quality_score", "llm_rejection_sample",
         "llm_repetition_signals", "llm_semantic_dedup",
@@ -159,10 +172,11 @@ DRIVER_GREEN_PAST_ROUNDS = frozenset(
         "llm_span_corruption", "llm_split_leakage",
         "llm_stratified_sample", "llm_strip_boilerplate",
         "llm_temperature_mix", "llm_text_stats", "llm_tfidf_topterms",
-        "llm_token_budget_sample", "llm_unigram_rarity",
-        "llm_vocab_oov", "llm_weighted_sample",
-        "llm_winnowing_fingerprint", "llm_winnowing_neardup",
-        "parity_casts", "parity_catalog_table_scan", "parity_csv_scan",
+        "llm_token_budget_sample", "llm_token_fertility",
+        "llm_unigram_rarity", "llm_url_dedup", "llm_vocab_oov",
+        "llm_weighted_sample", "llm_winnowing_fingerprint",
+        "llm_winnowing_neardup", "parity_casts",
+        "parity_catalog_table_scan", "parity_csv_scan",
         "parity_date_parse", "parity_derived_all",
         "parity_filter_eq_range", "parity_indicators",
         "parity_map_lookup", "parity_membership",
@@ -198,9 +212,10 @@ DRIVER_GREEN_PAST_ROUNDS = frozenset(
         "rel_scalar_strings_extended", "rel_scd2_dimension",
         "rel_scd2_point_in_time", "rel_schema_evolution",
         "rel_sessionize_batch", "rel_set_ops", "rel_skew_report",
-        "rel_snapshot_diff", "rel_source_binaryfile",
-        "rel_source_json", "rel_source_orc", "rel_source_parquet_zstd",
-        "rel_source_python_ds", "rel_source_xml",
+        "rel_snapshot_diff", "rel_source_avro",
+        "rel_source_binaryfile", "rel_source_json", "rel_source_orc",
+        "rel_source_parquet_zstd", "rel_source_python_ds",
+        "rel_source_text_wholetext", "rel_source_xml",
         "rel_spatial_grid_nearest", "rel_subquery_exists",
         "rel_subquery_scalar", "rel_time_rollup", "rel_topk_global",
         "rel_tpch_q10_returned_items", "rel_tpch_q11_important_parts",
@@ -229,7 +244,7 @@ DRIVER_GREEN_PAST_ROUNDS = frozenset(
         "udf_cogroup_profile", "udf_map_in_arrow",
         "udf_pandas_grouped_agg", "udf_pandas_grouped_map",
         "udf_pandas_scalar", "udf_python_udtf", "udf_sql_function",
-        "udf_udtf_table_arg",
+        "udf_udtf_table_arg"
     }
 )
 
@@ -237,19 +252,12 @@ DRIVER_GREEN_PAST_ROUNDS = frozenset(
 #: Queries ADDED this round (registered past the already-frozen
 #: window): the NEXT rotation must pull these in. The window-invariant
 #: test treats this as the only legitimate reason an oracle-backed
-#: query lacks both window coverage and a past green row. Round-8
+#: query lacks both window coverage and a past green row. Round-9
 #: additions are appended here as they are registered — AT MOST 8
-#: (see ROUND-9 PLAN in the module docstring).
+#: (see ROUND-10 PLAN in the module docstring).
 SCHEDULED_NEXT_WINDOW = frozenset(
     {
-        # round-8 additions
-        "llm_multimodal_alignment",
-        "llm_alignment_report",
-        "llm_bitext_mining",
-        "llm_cluster_profile",
-        "rel_agg_conditional_modern",
-        "llm_cluster_balanced_sample",
-        "llm_dataset_drift",
+        # round-9 additions (none yet)
     }
 )
 
