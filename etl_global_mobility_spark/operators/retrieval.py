@@ -447,26 +447,46 @@ def mine_bitext_pairs(
         cosine_topk_exact,
     )
 
-    fwd = cosine_topk_exact(tgt, src, k=k, id_col=id_col, vec_col=vec_col)
+    # Source and target are two INDEPENDENT id spaces (two languages):
+    # an id shared across the sides is a coincidence, not a self-match,
+    # and (i, i) is often exactly the true translation — so both top-k
+    # passes run with exclude_self=False (the SQL-oracle cross join has
+    # no id-inequality either; with the default the engines diverge the
+    # moment ids overlap).
+    fwd = cosine_topk_exact(
+        tgt, src, k=k, id_col=id_col, vec_col=vec_col, exclude_self=False
+    )
     a_src = _fixed_order_knn_avg(fwd, k, "nbr_src")
     cand_tgt = tgt.join(
         fwd.select(F.col("c_id").alias(id_col)).distinct(), id_col, "left_semi"
     )
-    bwd = cosine_topk_exact(src, cand_tgt, k=k, id_col=id_col, vec_col=vec_col)
+    bwd = cosine_topk_exact(
+        src, cand_tgt, k=k, id_col=id_col, vec_col=vec_col, exclude_self=False
+    )
     a_tgt = (
         _fixed_order_knn_avg(bwd, k, "nbr_tgt")
         .withColumnRenamed("q_id", "c_id")
     )
+    # Both neighborhood averages can be exactly 0.0 (orthogonal /
+    # one-hot embeddings — IEEE dot products of orthogonal vectors are
+    # exact zeros): ANSI mode would throw DIVIDE_BY_ZERO where DuckDB
+    # yields NaN, so guard like _safe_cosine does — NaN margins then
+    # fail the >= threshold filter identically on both engines.
+    denom = F.col("nbr_src") + F.col("nbr_tgt")
     scored = (
         fwd.join(F.broadcast(a_src), "q_id")
         .join(F.broadcast(a_tgt), "c_id")
         .withColumn(
             "margin",
-            (F.lit(2.0) * F.col("score"))
-            / (F.col("nbr_src") + F.col("nbr_tgt")),
+            F.when(
+                denom != 0, (F.lit(2.0) * F.col("score")) / denom
+            ).otherwise(F.lit(float("nan"))),
         )
     )
-    best = scored.groupBy("q_id").agg(
+    # NaN compares LARGER than any number in both Spark and DuckDB, so
+    # an unguarded NaN margin would win the max_by AND pass the >=
+    # threshold filter — drop degenerate candidates before ranking.
+    best = scored.filter(~F.isnan(F.col("margin"))).groupBy("q_id").agg(
         F.max_by(
             F.struct("c_id", "score", "margin"),
             F.struct(F.col("margin"), (-F.col("c_id")).alias("_nid")),

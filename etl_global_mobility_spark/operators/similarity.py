@@ -47,9 +47,18 @@ def cosine_topk_exact(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     min_parallelism: int | str | None = AUTO,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Exact cosine top-k: for every query vector, the k nearest corpus
-    vectors (self-matches excluded), rank 1..k.
+    vectors, rank 1..k.
+
+    ``exclude_self`` (default True) drops candidates whose id equals
+    the query id — correct for SELF-retrieval, where queries are drawn
+    from the corpus and the trivial (i, i) match must not eat a top-k
+    slot. For CROSS-corpus retrieval (two independent id spaces, e.g.
+    bitext mining where source and target sentences legitimately share
+    id values) pass ``exclude_self=False`` — otherwise any id shared
+    across the two sides silently loses its true match.
 
     The query side is broadcast (bounded query sets by contract), so the
     corpus — the 100 TB side — streams through map tasks with no
@@ -85,8 +94,11 @@ def cosine_topk_exact(
     # rankings identical (both sort NaN first descending); for every
     # nonzero pair the guarded expression is the SAME division.
     nrm_prod = F.col("q_nrm") * F.col("c_nrm")
+    pair_cond = (
+        F.col("q_id") != F.col("c_id") if exclude_self else F.lit(True)
+    )
     scored = (
-        c.join(F.broadcast(q), F.col("q_id") != F.col("c_id"))
+        c.join(F.broadcast(q), pair_cond)
         .withColumn(
             "score",
             F.when(

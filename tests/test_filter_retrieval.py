@@ -446,3 +446,77 @@ def test_bitext_mining_small_side_shrinks_divisor(spark):
     assert {r["src_id"] for r in rows} == {0, 2}
     for r in rows:
         assert r["margin"] is not None and r["margin"] > 0
+
+
+def test_bitext_mining_overlapping_id_spaces(spark):
+    """Source and target are two INDEPENDENT id spaces (two languages):
+    a shared id value is a coincidence, not a self-match, and (i, i)
+    is often exactly the true translation. mine_bitext_pairs must run
+    cosine_topk_exact with exclude_self=False — with the default
+    self-exclusion the true pair (0, 0) below could never be mined
+    (found by round-8 advisory review)."""
+    import random
+
+    from etl_global_mobility_spark.operators.retrieval import (
+        mine_bitext_pairs,
+    )
+
+    rng = random.Random(13)
+
+    def vec():
+        return [rng.uniform(-1, 1) for _ in range(16)]
+
+    base = vec()
+    near = [v + 0.01 * i for i, v in enumerate(base)]
+    # both sides use ids 0..4 — the planted translation SHARES id 0
+    src = spark.createDataFrame(
+        [(0, base)] + [(i, vec()) for i in range(1, 5)],
+        "vec_id long, embedding array<double>",
+    )
+    tgt = spark.createDataFrame(
+        [(0, near)] + [(i, vec()) for i in range(1, 5)],
+        "vec_id long, embedding array<double>",
+    )
+    mined = {
+        r["src_id"]: r
+        for r in mine_bitext_pairs(src, tgt, k=3, threshold=0.0).collect()
+    }
+    assert mined[0]["tgt_id"] == 0, "same-id true pair must be minable"
+    assert mined[0]["cos"] > 0.95
+
+
+def test_bitext_mining_zero_denominator_margin_guard(spark):
+    """One-hot / orthogonal embeddings make both k-NN neighborhood
+    averages EXACTLY 0.0 (IEEE dot products of orthogonal vectors are
+    exact zeros). Under Spark 4 ANSI mode an unguarded margin division
+    would throw DIVIDE_BY_ZERO; the guard emits NaN, and — because NaN
+    compares LARGER than any number in Spark and DuckDB alike — the
+    NaN margin must also be DROPPED before max_by/threshold rather
+    than winning them."""
+    from etl_global_mobility_spark.operators.retrieval import (
+        mine_bitext_pairs,
+    )
+
+    # every src⊥every tgt except the planted pair (0 -> 1): for src 2
+    # all 4 of its k-NN cosines are exactly 0 -> nbr averages 0 ->
+    # denominator 0
+    src = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (2, [0.0, 1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    tgt = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0, 0.0]),
+            (3, [0.0, 0.0, 1.0, 0.0]),
+            (5, [0.0, 0.0, 0.0, 1.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    # must not raise; src 2's candidates are (1, margin 0.0) and
+    # (3, margin NaN — both neighborhoods exactly 0). The NaN row must
+    # not win max_by nor pass >= threshold (NaN compares LARGER than
+    # any number in Spark), so at threshold 0.5 src 2 mines nothing
+    rows = mine_bitext_pairs(src, tgt, k=2, threshold=0.5).collect()
+    by_src = {r["src_id"]: r for r in rows}
+    assert 2 not in by_src
+    assert by_src[0]["tgt_id"] == 1
