@@ -888,6 +888,7 @@ def kmeans_fixed_point(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     large_k_threshold: int = LARGE_K_CODEGEN_THRESHOLD,
+    centroids: list[list[int]] | None = None,
 ) -> DataFrame:
     """Lloyd's k-means in FIXED-POINT integer arithmetic — the
     bit-exact companion to :func:`train_ivf_centroids` (which is
@@ -923,17 +924,62 @@ def kmeans_fixed_point(
     centroids ride in a single array Literal and one indexed
     ``transform`` lambda is the only generated code, so any k works
     without hitting Janino's method-size limit. Both paths are exact
-    integer math and bit-identical (pinned by test)."""
-    q = corpus.select(
+    integer math and bit-identical (pinned by test).
+
+    ``centroids`` (trained by :func:`train_kmeans_centroids`, possibly
+    persisted/reloaded via :func:`save_kmeans_centroids` /
+    :func:`load_kmeans_centroids`) skips training entirely — the
+    train-once-assign-many flow a 100 TB pipeline actually runs, and
+    bit-identical to inline training because the fixed-point centroids
+    are exact integers that round-trip losslessly. ``k``/``iters`` are
+    ignored when centroids are supplied."""
+    q = _kmeans_quantize(corpus, scale, id_col, vec_col)
+    if centroids is None:
+        centroids = train_kmeans_centroids(
+            corpus,
+            k=k,
+            iters=iters,
+            scale=scale,
+            id_col=id_col,
+            vec_col=vec_col,
+            large_k_threshold=large_k_threshold,
+        )
+    final = _kmeans_best_of(centroids, large_k_threshold)
+    return q.select(
+        F.col(id_col),
+        F.inline(
+            F.array(
+                F.struct(
+                    final["cid"].alias("cluster_id"),
+                    final["d"].alias("dist_sq"),
+                )
+            )
+        ),
+    )
+
+
+def _kmeans_quantize(
+    corpus: DataFrame, scale: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """The exact fixed-point grid projection shared by the k-means
+    trainer and assigner (round half away from zero, then long)."""
+    return corpus.select(
         F.col(id_col),
         F.transform(
             F.col(vec_col),
             lambda x: F.round(x * F.lit(float(scale))).cast("long"),
         ).alias("__v"),
     )
-    seeds = q.orderBy(id_col).limit(k).collect()
-    cents = [list(r["__v"]) for r in seeds]
-    dim = len(cents[0])
+
+
+def _kmeans_best_of(
+    cs: list[list[int]], large_k_threshold: int
+) -> F.Column:
+    """(dist_sq, cid) argmin struct over the quantized ``__v`` column —
+    ties break to the lowest centroid id via (d, cid) min. Unrolled
+    per-centroid subtrees below ``large_k_threshold``, one array
+    Literal + indexed transform at or past it (identical integer
+    math)."""
 
     def _sq_dist(carr: F.Column) -> F.Column:
         return F.aggregate(
@@ -942,37 +988,60 @@ def kmeans_fixed_point(
             lambda acc, x: acc + x,
         )
 
-    def best_of(cs: list[list[int]]) -> F.Column:
-        if len(cs) < large_k_threshold:
-            structs = [
-                F.struct(
-                    _sq_dist(
-                        F.array(*[F.lit(int(x)).cast("long") for x in c])
-                    ).alias("d"),
-                    F.lit(cid).cast("int").alias("cid"),
-                )
-                for cid, c in enumerate(cs)
-            ]
-            return F.array_min(F.array(*structs))
-        # literal path for large k: centroids as one array<array<bigint>>
-        # Literal, a single indexed transform as the only generated code
-        # — exact integer math, so trivially identical to the unrolled
-        # path (ties still break to the lowest cid via (d, cid) min)
-        cvecs = F.lit([[int(x) for x in c] for c in cs]).cast(
-            "array<array<bigint>>"
-        )
-        return F.array_min(
-            F.transform(
-                cvecs,
-                lambda cv, i: F.struct(
-                    _sq_dist(cv).alias("d"), i.cast("int").alias("cid")
-                ),
+    if len(cs) < large_k_threshold:
+        structs = [
+            F.struct(
+                _sq_dist(
+                    F.array(*[F.lit(int(x)).cast("long") for x in c])
+                ).alias("d"),
+                F.lit(cid).cast("int").alias("cid"),
             )
+            for cid, c in enumerate(cs)
+        ]
+        return F.array_min(F.array(*structs))
+    cvecs = F.lit([[int(x) for x in c] for c in cs]).cast(
+        "array<array<bigint>>"
+    )
+    return F.array_min(
+        F.transform(
+            cvecs,
+            lambda cv, i: F.struct(
+                _sq_dist(cv).alias("d"), i.cast("int").alias("cid")
+            ),
         )
+    )
+
+
+def train_kmeans_centroids(
+    corpus: DataFrame,
+    k: int = 4,
+    iters: int = 2,
+    scale: int = 1 << 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    large_k_threshold: int = LARGE_K_CODEGEN_THRESHOLD,
+) -> list[list[int]]:
+    """The Lloyd trainer behind :func:`kmeans_fixed_point`, exposed so
+    a pipeline can train ONCE, persist the integer centroids
+    (:func:`save_kmeans_centroids`), and run every downstream
+    assignment/profiling/sampling job from the artifact — the same
+    train-once flow as :func:`train_ivf_centroids`, but bit-exact:
+    every step is integer math, so the trained centroids are
+    partition-layout- and engine-independent.
+
+    Scale shape per iteration: ONE map-only assignment pass over
+    literal centroid arrays (no join — the corpus never shuffles for
+    assignment), then one (k × dim)-keyed aggregation with map-side
+    combine; only k × dim (cid, dim, sum, count) aggregate rows ever
+    reach the driver between iterations (bounded by construction)."""
+    q = _kmeans_quantize(corpus, scale, id_col, vec_col)
+    seeds = q.orderBy(id_col).limit(k).collect()
+    cents = [list(r["__v"]) for r in seeds]
+    dim = len(cents[0])
 
     for _ in range(iters):
         assigned = q.select(
-            "__v", best_of(cents)["cid"].alias("__cid")
+            "__v", _kmeans_best_of(cents, large_k_threshold)["cid"].alias("__cid")
         )
         agg = (
             assigned.select(
@@ -999,19 +1068,62 @@ def kmeans_fixed_point(
                     ]
                 )
         cents = nxt
+    return cents
 
-    final = best_of(cents)
-    return q.select(
-        F.col(id_col),
-        F.inline(
-            F.array(
-                F.struct(
-                    final["cid"].alias("cluster_id"),
-                    final["d"].alias("dist_sq"),
-                )
-            )
-        ),
-    )
+
+def save_kmeans_centroids(
+    spark,
+    path: str,
+    centroids: list[list[int]],
+    scale: int,
+    iters: int,
+) -> None:
+    """Persist fixed-point k-means centroids as a reusable artifact
+    (parquet long rows + JSON manifest — the same shape as
+    :func:`save_ann_artifacts`). Integer centroids round-trip through
+    parquet losslessly, so an assignment from the loaded artifact is
+    bit-identical to one from the in-memory trainer output."""
+    import json
+    import os
+
+    rows = [
+        (cid, pos, int(v))
+        for cid, vec in enumerate(centroids)
+        for pos, v in enumerate(vec)
+    ]
+    spark.createDataFrame(rows, "cid int, pos int, v long").coalesce(
+        1
+    ).write.mode("overwrite").parquet(os.path.join(path, "kmeans_centroids"))
+    manifest = {
+        "kmeans": {
+            "k": len(centroids),
+            "dim": len(centroids[0]),
+            "scale": int(scale),
+            "iters": int(iters),
+        }
+    }
+    with open(os.path.join(path, "_kmeans_manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+
+
+def load_kmeans_centroids(spark, path: str) -> tuple[list[list[int]], int]:
+    """Load (centroids, scale) written by :func:`save_kmeans_centroids`,
+    validated against the manifest shape. Bounded driver data by
+    construction (k × dim longs, not corpus)."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_kmeans_manifest.json")) as f:
+        meta = json.load(f)["kmeans"]
+    rows = spark.read.parquet(
+        os.path.join(path, "kmeans_centroids")
+    ).collect()
+    if len(rows) != meta["k"] * meta["dim"]:
+        raise ValueError("kmeans artifact shape mismatch vs manifest")
+    cents = [[0] * meta["dim"] for _ in range(meta["k"])]
+    for r in rows:
+        cents[r.cid][r.pos] = int(r.v)
+    return cents, int(meta["scale"])
 
 
 def int8_quantize_report(

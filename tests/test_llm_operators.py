@@ -1633,6 +1633,62 @@ def test_ann_artifacts_roundtrip_preserves_results(spark, tmp_path):
     assert before == after and len(before) == 12
 
 
+def test_kmeans_artifact_roundtrip_is_bit_identical(spark, tmp_path):
+    """Train-once flow for the fixed-point k-means: train, persist the
+    integer centroids, load them back, and assignment from the loaded
+    artifact must be BIT-IDENTICAL to the inline-trained run — integer
+    centroids round-trip losslessly, unlike the float IVF quantizer
+    (identical up to nothing at all, not just up to ulps)."""
+    from pyspark.sql import functions as F
+
+    from etl_global_mobility_spark.operators.similarity import (
+        kmeans_fixed_point,
+        load_kmeans_centroids,
+        save_kmeans_centroids,
+        train_kmeans_centroids,
+    )
+
+    n, dim = 300, 8
+    vec = F.array(
+        *[
+            (F.hash(F.col("vec_id"), F.lit(j)) % 1000).cast("double") / 500.0
+            for j in range(dim)
+        ]
+    )
+    corpus = spark.range(n).select(
+        F.col("id").alias("vec_id"), vec.alias("embedding")
+    )
+    cents = train_kmeans_centroids(corpus, k=3, iters=2)
+    path = str(tmp_path / "kmeans")
+    save_kmeans_centroids(spark, path, cents, scale=1 << 20, iters=2)
+    cents2, scale2 = load_kmeans_centroids(spark, path)
+    assert cents2 == cents and scale2 == 1 << 20
+
+    inline = sorted(
+        (r.vec_id, r.cluster_id, r.dist_sq)
+        for r in kmeans_fixed_point(corpus, k=3, iters=2).collect()
+    )
+    from_artifact = sorted(
+        (r.vec_id, r.cluster_id, r.dist_sq)
+        for r in kmeans_fixed_point(corpus, centroids=cents2).collect()
+    )
+    assert inline == from_artifact and len(inline) == n
+
+    # manifest shape validation: a truncated artifact must be refused
+    import json
+    import os
+
+    with open(os.path.join(path, "_kmeans_manifest.json")) as f:
+        meta = json.load(f)
+    meta["kmeans"]["k"] = 5
+    with open(os.path.join(path, "_kmeans_manifest.json"), "w") as f:
+        json.dump(meta, f)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="shape mismatch"):
+        load_kmeans_centroids(spark, path)
+
+
 def test_bpe_training_is_partition_invariant_and_artifacts_roundtrip(
     spark, tmp_path
 ):
