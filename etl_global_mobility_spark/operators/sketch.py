@@ -1,0 +1,191 @@
+"""Mergeable quantile sketch — a t-digest-style centroid digest
+(Dunning & Ertl, "Computing extremely accurate quantiles using
+t-digests", arXiv:1902.04023) with the k0 (linear) scale function.
+
+Why this exists: Spark's ``approx_percentile`` (Greenwald-Khanna) is a
+black-box aggregate — its intermediate state is not user-mergeable, so
+a pipeline cannot sketch-once-per-partition/day/source and re-roll the
+digests into arbitrary rollups later (the property that makes HLL
+sketches scale, already covered by ``rel_hll_sketch_union``). This
+module provides that flow for quantiles:
+
+    build per-group digests  ->  persist  ->  merge for ANY rollup
+    ->  estimate quantiles from the merged digest
+
+Design for determinism (the repo's cross-engine discipline applied to
+an approximate structure): values are SORTED before clustering and the
+k0 scale function forms equal-weight clusters by a greedy left-to-right
+rule, so a digest is a pure function of the input MULTISET — partition
+layout cannot change it. Merging concatenates centroid lists, sorts by
+(mean, weight), and re-compresses with the same rule, so merge order
+cannot change the result either. Rank error is bounded by the cluster
+cap: with compression ``delta``, every cluster holds at most
+ceil(2·n/delta) points, and midpoint interpolation keeps the rank
+error of any quantile estimate within one cluster (<= 2n/delta).
+
+Scale shape: the digest build is an Arrow-batched pandas grouped
+aggregation (a DECLARED Python escape hatch — the sketch itself is the
+point, and per group it is O(n log n) local work returning O(delta)
+bytes); merging is the same shape over O(delta)-sized rows. At 100 TB
+the flow is: digest per (source, day) partition at ingest (embarrassingly
+parallel, bounded output), then any report merges a few thousand
+digests — never re-touching the raw corpus.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+
+def _compress(cents: list[tuple[float, int]], delta: int) -> list[tuple[float, int]]:
+    """Greedy left-to-right k0 compression of SORTED (mean, weight)
+    centroids: clusters are capped at ceil(2·total/delta) weight, so the
+    output has at most ~delta/2 + 1 centroids. Deterministic: depends
+    only on the sorted centroid list and delta."""
+    if not cents:
+        return []
+    total = sum(w for _, w in cents)
+    cap = max(1, math.ceil(2.0 * total / delta))
+    out: list[tuple[float, int]] = []
+    cur_m, cur_w = cents[0]
+    for m, w in cents[1:]:
+        if cur_w + w <= cap:
+            # exact weighted mean; weights are ints so only the mean
+            # is float arithmetic
+            cur_m = (cur_m * cur_w + m * w) / (cur_w + w)
+            cur_w += w
+        else:
+            out.append((cur_m, cur_w))
+            cur_m, cur_w = m, w
+    out.append((cur_m, cur_w))
+    return out
+
+
+def _digest_field():
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    return StructField(
+        "digest",
+        ArrayType(
+            StructType(
+                [
+                    StructField("m", DoubleType()),
+                    StructField("w", LongType()),
+                ]
+            )
+        ),
+    )
+
+
+def tdigest_build(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | tuple[str, ...],
+    delta: int = 100,
+) -> DataFrame:
+    """One digest row per group: ``group_cols... , digest`` where
+    digest is a bounded centroid array (<= ~delta/2 + 1 entries).
+    NULL values are dropped (they carry no rank). Values are sorted
+    in the UDF, so the digest is partition-layout-invariant.
+    Arrow-batched grouped-map transform (complex aggregate states are
+    a grouped-map shape — grouped-agg pandas UDFs only return scalar
+    types)."""
+    import pandas as pd
+    from pyspark.sql.types import StructType
+
+    out_schema = StructType(
+        [df.schema[c] for c in group_cols] + [_digest_field()]
+    )
+
+    def _dig(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        vals = sorted(float(x) for x in pdf[value_col].dropna())
+        digest = [
+            {"m": m, "w": w}
+            for m, w in _compress([(x, 1) for x in vals], delta)
+        ]
+        row = {c: [pdf[c].iloc[0]] for c in group_cols}
+        row["digest"] = [digest]
+        return pd.DataFrame(row)
+
+    return df.groupBy(*group_cols).applyInPandas(_dig, out_schema)
+
+
+def tdigest_merge(
+    digests: DataFrame,
+    digest_col: str = "digest",
+    group_cols: list[str] | tuple[str, ...] = (),
+    delta: int = 100,
+) -> DataFrame:
+    """Merge digest rows into one digest per ``group_cols`` rollup
+    (global when empty): concatenate centroids, sort by (mean, weight),
+    re-compress. Order-invariant by the sort, so ANY merge tree —
+    per-partition partials, day-by-day increments — yields the same
+    digest."""
+    import pandas as pd
+    from pyspark.sql.types import StructType
+
+    src = (
+        digests
+        if group_cols
+        else digests.withColumn("__all", F.lit(1))
+    )
+    keys = list(group_cols) if group_cols else ["__all"]
+    out_schema = StructType(
+        [src.schema[c] for c in keys] + [_digest_field()]
+    )
+
+    def _merge(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        cents: list[tuple[float, int]] = []
+        for row in pdf[digest_col]:
+            if row is None:
+                continue
+            for c in row:
+                cents.append((float(c["m"]), int(c["w"])))
+        cents.sort()
+        digest = [{"m": m, "w": w} for m, w in _compress(cents, delta)]
+        out = {c: [pdf[c].iloc[0]] for c in keys}
+        out["digest"] = [digest]
+        return pd.DataFrame(out)
+
+    merged = src.groupBy(*keys).applyInPandas(_merge, out_schema)
+    return merged.drop("__all") if not group_cols else merged
+
+
+def tdigest_quantile(digest, q: float) -> float | None:
+    """Estimate the q-quantile from a digest (rows as returned by
+    collect(): dicts or Rows with m/w). Midpoint piecewise-linear
+    interpolation — centroid i sits at cumulative rank cum + w_i/2 —
+    clamped to the extreme centroid means at the ends. Driver-side on
+    a bounded (<= ~delta/2 + 1) structure."""
+    cents = [(float(c["m"]), int(c["w"])) for c in (digest or [])]
+    if not cents:
+        return None
+    total = sum(w for _, w in cents)
+    target = q * total
+    cum = 0.0
+    prev_pos, prev_m = None, None
+    for m, w in cents:
+        pos = cum + w / 2.0
+        if target <= pos:
+            if prev_pos is None:
+                return m
+            frac = (target - prev_pos) / (pos - prev_pos)
+            return prev_m + frac * (m - prev_m)
+        prev_pos, prev_m = pos, m
+        cum += w
+    return cents[-1][0]
+
+
+def tdigest_n(digest) -> int:
+    """Total weight (row count) carried by a digest."""
+    return sum(int(c["w"]) for c in (digest or []))

