@@ -257,7 +257,9 @@ DRIVER_GREEN_PAST_ROUNDS = frozenset(
 #: (see ROUND-10 PLAN in the module docstring).
 SCHEDULED_NEXT_WINDOW = frozenset(
     {
-        # round-9 additions (none yet)
+        # round-9 additions
+        "llm_dup_spans_within",
+        "stream_schema_drift",
     }
 )
 

@@ -886,6 +886,72 @@ def _dup_ngram_spans_sql(k: int = 3, min_docs: int = 2) -> str:
     """
 
 
+def q_dup_spans_within(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITHIN-document repetition accounting (operators/dedup.py
+    within_doc_repeated_spans, k=3 — the Gopher duplicate-n-gram
+    quality signal, Rae et al. 2021 §A1.1): complement of
+    llm_dup_ngram_spans' cross-document scope. The driver corpus has
+    little natural repetition, so every 4th document is deterministically
+    DOUBLED (text + ' ' + text) — those must report near-total
+    coverage, the rest only their natural repeats; zero shuffles, one
+    map-only projection."""
+    from etl_global_mobility_spark.operators.dedup import (
+        within_doc_repeated_spans,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    staged = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(F.col("text"), F.lit(" "), F.col("text")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return within_doc_repeated_spans(staged, k=3)
+
+
+def _dup_spans_within_sql(k: int = 3) -> str:
+    return f"""
+    WITH staged AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 4 = 0 THEN text || ' ' || text
+                  ELSE text END AS text
+      FROM documents
+    ), base AS (
+      SELECT doc_id, CAST(len({TOKS}) AS BIGINT) AS n_tokens,
+             list_transform(
+               range(1, greatest(len({TOKS}) - {k - 1}, 0) + 1),
+               i -> array_to_string(({TOKS})[i:i + {k - 1}], ' ')) AS grams
+      FROM staged
+    ), occ AS (
+      SELECT doc_id, i - 1 AS pos, grams[CAST(i AS INT)] AS gram
+      FROM (SELECT doc_id, grams, unnest(range(1, len(grams) + 1)) AS i
+            FROM base)
+    ), rep AS (
+      SELECT doc_id, pos FROM (
+        SELECT doc_id, pos,
+               count(*) OVER (PARTITION BY doc_id, gram) AS c
+        FROM occ)
+      WHERE c >= 2
+    ), cov AS (
+      SELECT doc_id, pos, pos + unnest(range(0, {k})) AS t FROM rep
+    ), stats AS (
+      SELECT doc_id, count(DISTINCT pos) AS n_rep_grams,
+             count(DISTINCT t) AS covered_tokens
+      FROM cov GROUP BY doc_id
+    )
+    SELECT b.doc_id, b.n_tokens, CAST(len(b.grams) AS BIGINT) AS n_grams,
+           CAST(coalesce(s.n_rep_grams, 0) AS BIGINT) AS n_rep_grams,
+           CAST(coalesce(s.covered_tokens, 0) AS BIGINT) AS covered_tokens,
+           CASE WHEN b.n_tokens > 0
+                THEN CAST(coalesce(s.covered_tokens, 0) AS DOUBLE)
+                     / CAST(b.n_tokens AS DOUBLE) END AS rep_token_fraction
+    FROM base b LEFT JOIN stats s USING (doc_id)
+    """
+
+
 def q_sentence_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sentence-boundary-respecting RAG chunking at a 48-token budget
     (operators.packing.sentence_chunks). The driver corpus carries no
@@ -4495,6 +4561,14 @@ SPECS = [
         _dup_ngram_spans_sql(),
         doc="exact-substring duplication coverage per doc (fixed-k "
         "inverted-index form of Lee et al. 2022)",
+    ),
+    QuerySpec(
+        "llm_dup_spans_within",
+        q_dup_spans_within,
+        _dup_spans_within_sql(),
+        doc="WITHIN-document repeated k-gram coverage (Gopher duplicate-"
+        "n-gram signal) — zero-shuffle map-only complement of "
+        "llm_dup_ngram_spans",
     ),
     QuerySpec(
         "llm_preference_pairs",

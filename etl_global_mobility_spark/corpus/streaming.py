@@ -369,6 +369,94 @@ def q_stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-drift quarantine STREAM — the streaming twin of
+    rel_csv_corrupt_records (reference quarantine split, NB:655-667):
+    three JSON-lines files arrive as separate micro-batches — one
+    conforming, one with TYPE drift (int key serialized as a string:
+    the upstream-producer change that silently breaks ingestion), one
+    structurally malformed (truncated lines). PERMISSIVE parsing with
+    an explicit schema quarantines instead of dying, and the drift
+    TRIAGE — ok / type_drift (corrupt record still valid JSON, so the
+    drifted payload is recoverable) / malformed — is a complete-mode
+    streaming aggregation. At scale this is the always-on guard in
+    front of a bronze table: counts per drift kind, key mass of the
+    clean rows; schema inference (a full extra scan, and a moving
+    target under drift) is never an option."""
+    import os
+
+    from pyspark.sql import types as T
+
+    from etl_global_mobility_spark.corpus.relational import _roundtrip_dir
+
+    out = _roundtrip_dir("stream_schema_drift")
+    os.makedirs(out, exist_ok=True)
+    n = (
+        load_table(spark, sf_dir, "nation")
+        .select("n_nationkey", "n_name")
+        .orderBy("n_nationkey")
+        .collect()  # bounded: 25 rows at any SF
+    )
+    with open(os.path.join(out, "b1_conforming.json"), "w") as f:
+        for r in n:
+            f.write(
+                f'{{"n_nationkey": {r["n_nationkey"]}, '
+                f'"n_name": "{r["n_name"]}"}}\n'
+            )
+    with open(os.path.join(out, "b2_type_drift.json"), "w") as f:
+        for r in n:
+            f.write(
+                f'{{"n_nationkey": "key-{r["n_nationkey"]}", '
+                f'"n_name": "{r["n_name"]}"}}\n'
+            )
+    with open(os.path.join(out, "b3_malformed.json"), "w") as f:
+        for r in n:
+            f.write(f'{{"n_nationkey": {r["n_nationkey"]}, "n_name:\n')
+
+    schema = T.StructType(
+        [
+            T.StructField("n_nationkey", T.IntegerType()),
+            T.StructField("n_name", T.StringType()),
+            T.StructField("_corrupt_record", T.StringType()),
+        ]
+    )
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(out)
+    )
+    triaged = sdf.select(
+        F.when(F.col("_corrupt_record").isNull(), F.lit("ok"))
+        .when(
+            F.get_json_object("_corrupt_record", "$.n_name").isNotNull(),
+            F.lit("type_drift"),
+        )
+        .otherwise(F.lit("malformed"))
+        .alias("drift_kind"),
+        "n_nationkey",
+    )
+    agg = triaged.groupBy("drift_kind").agg(
+        F.count(F.lit(1)).alias("n_records"),
+        F.sum("n_nationkey").alias("key_sum"),
+    )
+    return run_stream_to_memory(agg, "complete")
+
+
+_SCHEMA_DRIFT_SQL = """
+    SELECT 'ok' AS drift_kind, CAST(count(*) AS BIGINT) AS n_records,
+           CAST(sum(n_nationkey) AS BIGINT) AS key_sum
+    FROM nation
+    UNION ALL
+    SELECT 'type_drift', CAST(count(*) AS BIGINT), CAST(NULL AS BIGINT)
+    FROM nation
+    UNION ALL
+    SELECT 'malformed', CAST(count(*) AS BIGINT), CAST(NULL AS BIGINT)
+    FROM nation
+"""
+
+
 # DuckDB mirror of the full medallion pipeline over lineitem: raw-CSV
 # projection → bronze (date parse + country/range filter) → silver
 # derivations → clean split. Factor map and quality rules follow the
@@ -482,6 +570,15 @@ SPECS = [
         "key, MIN(id)-per-bucket state merged across micro-batches "
         "(split-invariant ⇒ stream ≡ batch), first-arrival-wins keep "
         "set; oracle recomputes signatures→owners→survivors in SQL",
+    ),
+    QuerySpec(
+        "stream_schema_drift",
+        q_stream_schema_drift,
+        _SCHEMA_DRIFT_SQL,
+        doc="schema-drift quarantine stream: PERMISSIVE JSON micro-"
+        "batches triaged ok / type_drift (corrupt record still valid "
+        "JSON) / malformed — the streaming twin of "
+        "rel_csv_corrupt_records",
     ),
     QuerySpec(
         "stream_static_join",

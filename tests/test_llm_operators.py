@@ -1460,6 +1460,46 @@ def test_duplicated_ngram_spans_coverage_union(spark):
     assert rows[4].dup_token_fraction == 0.0
 
 
+def test_within_doc_repeated_spans_hand_computed(spark):
+    """The within-document complement: repeats INSIDE a doc fire, text
+    shared with other docs does not; coverage is the span UNION; the
+    plan is a zero-exchange map-only projection."""
+    from etl_global_mobility_spark.operators.dedup import (
+        within_doc_repeated_spans,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            # grams: (a b c)@0, (b c a)@1, (c a b)@2, (a b c)@3, (b c d)@4
+            # repeated: "a b c" at 0 and 3 -> union covers tokens 0-5 = 6
+            (1, "a b c a b c d"),
+            # overlapping repeats: "a a a" at 0 and 1 -> union = 4 = all
+            (2, "a a a a"),
+            (3, "x y z w"),          # no repeats
+            (4, "tiny doc"),          # < k tokens
+            (5, ""),                  # empty -> NULL fraction
+            # identical to doc 3: CROSS-doc sharing must NOT fire here
+            (6, "x y z w"),
+        ],
+        "doc_id long, text string",
+    )
+    out = within_doc_repeated_spans(docs, k=3)
+    rows = {r.doc_id: r for r in out.collect()}
+    assert rows[1].n_tokens == 7 and rows[1].n_grams == 5
+    assert rows[1].n_rep_grams == 2 and rows[1].covered_tokens == 6
+    assert abs(rows[1].rep_token_fraction - 6 / 7) < 1e-15
+    assert rows[2].n_rep_grams == 2 and rows[2].covered_tokens == 4
+    assert rows[2].rep_token_fraction == 1.0
+    for d in (3, 6):
+        assert rows[d].n_rep_grams == 0 and rows[d].covered_tokens == 0
+    assert rows[4].n_grams == 0 and rows[4].covered_tokens == 0
+    assert rows[5].n_tokens == 0 and rows[5].rep_token_fraction is None
+
+    # the scale claim: zero exchanges — pure map-side codegen
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
 def test_spark4_group_by_all_and_order_by_all(spark):
     """GROUP BY ALL / ORDER BY ALL (Spark 4): grouping keys inferred
     from the non-aggregate select items — the analyst-SQL surface,
