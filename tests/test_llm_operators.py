@@ -1500,6 +1500,47 @@ def test_within_doc_repeated_spans_hand_computed(spark):
     assert "Exchange" not in plan
 
 
+def test_within_doc_repeated_spans_python_reference(spark):
+    """Independent pure-Python reconstruction over 200 random token
+    streams (seeded): per-doc repeated-gram positions and span-union
+    coverage must match the HOF pipeline exactly — the same
+    cross-check discipline as the URL-dedup/weighted-sample reference
+    tests."""
+    import random
+
+    from etl_global_mobility_spark.operators.dedup import (
+        within_doc_repeated_spans,
+    )
+
+    rng = random.Random(31)
+    k = 3
+    docs, want = [], {}
+    for doc_id in range(200):
+        n = rng.randrange(0, 30)
+        # tiny vocabulary forces plenty of repeats
+        toks = [rng.choice("abcdef") for _ in range(n)]
+        docs.append((doc_id, " ".join(toks)))
+        grams = [
+            " ".join(toks[i : i + k]) for i in range(max(len(toks) - k + 1, 0))
+        ]
+        from collections import Counter
+
+        c = Counter(grams)
+        rep = sorted(i for i, g in enumerate(grams) if c[g] >= 2)
+        covered, last_end = 0, -1
+        for p in rep:
+            new_end = max(last_end, p + k - 1)
+            covered += k if p > last_end else new_end - last_end
+            last_end = new_end
+        want[doc_id] = (len(toks), len(grams), len(rep), covered)
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_tokens, r.n_grams, r.n_rep_grams, r.covered_tokens)
+        for r in within_doc_repeated_spans(df, k=k).collect()
+    }
+    assert got == want
+
+
 def test_spark4_group_by_all_and_order_by_all(spark):
     """GROUP BY ALL / ORDER BY ALL (Spark 4): grouping keys inferred
     from the non-aggregate select items — the analyst-SQL surface,
