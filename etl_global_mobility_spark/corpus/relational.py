@@ -402,7 +402,11 @@ def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     interpolated percentile: mergeable across partitions, bounded rank
     error (accuracy=1000 → ±0.1% rank). Sketch values are
     engine-specific → rows-only; the property test bounds the rank
-    error against the exact distribution."""
+    error against the exact distribution. GK's intermediate state is
+    NOT user-mergeable (no sketch-once/merge-any-rollup flow) — for
+    that, operators/sketch.py provides a deterministic t-digest-style
+    digest with invariant-tested mergeability (tests/test_sketch.py,
+    the quantile twin of rel_hll_sketch_union)."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
         F.expr(
