@@ -49,12 +49,13 @@ green driver row, and no query's evidence gets stale:
 ROUND-10 PLAN (reserve now so window arithmetic stays provable): the
 47 remaining r5-only rows hit their hard staleness deadline at round
 11 (trip condition is current_round - latest > 5), so round 10 takes
-the round-9 additions (SCHEDULED_NEXT_WINDOW, at most 8), the 2
-canaries, and the 40 alphabetically-first remaining r5-only rows:
-8 + 2 + 40 = 50; the last 7 r5-only rows lead the round-11 window at
-their deadline. Round 9 may therefore register AT MOST 8 new
-oracle-backed queries (the invariant tests enforce the staleness
-arithmetic rather than this comment).
+the 2 round-9 additions (SCHEDULED_NEXT_WINDOW:
+llm_dup_spans_within, stream_schema_drift — round 9 chose depth over
+breadth per the round-8 verdict), the 2 canaries, and the 46
+alphabetically-first remaining r5-only rows: 2 + 2 + 46 = 50; the
+last r5-only row leads the round-11 window at its deadline (the
+invariant tests enforce the staleness arithmetic rather than this
+comment).
 
 ``DRIVER_GREEN_PAST_ROUNDS`` records which queries already hold a
 green row (union of all CORRECTNESS_r0N files); those may sit past the
