@@ -2742,12 +2742,12 @@ def _kmeans_artifact_centroids(
     silently serving stale centroids."""
     import hashlib
     import os
-    import tempfile
 
     key = (os.path.abspath(sf_dir), k, iters, scale)
     if key in _KMEANS_ARTIFACT_MEM:
         return _KMEANS_ARTIFACT_MEM[key]
 
+    from etl_global_mobility_spark.corpus.relational import _roundtrip_dir
     from etl_global_mobility_spark.operators.similarity import (
         load_kmeans_centroids,
         save_kmeans_centroids,
@@ -2763,7 +2763,8 @@ def _kmeans_artifact_centroids(
     digest = hashlib.md5(
         f"{key}|{fingerprint}".encode()
     ).hexdigest()[:16]
-    path = os.path.join(tempfile.gettempdir(), f"etlgm_kmeans_{digest}")
+    # repo-local staging (same root as every other roundtrip artifact)
+    path = _roundtrip_dir(f"kmeans_{digest}")
     try:
         cents, loaded_scale = load_kmeans_centroids(spark, path)
         if loaded_scale != scale:
