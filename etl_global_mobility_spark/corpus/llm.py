@@ -795,9 +795,14 @@ def _temperature_mix_sql() -> str:
       SELECT source, CAST(sum(n_tokens) AS BIGINT) AS src_tokens
       FROM tok GROUP BY source
     ), rates AS (
+      -- t_min over sources WITH token mass; a zero-token source rates
+      -- 0 (dropped) and must not zero every other source's rate
       SELECT source,
-             sqrt(CAST((SELECT min(src_tokens) FROM per_src) AS DOUBLE)
-                  / CAST(src_tokens AS DOUBLE)) AS rate
+             CASE WHEN src_tokens > 0 THEN
+               sqrt(CAST((SELECT min(src_tokens) FROM per_src
+                          WHERE src_tokens > 0) AS DOUBLE)
+                    / CAST(src_tokens AS DOUBLE))
+             ELSE CAST(0.0 AS DOUBLE) END AS rate
       FROM per_src
     )
     SELECT t.doc_id, t.source, t.n_tokens, r.rate
@@ -1859,6 +1864,7 @@ def _lsh_ann_sql(dim: int = 64, n_planes: int = 6, k: int = 5, n_queries: int = 
       SELECT b.vec_id AS q_id, a.vec_id AS c_id, {_COS} AS score
       FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket
       WHERE b.vec_id < {n_queries} AND a.vec_id <> b.vec_id
+        AND ({_COS}) IS NOT NULL
     ), ranked AS (
       SELECT q_id, c_id, score,
              row_number() OVER (PARTITION BY q_id ORDER BY score DESC, c_id) AS rank
@@ -2095,12 +2101,16 @@ def _mix_cte_block(relation: str, target_fraction: float, seed: int) -> str:
     ), mix_grand AS (
       SELECT CAST(sum(src_tokens) AS BIGINT) AS total_tokens FROM mix_per
     ), mix_rates AS (
+      -- zero-token source => rate 0 (no token mass); the guard also
+      -- dodges DuckDB's least(1.0, x/0=NULL)=1.0 vs Spark ANSI throw
       SELECT source,
-             least(CAST(1.0 AS DOUBLE),
-                   ((CAST({target_fraction!r} AS DOUBLE)
-                     * CAST(total_tokens AS DOUBLE))
-                    * (CASE source {cases} ELSE CAST(0.0 AS DOUBLE) END))
-                   / CAST(src_tokens AS DOUBLE)) AS rate
+             CASE WHEN src_tokens > 0 THEN
+               least(CAST(1.0 AS DOUBLE),
+                     ((CAST({target_fraction!r} AS DOUBLE)
+                       * CAST(total_tokens AS DOUBLE))
+                      * (CASE source {cases} ELSE CAST(0.0 AS DOUBLE) END))
+                     / CAST(src_tokens AS DOUBLE))
+             ELSE CAST(0.0 AS DOUBLE) END AS rate
       FROM mix_per CROSS JOIN mix_grand
     ), mix_kept AS (
       SELECT t.source, t.n_tokens, r.rate

@@ -148,18 +148,29 @@ def embedding_near_duplicates(
     )
     x = b.alias("x")
     y = b.alias("y")
+    # Zero-norm guard (the cosine_topk_exact convention): ALL-ZERO
+    # vectors project to 0 on every hyperplane, so they share one LSH
+    # bucket and WILL pair up — unguarded, that is an ANSI
+    # DIVIDE_BY_ZERO crash, and an unfiltered NaN would PASS the
+    # >= threshold filter (NaN compares larger than any number in both
+    # Spark and DuckDB). Guard to NaN, then drop.
+    nrm_prod = F.col("x.nrm") * F.col("y.nrm")
     pairs = x.join(
         y,
         (F.col("x.bucket") == F.col("y.bucket")) & (F.col("x.id") < F.col("y.id")),
     ).select(
         F.col("x.id").alias("id_a"),
         F.col("y.id").alias("id_b"),
-        (
-            dot(F.col("x.vec"), F.col("y.vec"))
-            / (F.col("x.nrm") * F.col("y.nrm"))
-        ).alias("cos"),
+        F.when(
+            nrm_prod > 0,
+            dot(F.col("x.vec"), F.col("y.vec")) / nrm_prod,
+        )
+        .otherwise(F.lit(float("nan")))
+        .alias("cos"),
     )
-    return pairs.filter(F.col("cos") >= threshold)
+    return pairs.filter(
+        ~F.isnan(F.col("cos")) & (F.col("cos") >= threshold)
+    )
 
 
 def _resolve_centroids(
@@ -554,11 +565,21 @@ def lsh_ann_candidates(
     )
 
     w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("c_id"))
+    # Zero-norm guard + NaN exclusion (the cosine_topk_exact contract):
+    # all-zero vectors share every LSH bucket (projections are exact
+    # zeros), so degenerate pairs DO reach scoring — unguarded that is
+    # an ANSI DIVIDE_BY_ZERO, and NaN sorts FIRST descending, eating
+    # top-k slots.
+    nrm_prod = F.col("q_nrm") * F.col("c_nrm")
     return (
         cand.withColumn(
             "score",
-            dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_nrm") * F.col("c_nrm")),
+            F.when(
+                nrm_prod > 0,
+                dot(F.col("q_vec"), F.col("c_vec")) / nrm_prod,
+            ).otherwise(F.lit(float("nan"))),
         )
+        .filter(~F.isnan(F.col("score")))
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("q_id", "rank", "c_id", "score")

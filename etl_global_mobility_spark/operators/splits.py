@@ -151,15 +151,23 @@ def mix_sources(
         .withColumn("w", F.coalesce(F.element_at(w_map, F.col(source_col)), F.lit(0.0)))
         .withColumn(
             "rate",
-            F.least(
-                F.lit(1.0),
-                (
-                    F.lit(float(target_fraction))
-                    * F.col("total_tokens").cast("double")
-                    * F.col("w")
-                )
-                / F.col("src_tokens").cast("double"),
-            ),
+            # a source with ZERO countable tokens has no token mass for
+            # the budget to allocate: rate 0 (dropped). Unguarded, the
+            # division is an ANSI DIVIDE_BY_ZERO crash — and DuckDB's
+            # least(1.0, x/0=NULL) would silently give 1.0 (least
+            # ignores NULLs), the opposite answer.
+            F.when(
+                F.col("src_tokens") > 0,
+                F.least(
+                    F.lit(1.0),
+                    (
+                        F.lit(float(target_fraction))
+                        * F.col("total_tokens").cast("double")
+                        * F.col("w")
+                    )
+                    / F.col("src_tokens").cast("double"),
+                ),
+            ).otherwise(F.lit(0.0)),
         )
         .select(source_col, "rate")
     )
@@ -216,7 +224,13 @@ def temperature_mix(
     per_source = with_tok.groupBy(source_col).agg(
         F.sum("n_tokens").alias("src_tokens")
     )
-    tmin = per_source.agg(F.min("src_tokens").alias("min_tokens"))
+    # t_min over sources WITH token mass: a zero-token source must not
+    # zero every other source's rate (its p_s^T share is 0 regardless),
+    # and its own 0/0 ratio would ANSI-throw — it gets rate 0
+    # (dropped: no token mass to balance), consistently at every T.
+    tmin = per_source.filter(F.col("src_tokens") > 0).agg(
+        F.min("src_tokens").alias("min_tokens")
+    )
     ratio = (
         F.col("min_tokens").cast("double") / F.col("src_tokens").cast("double")
     )
@@ -230,7 +244,10 @@ def temperature_mix(
         rate_expr = F.pow(ratio, F.lit(1.0 - temperature))
     rates = (
         per_source.crossJoin(F.broadcast(tmin))
-        .withColumn("rate", rate_expr)
+        .withColumn(
+            "rate",
+            F.when(F.col("src_tokens") > 0, rate_expr).otherwise(F.lit(0.0)),
+        )
         .select(source_col, "rate")
     )
     bucket = _md5_band_hash(F.col(id_col).cast("string"), seed) % 10_000
@@ -431,7 +448,13 @@ def epoch_plan(
         "src_tokens",
         weight.alias("weight"),
         target.alias("target_tokens"),
-        (target / F.col("src_tokens").cast("double")).alias("epochs"),
+        # a zero-token source has no defined epoch count (any budget
+        # implies infinitely many passes over nothing): NULL, matching
+        # DuckDB's x/0 → NULL — unguarded, Spark ANSI throws instead
+        F.when(
+            F.col("src_tokens") > 0,
+            target / F.col("src_tokens").cast("double"),
+        ).alias("epochs"),
     )
 
 

@@ -89,13 +89,18 @@ def token_fertility_report(
             "sum_chars",
             "sum_ws_tokens",
             "sum_pieces",
-            (
+            # a language bucket whose docs are all empty/whitespace has
+            # no tokens to rate: NULL (matches DuckDB's x/0 → NULL;
+            # unguarded, Spark ANSI throws DIVIDE_BY_ZERO)
+            F.when(
+                F.col("sum_ws_tokens") > 0,
                 F.col("sum_chars").cast("double")
-                / F.col("sum_ws_tokens").cast("double")
+                / F.col("sum_ws_tokens").cast("double"),
             ).alias("chars_per_token"),
-            (
+            F.when(
+                F.col("sum_ws_tokens") > 0,
                 F.col("sum_pieces").cast("double")
-                / F.col("sum_ws_tokens").cast("double")
+                / F.col("sum_ws_tokens").cast("double"),
             ).alias("fertility"),
         )
     )

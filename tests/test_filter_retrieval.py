@@ -175,6 +175,69 @@ def test_mix_sources_validates_inputs(spark):
         mix_sources(df, {"s": 1.0}, target_fraction=1.5)
 
 
+def test_zero_token_sources_are_guarded_everywhere(spark):
+    """Round-9 adversarial sweep: a source whose documents are all
+    empty/whitespace has ZERO countable tokens — unguarded, every
+    per-source rate/ratio division is an ANSI DIVIDE_BY_ZERO crash.
+    Contract: the zero-token source is DROPPED from mixes (no token
+    mass to allocate), must not distort other sources' rates, and
+    reports NULL where no ratio is defined."""
+    from pyspark.sql import functions as F
+
+    from etl_global_mobility_spark.operators.splits import (
+        epoch_plan,
+        mix_sources,
+        temperature_mix,
+    )
+    from etl_global_mobility_spark.operators.text import (
+        token_fertility_report,
+    )
+
+    rows = (
+        [(i, "w o r d s " * 5, "full") for i in range(40)]
+        + [(100 + i, "   ", "empty") for i in range(10)]
+        + [(200 + i, "a b c", "small") for i in range(10)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+    # mix_sources: empty source dropped, others sampled normally
+    kept = mix_sources(
+        df, {"full": 1.0, "empty": 1.0, "small": 1.0}, target_fraction=0.9
+    )
+    srcs = {r.source for r in kept.select("source").distinct().collect()}
+    assert "empty" not in srcs and "full" in srcs
+
+    # temperature_mix: t_min over POSITIVE sources — the small source
+    # (30 tokens) is kept whole; the empty one is dropped, not allowed
+    # to zero everyone's rate
+    tm = temperature_mix(df, temperature=0.5)
+    rates = {
+        r.source: r.rate
+        for r in tm.select("source", "rate").distinct().collect()
+    }
+    assert "empty" not in rates
+    assert rates["small"] == 1.0
+    assert 0.0 < rates["full"] < 1.0
+
+    # epoch_plan: NULL epochs for the zero-token source, exact for rest
+    plan = {
+        r.source: r
+        for r in epoch_plan(
+            df, {"full": 1.0, "empty": 1.0, "small": 1.0}, token_budget=100
+        ).collect()
+    }
+    assert plan["empty"].src_tokens == 0 and plan["empty"].epochs is None
+    assert plan["full"].epochs is not None
+
+    # token_fertility: NULL ratios for an all-empty language bucket
+    lang_df = df.withColumn("lang", F.col("source"))
+    fert = {r.lang: r for r in token_fertility_report(lang_df).collect()}
+    assert fert["empty"].sum_ws_tokens == 0
+    assert fert["empty"].chars_per_token is None
+    assert fert["empty"].fertility is None
+    assert fert["full"].fertility is not None
+
+
 def test_mix_sources_caps_rates_and_never_upsamples(spark):
     """A source far below its target share keeps rate 1.0 (all rows);
     totals never exceed the source's own size."""

@@ -1500,6 +1500,51 @@ def test_within_doc_repeated_spans_hand_computed(spark):
     assert "Exchange" not in plan
 
 
+def test_zero_norm_vectors_guarded_in_lsh_paths(spark):
+    """Round-9 adversarial sweep: ALL-ZERO vectors project to 0 on
+    every hyperplane, so they share an LSH bucket and WILL reach the
+    cosine — unguarded that is an ANSI DIVIDE_BY_ZERO crash, and an
+    unfiltered NaN would pass >= threshold (embedding_near_duplicates)
+    or rank FIRST descending (lsh_ann_candidates), eating top-k slots.
+    Contract (the cosine_topk_exact convention): degenerate pairs are
+    guarded to NaN and dropped before any threshold/ranking."""
+    from pyspark.sql import functions as F
+
+    from etl_global_mobility_spark.operators.similarity import (
+        embedding_near_duplicates,
+        lsh_ann_candidates,
+    )
+
+    dim = 8
+    zero = [0.0] * dim
+    base = [1.0, 0.5, -0.25, 0.75, -1.0, 0.125, 0.5, -0.5]
+    near = [v * 1.01 for v in base]
+    df = spark.createDataFrame(
+        [(0, base), (1, near), (2, zero), (3, zero)],
+        "vec_id long, embedding array<double>",
+    )
+    # must not raise; the zero-zero pair (guaranteed same bucket) and
+    # zero-vs-real pairs must not appear even at threshold 0
+    pairs = embedding_near_duplicates(
+        df, dim=dim, threshold=0.0, n_planes=2
+    ).collect()
+    ids = {(r.id_a, r.id_b) for r in pairs}
+    assert all(2 not in p and 3 not in p for p in ids)
+    assert (0, 1) in ids  # the real near-dup pair still comes through
+
+    # lsh_ann_candidates: zero-vector corpus rows never outrank real
+    # candidates, zero-vector queries return nothing (all-NaN scores)
+    queries = df.filter(F.col("vec_id").isin(0, 2))
+    out = lsh_ann_candidates(
+        df, queries, dim=dim, n_planes=1, k=3, n_tables=2
+    ).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.q_id, []).append(r)
+    assert all(r.c_id not in (2, 3) for r in by_q.get(0, []))
+    assert 2 not in by_q  # zero-norm query has no real-similarity hits
+
+
 def test_within_doc_repeated_spans_python_reference(spark):
     """Independent pure-Python reconstruction over 200 random token
     streams (seeded): per-doc repeated-gram positions and span-union
