@@ -589,16 +589,23 @@ def q_agg_stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     sd = F.col("sd").cast("double")
     sd2 = F.col("sd2").cast("double")
     sqd = F.col("sqd").cast("double")
-    var_q = (sq2 - sq * sq / n) / (n - F.lit(1))
-    var_d = (sd2 - sd * sd / n) / (n - F.lit(1))
-    cov = (sqd - sq * sd / n) / (n - F.lit(1))
+    # sample-variance guards: a single-row group divides by n-1 = 0 and
+    # a constant column makes the corr denominator exactly 0 — both are
+    # ANSI DIVIDE_BY_ZERO crashes unguarded; NULL matches SQL
+    # var_samp/corr semantics (and DuckDB's x/0 → NULL)
+    var_q = F.when(n > 1, (sq2 - sq * sq / n) / (n - F.lit(1)))
+    var_d = F.when(n > 1, (sd2 - sd * sd / n) / (n - F.lit(1)))
+    cov = F.when(n > 1, (sqd - sq * sd / n) / (n - F.lit(1)))
     return agg.select(
         "l_returnflag",
         n.alias("n"),
         (sq / n).alias("mean_qty"),
         var_q.alias("var_qty"),
         F.sqrt(var_q).alias("std_qty"),
-        (cov / (F.sqrt(var_q) * F.sqrt(var_d))).alias("corr_qty_disc"),
+        F.when(
+            (var_q > 0) & (var_d > 0),
+            cov / (F.sqrt(var_q) * F.sqrt(var_d)),
+        ).alias("corr_qty_disc"),
     )
 
 

@@ -1500,6 +1500,35 @@ def test_within_doc_repeated_spans_hand_computed(spark):
     assert "Exchange" not in plan
 
 
+def test_stats_moments_degenerate_groups_guarded(spark, tmp_path):
+    """Round-9 adversarial sweep: a single-row group divides by
+    n-1 = 0 in the sample variance, and a constant column makes the
+    correlation denominator exactly 0 — both ANSI DIVIDE_BY_ZERO
+    crashes unguarded. Contract: NULL, matching SQL var_samp/corr
+    semantics."""
+    from etl_global_mobility_spark.corpus.relational import (
+        q_agg_stats_moments,
+    )
+
+    rows = [
+        ("A", 5.0, 0.1),            # single-row group: var undefined
+        ("B", 3.0, 0.05),           # constant-discount group: corr undef
+        ("B", 7.0, 0.05),
+        ("C", 1.0, 0.01),           # healthy group
+        ("C", 2.0, 0.04),
+        ("C", 9.0, 0.09),
+    ]
+    spark.createDataFrame(
+        rows, "l_returnflag string, l_quantity double, l_discount double"
+    ).write.parquet(str(tmp_path / "lineitem.parquet"))
+    out = {r.l_returnflag: r for r in q_agg_stats_moments(spark, str(tmp_path)).collect()}
+    assert out["A"].n == 1 and out["A"].var_qty is None
+    assert out["A"].corr_qty_disc is None
+    assert out["B"].var_qty is not None and out["B"].corr_qty_disc is None
+    assert out["C"].corr_qty_disc is not None
+    assert out["C"].corr_qty_disc > 0  # qty and discount co-increase
+
+
 def test_zero_norm_vectors_guarded_in_lsh_paths(spark):
     """Round-9 adversarial sweep: ALL-ZERO vectors project to 0 on
     every hyperplane, so they share an LSH bucket and WILL reach the
