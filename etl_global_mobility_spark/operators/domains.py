@@ -396,8 +396,12 @@ def domain_report(
             (F.col("n_docs").cast("double") / F.col("_total_docs")).alias(
                 "doc_share"
             ),
-            (
-                F.col("sum_tokens").cast("double") / F.col("_total_tokens")
+            # a corpus whose docs are ALL token-less has no token mass
+            # to share: NULL (ANSI would throw on the 0/0; DuckDB's
+            # x/0 yields the same NULL). _total_docs >= 1 always.
+            F.when(
+                F.col("_total_tokens") > 0,
+                F.col("sum_tokens").cast("double") / F.col("_total_tokens"),
             ).alias("token_share"),
         )
     )

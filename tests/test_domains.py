@@ -118,6 +118,22 @@ def test_domain_report_shares_sum_to_one(spark, urls):
     assert "CartesianProduct" not in plan
 
 
+def test_domain_report_all_empty_corpus_token_share_null(spark):
+    """Round-9 adversarial sweep: a corpus whose docs are ALL
+    token-less has zero total token mass — token_share is NULL (ANSI
+    would throw on the unguarded 0/0), doc_share still sums to 1."""
+    from etl_global_mobility_spark.operators.domains import domain_report
+
+    df = spark.createDataFrame(
+        [(1, "https://a.com/x", " "), (2, "https://b.com/y", "")],
+        "doc_id long, url string, text string",
+    )
+    rep = domain_report(df).collect()
+    assert abs(sum(r["doc_share"] for r in rep) - 1.0) < 1e-12
+    assert all(r["token_share"] is None for r in rep)
+    assert all(r["sum_tokens"] == 0 for r in rep)
+
+
 def test_host_suffix_chain_is_label_aligned(spark):
     from etl_global_mobility_spark.operators.domains import host_suffix_chain
 
