@@ -360,6 +360,99 @@ def test_stream_neardup_state_tracks_distinct_content_not_rows(spark, tmp_path):
     assert len(states[50]) == 4 * n_contents
 
 
+@pytest.mark.slow
+def test_incremental_neardup_soak_shard_cost_not_corpus_cost(
+    spark, tmp_path
+):
+    """The daily-ingest shape at volume: a 2k-doc shard probed against
+    PERSISTED band indexes of 12.5k and 50k unique docs. All 500
+    planted shard-vs-corpus near-dups come back exactly under BOTH
+    index sizes — and the candidate volume (threshold 0) is IDENTICAL:
+    the shard meets only its planted partners, so quadrupling the
+    indexed corpus adds nothing to the shard's work beyond the
+    map-only index scan (the measured basis of the 'cost ∝ shard, not
+    corpus' claim)."""
+    from etl_global_mobility_spark.operators.dedup import (
+        incremental_minhash_neardup,
+        minhash_band_index,
+    )
+
+    n_plants, n_shard = 500, 2_000
+
+    def shard():
+        # first 500 shard docs duplicate corpus docs 0..499 (identical
+        # text by cluster-key construction: key = id for uniques, so
+        # copy the key expression); rest are unique in a high namespace
+        dup = spark.range(n_plants).select(
+            (F.col("id") + 1_000_000).alias("doc_id"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(12)),
+                    lambda i: F.concat(
+                        F.lit("w"),
+                        (F.col("id") + 1_000_000).cast("string"),
+                        F.lit("x"),
+                        i.cast("string"),
+                    ),
+                ),
+            ).alias("text"),
+        )
+        fresh = spark.range(n_shard - n_plants).select(
+            (F.col("id") + 5_000_000).alias("doc_id"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(12)),
+                    lambda i: F.concat(
+                        F.lit("w"),
+                        (F.col("id") + 5_000_000).cast("string"),
+                        F.lit("x"),
+                        i.cast("string"),
+                    ),
+                ),
+            ).alias("text"),
+        )
+        return dup.unionByName(fresh)
+
+    # plant: corpus doc i (i < 500) must share text with shard doc
+    # 1_000_000 + i — uniques build text from key id + 1_000_000 in
+    # _clustered_docs, so rebuild the corpus with that same namespace
+    def corpus_ns(n):
+        text = F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(1), F.lit(12)),
+                lambda i: F.concat(
+                    F.lit("w"),
+                    (F.col("id") + 1_000_000).cast("string"),
+                    F.lit("x"),
+                    i.cast("string"),
+                ),
+            ),
+        )
+        return spark.range(n).select(F.col("id").alias("doc_id"), text.alias("text"))
+
+    results = {}
+    for n_corpus in (12_500, 50_000):
+        land = str(tmp_path / f"index_{n_corpus}")
+        minhash_band_index(corpus_ns(n_corpus)).write.parquet(land)
+        index = spark.read.parquet(land)
+        t0 = time.time()
+        cands = incremental_minhash_neardup(
+            index, shard(), jaccard_threshold=0.0
+        ).collect()
+        elapsed = time.time() - t0
+        assert elapsed < 150, f"incremental soak({n_corpus}) took {elapsed:.0f}s"
+        exact = {
+            (r.id_a, r.id_b) for r in cands if r.est_jaccard == 1.0
+        }
+        assert exact == {(i, 1_000_000 + i) for i in range(n_plants)}
+        results[n_corpus] = len(cands)
+    # the measured ratio: candidate volume invariant under a 4x corpus
+    assert results[50_000] <= results[12_500] * 1.01 + 5, results
+
+
 def test_parallelism_guard_targets_cluster_scale_not_local_cores(spark):
     """The r8 parallelism guard's repartition target must scale past
     the 32 local cores: AUTO follows max(defaultParallelism,

@@ -1,9 +1,16 @@
 """Mergeable t-digest-style quantile sketch (operators/sketch.py):
 the sketch-once / merge-for-any-rollup flow and its invariants — the
 quantile twin of test_hll_sketch_union_error_bounds' mergeability
-shape."""
+shape. The Spark tests exercise the distributed flow; the Hypothesis
+tests hammer the pure-Python compression/estimation core with
+adversarial multisets and arbitrary shard boundaries (no Spark per
+example)."""
+
+import bisect
 
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 
@@ -157,6 +164,68 @@ def test_tdigest_rollup_from_persisted_digests(spark, tmp_path):
         hi = bisect.bisect_right(exact, est)
         target = q * n_subset
         assert min(abs(target - lo), abs(target - hi)) <= 2 * n_subset / 100 + 1
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    vals=st.lists(
+        st.floats(
+            min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+        ),
+        min_size=1,
+        max_size=400,
+    ),
+    delta=st.sampled_from([20, 100]),
+    shard_seed=st.integers(min_value=0, max_value=2**31),
+)
+def test_tdigest_core_properties_hypothesis(vals, delta, shard_seed):
+    """Pure-Python core under adversarial multisets and ARBITRARY shard
+    boundaries: weight is conserved exactly, the digest stays bounded,
+    and any-shape shard→build→merge keeps every quantile estimate
+    inside the one-cluster rank bound (the invariant that makes the
+    distributed flow trustworthy, independent of how the data was
+    partitioned)."""
+    import math
+    import random
+
+    from etl_global_mobility_spark.operators.sketch import (
+        _compress,
+        tdigest_quantile,
+    )
+
+    n = len(vals)
+    cap = max(1, math.ceil(2.0 * n / delta))
+
+    # direct build: sorted singletons
+    direct = _compress([(x, 1) for x in sorted(vals)], delta)
+    assert sum(w for _, w in direct) == n           # exact conservation
+    assert len(direct) <= delta // 2 + 2            # bounded size
+    assert [m for m, _ in direct] == sorted(m for m, _ in direct)
+
+    # arbitrary sharding -> per-shard digests -> one-shot merge
+    rng = random.Random(shard_seed)
+    shards: list[list[float]] = [[] for _ in range(rng.randint(1, 5))]
+    for v in vals:
+        shards[rng.randrange(len(shards))].append(v)
+    cents: list[tuple[float, int]] = []
+    for sh in shards:
+        cents.extend(_compress([(x, 1) for x in sorted(sh)], delta))
+    cents.sort()
+    merged = _compress(cents, delta)
+    assert sum(w for _, w in merged) == n
+
+    exact = sorted(vals)
+    for digest in (direct, merged):
+        d = [{"m": m, "w": w} for m, w in digest]
+        for q in (0.0, 0.1, 0.5, 0.9, 1.0):
+            est = tdigest_quantile(d, q)
+            # rank error within one (possibly merged) cluster; merged
+            # digests can carry up-to-cap centroids from each shard,
+            # so allow 2 cluster-caps of slack
+            lo = bisect.bisect_left(exact, est)
+            hi = bisect.bisect_right(exact, est)
+            err = min(abs(q * n - lo), abs(q * n - hi))
+            assert err <= 2 * cap + 1, (q, est, err, cap)
 
 
 def test_tdigest_edge_cases(spark):
