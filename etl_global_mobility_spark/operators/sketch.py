@@ -103,6 +103,10 @@ def tdigest_build(
     import pandas as pd
     from pyspark.sql.types import StructType
 
+    from etl_global_mobility_spark.operators.parallelism import (
+        ensure_grouped_compute_parallelism,
+    )
+
     out_schema = StructType(
         [df.schema[c] for c in group_cols] + [_digest_field()]
     )
@@ -117,7 +121,12 @@ def tdigest_build(
         row["digest"] = [digest]
         return pd.DataFrame(row)
 
-    return df.groupBy(*group_cols).applyInPandas(_dig, out_schema)
+    # pandas cost scales with GROUP COUNT, not bytes — pre-partition by
+    # the key (the r8 grouped-parallelism guard) so AQE's bytes-based
+    # coalescing can't serialize many per-group Python calls onto a
+    # couple of tasks
+    fanned = ensure_grouped_compute_parallelism(df, list(group_cols))
+    return fanned.groupBy(*group_cols).applyInPandas(_dig, out_schema)
 
 
 def tdigest_merge(
