@@ -1500,6 +1500,56 @@ def test_within_doc_repeated_spans_hand_computed(spark):
     assert "Exchange" not in plan
 
 
+def test_kmeans_artifact_fingerprint_invalidates_on_data_change(
+    spark, tmp_path
+):
+    """The shared centroid artifact is keyed by (sf_dir, params,
+    embeddings mtime+size): refreshed testdata must map to a DIFFERENT
+    artifact path and retrain, never silently serve stale centroids —
+    and the same unchanged dir must reuse both the in-memory memo and
+    the on-disk artifact."""
+    import os
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from etl_global_mobility_spark.corpus.llm import (
+        _KMEANS_ARTIFACT_MEM,
+        _kmeans_artifact_centroids,
+    )
+
+    sf = str(tmp_path)
+    vec = F.transform(
+        F.sequence(F.lit(1), F.lit(8)),
+        lambda i: ((F.hash(F.col("id"), i) % 100) - 50).cast("double") / 50.0,
+    )
+    spark.range(200).select(
+        F.col("id").alias("vec_id"), vec.alias("embedding")
+    ).write.mode("overwrite").parquet(os.path.join(sf, "embeddings.parquet"))
+
+    c1 = _kmeans_artifact_centroids(spark, sf, k=3, iters=1)
+    key = (os.path.abspath(sf), 3, 1, 1 << 20)
+    assert key in _KMEANS_ARTIFACT_MEM
+    # memoized second call returns the identical object
+    assert _kmeans_artifact_centroids(spark, sf, k=3, iters=1) is c1
+
+    # rewrite the data (different vectors, new mtime) and clear the
+    # process memo: the fingerprint must route to a NEW artifact and
+    # the retrained centroids must differ
+    _time.sleep(0.05)  # ensure mtime_ns advances
+    vec2 = F.transform(
+        F.sequence(F.lit(1), F.lit(8)),
+        lambda i: ((F.hash(F.col("id"), i + 7) % 100) - 50).cast("double")
+        / 50.0,
+    )
+    spark.range(200).select(
+        F.col("id").alias("vec_id"), vec2.alias("embedding")
+    ).write.mode("overwrite").parquet(os.path.join(sf, "embeddings.parquet"))
+    _KMEANS_ARTIFACT_MEM.pop(key)
+    c2 = _kmeans_artifact_centroids(spark, sf, k=3, iters=1)
+    assert c2 != c1, "stale artifact served after a data refresh"
+
+
 def test_stats_moments_degenerate_groups_guarded(spark, tmp_path):
     """Round-9 adversarial sweep: a single-row group divides by
     n-1 = 0 in the sample variance, and a constant column makes the
