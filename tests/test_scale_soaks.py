@@ -453,6 +453,44 @@ def test_incremental_neardup_soak_shard_cost_not_corpus_cost(
     assert results[50_000] <= results[12_500] * 1.01 + 5, results
 
 
+@pytest.mark.slow
+def test_dedup_components_deep_chain_soak(spark):
+    """Pointer-jumping convergence: a 5000-deep duplicate CHAIN (graph
+    diameter 4999) plus 500 star clusters. Plain hash-min needs
+    diameter rounds and would abort at the max_iters=20 cap; the
+    label-shortcut halves chain depth per round, so the whole graph
+    resolves in O(log diameter) rounds — every chain node labels to
+    component 0, every star to its hub, inside the runtime budget."""
+    from etl_global_mobility_spark.operators.dedup import dedup_components
+
+    chain_n = 5_000
+    chain = spark.range(chain_n - 1).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    # 500 disjoint 5-node stars in a high id namespace
+    stars = spark.range(500 * 4).select(
+        ((F.col("id") / 4).cast("long") * 10 + 1_000_000).alias("id_a"),
+        (
+            (F.col("id") / 4).cast("long") * 10
+            + 1_000_000
+            + (F.col("id") % 4)
+            + 1
+        ).alias("id_b"),
+    )
+    t0 = time.time()
+    labels = {
+        r.id: r.component
+        for r in dedup_components(chain.unionByName(stars)).collect()
+    }
+    elapsed = time.time() - t0
+    assert elapsed < 150, f"components soak took {elapsed:.0f}s"
+    assert all(labels[i] == 0 for i in range(chain_n))
+    for hub in range(1_000_000, 1_000_000 + 500 * 10, 10):
+        for spoke in range(1, 5):
+            assert labels[hub + spoke] == hub
+    assert len(labels) == chain_n + 500 * 5
+
+
 def test_parallelism_guard_targets_cluster_scale_not_local_cores(spark):
     """The r8 parallelism guard's repartition target must scale past
     the 32 local cores: AUTO follows max(defaultParallelism,
