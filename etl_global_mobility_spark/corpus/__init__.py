@@ -46,14 +46,19 @@ green driver row, and no query's evidence gets stale:
   2 standing canaries, and 1 spare spent on the earliest-deadline
   r5-only row: 40 + 7 + 2 + 1 = 50.
 
-ROUND-10 PLAN (reserve now so window arithmetic stays provable): the
-47 remaining r5-only rows hit their hard staleness deadline at round
-11 (trip condition is current_round - latest > 5), so round 10 takes
-the 2 round-9 additions (SCHEDULED_NEXT_WINDOW:
-llm_dup_spans_within, stream_schema_drift — round 9 chose depth over
-breadth per the round-8 verdict), the 2 canaries, and the 46
-alphabetically-first remaining r5-only rows: 2 + 2 + 46 = 50; the
-last r5-only row leads the round-11 window at its deadline (the
+* round 10 (this window) takes the 2 round-9 additions
+  (llm_dup_spans_within, stream_schema_drift), the 2 standing
+  canaries, and the 46 alphabetically-first of the 47 rows whose
+  newest green row is CORRECTNESS_r05 (they reach the corpus-scaled
+  staleness bound at round 11): 2 + 2 + 46 = 50.
+
+ROUND-11 PLAN (reserve now so window arithmetic stays provable): the
+one remaining r5-only row — ``udf_apply_in_arrow``, alphabetically
+last — hits its hard staleness deadline at round 11
+(trip condition is current_round - latest > 5), so it LEADS the
+round-11 window; the rest of that window drains the r6-stale rows
+(49 of them become stale-bound at round 12) plus any round-10
+additions from SCHEDULED_NEXT_WINDOW and the 2 canaries (the
 invariant tests enforce the staleness arithmetic rather than this
 comment).
 
@@ -72,119 +77,127 @@ from __future__ import annotations
 
 from etl_global_mobility_spark.corpus.base import QuerySpec, load_table
 
-#: First 50 registered names — the driver's round-9 correctness window.
+#: First 50 registered names — the driver's round-10 correctness window.
 DRIVER_WINDOW = (
-    # the 40 rows whose newest green row is CORRECTNESS_r04 — they
-    # reach the corpus-scaled staleness bound this round
-    "rel_array_ops",
-    "rel_bucketed_join",
-    "rel_cohort_retention",
-    "rel_csv_corrupt_records",
-    "rel_decayed_activity",
-    "rel_equidepth_bins",
-    "rel_error_safe_functions",
-    "rel_expectations_report",
-    "rel_funnel_analysis",
-    "rel_fuzzy_match",
-    "rel_histogram_prices",
-    "rel_incremental_agg",
-    "rel_join_hinted_shuffle_hash",
-    "rel_mask_redaction",
-    "rel_moving_window_sum",
-    "rel_null_safe_join",
-    "rel_percentiles_exact",
-    "rel_ratio_to_report",
-    "rel_recursive_chain",
-    "rel_resample_ffill",
-    "rel_robust_scaling",
-    "rel_running_distinct",
-    "rel_scalar_dates",
-    "rel_scd2_dimension",
-    "rel_scd2_point_in_time",
-    "rel_schema_evolution",
-    "rel_sessionize_batch",
-    "rel_snapshot_diff",
-    "rel_source_binaryfile",
-    "rel_source_json",
-    "rel_source_orc",
-    "rel_source_python_ds",
-    "rel_tpch_q3_shipping_priority",
-    "rel_triangle_count",
-    "rel_variant_json",
-    "rel_window_first_last",
-    "rel_zorder_key",
-    "stream_python_source",
-    "stream_sliding_counts",
-    "udf_cogroup_profile",
-    # all 7 SCHEDULED_NEXT_WINDOW entries from round 8 — first driver
-    # rows for the round-8 additions
-    "llm_multimodal_alignment",
-    "llm_alignment_report",
-    "llm_bitext_mining",
-    "llm_cluster_profile",
-    "llm_cluster_balanced_sample",
-    "llm_dataset_drift",
-    "rel_agg_conditional_modern",
-    # 1 spare spent on the earliest-deadline (alphabetically-first)
-    # r5-only row — see ROUND-10 PLAN
-    "llm_causal_lm_examples",
+    # the 2 round-9 additions (SCHEDULED_NEXT_WINDOW last round) —
+    # first driver rows for within-doc span dedup and the
+    # schema-drift quarantine stream
+    "llm_dup_spans_within",
+    "stream_schema_drift",
+    # the 46 alphabetically-first of the 47 rows whose newest green
+    # row is CORRECTNESS_r05 — they hit the corpus-scaled staleness
+    # bound at round 11 (udf_apply_in_arrow, alphabetically last,
+    # leads the round-11 window at its hard deadline)
+    "llm_e2e_training_examples",
+    "llm_hybrid_retrieval_rrf",
+    "llm_preference_pairs",
+    "llm_quality_classifier",
+    "llm_semantic_dedup",
+    "parity_casts",
+    "parity_date_parse",
+    "parity_filter_eq_range",
+    "parity_indicators",
+    "parity_map_lookup",
+    "parity_membership",
+    "parity_quality_rule_counts",
+    "parity_rename_project",
+    "parity_split_clean",
+    "parity_split_quarantine",
+    "parity_unit_conversion",
+    "parity_unit_price",
+    "rel_agg_count_distinct",
+    "rel_agg_grouping_sets",
+    "rel_agg_stats_moments",
+    "rel_dataset_card",
+    "rel_dropduplicates",
+    "rel_join_anti",
+    "rel_join_broadcast_dims",
+    "rel_join_full_outer",
+    "rel_join_left_orders",
+    "rel_join_nonequi_self",
+    "rel_join_salted_skew",
+    "rel_lateral_topk",
+    "rel_listagg",
+    "rel_median_disc",
+    "rel_null_aware_anti_join",
+    "rel_pagerank",
+    "rel_pivot_linestatus",
+    "rel_range_join_buckets",
+    "rel_scalar_string_date_math",
+    "rel_source_xml",
+    "rel_subquery_exists",
+    "rel_subquery_scalar",
+    "rel_time_rollup",
+    "rel_topk_global",
+    "rel_unpivot_part",
+    "rel_window_distribution",
+    "rel_window_lag_lead",
+    "rel_window_running_sum",
+    "rel_window_topk_per_group",
     # standing canaries (green every round since r2/r3) for
     # cross-round regression signal — one parity + one llm
     "parity_derived_all",
     "llm_exact_dedup",
 )
 
-#: Queries holding a green driver row in CORRECTNESS_r02…r08 —
+#: Queries holding a green driver row in CORRECTNESS_r02…r09 —
 #: allowed past the window (their evidence is already recorded; the
 #: local gate still re-verifies them every round). Regenerated each
 #: round as the union of green rows across all CORRECTNESS_r0N.json.
 DRIVER_GREEN_PAST_ROUNDS = frozenset(
     {
-        "llm_ann_recall_report", "llm_asof_join", "llm_bigram_novelty",
+        "llm_alignment_report", "llm_ann_recall_report",
+        "llm_asof_join", "llm_bigram_novelty", "llm_bitext_mining",
         "llm_bm25", "llm_bpe_pair_stats", "llm_causal_lm_examples",
         "llm_cdc_chunks", "llm_cdc_dup_passages",
-        "llm_chunk_documents", "llm_contamination", "llm_cosine_topk",
-        "llm_cross_source_dups", "llm_dedup_cluster_stats",
+        "llm_chunk_documents", "llm_cluster_balanced_sample",
+        "llm_cluster_profile", "llm_contamination",
+        "llm_cosine_topk", "llm_cross_source_dups",
+        "llm_dataset_drift", "llm_dedup_cluster_stats",
         "llm_dedup_components", "llm_dedup_keep_best",
         "llm_domain_blocklist", "llm_domain_cap_report",
         "llm_domain_extract", "llm_dsir_resample",
         "llm_dup_ngram_spans", "llm_e2e_curation",
         "llm_e2e_training_examples", "llm_e2e_web_curation",
         "llm_embedding_neardup", "llm_epoch_plan",
-        "llm_event_sequences", "llm_exact_dedup", "llm_feature_hash",
-        "llm_filter_rules", "llm_fim_transform", "llm_fingerprint",
-        "llm_frame_sample", "llm_group_advantage",
-        "llm_hard_negative_mining", "llm_hash_split",
-        "llm_hybrid_retrieval_rrf", "llm_incremental_neardup",
-        "llm_int8_quantize", "llm_ivf_ann", "llm_k_anonymity",
-        "llm_k_suppress", "llm_keyword_tag", "llm_kmeans_refine",
+        "llm_event_sequences", "llm_exact_dedup",
+        "llm_feature_hash", "llm_filter_rules", "llm_fim_transform",
+        "llm_fingerprint", "llm_frame_sample",
+        "llm_group_advantage", "llm_hard_negative_mining",
+        "llm_hash_split", "llm_hybrid_retrieval_rrf",
+        "llm_incremental_neardup", "llm_int8_quantize",
+        "llm_ivf_ann", "llm_k_anonymity", "llm_k_suppress",
+        "llm_keyword_tag", "llm_kmeans_refine",
         "llm_knn_label_vote", "llm_lang_profile", "llm_language_id",
         "llm_length_bucket_batching", "llm_lsh_ann",
         "llm_minhash_neardup", "llm_minhash_verified",
-        "llm_mix_sources", "llm_mmr_rerank", "llm_multimodal_features",
+        "llm_mix_sources", "llm_mmr_rerank",
+        "llm_multimodal_alignment", "llm_multimodal_features",
         "llm_ngram_jaccard", "llm_normalize_text",
         "llm_pack_sequences", "llm_packing_efficiency",
-        "llm_per_source_cap", "llm_pii_redact", "llm_pmi_collocations",
-        "llm_pq_ann", "llm_preference_pairs", "llm_quality_classifier",
+        "llm_per_source_cap", "llm_pii_redact",
+        "llm_pmi_collocations", "llm_pq_ann",
+        "llm_preference_pairs", "llm_quality_classifier",
         "llm_quality_classifier_trained", "llm_quality_prune",
         "llm_quality_score", "llm_rejection_sample",
         "llm_repetition_signals", "llm_semantic_dedup",
         "llm_sentence_chunks", "llm_sft_chat_format", "llm_simhash",
         "llm_span_corruption", "llm_split_leakage",
         "llm_stratified_sample", "llm_strip_boilerplate",
-        "llm_temperature_mix", "llm_text_stats", "llm_tfidf_topterms",
-        "llm_token_budget_sample", "llm_token_fertility",
-        "llm_unigram_rarity", "llm_url_dedup", "llm_vocab_oov",
-        "llm_weighted_sample", "llm_winnowing_fingerprint",
-        "llm_winnowing_neardup", "parity_casts",
-        "parity_catalog_table_scan", "parity_csv_scan",
-        "parity_date_parse", "parity_derived_all",
-        "parity_filter_eq_range", "parity_indicators",
-        "parity_map_lookup", "parity_membership",
-        "parity_quality_reasons", "parity_quality_rule_counts",
-        "parity_rename_project", "parity_rounding",
-        "parity_split_clean", "parity_split_quarantine",
-        "parity_unit_conversion", "parity_unit_price",
+        "llm_temperature_mix", "llm_text_stats",
+        "llm_tfidf_topterms", "llm_token_budget_sample",
+        "llm_token_fertility", "llm_unigram_rarity",
+        "llm_url_dedup", "llm_vocab_oov", "llm_weighted_sample",
+        "llm_winnowing_fingerprint", "llm_winnowing_neardup",
+        "parity_casts", "parity_catalog_table_scan",
+        "parity_csv_scan", "parity_date_parse",
+        "parity_derived_all", "parity_filter_eq_range",
+        "parity_indicators", "parity_map_lookup",
+        "parity_membership", "parity_quality_reasons",
+        "parity_quality_rule_counts", "parity_rename_project",
+        "parity_rounding", "parity_split_clean",
+        "parity_split_quarantine", "parity_unit_conversion",
+        "parity_unit_price", "rel_agg_conditional_modern",
         "rel_agg_count_distinct", "rel_agg_cube",
         "rel_agg_grouping_sets", "rel_agg_pricing_summary",
         "rel_agg_rollup", "rel_agg_stats_moments", "rel_array_ops",
@@ -214,23 +227,27 @@ DRIVER_GREEN_PAST_ROUNDS = frozenset(
         "rel_scd2_point_in_time", "rel_schema_evolution",
         "rel_sessionize_batch", "rel_set_ops", "rel_skew_report",
         "rel_snapshot_diff", "rel_source_avro",
-        "rel_source_binaryfile", "rel_source_json", "rel_source_orc",
-        "rel_source_parquet_zstd", "rel_source_python_ds",
-        "rel_source_text_wholetext", "rel_source_xml",
-        "rel_spatial_grid_nearest", "rel_subquery_exists",
-        "rel_subquery_scalar", "rel_time_rollup", "rel_topk_global",
-        "rel_tpch_q10_returned_items", "rel_tpch_q11_important_parts",
+        "rel_source_binaryfile", "rel_source_json",
+        "rel_source_orc", "rel_source_parquet_zstd",
+        "rel_source_python_ds", "rel_source_text_wholetext",
+        "rel_source_xml", "rel_spatial_grid_nearest",
+        "rel_subquery_exists", "rel_subquery_scalar",
+        "rel_time_rollup", "rel_topk_global",
+        "rel_tpch_q10_returned_items",
+        "rel_tpch_q11_important_parts",
         "rel_tpch_q12_late_shipments", "rel_tpch_q13_custdist",
         "rel_tpch_q14_promo_effect", "rel_tpch_q15_top_supplier",
         "rel_tpch_q16_supplier_cnt", "rel_tpch_q17_small_quantity",
         "rel_tpch_q18_large_orders", "rel_tpch_q19_disjunctive",
         "rel_tpch_q20_small_part_suppliers",
-        "rel_tpch_q21_waiting_suppliers", "rel_tpch_q22_global_sales",
-        "rel_tpch_q2_min_cost", "rel_tpch_q3_shipping_priority",
+        "rel_tpch_q21_waiting_suppliers",
+        "rel_tpch_q22_global_sales", "rel_tpch_q2_min_cost",
+        "rel_tpch_q3_shipping_priority",
         "rel_tpch_q4_order_priority", "rel_tpch_q5_local_supplier",
-        "rel_tpch_q6_forecast_revenue", "rel_tpch_q7_volume_shipping",
-        "rel_tpch_q8_market_share", "rel_tpch_q9_product_profit",
-        "rel_triangle_count", "rel_unpivot_part", "rel_variant_json",
+        "rel_tpch_q6_forecast_revenue",
+        "rel_tpch_q7_volume_shipping", "rel_tpch_q8_market_share",
+        "rel_tpch_q9_product_profit", "rel_triangle_count",
+        "rel_unpivot_part", "rel_variant_json",
         "rel_window_distribution", "rel_window_first_last",
         "rel_window_lag_lead", "rel_window_range_frame",
         "rel_window_rank_dense", "rel_window_running_sum",
@@ -253,14 +270,12 @@ DRIVER_GREEN_PAST_ROUNDS = frozenset(
 #: Queries ADDED this round (registered past the already-frozen
 #: window): the NEXT rotation must pull these in. The window-invariant
 #: test treats this as the only legitimate reason an oracle-backed
-#: query lacks both window coverage and a past green row. Round-9
+#: query lacks both window coverage and a past green row. Round-10
 #: additions are appended here as they are registered — AT MOST 8
-#: (see ROUND-10 PLAN in the module docstring).
-SCHEDULED_NEXT_WINDOW = frozenset(
+#: (see ROUND-11 PLAN in the module docstring).
+SCHEDULED_NEXT_WINDOW: frozenset[str] = frozenset(
     {
-        # round-9 additions
-        "llm_dup_spans_within",
-        "stream_schema_drift",
+        # round-10 additions are appended here as they are registered
     }
 )
 

@@ -2753,7 +2753,17 @@ def _kmeans_artifact_centroids(
     import hashlib
     import os
 
-    key = (os.path.abspath(sf_dir), k, iters, scale)
+    # the data fingerprint is part of the MEMO key too (ADVICE r9):
+    # without it, a testdata refresh within one process would serve
+    # stale centroids from memory even though the on-disk artifact
+    # path had correctly rotated
+    emb_path = os.path.join(os.path.abspath(sf_dir), "embeddings.parquet")
+    try:
+        st = os.stat(emb_path)
+        fingerprint = f"{st.st_mtime_ns}-{st.st_size}"
+    except OSError:
+        fingerprint = "unknown"
+    key = (os.path.abspath(sf_dir), k, iters, scale, fingerprint)
     if key in _KMEANS_ARTIFACT_MEM:
         return _KMEANS_ARTIFACT_MEM[key]
 
@@ -2764,12 +2774,6 @@ def _kmeans_artifact_centroids(
         train_kmeans_centroids,
     )
 
-    emb_path = os.path.join(os.path.abspath(sf_dir), "embeddings.parquet")
-    try:
-        st = os.stat(emb_path)
-        fingerprint = f"{st.st_mtime_ns}-{st.st_size}"
-    except OSError:
-        fingerprint = "unknown"
     digest = hashlib.md5(
         f"{key}|{fingerprint}".encode()
     ).hexdigest()[:16]

@@ -17,8 +17,17 @@ an approximate structure): values are SORTED before clustering and the
 k0 scale function forms equal-weight clusters by a greedy left-to-right
 rule, so a digest is a pure function of the input MULTISET — partition
 layout cannot change it. Merging concatenates centroid lists, sorts by
-(mean, weight), and re-compresses with the same rule, so merge order
-cannot change the result either. Rank error is bounded by the cluster
+(mean, weight), and re-compresses with the same rule, so a SINGLE
+FLAT merge is invariant to the order and grouping of its inputs: one
+``tdigest_merge`` call over any permutation/partitioning of the same
+digest rows yields bit-identical output. NESTED merge trees are NOT
+bit-stable — ``merge(merge(A, B), C)`` can differ from
+``merge(A, B, C)`` because the intermediate compression discards
+within-cluster detail (counterexample in tests/test_sketch.py). A
+pipeline that re-merges incrementally (day-by-day) gets digests with
+the same rank-error bound, not hash-identical ones; if tree-shape
+invariance is required, keep the uncompressed per-partition digests
+and do ONE flat rollup at the end. Rank error is bounded by the cluster
 cap: with compression ``delta``, every cluster holds at most
 ceil(2·n/delta) points, and midpoint interpolation keeps the rank
 error of any quantile estimate within one cluster (<= 2n/delta).
@@ -137,9 +146,13 @@ def tdigest_merge(
 ) -> DataFrame:
     """Merge digest rows into one digest per ``group_cols`` rollup
     (global when empty): concatenate centroids, sort by (mean, weight),
-    re-compress. Order-invariant by the sort, so ANY merge tree —
-    per-partition partials, day-by-day increments — yields the same
-    digest."""
+    re-compress. The sort makes ONE FLAT merge invariant to input
+    order and partition layout (any grouping of the same digest rows
+    into a single call yields bit-identical output). Nested merges —
+    ``merge(merge(A, B), C)`` vs ``merge(A, B, C)`` — are equivalent
+    in accuracy (same rank-error bound) but NOT bit-identical: the
+    intermediate compression loses within-cluster detail. For a
+    hash-stable rollup, merge all partials in one call."""
     import pandas as pd
     from pyspark.sql.types import StructType
 

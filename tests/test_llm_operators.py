@@ -1528,14 +1528,20 @@ def test_kmeans_artifact_fingerprint_invalidates_on_data_change(
     ).write.mode("overwrite").parquet(os.path.join(sf, "embeddings.parquet"))
 
     c1 = _kmeans_artifact_centroids(spark, sf, k=3, iters=1)
-    key = (os.path.abspath(sf), 3, 1, 1 << 20)
+    st = os.stat(os.path.join(sf, "embeddings.parquet"))
+    key = (
+        os.path.abspath(sf), 3, 1, 1 << 20,
+        f"{st.st_mtime_ns}-{st.st_size}",
+    )
     assert key in _KMEANS_ARTIFACT_MEM
     # memoized second call returns the identical object
     assert _kmeans_artifact_centroids(spark, sf, k=3, iters=1) is c1
 
-    # rewrite the data (different vectors, new mtime) and clear the
-    # process memo: the fingerprint must route to a NEW artifact and
-    # the retrained centroids must differ
+    # rewrite the data (different vectors, new mtime) WITHOUT touching
+    # the process memo (ADVICE r9: the fingerprint is part of the memo
+    # key, so the in-memory cache invalidates on data refresh exactly
+    # like the on-disk artifact path does): the refresh must route to
+    # a NEW artifact and the retrained centroids must differ
     _time.sleep(0.05)  # ensure mtime_ns advances
     vec2 = F.transform(
         F.sequence(F.lit(1), F.lit(8)),
@@ -1545,7 +1551,7 @@ def test_kmeans_artifact_fingerprint_invalidates_on_data_change(
     spark.range(200).select(
         F.col("id").alias("vec_id"), vec2.alias("embedding")
     ).write.mode("overwrite").parquet(os.path.join(sf, "embeddings.parquet"))
-    _KMEANS_ARTIFACT_MEM.pop(key)
+    assert key in _KMEANS_ARTIFACT_MEM  # stale entry remains, but is unreachable
     c2 = _kmeans_artifact_centroids(spark, sf, k=3, iters=1)
     assert c2 != c1, "stale artifact served after a data refresh"
 

@@ -249,3 +249,54 @@ def test_tdigest_edge_cases(spark):
     assert tdigest_n(out[2]) == 500
     assert tdigest_quantile(out[2], 0.01) == 7.0
     assert tdigest_quantile(out[2], 0.99) == 7.0
+
+
+def test_tdigest_merge_tree_shape_not_bit_stable():
+    """Pin the DOCUMENTED merge-invariance boundary (ADVICE r9): one
+    FLAT merge is invariant to input order and grouping, but a NESTED
+    merge tree is not bit-identical to the flat merge — intermediate
+    compression discards within-cluster detail. Both shapes conserve
+    weight exactly and estimate quantiles within the rank bound; only
+    the flat shape is hash-stable."""
+    from etl_global_mobility_spark.operators.sketch import (
+        _compress,
+        tdigest_quantile,
+    )
+
+    delta = 4
+    a = [(0.0, 1), (1.0, 1)]
+    b = [(2.0, 1), (3.0, 1)]
+    c = [(4.0, 1), (5.0, 1)]
+
+    def merge(*digs):
+        cents = sorted(cent for d in digs for cent in d)
+        return _compress(cents, delta)
+
+    flat = merge(a, b, c)
+    # flat merge: any order/grouping of the SAME digest rows is
+    # bit-identical
+    assert merge(c, a, b) == flat
+    assert merge(b, c, a) == flat
+    assert flat == [(1.0, 3), (4.0, 3)]
+
+    # nested merge: merge(merge(A,B),C) loses the 0/1 and 2/3
+    # distinction inside (0.5,2)/(2.5,2) before the final pass
+    nested = merge(merge(a, b), c)
+    assert nested == [(0.5, 2), (3.0, 3), (5.0, 1)]
+    assert nested != flat
+
+    # ... but accuracy properties hold for both tree shapes
+    exact = [0.0, 1.0, 2.0, 3.0, 4.0, 5.0]
+    import bisect
+    import math
+
+    cap = math.ceil(2.0 * len(exact) / delta)
+    for digest in (flat, nested):
+        assert sum(w for _, w in digest) == len(exact)
+        d = [{"m": m, "w": w} for m, w in digest]
+        for q in (0.0, 0.5, 1.0):
+            est = tdigest_quantile(d, q)
+            lo = bisect.bisect_left(exact, est)
+            hi = bisect.bisect_right(exact, est)
+            err = min(abs(q * len(exact) - lo), abs(q * len(exact) - hi))
+            assert err <= 2 * cap + 1
