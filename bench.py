@@ -59,6 +59,7 @@ def main() -> None:
 
     from etl_global_mobility_spark.corpus import all_queries
     from etl_global_mobility_spark.corpus.base import TABLES, load_table
+    from etl_global_mobility_spark.session import release_session_state
 
     # Warmup: touch every table once, then run one tiny join+agg+window
     # over the smallest dims, so the first timed query doesn't absorb
@@ -80,23 +81,7 @@ def main() -> None:
         .mode("overwrite")
         .save()
     )
-    # Warm the Arrow/pandas Python-worker pool across all cores: the
-    # first pandas import per worker costs ~0.5s, and a cold 32-way
-    # mapInPandas query would absorb 32 of them at once.
-    import pandas as _pd
-
-    def _identity(it):
-        for pdf in it:
-            yield pdf
-
-    (
-        spark.range(int(cpus) * 10)
-        .repartition(int(cpus))
-        .mapInPandas(_identity, "id long")
-        .write.format("noop")
-        .mode("overwrite")
-        .save()
-    )
+    _warm_python_workers(spark, int(cpus))
 
     specs = all_queries()
     headline = headline_names()
@@ -127,25 +112,54 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
         return round(time.time() - t0, 3)
 
-    for name in headline:
+    for i, name in enumerate(headline):
         spec = specs[name]
         runs = [run_once(spec), run_once(spec)]
         if max(runs) > 1.5 * min(runs):
             runs.append(run_once(spec))
         times[name] = min(runs)
+        # Session hygiene every 32 queries (outside any timed region):
+        # a 248-query suite in ONE session accumulates localCheckpoint
+        # blocks, shuffle files, and broadcasts that only a driver GC
+        # releases (Spark's own periodic-GC interval is 30 min — longer
+        # than the whole run). The r9 driver bench tripped on the LAST
+        # block of queries after ~4700 stages; this bounds that state
+        # for the same reason a 100 TB nightly session must.
+        if i % 32 == 31:
+            release_session_state(spark)
 
     # Noise-robust regression confirmation BEFORE reporting: a flagged
     # query gets two more runs (min wins). Host scheduler noise on this
     # box has been measured at 2-7x on identical plans (e.g. the same
     # join 1.5s vs 10.6s back-to-back under an external load spike), so
     # a single bad sample must not fail the bench — only a regression
-    # that survives 4 total runs does.
+    # that survives 4 total runs does. Before retrying, restore the
+    # session to the state the BASELINE was measured in: hygiene pass +
+    # re-warmed python worker pool. The r9 driver trip (grouped-pandas
+    # 15.9s vs 1.52s surviving min-of-4 back-to-back retries) is
+    # magnitude-consistent with a dead/cold worker pool (32 workers x
+    # ~0.45s pandas import, serialized under load) — retries that
+    # inherit the degraded pool measure the environment, not the plan.
+    # A genuine plan regression survives a warm pool just the same.
     _, baseline = _load_baseline() if abs(sf - 0.1) < 1e-9 else ("none", {})
-    for name in headline:
-        base = baseline.get(name)
-        if base and times[name] > 2.0 * base + 0.5:
-            retries = [run_once(specs[name]), run_once(specs[name])]
-            times[name] = min([times[name], *retries])
+    flagged = [
+        n for n in headline
+        if baseline.get(n) and times[n] > 2.0 * baseline[n] + 0.5
+    ]
+    if flagged:
+        release_session_state(spark)
+        rewarm = time.time()
+        _warm_python_workers(spark, int(cpus))
+        print(
+            f"bench: {len(flagged)} flagged ({', '.join(flagged)}); "
+            f"re-warm took {time.time() - rewarm:.2f}s "
+            f"(>2s means the worker pool had died mid-session); "
+            f"{_session_diagnostics(spark)}",
+            file=sys.stderr,
+        )
+    for name in flagged:
+        retries = [run_once(specs[name]), run_once(specs[name])]
+        times[name] = min([times[name], *retries])
     total = sum(times.values())
 
     # COMPACT stdout line: the driver tail-captures only ~2 KB, and the
@@ -204,6 +218,48 @@ def main() -> None:
             f.write("\n")
     if regressed:
         sys.exit(1)
+
+
+def _warm_python_workers(spark, cpus: int) -> None:
+    """Force a pandas import in one python worker per core: the first
+    pandas import per worker costs ~0.5s, and a cold 32-way
+    mapInPandas query would absorb 32 of them at once. Run at session
+    start and again before regression retries (a worker pool killed
+    mid-session — e.g. by host memory pressure — would otherwise bill
+    its re-fork cost to whichever pandas query runs next)."""
+
+    def _identity(it):
+        for pdf in it:
+            yield pdf
+
+    (
+        spark.range(cpus * 10)
+        .repartition(cpus)
+        .mapInPandas(_identity, "id long")
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+
+
+def _session_diagnostics(spark) -> str:
+    """One-line session state summary for flagged-regression triage:
+    driver heap, retained RDD storage (localCheckpoint leftovers), and
+    live python daemon count."""
+    try:
+        rt = spark.sparkContext._jvm.java.lang.Runtime.getRuntime()
+        heap = f"heap={(rt.totalMemory() - rt.freeMemory()) / (1 << 30):.1f}G"
+        infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        rdd_mem = sum(i.memSize() for i in infos)
+        rdds = f"stored_rdds={len(infos)} ({rdd_mem / (1 << 20):.0f}MB)"
+        import subprocess
+
+        daemons = subprocess.run(
+            ["pgrep", "-cf", "pyspark.daemon"], capture_output=True, text=True
+        ).stdout.strip() or "0"
+        return f"{heap} {rdds} py_daemons={daemons}"
+    except Exception as ex:  # diagnostics must never fail the bench
+        return f"diagnostics unavailable: {ex!r}"
 
 
 _BASELINE_CACHE: tuple[str, dict[str, float]] | None = None

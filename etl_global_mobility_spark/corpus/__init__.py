@@ -275,7 +275,10 @@ DRIVER_GREEN_PAST_ROUNDS = frozenset(
 #: (see ROUND-11 PLAN in the module docstring).
 SCHEDULED_NEXT_WINDOW: frozenset[str] = frozenset(
     {
-        # round-10 additions are appended here as they are registered
+        # round-10 additions (oracle-backed only — the rows-only
+        # rel_tdigest_quantiles / rel_plan_cost_report additions are
+        # window-exempt by design)
+        "llm_community_labelprop",
     }
 )
 

@@ -321,6 +321,27 @@ def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_components(pairs).select(F.col("id").alias("doc_id"), "component")
 
 
+def q_community_labelprop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic majority label propagation over the near-dup pair
+    graph (operators/graph.py label_propagation, 3 synchronous rounds,
+    ties to the smallest label): the community complement of
+    llm_dedup_components — components merge everything reachable,
+    majority propagation splits connected regions along density, so a
+    doc bridging two dup families lands with the larger one. The
+    oracle unrolls the 3 rounds as CTEs (pure argmax-per-round
+    semantics, engine-exact)."""
+    from etl_global_mobility_spark.operators.graph import label_propagation
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, k=2, threshold=0.25)
+    return label_propagation(
+        pairs.select(
+            F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+        ),
+        n_iters=3,
+    ).select(F.col("node").alias("doc_id"), F.col("label").alias("community"))
+
+
 def q_quality_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Percentile-based quality pruning: drop the bottom quartile of
     the heuristic quality score — the distribution-relative curation
@@ -4374,6 +4395,51 @@ SPECS = [
            SELECT id AS doc_id, min(r) AS component
            FROM reach GROUP BY id""",
         doc="near-dup connected components (canonical = min doc_id)",
+    ),
+    QuerySpec(
+        "llm_community_labelprop",
+        q_community_labelprop,
+        f"""WITH pairs AS (
+              SELECT id_a, id_b FROM ({_ngram_jaccard_sql()})
+           ), und AS (
+              SELECT DISTINCT src, dst FROM (
+                SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION ALL
+                SELECT id_b, id_a FROM pairs)
+           ), l0 AS (
+              SELECT DISTINCT src AS node, src AS label FROM und
+           ), l1 AS (
+              SELECT node, label FROM (
+                SELECT node, label,
+                       row_number() OVER (PARTITION BY node
+                                          ORDER BY n DESC, label) AS rk
+                FROM (SELECT u.src AS node, l.label, count(*) AS n
+                      FROM und u JOIN l0 l ON l.node = u.dst
+                      GROUP BY 1, 2))
+              WHERE rk = 1
+           ), l2 AS (
+              SELECT node, label FROM (
+                SELECT node, label,
+                       row_number() OVER (PARTITION BY node
+                                          ORDER BY n DESC, label) AS rk
+                FROM (SELECT u.src AS node, l.label, count(*) AS n
+                      FROM und u JOIN l1 l ON l.node = u.dst
+                      GROUP BY 1, 2))
+              WHERE rk = 1
+           ), l3 AS (
+              SELECT node, label FROM (
+                SELECT node, label,
+                       row_number() OVER (PARTITION BY node
+                                          ORDER BY n DESC, label) AS rk
+                FROM (SELECT u.src AS node, l.label, count(*) AS n
+                      FROM und u JOIN l2 l ON l.node = u.dst
+                      GROUP BY 1, 2))
+              WHERE rk = 1
+           )
+           SELECT node AS doc_id, label AS community FROM l3""",
+        doc="majority label-propagation communities over the near-dup "
+        "graph (3 synchronous rounds, min-label ties) — the density-"
+        "splitting complement of connected components",
     ),
     QuerySpec(
         "llm_quality_prune",

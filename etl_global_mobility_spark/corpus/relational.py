@@ -422,6 +422,63 @@ def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tdigest_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable t-digest quantile flow (operators/sketch.py — the
+    user-mergeable complement to GK approx_percentile): build one
+    digest per (l_returnflag, l_linestatus), FLAT-merge them into one
+    digest per l_returnflag, and expand p50/p90/p99 estimates — the
+    sketch-once / re-roll-any-rollup pattern that at 100 TB digests
+    each (source, day) partition at ingest and answers every later
+    report from O(delta)-byte rows. Deterministic end-to-end: the
+    digest is a pure function of each group's value multiset and the
+    merge is single-level (partition-layout- and order-invariant —
+    tests/test_sketch.py), so even this rows-only query has stable
+    values; it stays rows-only because no SQL engine reproduces the
+    centroid structure. Hypothesis suite: weight conservation,
+    merge==rollup rank bound, layout invariance."""
+    from etl_global_mobility_spark.operators.sketch import (
+        tdigest_build,
+        tdigest_merge,
+        tdigest_quantiles_df,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    per = tdigest_build(
+        li, "l_extendedprice", ["l_returnflag", "l_linestatus"], delta=100
+    )
+    merged = tdigest_merge(
+        per, group_cols=["l_returnflag"], delta=100
+    )
+    return tdigest_quantiles_df(merged, [0.5, 0.9, 0.99]).orderBy(
+        "l_returnflag"
+    )
+
+
+def q_plan_cost_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plan-shape regression report (operators/planaudit.py): the
+    shuffle/broadcast/scan/Python-node counts and optimizer estimates
+    of six representative corpus plans, one row each — the per-round
+    plan audit (tests/test_plans.py) as a runnable engine feature. A
+    release pipeline persists this report and DIFFS it: a broadcast
+    turning into a shuffle join or a Python node leaking into a
+    relational plan shows up here before it costs hours at 100 TB.
+    Driver-side metadata only — no audited query executes."""
+    from etl_global_mobility_spark.corpus import llm, udfs
+    from etl_global_mobility_spark.operators.planaudit import (
+        plan_shape_report,
+    )
+
+    audited = {
+        "tpch_q3": q_tpch_q3_shipping_priority(spark, sf_dir),
+        "revenue_by_nation": q_join_revenue_by_nation(spark, sf_dir),
+        "salted_skew": q_join_salted_skew(spark, sf_dir),
+        "topk_global": q_topk_global(spark, sf_dir),
+        "exact_dedup": llm.q_exact_dedup(spark, sf_dir),
+        "pandas_grouped_map": udfs.q_pandas_grouped_map(spark, sf_dir),
+    }
+    return plan_shape_report(spark, audited)
+
+
 # ----------------------------------------------------- sort / set ops ----
 def q_topk_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global top-10 by (totalprice desc, orderkey) — plans as
@@ -3882,6 +3939,21 @@ SPECS = [
         q_agg_approx_percentile,
         None,  # GK-sketch output is engine-specific; rank-error property test
         doc="approx_percentile (GK sketch) vs exact, rows-only + error bound",
+    ),
+    QuerySpec(
+        "rel_tdigest_quantiles",
+        q_tdigest_quantiles,
+        None,  # centroid digests are engine-specific; Hypothesis suite
+        doc="mergeable t-digest: build per-group, flat-merge rollup, "
+        "p50/p90/p99 report — rows-only + invariant property suite",
+    ),
+    QuerySpec(
+        "rel_plan_cost_report",
+        q_plan_cost_report,
+        None,  # Catalyst plan shapes are engine-specific by nature
+        doc="EXPLAIN-driven plan-shape regression report over six "
+        "representative plans (shuffles/broadcasts/scans/python "
+        "nodes/estimates) — rows-only + plan-shape unit test",
     ),
     QuerySpec(
         "rel_sessionize_batch",

@@ -86,3 +86,67 @@ def pagerank(
             .alias("score"),
         )
     return scores
+
+
+def label_propagation(
+    edges: DataFrame,
+    n_iters: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Community detection by SYNCHRONOUS majority label propagation
+    (Raghavan et al. 2007, "Near linear time algorithm to detect
+    community structures in large-scale networks") made DETERMINISTIC:
+    ties break by the SMALLEST label, and every round updates all
+    nodes from the PREVIOUS round's labels (no asynchronous order
+    dependence), so the result is a pure function of the edge set and
+    ``n_iters`` — reproducible on any engine, any partitioning.
+
+    Per round: ``label(v) := argmax over v's neighbor labels by
+    (frequency DESC, label ASC)``. Unlike connected components
+    (operators/dedup.py dedup_components — every connected node ends
+    with the component MINIMUM), majority propagation splits a
+    connected graph along dense regions: a node bridging two cliques
+    adopts the bigger clique's label. Fixed ``n_iters`` (classic LPA
+    converges in ~5 rounds on social graphs; a fixed count keeps the
+    plan bounded and the semantics oracle-expressible).
+
+    Scale shape per round: one shuffle join of the node-sized label
+    frame against the edge list + one (node, label) count aggregate +
+    one top-1-per-node window — all keyed on node id, no quadratic
+    step; lineage truncates via eager localCheckpoint each round,
+    released by session hygiene (session.py release_session_state).
+    Returns (node, label) for every node in ``edges``.
+    """
+    from pyspark.sql import Window
+
+    if n_iters < 0:
+        raise ValueError(f"n_iters must be >= 0, got {n_iters}")
+    e = edges.select(
+        F.col(src_col).cast("long").alias("src"),
+        F.col(dst_col).cast("long").alias("dst"),
+    ).distinct()
+    und = (
+        e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    if und.count() < 100_000:  # graph fits one task: skip wide shuffles
+        und = und.coalesce(1)
+    labels = und.select(F.col("src").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    w = Window.partitionBy("src").orderBy(F.col("n").desc(), F.col("label").asc())
+    for _ in range(n_iters):
+        labels = (
+            und.join(
+                labels.select(F.col("node").alias("dst"), "label"), "dst"
+            )
+            .groupBy("src", "label")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select(F.col("src").alias("node"), "label")
+            .localCheckpoint(eager=True)
+        )
+    return labels

@@ -211,3 +211,58 @@ def tdigest_quantile(digest, q: float) -> float | None:
 def tdigest_n(digest) -> int:
     """Total weight (row count) carried by a digest."""
     return sum(int(c["w"]) for c in (digest or []))
+
+
+def tdigest_quantiles_df(
+    digests: DataFrame,
+    qs: list[float] | tuple[float, ...],
+    digest_col: str = "digest",
+) -> DataFrame:
+    """Expand each digest row into quantile-estimate columns
+    (``p50``-style names), plus ``n`` (total weight) and
+    ``n_centroids`` — the report stage of the sketch flow, distributed
+    (Arrow-batched ``mapInPandas``; digests never collect to the
+    driver). Column per q: ``p{int(q*100)}`` (``p99_9`` for
+    fractional-percent quantiles)."""
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    def _qname(q: float) -> str:
+        pct = q * 100.0
+        if abs(pct - round(pct)) < 1e-9:
+            return f"p{int(round(pct))}"
+        return "p" + f"{pct:.10g}".replace(".", "_")
+
+    names = [_qname(q) for q in qs]
+    keep = [f for f in digests.schema.fields if f.name != digest_col]
+    out_schema = StructType(
+        keep
+        + [StructField("n", LongType()), StructField("n_centroids", IntegerType())]
+        + [StructField(nm, DoubleType()) for nm in names]
+    )
+
+    def _expand(it):
+        for pdf in it:
+            if pdf.empty:
+                continue
+            out = {f.name: pdf[f.name] for f in keep}
+            digs = [
+                [] if d is None else [(float(c["m"]), int(c["w"])) for c in d]
+                for d in pdf[digest_col]
+            ]
+            out["n"] = [sum(w for _, w in d) for d in digs]
+            out["n_centroids"] = [len(d) for d in digs]
+            for q, nm in zip(qs, names):
+                out[nm] = [
+                    tdigest_quantile([{"m": m, "w": w} for m, w in d], q)
+                    for d in digs
+                ]
+            yield pd.DataFrame(out)
+
+    return digests.mapInPandas(_expand, out_schema)

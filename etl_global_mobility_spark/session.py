@@ -56,3 +56,64 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def release_session_state(
+    spark: SparkSession, settle_secs: float = 2.0
+) -> None:
+    """Long-lived-session hygiene: release executor state that
+    accumulates across queries in ONE SparkSession (a nightly batch, a
+    bench suite, a notebook). Call between queries — never inside a
+    timed region, and never while a DataFrame built earlier is still
+    going to be re-used (its SQL-cache entry would be dropped).
+
+    What accumulates, and why Spark doesn't release it on its own:
+    lineage-truncating operators (``localCheckpoint``) leave RDD
+    blocks in the BlockManager until the DRIVER garbage-collects the
+    Python proxy AND the JVM object, at which point the
+    ContextCleaner's weak-reference queue finally unpersists them.
+    Shuffle files and broadcast blocks follow the same
+    weak-ref + GC-trigger lifecycle. Spark's own periodic-GC safety
+    net fires every 30 MINUTES (``spark.cleaner.periodicGC.interval``)
+    and a 16 GiB driver heap may never trigger a full GC by pressure
+    alone — so a multi-query session can sit on gigabytes of dead
+    blocks and thousands of dead shuffle files indefinitely.
+
+    The release chain has a py4j step that is easy to miss (measured
+    in this repo, round 10): a dead Python ``DataFrame`` proxy does
+    NOT detach its JVM object synchronously — py4j's FinalizerWorker
+    thread drains detach commands on a ~1 s idle cadence, and until it
+    does, the JVM-side gateway binding keeps the whole Dataset →
+    LogicalRDD → checkpointed-RDD chain STRONGLY reachable, so a
+    ``System.gc()`` fired too early reclaims nothing. Sequence:
+
+    1. ``clearCache()`` — drop SQL-cache entries (CacheManager holds
+       strong references; GC alone can never release a cached plan);
+    2. ``gc.collect()`` — collect dead Python proxies, which ENQUEUES
+       their py4j detach commands;
+    3. drain the FinalizerWorker deque (bounded by ``settle_secs``);
+    4. ``System.gc()`` — now the JVM objects are weakly reachable and
+       the ContextCleaner unpersists blocks / removes shuffle files
+       (itself async, ~1 s; callers that must OBSERVE the release —
+       e.g. the session-lifetime soak test — poll
+       ``getRDDStorageInfo`` afterwards).
+
+    Cost: one driver full GC plus up to ``settle_secs`` of drain wait
+    — amortize over every N queries, not per query.
+    """
+    import gc
+    import time
+
+    spark.catalog.clearCache()
+    gc.collect()
+    try:
+        deque = spark.sparkContext._gateway._gateway_client.finalizer_deque
+        deadline = time.time() + settle_secs
+        while deque and time.time() < deadline:
+            time.sleep(0.05)
+        time.sleep(0.1)  # grace for the popped-but-not-yet-sent command
+    except AttributeError:
+        # plain JavaGateway (PYSPARK_PIN_THREAD=false) detaches
+        # synchronously on __del__ — no deque to drain
+        pass
+    spark.sparkContext._jvm.System.gc()

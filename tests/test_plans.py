@@ -954,3 +954,33 @@ def test_grouped_pandas_parallelism_guard_single_exchange(spark):
     assert "REPARTITION_BY_NUM" in plan, plan
     # the count survives into the Python stage even with AQE on
     assert out.rdd.getNumPartitions() == 16
+
+
+def test_plan_cost_report_pins_audited_shapes(spark):
+    """rel_plan_cost_report's rows must agree with the plan audits
+    this suite asserts individually: the broadcast-dim join carries 1
+    shuffle + 3 broadcasts, global top-k needs NO exchange
+    (TakeOrderedAndProject), the grouped-pandas query has exactly one
+    python node and one (explicit, keyed) shuffle, and nothing audited
+    plans a cartesian product."""
+    from etl_global_mobility_spark.corpus import all_queries
+
+    rows = {
+        r["query"]: r
+        for r in all_queries()["rel_plan_cost_report"]
+        .fn(spark, SF)
+        .collect()
+    }
+    assert set(rows) == {
+        "tpch_q3", "revenue_by_nation", "salted_skew", "topk_global",
+        "exact_dedup", "pandas_grouped_map",
+    }
+    assert rows["revenue_by_nation"].n_shuffles == 1
+    assert rows["revenue_by_nation"].n_broadcasts == 3
+    assert rows["topk_global"].n_shuffles == 0
+    assert rows["topk_global"].est_rows == 10  # CBO sees the LIMIT
+    assert rows["pandas_grouped_map"].n_python_nodes == 1
+    assert rows["pandas_grouped_map"].n_shuffles == 1
+    assert all(not r.has_cartesian for r in rows.values())
+    assert all(r.n_python_nodes == 0 for n, r in rows.items()
+               if n != "pandas_grouped_map")

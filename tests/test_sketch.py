@@ -300,3 +300,42 @@ def test_tdigest_merge_tree_shape_not_bit_stable():
             hi = bisect.bisect_right(exact, est)
             err = min(abs(q * len(exact) - lo), abs(q * len(exact) - hi))
             assert err <= 2 * cap + 1
+
+
+def test_tdigest_quantiles_df_report_stage(spark):
+    """tdigest_quantiles_df expands digests distributedly and its
+    estimates honor the rank-error bound against the exact per-group
+    distribution; weight and centroid-count columns are exact."""
+    from pyspark.sql import functions as F
+
+    from etl_global_mobility_spark.operators.sketch import (
+        tdigest_build,
+        tdigest_merge,
+        tdigest_quantiles_df,
+    )
+
+    n = 4000
+    df = spark.range(n).select(
+        (F.col("id") % 4).alias("g"),
+        (F.col("id") * 37 % 1000).cast("double").alias("v"),
+    )
+    per = tdigest_build(df, "v", ["g"], delta=100)
+    merged = tdigest_merge(per, group_cols=["g"], delta=100)
+    rep = {r.g: r for r in tdigest_quantiles_df(merged, [0.5, 0.999]).collect()}
+    assert set(rep) == {0, 1, 2, 3}
+    exact = {
+        r.g: sorted(x.v for x in rows)
+        for g, rows in [
+            (g, df.filter(F.col("g") == g).collect()) for g in range(4)
+        ]
+        for r in [type("R", (), {"g": g})]
+    }
+    for g, row in rep.items():
+        vals = exact[g]
+        assert row.n == len(vals)
+        assert 0 < row.n_centroids <= 52
+        for q, est in ((0.5, row.p50), (0.999, row.p99_9)):
+            lo = sum(1 for v in vals if v < est)
+            hi = sum(1 for v in vals if v <= est)
+            err = min(abs(q * len(vals) - lo), abs(q * len(vals) - hi))
+            assert err <= 2 * (2 * len(vals) / 100) + 1, (g, q, est, err)
