@@ -50,6 +50,10 @@ def plan_shape_row(name: str, df: DataFrame) -> dict:
     plan = qe.executedPlan().toString()
     stats = qe.optimizedPlan().stats()
     row_opt = stats.rowCount()
+    # Catalyst statistics are unbounded BigInts — join estimates
+    # multiply out past 2^63 on multi-join plans (seen: ~2e20 at
+    # sf0.1) — so both estimates ride as DOUBLE: this is a magnitude
+    # report for release-to-release diffing, not an exact count.
     return {
         "query": name,
         "n_shuffles": len(_SHUFFLES.findall(plan)),
@@ -57,8 +61,8 @@ def plan_shape_row(name: str, df: DataFrame) -> dict:
         "n_scans": plan.count("Scan "),
         "n_python_nodes": len(_PY_NODES.findall(plan)),
         "has_cartesian": "CartesianProduct" in plan,
-        "est_rows": int(str(row_opt.get())) if row_opt.isDefined() else None,
-        "est_size_bytes": int(str(stats.sizeInBytes())),
+        "est_rows": float(str(row_opt.get())) if row_opt.isDefined() else None,
+        "est_size_bytes": float(str(stats.sizeInBytes())),
     }
 
 
@@ -72,6 +76,6 @@ def plan_shape_report(
     return spark.createDataFrame(
         rows,
         "query string, n_shuffles int, n_broadcasts int, n_scans int, "
-        "n_python_nodes int, has_cartesian boolean, est_rows bigint, "
-        "est_size_bytes bigint",
+        "n_python_nodes int, has_cartesian boolean, est_rows double, "
+        "est_size_bytes double",
     )

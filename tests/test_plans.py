@@ -644,6 +644,9 @@ def test_no_plan_antipatterns_across_entire_corpus(spark):
         "llm_mmr_rerank",  # cogrouped greedy over bounded per-query groups
         "llm_compression_signal",  # zlib has no SQL/JVM twin; one
         # vectorized pandas_udf, everything around it JVM-side
+        "rel_tdigest_quantiles",  # the digest build/merge/report IS
+        # the declared Arrow escape hatch (complex aggregate state —
+        # operators/sketch.py module docstring)
     }
     ARROW_NODES = (
         "ArrowEvalPython", "FlatMapGroupsInPandas", "MapInPandas",
