@@ -132,10 +132,21 @@ def contamination_check(
     """
     from etl_global_mobility_spark.operators.dedup import _word_shingles
 
+    # n_shingles is measured MAP-SIDE from the shingle array before the
+    # explode (F.size) — the previous Window.partitionBy(c_id) stamp
+    # shuffled AND sorted the entire corpus inverted index just to
+    # attach a per-doc count, contradicting this operator's own scale
+    # contract (the corpus side must never shuffle; the benchmark side
+    # is the broadcast). Same value by construction: explode emits one
+    # row per (distinct-shingle) array element.
     corpus_inv = ensure_compute_parallelism(corpus, min_parallelism).select(
         F.col(id_col).alias("c_id"),
-        F.explode(_word_shingles(text_col, k)).alias("s"),
-    ).withColumn("n_shingles", F.count(F.lit(1)).over(Window.partitionBy("c_id")))
+        _word_shingles(text_col, k).alias("_arr"),
+    ).select(
+        "c_id",
+        F.size("_arr").alias("n_shingles"),
+        F.explode("_arr").alias("s"),
+    )
 
     bench_inv = benchmark.select(
         F.col(id_col).alias("bench_id"),

@@ -3250,3 +3250,81 @@ def test_cluster_balanced_sample_semantics(spark):
         ).collect()
     )
     assert a == b
+
+
+def _label_propagation_reference(edges, n_iters=3):
+    """Pure-Python mirror of operators/graph.py::label_propagation
+    (synchronous majority vote, ties to the smallest label)."""
+    from collections import Counter, defaultdict
+
+    und = defaultdict(set)
+    for s, d in edges:
+        und[s].add(d)
+        und[d].add(s)
+    labels = {n: n for n in und}
+    for _ in range(n_iters):
+        new = {}
+        for n, nbrs in und.items():
+            counts = Counter(labels[m] for m in nbrs)
+            best = max(counts.items(), key=lambda kv: (kv[1], -kv[0]))
+            new[n] = best[0]
+        labels = new
+    return labels
+
+
+def test_label_propagation_matches_python_reference(spark):
+    """Two triangles joined by one bridge edge: components would merge
+    everything into one cluster; majority propagation must keep the
+    two dense triangles as separate communities. Exact row-for-row
+    match against the pure-Python synchronous reference, and
+    shuffle-partition invariance (determinism under layout)."""
+    from etl_global_mobility_spark.operators.dedup import dedup_components
+    from etl_global_mobility_spark.operators.graph import label_propagation
+
+    edges = [
+        (1, 2), (2, 3), (1, 3),        # triangle A
+        (10, 11), (11, 12), (10, 12),  # triangle B
+        (3, 10),                       # bridge
+    ]
+    e = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.label for r in label_propagation(e, n_iters=3).collect()}
+    assert got == _label_propagation_reference(edges, 3)
+    # density splitting: the triangles keep distinct labels even
+    # though the graph is one connected component
+    assert len({got[1], got[10]}) == 2
+    comp = {
+        r.id: r.component
+        for r in dedup_components(e, id_a="src", id_b="dst").collect()
+    }
+    assert len(set(comp.values())) == 1  # components: all merged
+
+    # layout invariance: different shuffle parallelism, same labels
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        got3 = {
+            r.node: r.label
+            for r in label_propagation(e, n_iters=3).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert got3 == got
+
+
+def test_label_propagation_tie_breaks_to_smallest_label(spark):
+    """A node with equal-frequency neighbor labels adopts the SMALLEST
+    (the determinism rule): star center 5 with leaves 1..4 sees four
+    distinct labels, count 1 each -> takes label 1 in round one."""
+    from etl_global_mobility_spark.operators.graph import label_propagation
+
+    e = spark.createDataFrame(
+        [(5, 1), (5, 2), (5, 3), (5, 4)], "src long, dst long"
+    )
+    got = {r.node: r.label for r in label_propagation(e, n_iters=1).collect()}
+    assert got[5] == 1
+    assert got[1] == 5 and got[4] == 5  # leaves all vote for the center
+    assert len(got) == 5
+
+    # n_iters=0 is the identity labeling
+    got0 = {r.node: r.label for r in label_propagation(e, n_iters=0).collect()}
+    assert got0 == {n: n for n in (1, 2, 3, 4, 5)}
