@@ -202,7 +202,15 @@ def tdigest_quantile(digest, q: float) -> float | None:
             if prev_pos is None:
                 return m
             frac = (target - prev_pos) / (pos - prev_pos)
-            return prev_m + frac * (m - prev_m)
+            # two-product lerp + clamp: the naive a + t*(b-a) form can
+            # LEAVE [a, b] by catastrophic cancellation (found by the
+            # Hypothesis suite: a=-1.0, b=-5.55e-17, t=1.0 → b-a
+            # rounds to exactly 1.0 and the estimate lands on 0.0 —
+            # OUTSIDE the data range, blowing the rank bound). The
+            # estimate must stay inside the bracketing centroid means
+            # for the one-cluster rank-error guarantee to hold.
+            est = prev_m * (1.0 - frac) + m * frac
+            return min(max(est, prev_m), m)
         prev_pos, prev_m = pos, m
         cum += w
     return cents[-1][0]

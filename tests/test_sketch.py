@@ -339,3 +339,30 @@ def test_tdigest_quantiles_df_report_stage(spark):
             hi = sum(1 for v in vals if v <= est)
             err = min(abs(q * len(vals) - lo), abs(q * len(vals) - hi))
             assert err <= 2 * (2 * len(vals) / 100) + 1, (g, q, est, err)
+
+
+def test_tdigest_quantile_stays_inside_bracketing_centroids():
+    """Regression (Hypothesis-found, round 10): interpolating between
+    centroid means -1.0 and -5.55e-17 at frac=1.0 used to cancel to
+    exactly 0.0 — OUTSIDE the data range (every value negative), so the
+    estimated rank fell off the distribution entirely. The estimate
+    must never leave [prev_mean, mean]."""
+    from etl_global_mobility_spark.operators.sketch import (
+        _compress,
+        tdigest_quantile,
+    )
+
+    vals = [-1.0, -1.0, -1.0, -5.551115123125783e-17,
+            -2.7755575615628914e-17, -2.7755575615628914e-17,
+            -4.411620044532945e-280]
+    digest = [
+        {"m": m, "w": w}
+        for m, w in _compress([(x, 1) for x in sorted(vals)], 20)
+    ]
+    est = tdigest_quantile(digest, 0.5)
+    assert est <= 0.0 and min(vals) <= est
+    import bisect
+    exact = sorted(vals)
+    lo = bisect.bisect_left(exact, est)
+    hi = bisect.bisect_right(exact, est)
+    assert min(abs(3.5 - lo), abs(3.5 - hi)) <= 3  # 2*cap+1, cap=1
