@@ -57,10 +57,11 @@ one remaining r5-only row — ``udf_apply_in_arrow``, alphabetically
 last — hits its hard staleness deadline at round 11
 (trip condition is current_round - latest > 5), so it LEADS the
 round-11 window; the rest of that window drains the r6-stale rows
-(49 of them become stale-bound at round 12) plus any round-10
-additions from SCHEDULED_NEXT_WINDOW and the 2 canaries (the
-invariant tests enforce the staleness arithmetic rather than this
-comment).
+(48 of them become stale-bound at round 12: 46 fit beside
+udf_apply_in_arrow + llm_community_labelprop + the 2 canaries, and
+the last 2 lead the round-12 window at their own deadline) plus any
+round-11 additions from SCHEDULED_NEXT_WINDOW (the invariant tests
+enforce the staleness arithmetic rather than this comment).
 
 ``DRIVER_GREEN_PAST_ROUNDS`` records which queries already hold a
 green row (union of all CORRECTNESS_r0N files); those may sit past the
