@@ -526,3 +526,46 @@ def test_parallelism_guard_targets_cluster_scale_not_local_cores(spark):
     assert (
         ensure_compute_parallelism(wide, 256).rdd.getNumPartitions() == 300
     )
+
+
+@pytest.mark.slow
+def test_label_propagation_soak_recovers_planted_communities(spark):
+    """Round-10 soak: majority label propagation at ~45k edges — two
+    planted 150-cliques joined by ONE bridge edge must resolve to
+    exactly two uniform communities in 3 synchronous rounds (connected
+    components would merge them — the density-splitting claim at
+    volume), and the label frame stays node-sized: per-round work is
+    |edges| join rows + |nodes| aggregate rows, never quadratic.
+    Budget generous (host noise); the sharp assertion is the label
+    structure."""
+    from etl_global_mobility_spark.operators.graph import label_propagation
+
+    n = 150  # per clique -> 2 * C(150,2) = 22,350 directed pairs
+    base = spark.range(n).select(F.col("id").alias("a"))
+    clique = (
+        base.crossJoin(spark.range(n).select(F.col("id").alias("b")))
+        .filter(F.col("a") < F.col("b"))
+    )
+    edges = (
+        clique.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionByName(
+            clique.select(
+                (F.col("a") + 1000).alias("src"), (F.col("b") + 1000).alias("dst")
+            )
+        )
+        # one bridge between the cliques
+        .unionByName(
+            spark.range(1).select(
+                F.lit(149).alias("src"), F.lit(1000).alias("dst")
+            )
+        )
+    )
+    t0 = time.time()
+    got = {r.node: r.label for r in label_propagation(edges, n_iters=3).collect()}
+    wall = time.time() - t0
+    assert len(got) == 2 * n
+    labels_a = {got[i] for i in range(n)}
+    labels_b = {got[i + 1000] for i in range(n)}
+    assert labels_a == {0}, f"clique A not uniform: {labels_a}"
+    assert labels_b == {1000}, f"clique B not uniform: {labels_b}"
+    assert wall < 120, f"LP soak exceeded budget: {wall:.1f}s"
