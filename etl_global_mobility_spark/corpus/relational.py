@@ -1301,8 +1301,18 @@ def q_source_text_wholetext(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "text")
     )
     d.write.mode("overwrite").partitionBy("doc_id").text(out)
+    raw = spark.read.option("wholetext", "true").text(out)
+    if "doc_id" not in raw.columns:
+        # empty corpus: the write produced no partition directories,
+        # so discovery found no doc_id column — empty-in -> empty-out
+        # with the contract schema (round-10 empty-input sweep)
+        return d.limit(0).select(
+            "doc_id",
+            F.length("text").alias("n_chars_rt"),
+            F.substring(F.md5("text"), 1, 16).alias("content_md5"),
+        )
     back = (
-        spark.read.option("wholetext", "true").text(out)
+        raw
         .select(
             F.col("doc_id").cast("bigint").alias("doc_id"),
             # \z, not $: Java's non-MULTILINE $ also matches just

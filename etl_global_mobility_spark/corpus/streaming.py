@@ -275,7 +275,17 @@ def q_stream_medallion_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_ts="2025-01-01 00:00:00",
     )
 
-    out = spark.read.parquet(depurado).drop("_batch_id")
+    try:
+        out = spark.read.parquet(depurado).drop("_batch_id")
+    except Exception:
+        # no micro-batch ever committed (an EMPTY source is a legal
+        # stream state): the contract schema with zero rows, straight
+        # from the silver DDL the sink writes (round-10 empty-input
+        # sweep — an unguarded read of the never-created directory
+        # fails schema inference)
+        from etl_global_mobility_spark.schemas import SILVER_SCHEMA
+
+        out = spark.createDataFrame([], SILVER_SCHEMA)
     return out.select(
         "cod_pais",
         "fec_proceso",

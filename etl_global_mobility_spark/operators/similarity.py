@@ -262,6 +262,18 @@ def ivf_topk(
     from pyspark.sql import Window
 
     cents, norms = _resolve_centroids(corpus, n_cells, id_col, vec_col, centroids)
+    if not cents:
+        # empty corpus and no trained quantizer: there is nothing to
+        # search. Empty-in -> empty-out with the contract schema (an
+        # empty centroid list would otherwise build a VOID-typed
+        # array() literal and fail analysis — round-10 empty-input
+        # sweep).
+        return queries.limit(0).select(
+            F.col(id_col).alias("q_id"),
+            F.lit(1).alias("rank"),
+            F.col(id_col).alias("c_id"),
+            F.lit(0.0).alias("score"),
+        )
 
     def cell_scores(vec_name: str, nv_name: str):
         return _centroid_scores(cents, norms, vec_name, nv_name)
@@ -345,6 +357,16 @@ def semantic_dedup(
     from pyspark.sql import Window
 
     cents, norms = _resolve_centroids(corpus, n_cells, id_col, vec_col, centroids)
+    if not cents:
+        # empty corpus, no quantizer: no rows can be duplicates —
+        # empty-in -> empty-out with the contract schema (round-10
+        # empty-input sweep; see ivf_topk).
+        return corpus.limit(0).select(
+            F.col(id_col),
+            F.lit(None).cast("long").alias("cell"),
+            F.col(id_col).alias("dup_of"),
+            F.lit(0.0).alias("cos"),
+        )
     c = ensure_compute_parallelism(corpus, min_parallelism).select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
     )
@@ -1058,6 +1080,14 @@ def train_kmeans_centroids(
     q = _kmeans_quantize(corpus, scale, id_col, vec_col)
     seeds = q.orderBy(id_col).limit(k).collect()
     cents = [list(r["__v"]) for r in seeds]
+    if not cents:
+        # training is the one operation that genuinely cannot produce
+        # an empty-but-valid result — fail with the contract, not an
+        # IndexError (round-10 empty-input sweep)
+        raise ValueError(
+            f"cannot train k-means: corpus has 0 rows with a non-NULL "
+            f"'{vec_col}' (k={k})"
+        )
     dim = len(cents[0])
 
     for _ in range(iters):

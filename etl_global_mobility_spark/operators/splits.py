@@ -598,7 +598,18 @@ def weighted_sample_with_replacement(
         acc += totals[s]
     total_weight = acc
     if total_weight <= 0:
-        raise ValueError("no rows with positive weight to sample from")
+        if df.select(id_col).take(1):
+            # non-empty input with zero positive mass is a CONFIG/DATA
+            # bug (wrong weight column, all-zero weights) — fail loud
+            raise ValueError("no rows with positive weight to sample from")
+        # sampling from an EMPTY population is well-defined: the empty
+        # sample, in the contract schema (round-10 empty-input sweep)
+        return df.limit(0).select(
+            F.lit(0).cast("bigint").alias("draw_id"),
+            F.col(id_col),
+            F.lit(0).cast("bigint").alias("weight"),
+            F.lit(0).cast("bigint").alias("t"),
+        )
     om = F.create_map(
         *[x for s in sorted(offsets) for x in (F.lit(s), F.lit(offsets[s]))]
     )
