@@ -2752,6 +2752,18 @@ def q_cdc_dup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: process once the on-disk artifact exists.
 _KMEANS_ARTIFACT_MEM: dict[tuple, list[list[int]]] = {}
 
+# Serializes the train-once artifact's miss path: without it, two
+# threads that miss the memo concurrently write.mode("overwrite") the
+# SAME artifact directory — a third loader can then read a half-
+# replaced parquet dir. Spark sessions are shared across threads by
+# design (one nightly session, many query threads —
+# tests/test_concurrency.py), so the artifact composer must be too.
+# Training under the lock serializes only the first miss; every later
+# caller hits the memo without contention.
+import threading as _threading
+
+_KMEANS_ARTIFACT_LOCK = _threading.Lock()
+
 
 def _kmeans_artifact_centroids(
     spark: SparkSession,
@@ -2785,6 +2797,8 @@ def _kmeans_artifact_centroids(
     except OSError:
         fingerprint = "unknown"
     key = (os.path.abspath(sf_dir), k, iters, scale, fingerprint)
+    # fast path outside the lock: dict reads are GIL-atomic and the
+    # memo is insert-only, so a hit never needs synchronization
     if key in _KMEANS_ARTIFACT_MEM:
         return _KMEANS_ARTIFACT_MEM[key]
 
@@ -2800,15 +2814,20 @@ def _kmeans_artifact_centroids(
     ).hexdigest()[:16]
     # repo-local staging (same root as every other roundtrip artifact)
     path = _roundtrip_dir(f"kmeans_{digest}")
-    try:
-        cents, loaded_scale = load_kmeans_centroids(spark, path)
-        if loaded_scale != scale:
-            raise ValueError("scale mismatch")
-    except Exception:
-        e = load_table(spark, sf_dir, "embeddings")
-        cents = train_kmeans_centroids(e, k=k, iters=iters, scale=scale)
-        save_kmeans_centroids(spark, path, cents, scale=scale, iters=iters)
-    _KMEANS_ARTIFACT_MEM[key] = cents
+    with _KMEANS_ARTIFACT_LOCK:
+        # double-check: a concurrent first caller may have trained and
+        # saved while this thread waited on the lock
+        if key in _KMEANS_ARTIFACT_MEM:
+            return _KMEANS_ARTIFACT_MEM[key]
+        try:
+            cents, loaded_scale = load_kmeans_centroids(spark, path)
+            if loaded_scale != scale:
+                raise ValueError("scale mismatch")
+        except Exception:
+            e = load_table(spark, sf_dir, "embeddings")
+            cents = train_kmeans_centroids(e, k=k, iters=iters, scale=scale)
+            save_kmeans_centroids(spark, path, cents, scale=scale, iters=iters)
+        _KMEANS_ARTIFACT_MEM[key] = cents
     return cents
 
 

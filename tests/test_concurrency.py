@@ -1,0 +1,118 @@
+"""Shared-session concurrency — one SparkSession, many query threads.
+
+A nightly 100 TB deployment does not run 251 queries one at a time: a
+single long-lived session serves concurrent query threads (Spark's
+scheduler is thread-safe; each action becomes an independent job).
+The operator surface therefore has to be thread-safe too — in
+particular the process-local memos and on-disk artifacts that the
+train-once composers share (corpus/llm.py `_kmeans_artifact_centroids`:
+before the round-10 lock, two threads missing the memo concurrently
+`write.mode("overwrite")` the SAME artifact directory).
+
+What these tests pin:
+
+* a mixed batch of relational / llm / pandas-UDF queries returns
+  BIT-IDENTICAL results under 8-way thread concurrency vs sequential
+  execution in the same session (the pandas-UDF entries additionally
+  stress the shared Python worker pool);
+* the same pure-compute query run 4x concurrently agrees with itself;
+* the three kmeans composers, raced from a cold memo AND a cold
+  on-disk artifact, serialize through the artifact lock: exactly one
+  training lands, all callers read the same centroids, and the
+  results match a sequential warm re-run.
+"""
+
+from __future__ import annotations
+
+import shutil
+from concurrent.futures import ThreadPoolExecutor
+
+from etl_global_mobility_spark.corpus import all_queries
+
+#: Diverse compute-only queries (no shared roundtrip artifacts):
+#: scans+joins+aggs, windows, grouping sets, dedup, text scoring, and
+#: two pandas-UDF entries that contend for the Python worker pool.
+DISTINCT_BATCH = [
+    "rel_agg_pricing_summary",
+    "rel_join_revenue_by_nation",
+    "rel_window_topk_per_group",
+    "rel_agg_grouping_sets",
+    "rel_topk_global",
+    "rel_pivot_linestatus",
+    "llm_exact_dedup",
+    "llm_minhash_neardup",
+    "llm_quality_score",
+    "llm_tfidf_topterms",
+    "udf_pandas_grouped_agg",
+    "udf_pandas_scalar",
+]
+
+
+def _canon(df) -> list[tuple[str, ...]]:
+    """Order-insensitive canonical rows (Spark-vs-Spark compare only)."""
+    return sorted(tuple(str(c) for c in row) for row in df.collect())
+
+
+def test_concurrent_distinct_queries_match_sequential(spark, sf_smoke):
+    specs = all_queries()
+    sequential = {
+        n: _canon(specs[n].fn(spark, sf_smoke)) for n in DISTINCT_BATCH
+    }
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        futures = {
+            n: pool.submit(lambda q=n: _canon(specs[q].fn(spark, sf_smoke)))
+            for n in DISTINCT_BATCH
+        }
+        concurrent = {n: f.result(timeout=600) for n, f in futures.items()}
+    for n in DISTINCT_BATCH:
+        assert concurrent[n] == sequential[n], f"{n} diverged under concurrency"
+
+
+def test_concurrent_same_query_agrees_with_itself(spark, sf_smoke):
+    specs = all_queries()
+    for name in ("rel_agg_pricing_summary", "llm_quality_score"):
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            results = list(
+                pool.map(
+                    lambda _i, q=name: _canon(specs[q].fn(spark, sf_smoke)),
+                    range(4),
+                )
+            )
+        assert all(r == results[0] for r in results), name
+
+
+def test_concurrent_kmeans_composers_share_one_artifact(spark, sf_smoke):
+    """Race the three kmeans composers from a fully cold start (memo
+    cleared, on-disk artifact removed): the artifact lock must admit
+    exactly one trainer, and every caller must see the same centroids."""
+    import glob
+    import os
+
+    from etl_global_mobility_spark.corpus import llm as llm_mod
+    from etl_global_mobility_spark.corpus.relational import _roundtrip_dir
+
+    specs = all_queries()
+    names = [
+        "llm_kmeans_refine",
+        "llm_cluster_profile",
+        "llm_cluster_balanced_sample",
+    ]
+    warm = {n: _canon(specs[n].fn(spark, sf_smoke)) for n in names}
+
+    llm_mod._KMEANS_ARTIFACT_MEM.clear()
+    for d in glob.glob(os.path.join(_roundtrip_dir(""), "kmeans_*")):
+        shutil.rmtree(d, ignore_errors=True)
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        futures = {
+            n: pool.submit(lambda q=n: _canon(specs[q].fn(spark, sf_smoke)))
+            for n in names
+        }
+        raced = {n: f.result(timeout=600) for n, f in futures.items()}
+
+    for n in names:
+        assert raced[n] == warm[n], f"{n} diverged after cold-start race"
+    # all three composers share one (sf_dir, params, fingerprint) key —
+    # the race must not have produced duplicate trainings under
+    # distinct keys or clobbered the artifact
+    assert len(llm_mod._KMEANS_ARTIFACT_MEM) == 1
