@@ -249,17 +249,29 @@ def q_cogroup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     frames in one call (vs a pre-join, which would materialize the
     pair product; vs two applyInPandas passes, which would shuffle
     twice). Integer outputs only (counts + value millis), so the
-    result is engine-exact."""
+    result is engine-exact.
+
+    Both sides re-alias their columns (fresh attribute ids) even
+    though the names don't change: when the two cogroup children carry
+    the SAME attribute ids — both filtered off one scan — Spark 4.1's
+    column pruning under a downstream ``count()`` strips the right
+    child's non-key columns while the pandas UDF still reads them by
+    name (KeyError: 'value' from inside the worker; collect/write
+    actions are unaffected, which is how it hides). Distinct ids per
+    side make the pruner see two independent subtrees; the Project is
+    codegen-free and the single events scan still feeds both sides."""
     from etl_global_mobility_spark.corpus.base import load_table as _lt
 
     ev = _lt(spark, sf_dir, "events")
     views = ensure_grouped_compute_parallelism(
-        ev.filter(F.col("event_type") == "view").select("user_id", "value"),
+        ev.filter(F.col("event_type") == "view").select(
+            F.col("user_id").alias("user_id"), F.col("value").alias("value")
+        ),
         ["user_id"],
     )
     buys = ensure_grouped_compute_parallelism(
         ev.filter(F.col("event_type") == "purchase").select(
-            "user_id", "value"
+            F.col("user_id").alias("user_id"), F.col("value").alias("value")
         ),
         ["user_id"],
     )
