@@ -59,13 +59,34 @@ def get_spark(
 
 
 def release_session_state(
-    spark: SparkSession, settle_secs: float = 2.0
+    spark: SparkSession, settle_secs: float = 2.0, drop_sql_cache: bool = True
 ) -> None:
     """Long-lived-session hygiene: release executor state that
     accumulates across queries in ONE SparkSession (a nightly batch, a
     bench suite, a notebook). Call between queries — never inside a
-    timed region, and never while a DataFrame built earlier is still
-    going to be re-used (its SQL-cache entry would be dropped).
+    timed region.
+
+    **drop_sql_cache=True requires a BARRIER: no query may be in
+    flight on any thread.** This is a CORRECTNESS rule, not a
+    performance caveat — ``clearCache()`` racing a running AQE query
+    can produce a silently EMPTY (wrong) result, not an error.
+    Measured in this repo (round 10, tests/test_concurrency.py's
+    racing soak caught it live): a query joining against a
+    ``.persist()``-ed frame had its cache entry cleared between stage
+    materialization and AQE's runtime-stats read; the
+    TableCacheQueryStage then reported zero rows and AQE's
+    empty-relation propagation rewrote the join to ``EmptyRelation``
+    — the executed final plan shows ``EmptyRelation Join LeftOuter``
+    over an initial SortMergeJoin on an InMemoryTableScan, and the
+    query "succeeds" with 0 rows. Iterative operators that converge
+    on a no-change condition (dedup_components, label_propagation)
+    then return an empty frame as if converged. From concurrent query
+    threads, call with ``drop_sql_cache=False``: the GC→detach→
+    cleaner chain only ever releases DEAD objects (an in-flight job
+    holds strong JVM references to every RDD it executes, including
+    localCheckpointed ones), so it is safe to race; only explicitly
+    leaked ``.persist()`` entries then wait for the next barrier
+    pass.
 
     What accumulates, and why Spark doesn't release it on its own:
     lineage-truncating operators (``localCheckpoint``) leave RDD
@@ -89,6 +110,8 @@ def release_session_state(
 
     1. ``clearCache()`` — drop SQL-cache entries (CacheManager holds
        strong references; GC alone can never release a cached plan);
+       skipped under ``drop_sql_cache=False`` (see the barrier rule
+       above);
     2. ``gc.collect()`` — collect dead Python proxies, which ENQUEUES
        their py4j detach commands;
     3. drain the FinalizerWorker deque (bounded by ``settle_secs``);
@@ -104,7 +127,8 @@ def release_session_state(
     import gc
     import time
 
-    spark.catalog.clearCache()
+    if drop_sql_cache:
+        spark.catalog.clearCache()
     gc.collect()
     try:
         deque = spark.sparkContext._gateway._gateway_client.finalizer_deque

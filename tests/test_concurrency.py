@@ -81,6 +81,66 @@ def test_concurrent_same_query_agrees_with_itself(spark, sf_smoke):
         assert all(r == results[0] for r in results), name
 
 
+def test_hygiene_racing_live_queries_is_correctness_safe(spark, sf_smoke):
+    """release_session_state(drop_sql_cache=False) fired WHILE other
+    threads are mid-query must never change results: the GC→detach→
+    cleaner chain releases DEAD objects only — an in-flight job holds
+    strong JVM references to every RDD it executes, including
+    localCheckpointed ones (whose blocks are unrecoverable by lineage,
+    the dangerous case — llm_dedup_components composes them, so it
+    rides in the racing mix). This is the nightly shape: hygiene on a
+    timer while query threads keep running.
+
+    This soak is what CAUGHT the barrier rule the first time it ran:
+    with clearCache() left in the racing loop, llm_dedup_components
+    intermittently returned an EMPTY (silently wrong) result — the
+    cleared cache entry made a materialized AQE query stage report
+    zero rows, empty-relation propagation rewrote the join to
+    EmptyRelation, and the iterative loop 'converged' on nothing.
+    Hence drop_sql_cache=True documents a hard no-queries-in-flight
+    barrier (bench.py's shape), and the concurrent-safe mode below is
+    what a multi-threaded deployment must use."""
+    import time
+
+    from etl_global_mobility_spark.session import release_session_state
+
+    specs = all_queries()
+    names = [
+        "llm_dedup_components",
+        "llm_minhash_neardup",
+        "rel_join_revenue_by_nation",
+        "llm_tfidf_topterms",
+        "rel_window_topk_per_group",
+        "udf_pandas_grouped_agg",
+    ]
+    sequential = {n: _canon(specs[n].fn(spark, sf_smoke)) for n in names}
+
+    stop = {"flag": False}
+
+    def hygiene_loop():
+        while not stop["flag"]:
+            release_session_state(spark, settle_secs=0.5, drop_sql_cache=False)
+            time.sleep(0.1)
+
+    with ThreadPoolExecutor(max_workers=7) as pool:
+        h = pool.submit(hygiene_loop)
+        futures = {}
+        for rep in range(3):  # widen the race window: 3 passes per query
+            for n in names:
+                futures[(n, rep)] = pool.submit(
+                    lambda q=n: _canon(specs[q].fn(spark, sf_smoke))
+                )
+        try:
+            raced = {k: f.result(timeout=900) for k, f in futures.items()}
+        finally:
+            stop["flag"] = True
+        h.result(timeout=60)
+    for (n, rep), got in raced.items():
+        assert got == sequential[n], (
+            f"{n} (pass {rep}) diverged under racing hygiene"
+        )
+
+
 def test_concurrent_kmeans_composers_share_one_artifact(spark, sf_smoke):
     """Race the three kmeans composers from a fully cold start (memo
     cleared, on-disk artifact removed): the artifact lock must admit
