@@ -131,11 +131,29 @@ def label_propagation(
         .distinct()
         .persist()
     )
-    if und.count() < 100_000:  # graph fits one task: skip wide shuffles
+    n_und = und.count()
+    if n_und < 100_000:  # graph fits one task: skip wide shuffles
         und = und.coalesce(1)
     labels = und.select(F.col("src").alias("node")).distinct().withColumn(
         "label", F.col("node")
     )
+    # Node-count conservation guard (same defect class as
+    # dedup_components): every node in the undirected edge list has at
+    # least one neighbor, so the top-1-per-node round NEVER shrinks
+    # the label frame. A shrink means external session-state
+    # corruption — measured: clearCache() racing this query lets AQE's
+    # empty-relation propagation empty a join mid-round (see
+    # session.release_session_state). Fail loudly, never return a
+    # silently partial community map. The n_und cross-check closes the
+    # vacuous case where the node frame itself materialized empty off
+    # a corrupted cached stage.
+    n_nodes = labels.count()
+    if n_und > 0 and n_nodes == 0:
+        raise RuntimeError(
+            f"label_propagation: {n_und} undirected edges but 0 nodes "
+            "— external session-state corruption (e.g. clearCache() "
+            "racing this query — see session.release_session_state)"
+        )
     w = Window.partitionBy("src").orderBy(F.col("n").desc(), F.col("label").asc())
     for _ in range(n_iters):
         labels = (
@@ -149,4 +167,13 @@ def label_propagation(
             .select(F.col("src").alias("node"), "label")
             .localCheckpoint(eager=True)
         )
+    if n_iters > 0:
+        n_final = labels.count()  # scan of the checkpointed RDD
+        if n_final != n_nodes:
+            raise RuntimeError(
+                f"label_propagation node frame shrank {n_nodes} -> "
+                f"{n_final}: external session-state corruption (e.g. "
+                "clearCache() racing this query — see "
+                "session.release_session_state)"
+            )
     return labels

@@ -141,6 +141,60 @@ def test_hygiene_racing_live_queries_is_correctness_safe(spark, sf_smoke):
         )
 
 
+def test_unsafe_hygiene_race_fails_loudly_never_silently(spark, sf_smoke):
+    """Violating the barrier rule (clearCache racing live queries) may
+    corrupt AQE runtime stats and empty a join mid-plan — the engine's
+    contract is that iterative operators then RAISE their node-count
+    conservation guard instead of returning a silently wrong (empty)
+    result. Each racing pass must therefore end in exactly one of two
+    states: the correct answer, or the guard's RuntimeError. The race
+    is probabilistic; the assertion holds either way, and when the
+    window hits, this exercises the guard against the real corruption
+    (not an injected fake)."""
+    import time
+
+    from etl_global_mobility_spark.session import release_session_state
+
+    specs = all_queries()
+    name = "llm_dedup_components"
+    expected = _canon(specs[name].fn(spark, sf_smoke))
+
+    stop = {"flag": False}
+
+    def hygiene_loop():
+        while not stop["flag"]:
+            # deliberately unsafe: full barrier-mode release while the
+            # query thread is mid-flight
+            release_session_state(spark, settle_secs=0.3)
+            time.sleep(0.05)
+
+    outcomes = []
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        h = pool.submit(hygiene_loop)
+        try:
+            for _ in range(8):
+                try:
+                    got = _canon(specs[name].fn(spark, sf_smoke))
+                    assert got == expected, (
+                        "silently wrong result under unsafe race: "
+                        f"{len(got)} rows vs {len(expected)}"
+                    )
+                    outcomes.append("ok")
+                except AssertionError:
+                    raise
+                except Exception as ex:  # noqa: BLE001
+                    # ANY loud failure is acceptable under a barrier
+                    # violation (the guard's RuntimeError, a lost
+                    # checkpoint block, a destroyed broadcast) — only
+                    # silent wrongness is forbidden
+                    outcomes.append(f"loud:{type(ex).__name__}")
+        finally:
+            stop["flag"] = True
+        h.result(timeout=60)
+    # informational: how often the race window actually hit
+    assert len(outcomes) == 8, outcomes
+
+
 def test_concurrent_kmeans_composers_share_one_artifact(spark, sf_smoke):
     """Race the three kmeans composers from a fully cold start (memo
     cleared, on-disk artifact removed): the artifact lock must admit
