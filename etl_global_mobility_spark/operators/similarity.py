@@ -36,6 +36,39 @@ def l2_norm(a) -> F.Column:
     return F.sqrt(dot(a, a))
 
 
+def finite_vec(a, dim: int | None = None) -> F.Column:
+    """TRUE iff every component is a finite number (no NULL/NaN/±Inf)
+    and, when ``dim`` is given, the vector has exactly that length —
+    the PQ-family inclusion contract (L2 machinery: a ZERO vector is a
+    legal point here, unlike the cosine family's guarded_sq_norm, but
+    a NaN component poisons the argmin into code -1 and an ANSI
+    INVALID_ARRAY_INDEX at lookup, and a mis-sized vector slices into
+    nonsense)."""
+    pred = a.isNotNull() & ~F.exists(
+        a,
+        lambda x: x.isNull()
+        | F.isnan(x)
+        | (F.abs(x) == F.lit(float("inf"))),
+    )
+    if dim is not None:
+        pred = pred & (F.size(a) == dim)
+    return pred
+
+
+def guarded_sq_norm(a) -> F.Column:
+    """Squared L2 norm, NULL for any DEGENERATE vector: NULL, zero
+    (cosine undefined), a NaN/±Inf component, or magnitude overflow
+    (1e30-scale components square to +Inf in float64). One predicate
+    shared by the whole cosine family so 'excluded from similarity' is
+    a single engine-wide contract — under ANSI mode an unguarded zero
+    norm is a DIVIDE_BY_ZERO job failure, and a NaN norm silently
+    poisons rankings (round-10 adversarial-embeddings sweep)."""
+    nv = dot(a, a)
+    return F.when(
+        (~F.isnan(nv)) & (nv > 0) & (nv != F.lit(float("inf"))), nv
+    )
+
+
 def cosine(a, b) -> F.Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
@@ -190,10 +223,22 @@ def _resolve_centroids(
     """
     if centroids is not None:
         cents = [(i, [float(x) for x in v]) for i, v in enumerate(centroids)]
+        for i, v in cents:
+            if not all(math.isfinite(x) for x in v) or not any(v):
+                raise ValueError(
+                    f"quantizer centroid {i} is degenerate (non-finite "
+                    "component or zero norm) — train on a corpus with "
+                    "the degenerate vectors excluded"
+                )
     else:
+        # degenerate vectors (guarded_sq_norm NULL: zero norm, NaN/Inf,
+        # magnitude overflow) can never anchor a cosine cell — skip
+        # them when picking the deterministic lowest-id quantizer
+        # (no-op on clean corpora)
         cents = [
             (int(r[0]), [float(x) for x in r[1]])
             for r in corpus.select(id_col, vec_col)
+            .filter(guarded_sq_norm(F.col(vec_col)).isNotNull())
             .orderBy(id_col)
             .limit(n_cells)
             .collect()
@@ -219,6 +264,16 @@ def _centroid_scores(
     sequential double fold, then dot / (sqrt(nv) · ||centroid||)."""
     parts = []
     for (cid, v), n in zip(cents, norms):
+        if not all(math.isfinite(x) for x in v) or not math.isfinite(n) or n == 0.0:
+            # a non-finite value would interpolate as the SQL token
+            # `nanD`/`infD` (an unresolvable column, not a literal) and
+            # a zero norm is an ANSI DIVIDE_BY_ZERO in every row —
+            # fail at build time with the cause, not at runtime with
+            # parser noise (round-10 adversarial-embeddings sweep)
+            raise ValueError(
+                f"centroid {cid} is degenerate (non-finite component or "
+                "zero norm); exclude degenerate vectors before training"
+            )
         arr = "array(" + ",".join(f"{float(x)!r}D" for x in v) + ")"
         d = (
             f"aggregate(zip_with({vec_name}, {arr}, "
@@ -285,14 +340,20 @@ def ivf_topk(
     c = ensure_compute_parallelism(corpus, min_parallelism).select(
         F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec")
     )
+    # degenerate vectors (guarded_sq_norm NULL) are EXCLUDED from both
+    # sides — the cosine-family contract: a zero norm is an ANSI
+    # DIVIDE_BY_ZERO in the assignment expression, a NaN norm poisons
+    # the ranking; no-op on clean corpora
     assigned = (
-        c.withColumn("nv", dot(F.col("c_vec"), F.col("c_vec")))
+        c.withColumn("nv", guarded_sq_norm(F.col("c_vec")))
+        .filter(F.col("nv").isNotNull())
         .withColumn("cell", -F.array_max(cell_scores("c_vec", "nv")).getField("neg_id"))
         .select("c_id", "c_vec", "cell", F.col("nv").alias("c_nv"))
     )
     q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
     probed = (
-        q.withColumn("nv", dot(F.col("q_vec"), F.col("q_vec")))
+        q.withColumn("nv", guarded_sq_norm(F.col("q_vec")))
+        .filter(F.col("nv").isNotNull())
         .withColumn(
             "cell",
             F.explode(
@@ -350,9 +411,10 @@ def semantic_dedup(
     step is a per-id window over candidate pairs, output ∝ duplicates
     found, not corpus size.
 
-    Rows with a NULL embedding get a NULL cell and silently drop out
-    of the self-join (they can be neither duplicate nor source) —
-    filter or impute upstream if they must be accounted for.
+    Degenerate rows — NULL embedding, zero norm, any NaN/Inf component
+    (guarded_sq_norm NULL) — get a NULL cell and silently drop out of
+    the self-join (they can be neither duplicate nor source) — filter
+    or impute upstream if they must be accounted for.
     """
     from pyspark.sql import Window
 
@@ -374,14 +436,17 @@ def semantic_dedup(
     # the pair stage: each candidate pair costs ONE array fold (the
     # cross dot), with sqrt(nv) the identical IEEE value l2_norm gives.
     assigned = (
-        c.withColumn("nv", dot(F.col("vec"), F.col("vec")))
+        c.withColumn("nv", guarded_sq_norm(F.col("vec")))
         .withColumn(
             "cell",
-            # NULL-embedding rows get a genuinely NULL cell (without the
-            # guard, array_max over all-NULL cosines would fall through
-            # to the neg_id tie-break and land them in cell 0, where
-            # they'd fan out through the self-join for nothing — their
-            # NULL cosines can never pass the threshold anyway).
+            # Degenerate rows (NULL embedding, zero norm, NaN/Inf —
+            # guarded_sq_norm NULL) get a genuinely NULL cell and drop
+            # out of the self-join: they can be neither duplicate nor
+            # source (a zero norm would be an ANSI DIVIDE_BY_ZERO in
+            # the pair cosine; without the cell guard, array_max over
+            # all-NULL cosines would fall through to the neg_id
+            # tie-break and land them in cell 0, where they'd fan out
+            # through the self-join for nothing).
             F.when(
                 F.col("nv").isNotNull(),
                 (
@@ -453,15 +518,22 @@ def train_ivf_centroids(
     Empty cells keep their previous centroid (the standard Lloyd's
     degenerate-cell rule).
     """
+    # degenerate vectors can neither seed nor move a cosine centroid —
+    # exclude them from seeds AND the assignment pass (zero norm is an
+    # ANSI DIVIDE_BY_ZERO in the per-centroid score); no-op on clean
+    # corpora
     cents = [
         [float(x) for x in r[1]]
         for r in corpus.select(id_col, vec_col)
+        .filter(guarded_sq_norm(F.col(vec_col)).isNotNull())
         .orderBy(id_col)
         .limit(n_cells)
         .collect()
     ]
-    c = corpus.select(F.col(vec_col).alias("vec")).withColumn(
-        "nv", dot(F.col("vec"), F.col("vec"))
+    c = (
+        corpus.select(F.col(vec_col).alias("vec"))
+        .withColumn("nv", guarded_sq_norm(F.col("vec")))
+        .filter(F.col("nv").isNotNull())
     )
     for _ in range(n_iters):
         norms = [math.sqrt(sum(x * x for x in v)) for v in cents]
@@ -629,9 +701,16 @@ def pq_codebook_from_corpus(
     if dim % m != 0:
         raise ValueError(f"dim {dim} not divisible by m {m}")
     sub = dim // m
+    # only finite, correctly-sized vectors can seed a codebook (a NaN
+    # seed would interpolate as unparseable SQL in _pq_scores); no-op
+    # on clean corpora
     seeds = [
         [float(x) for x in r[1]]
-        for r in corpus.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
+        for r in corpus.select(id_col, vec_col)
+        .filter(finite_vec(F.col(vec_col), dim))
+        .orderBy(id_col)
+        .limit(k)
+        .collect()
     ]
     if len(seeds) < k:
         raise ValueError(f"corpus has {len(seeds)} rows < k={k}")
@@ -657,6 +736,14 @@ def _pq_scores(vec_col: str, cents: list[list[float]], j: int, sub: int) -> F.Co
     # build); parsing the same literals as SQL text is ~1 ms. The
     # arithmetic mirrors dot(): double casts, sequential left-fold.
     k = len(cents)
+    if not all(math.isfinite(x) for c in cents for x in c):
+        # non-finite values interpolate as the SQL tokens `nanD`/`infD`
+        # (unresolvable columns, not literals) — fail at build time
+        # with the cause (round-10 adversarial-embeddings sweep)
+        raise ValueError(
+            f"PQ subspace {j} codebook contains a non-finite value; "
+            "exclude degenerate vectors before training"
+        )
     ccs = "array(" + ",".join(f"{float(sum(x * x for x in c))!r}D" for c in cents) + ")"
     vecs = (
         "array("
@@ -682,7 +769,13 @@ def pq_encode(
     """Map-only PQ encoding: per subspace, the argmin-distance centroid
     id (ties → lowest id). ``m`` int codes replace ``dim`` floats —
     the 100 TB story is 32× memory compression for the candidate
-    scan, with no shuffle at encode time."""
+    scan, with no shuffle at encode time.
+
+    Rows that are not finite ``m*sub``-dim vectors are EXCLUDED: a NaN
+    component makes every subspace score NaN, array_position misses
+    (NaN != NaN) and the code becomes -1 — an ANSI
+    INVALID_ARRAY_INDEX at ADC lookup time (round-10
+    adversarial-embeddings sweep); no-op on clean corpora."""
     sub = len(codebook[0][0])
     codes = []
     for j, cents in enumerate(codebook):
@@ -691,7 +784,10 @@ def pq_encode(
         # min value compares bit-equal to itself, so array_position
         # is exact)
         codes.append((F.array_position(scores, F.array_min(scores)) - 1).cast("int"))
-    return df.withColumn(out_col, F.array(*codes))
+    m = len(codebook)
+    return df.filter(finite_vec(F.col(vec_col), m * sub)).withColumn(
+        out_col, F.array(*codes)
+    )
 
 
 def pq_topk(
@@ -734,7 +830,11 @@ def pq_topk(
             for j, cents in enumerate(codebook)
         ]
     )
-    q = queries.select(F.col(id_col).alias("q_id"), qdt.alias("qdt"))
+    # same inclusion contract as pq_encode: a non-finite query vector
+    # yields a NaN distance table and poisons its whole ranking
+    q = queries.filter(finite_vec(F.col(vec_col), m * sub)).select(
+        F.col(id_col).alias("q_id"), qdt.alias("qdt")
+    )
     # static unroll: m element_at lookups stay in codegen (no HOF fold)
     score = sum(
         (
@@ -793,7 +893,12 @@ def train_pq_codebook(
     cells keep their previous centroid."""
     book = pq_codebook_from_corpus(corpus, dim, m, k, id_col=id_col, vec_col=vec_col)
     sub = dim // m
-    c = corpus.select(F.col(vec_col).alias("vec"))
+    # non-finite / mis-sized rows can't contribute to subspace means
+    # (a single NaN poisons avg into NaN centroids -> unparseable SQL
+    # literals downstream); no-op on clean corpora
+    c = corpus.select(F.col(vec_col).alias("vec")).filter(
+        finite_vec(F.col("vec"), dim)
+    )
     for _ in range(n_iters):
         enc = pq_encode(c, book, vec_col="vec")
         parts = (
@@ -1005,12 +1110,36 @@ def _kmeans_quantize(
     corpus: DataFrame, scale: int, id_col: str, vec_col: str
 ) -> DataFrame:
     """The exact fixed-point grid projection shared by the k-means
-    trainer and assigner (round half away from zero, then long)."""
-    return corpus.select(
+    trainer and assigner (round half away from zero, then long).
+
+    Rows whose vector can't live on the grid are EXCLUDED before the
+    cast: a NaN/Inf component or a magnitude past 2^62/scale is an
+    ANSI CAST_OVERFLOW job failure in the DOUBLE→BIGINT projection
+    (round-10 adversarial-embeddings sweep; 2^62 leaves a 2× margin
+    under the BIGINT ceiling for the round-half-up). Exclusion is the
+    contract for both training and assignment — shared here so they
+    can never disagree; no-op on clean corpora."""
+    bound = float((1 << 62) / scale)
+    ok = F.col(vec_col).isNotNull() & ~F.exists(
+        F.col(vec_col),
+        lambda x: x.isNull() | F.isnan(x) | (F.abs(x) >= F.lit(bound)),
+    )
+    # try_cast, NOT cast: the exclusion filter above is not enough on
+    # its own, because Catalyst's InferFiltersFromGenerate sees a
+    # downstream posexplode(__v), infers `size(__v) > 0`, substitutes
+    # __v's defining transform, and lands the UNGUARDED cast in the
+    # same Filter as the exclusion predicate — and conjunct evaluation
+    # order is not a contract (Spark assumes expressions are
+    # side-effect-free; under ANSI a throwing cast isn't). try_cast
+    # makes the expression total — bit-identical for every value the
+    # filter admits (|x·scale| < 2^62 cannot overflow), NULL for rows
+    # the filter rejects anyway. Round-10 adversarial-embeddings
+    # sweep: CAST_OVERFLOW thrown from inside the inferred conjunct.
+    return corpus.filter(ok).select(
         F.col(id_col),
         F.transform(
             F.col(vec_col),
-            lambda x: F.round(x * F.lit(float(scale))).cast("long"),
+            lambda x: F.round(x * F.lit(float(scale))).try_cast("long"),
         ).alias("__v"),
     )
 
