@@ -224,8 +224,15 @@ def q_udtf_table_arg(spark: SparkSession, sf_dir: str) -> DataFrame:
         def eval(self, row):
             self._etype = row["event_type"]
             u = row["user_id"]
+            v = row["value"]
+            # telemetry outside the millis grid carries no spendable
+            # amount: NULL/NaN/Inf, and magnitudes whose x1000
+            # projection overflows the declared BIGINT — skip rather
+            # than crash the worker (round-10 adversarial-events sweep)
+            if v is None or not math.isfinite(v) or abs(v) >= (1 << 62) / 1000:
+                return
             self._totals[u] = self._totals.get(u, 0) + math.floor(
-                row["value"] * 1000 + 0.5
+                v * 1000 + 0.5
             )
 
         def terminate(self):
@@ -290,7 +297,21 @@ def q_cogroup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         import math
 
         def millis(s):
-            return int(sum(math.floor(v * 1000 + 0.5) for v in s))
+            # Telemetry outside the millis grid carries no spendable
+            # amount — NULL/NaN/Inf, and magnitudes past 2^62/1000
+            # (whose x1000 projection overflows the declared BIGINT at
+            # the Arrow boundary) are excluded from the integer sum;
+            # the event still counts in n_views/n_buys (round-10
+            # adversarial-events sweep).
+            return int(
+                sum(
+                    math.floor(v * 1000 + 0.5)
+                    for v in s
+                    if v is not None
+                    and math.isfinite(v)
+                    and abs(v) < (1 << 62) / 1000
+                )
+            )
 
         return pd.DataFrame(
             {
