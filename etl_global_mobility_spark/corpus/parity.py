@@ -44,12 +44,18 @@ def delivery_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.select(
         F.col("l_orderkey").alias("cod_pedido"),
         F.col("l_linenumber").alias("num_linea"),
+        # try_cast, not cast: the reference notebook ran on non-ANSI
+        # Spark where a DECIMAL(21,2) overflow silently yields NULL and
+        # the row flows into the NULL-quarantine rules — under ANSI a
+        # plain cast is a job-killing NUMERIC_VALUE_OUT_OF_RANGE on the
+        # first hostile magnitude (round-10 adversarial-relational
+        # sweep; 1e300 prices). The oracle mirrors with TRY_CAST.
         F.when(F.col("l_orderkey") % 101 == 0, F.lit(None))
-        .otherwise((F.col("l_quantity") - 3).cast("decimal(21,2)"))
+        .otherwise((F.col("l_quantity") - 3).try_cast("decimal(21,2)"))
         .alias("cant"),
         F.when(F.col("l_suppkey") % 13 == 0, F.lit(None))
-        .when(F.col("l_discount") >= 0.09, (-F.col("l_extendedprice")).cast("decimal(21,2)"))
-        .otherwise(F.col("l_extendedprice").cast("decimal(21,2)"))
+        .when(F.col("l_discount") >= 0.09, (-F.col("l_extendedprice")).try_cast("decimal(21,2)"))
+        .otherwise(F.col("l_extendedprice").try_cast("decimal(21,2)"))
         .alias("mto"),
         F.when(F.col("l_partkey") % 97 == 0, F.lit(None))
         .otherwise(F.col("l_partkey").cast("string"))
@@ -74,10 +80,10 @@ WITH delivery AS (
   SELECT l_orderkey AS cod_pedido,
          l_linenumber AS num_linea,
          CASE WHEN l_orderkey % 101 = 0 THEN NULL
-              ELSE CAST(l_quantity - 3 AS DECIMAL(21,2)) END AS cant,
+              ELSE TRY_CAST(l_quantity - 3 AS DECIMAL(21,2)) END AS cant,
          CASE WHEN l_suppkey % 13 = 0 THEN NULL
-              WHEN l_discount >= 0.09 THEN CAST(-l_extendedprice AS DECIMAL(21,2))
-              ELSE CAST(l_extendedprice AS DECIMAL(21,2)) END AS mto,
+              WHEN l_discount >= 0.09 THEN TRY_CAST(-l_extendedprice AS DECIMAL(21,2))
+              ELSE TRY_CAST(l_extendedprice AS DECIMAL(21,2)) END AS mto,
          CASE WHEN l_partkey % 97 = 0 THEN NULL
               ELSE CAST(l_partkey AS VARCHAR) END AS material,
          CASE WHEN l_returnflag = 'R' THEN 'CS'
@@ -441,7 +447,7 @@ SPECS = [
         DELIVERY_CTE
         + f"""SELECT cod_pedido, num_linea,
             CAST(CASE WHEN ({FACTOR_SQL}) IS NOT NULL AND cant IS NOT NULL AND cant > 0
-                 THEN CAST(round(cant * ({FACTOR_SQL}), 2) AS DECIMAL(21,2)) END
+                 THEN TRY_CAST(round(cant * ({FACTOR_SQL}), 2) AS DECIMAL(21,2)) END
                  AS DOUBLE) AS cant_unidades
             FROM delivery""",
         doc="A13 unit conversion",
@@ -463,8 +469,8 @@ SPECS = [
         q_rounding,
         DELIVERY_CTE
         + "SELECT cod_pedido, num_linea, "
-        "CAST(CAST(round(mto, 2) AS DECIMAL(21,2)) AS DOUBLE) AS mto_rounded, "
-        "CAST(CAST(round(cant, 2) AS DECIMAL(21,2)) AS DOUBLE) AS cant_rounded "
+        "CAST(TRY_CAST(round(mto, 2) AS DECIMAL(21,2)) AS DOUBLE) AS mto_rounded, "
+        "CAST(TRY_CAST(round(cant, 2) AS DECIMAL(21,2)) AS DOUBLE) AS cant_rounded "
         "FROM delivery",
         doc="A15 rounding normalization",
     ),
@@ -491,13 +497,13 @@ SPECS = [
                  AS DATE) AS fec_parsed,
             {FACTOR_SQL} AS factor,
             CAST(CASE WHEN ({FACTOR_SQL}) IS NOT NULL AND cant IS NOT NULL AND cant > 0
-                 THEN CAST(round(cant * ({FACTOR_SQL}), 2) AS DECIMAL(21,2)) END
+                 THEN TRY_CAST(round(cant * ({FACTOR_SQL}), 2) AS DECIMAL(21,2)) END
                  AS DOUBLE) AS cant_unidades,
             CAST(CASE WHEN ({FACTOR_SQL}) IS NOT NULL AND cant IS NOT NULL AND cant > 0
                       AND mto IS NOT NULL
                  THEN {spark_round_sql("CAST(mto AS DOUBLE) / (CAST(cant AS DOUBLE) * CAST((" + FACTOR_SQL + ") AS DOUBLE))", 3)}
                  END AS DOUBLE) AS precio_unitario,
-            CAST(CAST(round(mto, 2) AS DECIMAL(21,2)) AS DOUBLE) AS mto_rounded,
+            CAST(TRY_CAST(round(mto, 2) AS DECIMAL(21,2)) AS DOUBLE) AS mto_rounded,
             CASE WHEN upper(trim(tipo)) IN ('NO') THEN true
                  WHEN upper(trim(tipo)) IN ('RF') THEN false END AS ind_rutina,
             CASE WHEN upper(trim(tipo)) IN ('RF') THEN true

@@ -155,23 +155,40 @@ def q_apply_in_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def per_group(tbl: pa.Table) -> pa.Table:
+        prices = pc.cast(tbl.column("o_totalprice"), pa.float64())
+        # cents-grid contract (round-10 adversarial-relational sweep):
+        # NULL/NaN/Inf and magnitudes past 2^62/100 have no exact x100
+        # integer projection (the Arrow cast raises on truncation) —
+        # excluded from the sum; the order still counts in n_orders
+        on_grid = pc.and_kleene(
+            pc.is_finite(prices),
+            pc.less(pc.abs(prices), (1 << 62) / 100),
+        )
         cents = pc.cast(
             pc.floor(
                 pc.add(
-                    pc.multiply(
-                        pc.cast(tbl.column("o_totalprice"), pa.float64()), 100.0
-                    ),
+                    pc.multiply(pc.filter(prices, pc.fill_null(on_grid, False)), 100.0),
                     0.5,
                 )
             ),
             pa.int64(),
         )
+        # explicit schema: a NULL-key group (legal GROUP BY semantics)
+        # would otherwise make pa.table infer a null-typed key column
+        # and fail the result-schema check (round-10 sweep)
         return pa.table(
             {
                 "o_custkey": [tbl.column("o_custkey")[0].as_py()],
                 "n_orders": [tbl.num_rows],
                 "total_cents": [pc.sum(cents).as_py() or 0],
-            }
+            },
+            schema=pa.schema(
+                [
+                    ("o_custkey", pa.int64()),
+                    ("n_orders", pa.int64()),
+                    ("total_cents", pa.int64()),
+                ]
+            ),
         )
 
     return o.groupBy("o_custkey").applyInArrow(

@@ -78,7 +78,10 @@ def cant_unidades(cant: Column, factor: Column) -> Column:
             F.round(cant * factor, 2),
         )
         .otherwise(F.lit(None))
-        .cast("decimal(21,2)")
+        # try_cast: reference semantics are non-ANSI Spark, where a
+        # DECIMAL overflow yields NULL (and the row quarantines) rather
+        # than killing the job (round-10 adversarial-relational sweep)
+        .try_cast("decimal(21,2)")
     )
 
 
@@ -90,7 +93,8 @@ def precio_unitario_unidades(mto: Column, cant: Column, factor: Column) -> Colum
             F.round(mto / (cant * factor), 3),
         )
         .otherwise(F.lit(None))
-        .cast("decimal(21,3)")
+        # try_cast: same non-ANSI reference semantics as cant_unidades
+        .try_cast("decimal(21,3)")
     )
 
 
@@ -181,8 +185,10 @@ def silver_transform(
         F.col("cod_tipo_entrega"),
         F.col("cod_material"),
         precio_unitario_unidades(mto, cant, factor).alias("precio_unitario_unidades"),  # NB:607-615
-        F.round(mto, 2).cast("decimal(21,2)").alias("mto_venta"),  # NB:616
-        F.round(cant, 2).cast("decimal(21,2)").alias("cant_uni_medida"),  # NB:617
+        # try_cast (not cast): non-ANSI reference semantics — overflow
+        # → NULL → quarantine, never a job failure (round-10 sweep)
+        F.round(mto, 2).try_cast("decimal(21,2)").alias("mto_venta"),  # NB:616
+        F.round(cant, 2).try_cast("decimal(21,2)").alias("cant_uni_medida"),  # NB:617
         F.col("cod_uni_medida"),
         cant_unidades(cant, factor).alias("cant_unidades"),
         ind_rut.alias("ind_rutina"),
