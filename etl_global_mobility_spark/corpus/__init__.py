@@ -52,16 +52,26 @@ green driver row, and no query's evidence gets stale:
   newest green row is CORRECTNESS_r05 (they reach the corpus-scaled
   staleness bound at round 11): 2 + 2 + 46 = 50.
 
-ROUND-11 PLAN (reserve now so window arithmetic stays provable): the
-one remaining r5-only row — ``udf_apply_in_arrow``, alphabetically
-last — hits its hard staleness deadline at round 11
-(trip condition is current_round - latest > 5), so it LEADS the
-round-11 window; the rest of that window drains the r6-stale rows
-(48 of them become stale-bound at round 12: 46 fit beside
-udf_apply_in_arrow + llm_community_labelprop + the 2 canaries, and
-the last 2 lead the round-12 window at their own deadline) plus any
-round-11 additions from SCHEDULED_NEXT_WINDOW (the invariant tests
-enforce the staleness arithmetic rather than this comment).
+* round 11 (this window) takes ``udf_apply_in_arrow`` (the one
+  remaining r5-only row, at its hard staleness deadline this round),
+  ``llm_community_labelprop`` (the round-10 addition, from
+  SCHEDULED_NEXT_WINDOW), the 2 standing canaries, and the 46
+  alphabetically-first of the 48 rows whose newest green row is
+  CORRECTNESS_r06: 1 + 1 + 2 + 46 = 50.
+
+ROUND-12 PLAN (reserve now so window arithmetic stays provable): the
+2 remaining r6-only rows — ``stream_static_join`` and
+``udf_udtf_table_arg``, alphabetically last — hit their hard
+staleness deadline at round 12, so they LEAD the round-12 window
+(they are pinned in ``RESERVED_NEXT_WINDOW`` below so the staleness
+alarm tolerates them for exactly one round while rotation is still
+impossible — i.e. the closed round-11 HEAD stays green — and still
+trips if round 12 skips the rotation); the rest of that window
+drains the 48 r7-stale rows (stale-bound at round 13: 46 fit beside
+the 2 reserved rows + the 2 canaries, and the last 2 lead the
+round-13 window at their own deadline) plus any round-11 additions
+from SCHEDULED_NEXT_WINDOW (the invariant tests enforce the
+staleness arithmetic rather than this comment).
 
 ``DRIVER_GREEN_PAST_ROUNDS`` records which queries already hold a
 green row (union of all CORRECTNESS_r0N files); those may sit past the
@@ -78,63 +88,65 @@ from __future__ import annotations
 
 from etl_global_mobility_spark.corpus.base import QuerySpec, load_table
 
-#: First 50 registered names — the driver's round-10 correctness window.
+#: First 50 registered names — the driver's round-11 correctness window.
 DRIVER_WINDOW = (
-    # the 2 round-9 additions (SCHEDULED_NEXT_WINDOW last round) —
-    # first driver rows for within-doc span dedup and the
-    # schema-drift quarantine stream
-    "llm_dup_spans_within",
-    "stream_schema_drift",
-    # the 46 alphabetically-first of the 47 rows whose newest green
-    # row is CORRECTNESS_r05 — they hit the corpus-scaled staleness
-    # bound at round 11 (udf_apply_in_arrow, alphabetically last,
-    # leads the round-11 window at its hard deadline)
-    "llm_e2e_training_examples",
-    "llm_hybrid_retrieval_rrf",
-    "llm_preference_pairs",
-    "llm_quality_classifier",
-    "llm_semantic_dedup",
-    "parity_casts",
-    "parity_date_parse",
-    "parity_filter_eq_range",
-    "parity_indicators",
-    "parity_map_lookup",
-    "parity_membership",
-    "parity_quality_rule_counts",
-    "parity_rename_project",
-    "parity_split_clean",
-    "parity_split_quarantine",
-    "parity_unit_conversion",
-    "parity_unit_price",
-    "rel_agg_count_distinct",
-    "rel_agg_grouping_sets",
-    "rel_agg_stats_moments",
-    "rel_dataset_card",
-    "rel_dropduplicates",
-    "rel_join_anti",
-    "rel_join_broadcast_dims",
-    "rel_join_full_outer",
-    "rel_join_left_orders",
-    "rel_join_nonequi_self",
-    "rel_join_salted_skew",
-    "rel_lateral_topk",
-    "rel_listagg",
-    "rel_median_disc",
-    "rel_null_aware_anti_join",
-    "rel_pagerank",
-    "rel_pivot_linestatus",
-    "rel_range_join_buckets",
-    "rel_scalar_string_date_math",
-    "rel_source_xml",
-    "rel_subquery_exists",
-    "rel_subquery_scalar",
-    "rel_time_rollup",
-    "rel_topk_global",
-    "rel_unpivot_part",
-    "rel_window_distribution",
-    "rel_window_lag_lead",
-    "rel_window_running_sum",
-    "rel_window_topk_per_group",
+    # the one remaining r5-only row, at its HARD staleness deadline
+    # this round (trip condition current_round - latest > 5) — leads
+    "udf_apply_in_arrow",
+    # the round-10 addition (SCHEDULED_NEXT_WINDOW last round) —
+    # first driver row for synchronous label propagation
+    "llm_community_labelprop",
+    # the 46 alphabetically-first of the 48 rows whose newest green
+    # row is CORRECTNESS_r06 — they hit the corpus-scaled staleness
+    # bound at round 12 (stream_static_join / udf_udtf_table_arg,
+    # alphabetically last, lead the round-12 window at their own
+    # deadline — see RESERVED_NEXT_WINDOW)
+    "llm_asof_join",
+    "llm_bigram_novelty",
+    "llm_bm25",
+    "llm_bpe_pair_stats",
+    "llm_chunk_documents",
+    "llm_contamination",
+    "llm_cosine_topk",
+    "llm_dedup_components",
+    "llm_dup_ngram_spans",
+    "llm_embedding_neardup",
+    "llm_feature_hash",
+    "llm_filter_rules",
+    "llm_fingerprint",
+    "llm_frame_sample",
+    "llm_hash_split",
+    "llm_ivf_ann",
+    "llm_language_id",
+    "llm_lsh_ann",
+    "llm_minhash_neardup",
+    "llm_mix_sources",
+    "llm_mmr_rerank",
+    "llm_multimodal_features",
+    "llm_ngram_jaccard",
+    "llm_pack_sequences",
+    "llm_packing_efficiency",
+    "llm_pq_ann",
+    "llm_sentence_chunks",
+    "llm_simhash",
+    "llm_temperature_mix",
+    "llm_tfidf_topterms",
+    "parity_rounding",
+    "rel_agg_cube",
+    "rel_agg_rollup",
+    "rel_interval_overlap_join",
+    "rel_join_right",
+    "rel_join_semi",
+    "rel_ohlc_downsample",
+    "rel_scalar_strings_extended",
+    "rel_source_parquet_zstd",
+    "rel_spatial_grid_nearest",
+    "rel_tpch_q13_custdist",
+    "rel_tpch_q18_large_orders",
+    "rel_window_rank_dense",
+    "stream_medallion_batch_parity",
+    "stream_ohlc_bars",
+    "stream_scd2_enrichment",
     # standing canaries (green every round since r2/r3) for
     # cross-round regression signal — one parity + one llm
     "parity_derived_all",
@@ -158,7 +170,8 @@ DRIVER_GREEN_PAST_ROUNDS = frozenset(
         "llm_dedup_components", "llm_dedup_keep_best",
         "llm_domain_blocklist", "llm_domain_cap_report",
         "llm_domain_extract", "llm_dsir_resample",
-        "llm_dup_ngram_spans", "llm_e2e_curation",
+        "llm_dup_ngram_spans", "llm_dup_spans_within",
+        "llm_e2e_curation",
         "llm_e2e_training_examples", "llm_e2e_web_curation",
         "llm_embedding_neardup", "llm_epoch_plan",
         "llm_event_sequences", "llm_exact_dedup",
@@ -256,6 +269,7 @@ DRIVER_GREEN_PAST_ROUNDS = frozenset(
         "stream_dedup_keys", "stream_medallion_batch_parity",
         "stream_neardup_dedup", "stream_ohlc_bars",
         "stream_python_source", "stream_scd2_enrichment",
+        "stream_schema_drift",
         "stream_session_windows", "stream_sliding_counts",
         "stream_stateful_profile", "stream_static_join",
         "stream_stream_join", "stream_tumbling_counts",
@@ -271,16 +285,22 @@ DRIVER_GREEN_PAST_ROUNDS = frozenset(
 #: Queries ADDED this round (registered past the already-frozen
 #: window): the NEXT rotation must pull these in. The window-invariant
 #: test treats this as the only legitimate reason an oracle-backed
-#: query lacks both window coverage and a past green row. Round-10
-#: additions are appended here as they are registered — AT MOST 8
-#: (see ROUND-11 PLAN in the module docstring).
-SCHEDULED_NEXT_WINDOW: frozenset[str] = frozenset(
-    {
-        # round-10 additions (oracle-backed only — the rows-only
-        # rel_tdigest_quantiles / rel_plan_cost_report additions are
-        # window-exempt by design)
-        "llm_community_labelprop",
-    }
+#: query lacks both window coverage and a past green row. Round-11
+#: additions are appended here as they are registered — AT MOST 2
+#: (see ROUND-12 PLAN in the module docstring).
+SCHEDULED_NEXT_WINDOW: frozenset[str] = frozenset()
+
+#: Queries whose existing driver evidence reaches its hard staleness
+#: deadline NEXT round — reserved to LEAD the next rotation (see the
+#: ROUND-12 PLAN paragraph). The staleness invariant tolerates these
+#: for EXACTLY ONE round past the bound: once the driver drops this
+#: round's CORRECTNESS file, rotating the frozen window is impossible
+#: until next round opens, so without the reserve the closed round's
+#: HEAD would be permanently red. If the next rotation skips them the
+#: alarm still trips (tests/test_corpus_oracle.py pins both sides).
+RESERVED_NEXT_WINDOW: tuple[str, ...] = (
+    "stream_static_join",
+    "udf_udtf_table_arg",
 )
 
 

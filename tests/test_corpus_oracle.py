@@ -108,6 +108,31 @@ def test_driver_evidence_max_staleness():
     the window must). If a query's last green row ages past the bound,
     this test fails until a window re-checks it.
     """
+    stale, MAX_STALENESS, current_round = _compute_stale_evidence()
+    assert not stale, (
+        f"driver evidence older than {MAX_STALENESS} rounds "
+        f"(current={current_round}): {stale} — rotate these into "
+        f"DRIVER_WINDOW"
+    )
+
+
+def _compute_stale_evidence(extra_round=None):
+    """Shared staleness arithmetic for the invariant tests.
+
+    Returns ``(stale, MAX_STALENESS, current_round)`` where ``stale``
+    maps each over-deadline oracle-backed query to its newest green
+    round. A query named in ``RESERVED_NEXT_WINDOW`` is tolerated for
+    EXACTLY ONE round past the bound: when the driver drops round N's
+    CORRECTNESS file, current_round becomes N+1 but the round-N window
+    was frozen before the file existed — rotation is only possible as
+    round N+1's first commit, so the reserve keeps the closed round-N
+    HEAD green. One round is all it buys: if round N+1's rotation
+    skips a reserved row, the next CORRECTNESS drop pushes it past
+    bound+1 and the alarm trips (test_reserved_rows_trip_if_skipped).
+
+    ``extra_round`` simulates a future CORRECTNESS drop: a pair
+    ``(round_no, green_names)`` treated as one more driver file.
+    """
     import glob
     import json
     import math
@@ -116,6 +141,7 @@ def test_driver_evidence_max_staleness():
     sys.path.insert(0, REPO)
     from etl_global_mobility_spark.corpus import (
         DRIVER_WINDOW,
+        RESERVED_NEXT_WINDOW,
         SCHEDULED_NEXT_WINDOW,
         all_queries,
     )
@@ -145,19 +171,69 @@ def test_driver_evidence_max_staleness():
             if green(v):
                 latest[name] = max(latest.get(name, 0), rn)
     assert rounds, "no CORRECTNESS_r*.json files found"
+    if extra_round is not None:
+        rn, names = extra_round
+        rounds.append(rn)
+        for name in names:
+            latest[name] = max(latest.get(name, 0), rn)
     current_round = max(rounds) + 1  # the round this window targets
-    for name in DRIVER_WINDOW:
-        latest[name] = current_round
+    if extra_round is None:
+        # the on-disk window targets the real current round; a
+        # simulated future drop must NOT credit it forward
+        for name in DRIVER_WINDOW:
+            latest[name] = current_round
 
     specs = all_queries()
     oracle_backed = {n for n, s in specs.items() if s.oracle is not None}
-    stale = {
-        n: latest.get(n)
-        for n in oracle_backed - SCHEDULED_NEXT_WINDOW
-        if current_round - latest.get(n, -10**6) > MAX_STALENESS
-    }
-    assert not stale, (
-        f"driver evidence older than {MAX_STALENESS} rounds "
-        f"(current={current_round}): {stale} — rotate these into "
-        f"DRIVER_WINDOW"
+    stale = {}
+    for n in oracle_backed - SCHEDULED_NEXT_WINDOW:
+        age = current_round - latest.get(n, -10**6)
+        bound = MAX_STALENESS + (1 if n in RESERVED_NEXT_WINDOW else 0)
+        if age > bound:
+            stale[n] = latest.get(n)
+    return stale, MAX_STALENESS, current_round
+
+
+def test_reserved_rows_trip_if_skipped():
+    """RESERVED_NEXT_WINDOW is a one-round grace, not an exemption.
+    After the NEXT driver drop the reserved rows sit at exactly
+    bound+1 — tolerated, by design (the grace covering the closed
+    round's HEAD and the round-open gap before rotation). If the next
+    round's rotation then SKIPS them, the drop after that pushes them
+    to bound+2 and the alarm must name them. Simulate a skipped
+    rotation: two future CORRECTNESS drops that green only the
+    CURRENT window (which excludes the reserved rows)."""
+    import glob
+    import re
+
+    sys.path.insert(0, REPO)
+    from etl_global_mobility_spark.corpus import (
+        DRIVER_WINDOW,
+        RESERVED_NEXT_WINDOW,
+    )
+
+    if not RESERVED_NEXT_WINDOW:
+        return  # nothing reserved this round; nothing to prove
+    assert not set(RESERVED_NEXT_WINDOW) & set(DRIVER_WINDOW), (
+        "reserved rows are by definition NOT in the current window"
+    )
+    rounds = [
+        int(re.search(r"CORRECTNESS_r(\d+)\.json$", p).group(1))
+        for p in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))
+    ]
+    # grace round: reserved rows at bound+1 must be tolerated...
+    grace_drop = (max(rounds) + 1, list(DRIVER_WINDOW))
+    stale, _, _ = _compute_stale_evidence(extra_round=grace_drop)
+    tripped_early = [n for n in RESERVED_NEXT_WINDOW if n in stale]
+    assert not tripped_early, (
+        f"reserved rows tripped DURING their grace round — the closed "
+        f"round's HEAD would be red: {tripped_early}"
+    )
+    # ...but a second drop without rotation must trip them
+    skip_drop = (max(rounds) + 2, list(DRIVER_WINDOW))
+    stale, _, _ = _compute_stale_evidence(extra_round=skip_drop)
+    missing = [n for n in RESERVED_NEXT_WINDOW if n not in stale]
+    assert not missing, (
+        f"reserved rows would NOT trip the staleness alarm after a "
+        f"skipped rotation — the grace period is too wide: {missing}"
     )
