@@ -2824,9 +2824,25 @@ def _kmeans_artifact_centroids(
             if loaded_scale != scale:
                 raise ValueError("scale mismatch")
         except Exception:
+            import shutil
+            import uuid
+
             e = load_table(spark, sf_dir, "embeddings")
             cents = train_kmeans_centroids(e, k=k, iters=iters, scale=scale)
-            save_kmeans_centroids(spark, path, cents, scale=scale, iters=iters)
+            # The in-process lock can't serialize ANOTHER driver
+            # process sharing this roundtrip root (parallel pytest,
+            # two nightly jobs): train into a per-process temp dir and
+            # publish with one atomic rename, so no reader can ever
+            # observe a half-replaced parquet directory. Losing the
+            # rename race means another process published first; the
+            # in-memory centroids are bit-identical (fixed-point
+            # training is exact), so just discard the temp copy.
+            tmp = f"{path}.tmp-{os.getpid()}-{uuid.uuid4().hex[:8]}"
+            save_kmeans_centroids(spark, tmp, cents, scale=scale, iters=iters)
+            try:
+                os.rename(tmp, path)
+            except OSError:
+                shutil.rmtree(tmp, ignore_errors=True)
         _KMEANS_ARTIFACT_MEM[key] = cents
     return cents
 

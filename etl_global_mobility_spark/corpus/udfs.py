@@ -253,7 +253,14 @@ def q_udtf_table_arg(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
         def terminate(self):
-            ranked = sorted(self._totals.items(), key=lambda kv: (-kv[1], kv[0]))
+            # total-order-safe tie-break: a NULL user_id (key None)
+            # tying on total with an integer user would hit None<int
+            # and TypeError out of the worker — legal telemetry must
+            # rank, not crash (NULL sorts after real ids on a tie)
+            ranked = sorted(
+                self._totals.items(),
+                key=lambda kv: (-kv[1], kv[0] is None, kv[0] or 0),
+            )
             for i, (u, t) in enumerate(ranked[:2]):
                 yield self._etype, u, t, i + 1
 

@@ -147,33 +147,44 @@ def label_propagation(
     # silently partial community map. The n_und cross-check closes the
     # vacuous case where the node frame itself materialized empty off
     # a corrupted cached stage.
-    n_nodes = labels.count()
-    if n_und > 0 and n_nodes == 0:
-        raise RuntimeError(
-            f"label_propagation: {n_und} undirected edges but 0 nodes "
-            "— external session-state corruption (e.g. clearCache() "
-            "racing this query — see session.release_session_state)"
-        )
-    w = Window.partitionBy("src").orderBy(F.col("n").desc(), F.col("label").asc())
-    for _ in range(n_iters):
-        labels = (
-            und.join(
-                labels.select(F.col("node").alias("dst"), "label"), "dst"
-            )
-            .groupBy("src", "label")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") == 1)
-            .select(F.col("src").alias("node"), "label")
-            .localCheckpoint(eager=True)
-        )
-    if n_iters > 0:
-        n_final = labels.count()  # scan of the checkpointed RDD
-        if n_final != n_nodes:
+    # try/finally so NO exit path — success, guard raise, or a failure
+    # mid-round — leaks the persisted edge frame into the long-lived
+    # session (ADVICE r10: the guard raises previously left cached
+    # blocks behind; the success path leaked ``und`` too). Safe on the
+    # success path because every round's labels are eagerly
+    # localCheckpointed — the returned frame no longer reads ``und``.
+    try:
+        n_nodes = labels.count()
+        if n_und > 0 and n_nodes == 0:
             raise RuntimeError(
-                f"label_propagation node frame shrank {n_nodes} -> "
-                f"{n_final}: external session-state corruption (e.g. "
-                "clearCache() racing this query — see "
-                "session.release_session_state)"
+                f"label_propagation: {n_und} undirected edges but 0 nodes "
+                "— external session-state corruption (e.g. clearCache() "
+                "racing this query — see session.release_session_state)"
             )
-    return labels
+        w = Window.partitionBy("src").orderBy(
+            F.col("n").desc(), F.col("label").asc()
+        )
+        for _ in range(n_iters):
+            labels = (
+                und.join(
+                    labels.select(F.col("node").alias("dst"), "label"), "dst"
+                )
+                .groupBy("src", "label")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .withColumn("rk", F.row_number().over(w))
+                .filter(F.col("rk") == 1)
+                .select(F.col("src").alias("node"), "label")
+                .localCheckpoint(eager=True)
+            )
+        if n_iters > 0:
+            n_final = labels.count()  # scan of the checkpointed RDD
+            if n_final != n_nodes:
+                raise RuntimeError(
+                    f"label_propagation node frame shrank {n_nodes} -> "
+                    f"{n_final}: external session-state corruption (e.g. "
+                    "clearCache() racing this query — see "
+                    "session.release_session_state)"
+                )
+        return labels
+    finally:
+        und.unpersist()

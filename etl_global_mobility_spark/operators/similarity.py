@@ -55,6 +55,31 @@ def finite_vec(a, dim: int | None = None) -> F.Column:
     return pred
 
 
+def _exclude_or_raise(
+    df: DataFrame, pred: F.Column, what: str, strict: bool
+) -> DataFrame:
+    """The degenerate-row exclusion contract, observable (ADVICE r10):
+    by default rows failing ``pred`` are silently DROPPED (documented
+    per operator — the scale-friendly choice: one hostile row must not
+    kill a 100 TB encode). Callers that rely on one-output-row-per-
+    input-row pass ``strict=True`` to fail loudly on the first
+    excluded row instead of getting quiet shrinkage. assert_true
+    evaluates inside the same filter (returns NULL when the predicate
+    holds), so the strict path costs no extra pass."""
+    if not strict:
+        return df.filter(pred)
+    return df.filter(
+        F.assert_true(
+            pred,
+            F.lit(
+                f"{what}: degenerate or mis-sized vector with "
+                "strict=True — clean the input, or use the default "
+                "strict=False to drop such rows"
+            ),
+        ).isNull()
+    )
+
+
 def guarded_sq_norm(a) -> F.Column:
     """Squared L2 norm, NULL for any DEGENERATE vector: NULL, zero
     (cosine undefined), a NaN/±Inf component, or magnitude overflow
@@ -263,17 +288,26 @@ def _centroid_scores(
     n_cells=16 — two call sites), parsing is ~1 ms. The arithmetic:
     sequential double fold, then dot / (sqrt(nv) · ||centroid||)."""
     parts = []
+    skipped = []
     for (cid, v), n in zip(cents, norms):
-        if not all(math.isfinite(x) for x in v) or not math.isfinite(n) or n == 0.0:
+        if not all(math.isfinite(x) for x in v) or not math.isfinite(n):
             # a non-finite value would interpolate as the SQL token
-            # `nanD`/`infD` (an unresolvable column, not a literal) and
-            # a zero norm is an ANSI DIVIDE_BY_ZERO in every row —
+            # `nanD`/`infD` (an unresolvable column, not a literal) —
             # fail at build time with the cause, not at runtime with
             # parser noise (round-10 adversarial-embeddings sweep)
             raise ValueError(
-                f"centroid {cid} is degenerate (non-finite component or "
-                "zero norm); exclude degenerate vectors before training"
+                f"centroid {cid} is degenerate (non-finite component); "
+                "exclude degenerate vectors before training"
             )
+        if n == 0.0:
+            # FINITE components whose squared sum underflows to 0.0:
+            # the division is DOUBLE, so a zero norm yields Inf/NaN
+            # cos (never an ANSI error) and the cell could only rank
+            # garbage — skip it, the way the trainer skips degenerate
+            # centroid updates, instead of turning denormal-tiny but
+            # legal input into a build-time ValueError (ADVICE r10)
+            skipped.append(cid)
+            continue
         arr = "array(" + ",".join(f"{float(x)!r}D" for x in v) + ")"
         d = (
             f"aggregate(zip_with({vec_name}, {arr}, "
@@ -282,6 +316,11 @@ def _centroid_scores(
         parts.append(
             f"named_struct('cos', {d} / (sqrt({nv_name}) * {float(n)!r}D), "
             f"'neg_id', {-cid})"
+        )
+    if not parts:
+        raise ValueError(
+            f"every centroid has an underflowed zero norm ({skipped}); "
+            "no cell can score — retrain on non-degenerate vectors"
         )
     return F.expr("array(" + ",".join(parts) + ")")
 
@@ -296,6 +335,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     centroids: list[list[float]] | None = None,
     min_parallelism: int | str | None = AUTO,
+    strict: bool = False,
 ) -> DataFrame:
     """IVF (inverted-file) approximate nearest neighbors: partition the
     corpus into `n_cells` Voronoi cells around centroid vectors, then
@@ -351,9 +391,15 @@ def ivf_topk(
         .select("c_id", "c_vec", "cell", F.col("nv").alias("c_nv"))
     )
     q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
+    # strict=True raises on a degenerate QUERY vector instead of
+    # silently dropping that query from the result (ADVICE r10)
     probed = (
-        q.withColumn("nv", guarded_sq_norm(F.col("q_vec")))
-        .filter(F.col("nv").isNotNull())
+        _exclude_or_raise(
+            q.withColumn("nv", guarded_sq_norm(F.col("q_vec"))),
+            F.col("nv").isNotNull(),
+            "ivf_topk",
+            strict,
+        )
         .withColumn(
             "cell",
             F.explode(
@@ -765,6 +811,7 @@ def pq_encode(
     codebook: list[list[list[float]]],
     vec_col: str = "embedding",
     out_col: str = "pq_codes",
+    strict: bool = False,
 ) -> DataFrame:
     """Map-only PQ encoding: per subspace, the argmin-distance centroid
     id (ties → lowest id). ``m`` int codes replace ``dim`` floats —
@@ -775,7 +822,10 @@ def pq_encode(
     component makes every subspace score NaN, array_position misses
     (NaN != NaN) and the code becomes -1 — an ANSI
     INVALID_ARRAY_INDEX at ADC lookup time (round-10
-    adversarial-embeddings sweep); no-op on clean corpora."""
+    adversarial-embeddings sweep); no-op on clean corpora. Callers
+    that need one output row per input row pass ``strict=True`` to
+    raise on the first excluded row instead (the exclusion is
+    otherwise silent by design)."""
     sub = len(codebook[0][0])
     codes = []
     for j, cents in enumerate(codebook):
@@ -785,9 +835,9 @@ def pq_encode(
         # is exact)
         codes.append((F.array_position(scores, F.array_min(scores)) - 1).cast("int"))
     m = len(codebook)
-    return df.filter(finite_vec(F.col(vec_col), m * sub)).withColumn(
-        out_col, F.array(*codes)
-    )
+    return _exclude_or_raise(
+        df, finite_vec(F.col(vec_col), m * sub), "pq_encode", strict
+    ).withColumn(out_col, F.array(*codes))
 
 
 def pq_topk(
@@ -798,6 +848,7 @@ def pq_topk(
     rerank: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    strict: bool = False,
 ) -> DataFrame:
     """Asymmetric-distance (ADC) PQ top-k, optionally with an exact
     re-rank stage (the production shape: ADC shortlists ``rerank``
@@ -832,9 +883,10 @@ def pq_topk(
     )
     # same inclusion contract as pq_encode: a non-finite query vector
     # yields a NaN distance table and poisons its whole ranking
-    q = queries.filter(finite_vec(F.col(vec_col), m * sub)).select(
-        F.col(id_col).alias("q_id"), qdt.alias("qdt")
-    )
+    # (strict=True raises instead of silently dropping the query)
+    q = _exclude_or_raise(
+        queries, finite_vec(F.col(vec_col), m * sub), "pq_topk", strict
+    ).select(F.col(id_col).alias("q_id"), qdt.alias("qdt"))
     # static unroll: m element_at lookups stay in codegen (no HOF fold)
     score = sum(
         (

@@ -1,0 +1,155 @@
+"""Release-review artifact: per-query wall time × plan shape, diffed.
+
+The r9 bench post-mortem had to reconstruct "did this query get slower
+AND did its plan change?" by hand from two BENCH_FULL_*.json files and
+a pair of EXPLAIN dumps. This script makes that a one-command artifact:
+
+    python scripts/plan_perf_diff.py --rebaseline [sf_dir] [filters...]
+        EXPLAIN every corpus query at sf_dir and persist the plan
+        shapes to PLAN_SHAPES_BASELINE.json (diffable in git).
+
+    python scripts/plan_perf_diff.py [sf_dir] [filters...]
+        Recompute current plan shapes, join them against the baseline
+        shapes plus the per-query second maps in BENCH_FULL_LATEST.json
+        (prev) and BENCH_FULL_CANDIDATE.json (now), and write
+        PLAN_PERF_DIFF.json sorted review-first: slower+plan_changed,
+        then slower, then plan_changed. Exit 1 if any query lands in
+        the slower+plan_changed bucket.
+
+Declaring a query's DataFrame is lazy for the relational corpus but
+EAGER for the stream_*/train-persist queries (they run their jobs on
+declaration), so a full run costs roughly one bench pass; pass name
+filters (substring match, like selfcheck.py) to scope a quick audit.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import traceback
+
+sys.path.insert(0, ".")
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+BASELINE_PATH = os.path.join(REPO, "PLAN_SHAPES_BASELINE.json")
+OUT_PATH = os.path.join(REPO, "PLAN_PERF_DIFF.json")
+BENCH_PREV = os.path.join(REPO, "BENCH_FULL_LATEST.json")
+BENCH_NOW = os.path.join(REPO, "BENCH_FULL_CANDIDATE.json")
+
+PLAN_SHAPE_SCHEMA = (
+    "query string, n_shuffles int, n_broadcasts int, n_scans int, "
+    "n_python_nodes int, has_cartesian boolean, est_rows double, "
+    "est_size_bytes double"
+)
+
+
+def _bench_secs(path: str) -> dict[str, float]:
+    if not os.path.exists(path):
+        return {}
+    with open(path) as f:
+        return dict(json.load(f).get("queries") or {})
+
+
+def compute_shapes(spark, sf_dir: str, filters: list[str]) -> list[dict]:
+    """EXPLAIN every (filtered) corpus query; one shape row each.
+
+    Queries whose declaration itself fails are recorded with an
+    ``error`` field rather than aborting the audit — a release review
+    wants the full table, not the first stack trace.
+    """
+    from etl_global_mobility_spark.corpus import all_queries
+    from etl_global_mobility_spark.operators.planaudit import plan_shape_row
+
+    rows: list[dict] = []
+    for name, spec in all_queries().items():
+        if filters and not any(f in name for f in filters):
+            continue
+        try:
+            df = spec.fn(spark, sf_dir)
+            rows.append(plan_shape_row(name, df))
+        except Exception:
+            rows.append({"query": name, "error": traceback.format_exc(limit=1)})
+    return rows
+
+
+def main() -> int:
+    args = [a for a in sys.argv[1:] if a != "--rebaseline"]
+    rebaseline = "--rebaseline" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.001"
+    filters = args[1:]
+
+    from etl_global_mobility_spark.session import get_spark
+
+    spark = get_spark()
+    shapes = compute_shapes(spark, sf_dir, filters)
+    errors = [r for r in shapes if "error" in r]
+    shapes = [r for r in shapes if "error" not in r]
+
+    if rebaseline:
+        with open(BASELINE_PATH, "w") as f:
+            json.dump(
+                {"sf_dir": sf_dir, "shapes": shapes}, f, indent=1, sort_keys=True
+            )
+        print(
+            json.dumps(
+                {
+                    "action": "rebaseline",
+                    "queries": len(shapes),
+                    "errors": len(errors),
+                    "path": os.path.relpath(BASELINE_PATH, REPO),
+                }
+            )
+        )
+        return 0
+
+    if not os.path.exists(BASELINE_PATH):
+        print(
+            json.dumps(
+                {"error": "no PLAN_SHAPES_BASELINE.json — run --rebaseline first"}
+            )
+        )
+        return 2
+
+    with open(BASELINE_PATH) as f:
+        baseline = json.load(f)["shapes"]
+    if filters:
+        baseline = [
+            r for r in baseline if any(f in r["query"] for f in filters)
+        ]
+
+    from etl_global_mobility_spark.operators.planaudit import perf_plan_diff
+
+    plan_prev = spark.createDataFrame(baseline, PLAN_SHAPE_SCHEMA)
+    plan_now = spark.createDataFrame(shapes, PLAN_SHAPE_SCHEMA)
+    report = perf_plan_diff(
+        spark, plan_prev, plan_now, _bench_secs(BENCH_PREV), _bench_secs(BENCH_NOW)
+    )
+    rows = [r.asDict() for r in report.collect()]
+    by_status: dict[str, int] = {}
+    for r in rows:
+        by_status[r["status"]] = by_status.get(r["status"], 0) + 1
+    with open(OUT_PATH, "w") as f:
+        json.dump({"sf_dir": sf_dir, "rows": rows}, f, indent=1, default=str)
+    print(
+        json.dumps(
+            {
+                "queries": len(rows),
+                "by_status": by_status,
+                "errors": len(errors),
+                "out": os.path.relpath(OUT_PATH, REPO),
+            }
+        )
+    )
+    for r in rows:
+        if r["status"] != "ok":
+            print(
+                f"  {r['status']:>20}  {r['query']}  "
+                f"ratio={r['time_ratio']}  deltas={r['plan_deltas']}"
+            )
+    return 1 if by_status.get("slower+plan_changed") else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
