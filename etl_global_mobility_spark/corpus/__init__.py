@@ -288,7 +288,14 @@ DRIVER_GREEN_PAST_ROUNDS = frozenset(
 #: query lacks both window coverage and a past green row. Round-11
 #: additions are appended here as they are registered — AT MOST 2
 #: (see ROUND-12 PLAN in the module docstring).
-SCHEDULED_NEXT_WINDOW: frozenset[str] = frozenset()
+SCHEDULED_NEXT_WINDOW: frozenset[str] = frozenset(
+    {
+        # round-11 additions (oracle-backed; the cap is 2 — see the
+        # ROUND-12 PLAN arithmetic)
+        "llm_e2e_multimodal_curation",
+        "llm_labelprop_convergence",
+    }
+)
 
 #: Queries whose existing driver evidence reaches its hard staleness
 #: deadline NEXT round — reserved to LEAD the next rotation (see the

@@ -342,6 +342,28 @@ def q_community_labelprop(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("node").alias("doc_id"), F.col("label").alias("community"))
 
 
+def q_labelprop_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rounds-to-convergence diagnostic for the community operator
+    (operators/graph.py label_propagation_convergence): per synchronous
+    round, how many nodes of the near-dup pair graph changed label and
+    what fraction of the graph that is — the operational dial behind
+    llm_community_labelprop's fixed 3-round contract (the Raghavan
+    et al. 2007 stopping rule is exactly this curve). Same graph, same
+    round semantics (shared round body), one bounded node-keyed
+    join+count per round; output is n_iters rows. The oracle unrolls
+    the rounds as CTEs and diffs consecutive label frames."""
+    from etl_global_mobility_spark.operators.graph import (
+        label_propagation_convergence,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, k=2, threshold=0.25)
+    return label_propagation_convergence(
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+        n_iters=3,
+    )
+
+
 def q_quality_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Percentile-based quality pruning: drop the bottom quartile of
     the heuristic quality score — the distribution-relative curation
@@ -3920,6 +3942,54 @@ def q_multimodal_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_e2e_multimodal_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end multimodal curation — the LAION-style pipeline
+    composed as ONE lazy plan, mirroring llm_e2e_web_curation for the
+    image-text side:
+
+      CLIP-score alignment gate (operators/alignment.py, keep cosine
+      >= 0.1, NaN/NULL pairs dropped) → SemDeDup image near-dup
+      (operators/similarity.py semantic_dedup over the SURVIVING
+      pairs' image embeddings, within-cell cosine >= 0.35, smaller-id
+      winner) → caption-source join → per-source cap (best 4 pairs by
+      alignment DESC, img_id tie).
+
+    Plan shape: the gate is map-only and fuses into the scan; the
+    dedup's only corpus shuffle is its within-cell self-join (bucketed
+    by cell — never all-pairs); the dup marks anti-join back on
+    img_id; the source cap is one shuffle on source with the group
+    limit pruning map-side (WindowGroupLimit). Composing the stages
+    adds no corpus-sized shuffle beyond running the dedup alone."""
+    from etl_global_mobility_spark.operators.alignment import alignment_gate
+    from etl_global_mobility_spark.operators.similarity import semantic_dedup
+    from pyspark.sql import Window
+
+    gated = alignment_gate(_alignment_pairs(spark, sf_dir), threshold=0.1)
+    dups = semantic_dedup(
+        gated.select(
+            F.col("img_id").alias("vec_id"),
+            F.col("image_embedding").alias("embedding"),
+        ),
+        n_cells=16,
+        threshold=0.35,
+    )
+    survivors = gated.join(
+        dups.select(F.col("vec_id").alias("img_id")), "img_id", "left_anti"
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("txt_id"), "source"
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("alignment").desc(), F.col("img_id")
+    )
+    return (
+        survivors.join(docs, "txt_id")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 4)
+        .select("img_id", "txt_id", "source", "alignment", "rk")
+    )
+
+
 def q_alignment_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Alignment-score distribution report (operators/alignment.py
     alignment_report): fixed-width histogram over [-1, 1] plus a
@@ -3964,6 +4034,63 @@ _MULTIMODAL_ALIGNMENT_SQL = f"""
     SELECT img_id, txt_id, alignment FROM scored
     WHERE CASE WHEN isnan(alignment) THEN false
                ELSE alignment >= 0.1 END"""
+
+
+def _cos_ii(a: str, b: str) -> str:
+    """Image-image cosine over already-DOUBLE[] ``ie`` columns — the
+    same in-order fold sequence as the engine's dot()/sqrt pipeline."""
+    return (
+        f"list_dot_product({a}.ie, {b}.ie) / "
+        f"(sqrt(list_dot_product({a}.ie, {a}.ie)) * "
+        f"sqrt(list_dot_product({b}.ie, {b}.ie)))"
+    )
+
+
+#: mirror of q_e2e_multimodal_curation: gate → SemDeDup on the gated
+#: image side (same deterministic quantizer as _semantic_dedup_sql,
+#: seeded from the GATED corpus) → caption-source join → per-source
+#: top-4 by alignment.
+_E2E_MULTIMODAL_SQL = f"""
+    WITH pairs AS ({_ALIGN_PAIRS_SQL}),
+    scored AS (
+      SELECT img_id, txt_id, ie,
+             CASE WHEN ie IS NULL OR te IS NULL THEN NULL
+                  WHEN sqrt(list_dot_product(ie, ie))
+                       * sqrt(list_dot_product(te, te)) > 0
+                  THEN list_dot_product(ie, te)
+                       / (sqrt(list_dot_product(ie, ie))
+                          * sqrt(list_dot_product(te, te)))
+                  ELSE 'NaN'::DOUBLE END AS alignment
+      FROM pairs
+    ), gated AS (
+      SELECT img_id, txt_id, ie, alignment FROM scored
+      WHERE CASE WHEN isnan(alignment) THEN false
+                 ELSE alignment >= 0.1 END
+    ), cents AS (
+      SELECT img_id AS cent_id, ie FROM gated ORDER BY img_id LIMIT 16
+    ), assign AS (
+      SELECT img_id, ie, cent_id AS cell FROM (
+        SELECT g.img_id, g.ie, c.cent_id,
+               row_number() OVER (PARTITION BY g.img_id
+                                  ORDER BY {_cos_ii('g', 'c')} DESC,
+                                           c.cent_id) AS rn
+        FROM gated g CROSS JOIN cents c
+      ) WHERE rn = 1
+    ), dups AS (
+      SELECT DISTINCT x.img_id
+      FROM assign x JOIN assign y
+        ON x.cell = y.cell AND y.img_id < x.img_id
+      WHERE {_cos_ii('x', 'y')} >= 0.35
+    ), survivors AS (
+      SELECT g.img_id, g.txt_id, g.alignment FROM gated g
+      WHERE NOT EXISTS (SELECT 1 FROM dups u WHERE u.img_id = g.img_id)
+    )
+    SELECT img_id, txt_id, source, alignment, CAST(rk AS INT) AS rk FROM (
+      SELECT s.img_id, s.txt_id, d.source, s.alignment,
+             row_number() OVER (PARTITION BY d.source
+                                ORDER BY s.alignment DESC, s.img_id) AS rk
+      FROM survivors s JOIN documents d ON d.doc_id = s.txt_id
+    ) WHERE rk <= 4"""
 
 _ALIGNMENT_REPORT_SQL = f"""
     WITH pairs AS ({_ALIGN_PAIRS_SQL}), scored AS ({_ALIGN_SCORED_SQL}),
@@ -4475,6 +4602,70 @@ SPECS = [
         doc="majority label-propagation communities over the near-dup "
         "graph (3 synchronous rounds, min-label ties) — the density-"
         "splitting complement of connected components",
+    ),
+    QuerySpec(
+        "llm_labelprop_convergence",
+        q_labelprop_convergence,
+        f"""WITH pairs AS (
+              SELECT id_a, id_b FROM ({_ngram_jaccard_sql()})
+           ), und AS (
+              SELECT DISTINCT src, dst FROM (
+                SELECT id_a AS src, id_b AS dst FROM pairs
+                UNION ALL
+                SELECT id_b, id_a FROM pairs)
+           ), l0 AS (
+              SELECT DISTINCT src AS node, src AS label FROM und
+           ), l1 AS (
+              SELECT node, label FROM (
+                SELECT node, label,
+                       row_number() OVER (PARTITION BY node
+                                          ORDER BY n DESC, label) AS rk
+                FROM (SELECT u.src AS node, l.label, count(*) AS n
+                      FROM und u JOIN l0 l ON l.node = u.dst
+                      GROUP BY 1, 2))
+              WHERE rk = 1
+           ), l2 AS (
+              SELECT node, label FROM (
+                SELECT node, label,
+                       row_number() OVER (PARTITION BY node
+                                          ORDER BY n DESC, label) AS rk
+                FROM (SELECT u.src AS node, l.label, count(*) AS n
+                      FROM und u JOIN l1 l ON l.node = u.dst
+                      GROUP BY 1, 2))
+              WHERE rk = 1
+           ), l3 AS (
+              SELECT node, label FROM (
+                SELECT node, label,
+                       row_number() OVER (PARTITION BY node
+                                          ORDER BY n DESC, label) AS rk
+                FROM (SELECT u.src AS node, l.label, count(*) AS n
+                      FROM und u JOIN l2 l ON l.node = u.dst
+                      GROUP BY 1, 2))
+              WHERE rk = 1
+           ), nn AS (
+              SELECT count(*) AS n_nodes FROM l0
+           ), diffs AS (
+              SELECT 1 AS round,
+                     count(*) FILTER (WHERE b.label <> a.label) AS n_changed
+              FROM l1 b JOIN l0 a ON a.node = b.node
+              UNION ALL
+              SELECT 2,
+                     count(*) FILTER (WHERE b.label <> a.label)
+              FROM l2 b JOIN l1 a ON a.node = b.node
+              UNION ALL
+              SELECT 3,
+                     count(*) FILTER (WHERE b.label <> a.label)
+              FROM l3 b JOIN l2 a ON a.node = b.node
+           )
+           SELECT CAST(round AS INT) AS round, n_changed, n_nodes,
+                  CASE WHEN n_nodes = 0 THEN 0.0
+                       ELSE CAST(n_changed AS DOUBLE) / n_nodes
+                  END AS frac_changed
+           FROM diffs CROSS JOIN nn""",
+        doc="rounds-to-convergence diagnostic for label propagation: "
+        "per synchronous round, the count and fraction of nodes that "
+        "changed label — the operational dial behind the fixed-round "
+        "community contract",
     ),
     QuerySpec(
         "llm_quality_prune",
@@ -5132,6 +5323,15 @@ SPECS = [
         doc="CLIP-score image-text alignment gate: per-pair cosine, "
         "keep >= threshold, NaN/NULL pairs dropped explicitly — "
         "map-only corpus pass (LAION-5B curation shape)",
+    ),
+    QuerySpec(
+        "llm_e2e_multimodal_curation",
+        q_e2e_multimodal_curation,
+        _E2E_MULTIMODAL_SQL,
+        doc="e2e multimodal curation composition: CLIP alignment gate "
+        "-> SemDeDup image near-dup on the gated pairs -> caption-"
+        "source join -> per-source cap (top-4 by alignment) — one "
+        "lazy plan, LAION-curation shape",
     ),
     QuerySpec(
         "llm_alignment_report",

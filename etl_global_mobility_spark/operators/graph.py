@@ -118,8 +118,6 @@ def label_propagation(
     released by session hygiene (session.py release_session_state).
     Returns (node, label) for every node in ``edges``.
     """
-    from pyspark.sql import Window
-
     if n_iters < 0:
         raise ValueError(f"n_iters must be >= 0, got {n_iters}")
     e = edges.select(
@@ -161,21 +159,8 @@ def label_propagation(
                 "— external session-state corruption (e.g. clearCache() "
                 "racing this query — see session.release_session_state)"
             )
-        w = Window.partitionBy("src").orderBy(
-            F.col("n").desc(), F.col("label").asc()
-        )
         for _ in range(n_iters):
-            labels = (
-                und.join(
-                    labels.select(F.col("node").alias("dst"), "label"), "dst"
-                )
-                .groupBy("src", "label")
-                .agg(F.count(F.lit(1)).alias("n"))
-                .withColumn("rk", F.row_number().over(w))
-                .filter(F.col("rk") == 1)
-                .select(F.col("src").alias("node"), "label")
-                .localCheckpoint(eager=True)
-            )
+            labels = _lpa_round(und, labels)
         if n_iters > 0:
             n_final = labels.count()  # scan of the checkpointed RDD
             if n_final != n_nodes:
@@ -186,5 +171,101 @@ def label_propagation(
                     "session.release_session_state)"
                 )
         return labels
+    finally:
+        und.unpersist()
+
+
+def _lpa_round(und: DataFrame, labels: DataFrame) -> DataFrame:
+    """One synchronous majority-propagation round: every node adopts
+    its neighbors' most frequent previous-round label (frequency DESC,
+    label ASC — the deterministic tie). Eagerly localCheckpointed so
+    the iterative lineage stays flat (see label_propagation)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("src").orderBy(
+        F.col("n").desc(), F.col("label").asc()
+    )
+    return (
+        und.join(labels.select(F.col("node").alias("dst"), "label"), "dst")
+        .groupBy("src", "label")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(F.col("src").alias("node"), "label")
+        .localCheckpoint(eager=True)
+    )
+
+
+def label_propagation_convergence(
+    edges: DataFrame,
+    n_iters: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Rounds-to-convergence diagnostic for :func:`label_propagation`:
+    one row per round with the count and fraction of nodes that
+    changed label — the operational dial behind the fixed-iteration
+    contract (is 3 rounds enough on THIS graph? is the frac still
+    falling, or has propagation stalled?). The LPA literature's
+    stopping rule is exactly this curve (Raghavan et al. 2007 stop
+    when no label changes).
+
+    Same per-round semantics and cost shape as label_propagation (the
+    round body is shared — :func:`_lpa_round`), plus ONE node-keyed
+    join + count per round to compare against the previous labels:
+    bounded by the node count, never the edge count. Output is
+    n_iters rows — driver-bounded by construction.
+    """
+    if n_iters < 1:
+        raise ValueError(f"n_iters must be >= 1, got {n_iters}")
+    e = edges.select(
+        F.col(src_col).cast("long").alias("src"),
+        F.col(dst_col).cast("long").alias("dst"),
+    ).distinct()
+    und = (
+        e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    try:
+        n_und = und.count()
+        if n_und < 100_000:  # graph fits one task: skip wide shuffles
+            und = und.coalesce(1)
+        # checkpointed eagerly: each round reads the previous labels
+        # TWICE (round input + change comparison)
+        labels = (
+            und.select(F.col("src").alias("node"))
+            .distinct()
+            .withColumn("label", F.col("node"))
+            .localCheckpoint(eager=True)
+        )
+        n_nodes = labels.count()
+        if n_und > 0 and n_nodes == 0:
+            raise RuntimeError(
+                f"label_propagation_convergence: {n_und} undirected edges "
+                "but 0 nodes — external session-state corruption (e.g. "
+                "clearCache() racing this query — see "
+                "session.release_session_state)"
+            )
+        rows = []
+        for t in range(1, n_iters + 1):
+            new = _lpa_round(und, labels)
+            n_changed = (
+                new.join(
+                    labels.select("node", F.col("label").alias("prev")),
+                    "node",
+                )
+                .filter(F.col("label") != F.col("prev"))
+                .count()
+            )
+            # exact-integer ratio as one IEEE double division — the
+            # same value any SQL engine computes from these counts
+            frac = float(n_changed) / n_nodes if n_nodes else 0.0
+            rows.append((t, n_changed, n_nodes, frac))
+            labels = new
+        return edges.sparkSession.createDataFrame(
+            rows,
+            "round int, n_changed long, n_nodes long, frac_changed double",
+        )
     finally:
         und.unpersist()
