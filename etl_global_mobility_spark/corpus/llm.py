@@ -624,8 +624,7 @@ def q_quality_classifier_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     same bit-exact inference path. Parquet doubles round-trip
     losslessly, so the oracle — the logit with those weights as SQL
     literals — must hash-match; any drift in save/load breaks it."""
-    import os
-
+    from etl_global_mobility_spark.corpus.relational import _scratch_dir
     from etl_global_mobility_spark.operators.quality_rules import (
         TRAINED_SNAPSHOT_WEIGHTS,
         load_classifier_weights,
@@ -633,12 +632,11 @@ def q_quality_classifier_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         save_classifier_weights,
     )
 
-    repo = os.path.dirname(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    )
-    path = os.path.join(
-        repo, ".tmp", f"clf_model_{os.path.basename(sf_dir.rstrip('/'))}"
-    )
+    # per-(sf, process) scratch: the train->persist->reload->infer
+    # loop must prove itself EVERY run, and a fixed path let a second
+    # driver process's save race this one's load (round-11 scratch
+    # isolation sweep, same class as rel_source_text_wholetext)
+    path = _scratch_dir("clf_model", sf_dir)
     save_classifier_weights(spark, TRAINED_SNAPSHOT_WEIGHTS, path)
     loaded = load_classifier_weights(spark, path)
     d = load_table(spark, sf_dir, "documents")

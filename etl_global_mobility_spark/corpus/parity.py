@@ -328,15 +328,15 @@ def q_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema'd reader in one query. The oracle reads the original table,
     so any quoting/parse defect breaks the hash.
     """
-    import os
-
     from pyspark.sql import types as T
 
-    out = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-        ".tmp",
-        "csv_nation",
-    )
+    from etl_global_mobility_spark.corpus.relational import _scratch_dir
+
+    # per-(sf, process) scratch (round-11 isolation sweep): nation is
+    # SF-invariant so a cross-process overwrite race would even write
+    # identical bytes — but the reader can still list the deleted-and-
+    # rewritten dir mid-swap, so the fixture path must be private
+    out = _scratch_dir("csv_nation", sf_dir)
     n = load_table(spark, sf_dir, "nation")
     n.coalesce(1).write.mode("overwrite").option("header", True).csv(out)
     schema = T.StructType(

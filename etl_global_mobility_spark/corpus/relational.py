@@ -1246,6 +1246,57 @@ def _roundtrip_dir(name: str) -> str:
     )
 
 
+def _pid_alive(pid: int) -> bool:
+    import os
+
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True
+    return True
+
+
+def _scratch_dir(name: str, sf_dir: str) -> str:
+    """Per-(query, sf, PROCESS) scratch directory for the source
+    round-trip queries — the write→read fixture path.
+
+    Unlike the train-once artifacts (kmeans_* — fingerprinted, SHARED
+    across processes on purpose, atomic-rename-published), a source
+    round-trip's directory is scratch INPUT the same query writes then
+    reads within one invocation. A fixed name made that a
+    cross-process race: two driver processes on DIFFERENT sf dirs
+    (e.g. the full sf0.01 gate beside the test suite's sf0.001 gate)
+    interleave ``mode("overwrite")`` and the reader lists a superset —
+    measured round 11 as rel_source_text_wholetext returning 530 rows
+    (500 sf0.01 + 30 sf0.001 partition dirs) against a 500-row oracle.
+    Keying by sf digest separates data scales; keying by pid separates
+    concurrent processes on the SAME scale (identical content, but an
+    overwrite's delete+write still races a concurrent listing).
+
+    Dead-pid siblings are pruned best-effort on the way in, so .tmp
+    holds at most one layout per (query, sf) per LIVE process — a
+    dead process cannot be mid-write, which is what makes the prune
+    race-free where pruning live siblings would not be.
+    """
+    import hashlib
+    import os
+    import re
+    import shutil
+
+    digest = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    root = _roundtrip_dir("")
+    try:
+        for entry in os.listdir(root):
+            m = re.fullmatch(re.escape(name) + r"-[0-9a-f]{8}-p(\d+)", entry)
+            if m and not _pid_alive(int(m.group(1))):
+                shutil.rmtree(os.path.join(root, entry), ignore_errors=True)
+    except OSError:
+        pass
+    return _roundtrip_dir(f"{name}-{digest}-p{os.getpid()}")
+
+
 def q_source_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON-lines source with explicit schema: supplier round-tripped
     through the JSON writer then read back schema'd (no inference pass
@@ -1255,7 +1306,7 @@ def q_source_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     breaks the hash."""
     from pyspark.sql import types as T
 
-    out = _roundtrip_dir("json_supplier")
+    out = _scratch_dir("json_supplier", sf_dir)
     s = load_table(spark, sf_dir, "supplier")
     s.coalesce(1).write.mode("overwrite").json(out)
     schema = T.StructType(
@@ -1289,7 +1340,7 @@ def q_source_text_wholetext(spark: SparkSession, sf_dir: str) -> DataFrame:
     newlines of its own — a serialization defect breaks the md5).
     Content identity is proven by length + md5 prefix against the
     original parquet."""
-    out = _roundtrip_dir("wholetext_documents")
+    out = _scratch_dir("wholetext_documents", sf_dir)
     # Deterministic 500-doc cap: the round-trip cost is the FILE
     # LAYOUT itself (one dir per document), so an uncapped run scales
     # linearly in file-count with SF (66s at sf0.1's 5k docs) while
@@ -1333,7 +1384,7 @@ def q_source_orc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ORC source: supplier round-tripped through the ORC writer/reader
     (columnar binary — types survive natively, unlike the JSON text
     path), then a filtered projection the reader should push down."""
-    out = _roundtrip_dir("orc_supplier")
+    out = _scratch_dir("orc_supplier", sf_dir)
     s = load_table(spark, sf_dir, "supplier")
     s.coalesce(1).write.mode("overwrite").orc(out)
     df = spark.read.orc(out)
@@ -1356,7 +1407,7 @@ def q_source_avro(spark: SparkSession, sf_dir: str) -> DataFrame:
     bronze hop (the filter here runs post-scan, as it would there)."""
     from etl_global_mobility_spark.sources.formats import read_avro, write_avro
 
-    out = _roundtrip_dir("avro_supplier")
+    out = _scratch_dir("avro_supplier", sf_dir)
     s = load_table(spark, sf_dir, "supplier")
     write_avro(s.coalesce(1), out)
     df = read_avro(spark, out)
@@ -1377,7 +1428,7 @@ def q_source_parquet_zstd(spark: SparkSession, sf_dir: str) -> DataFrame:
     import glob
     import os
 
-    out = _roundtrip_dir("parquet_zstd_part")
+    out = _scratch_dir("parquet_zstd_part", sf_dir)
     p = load_table(spark, sf_dir, "part")
     p.coalesce(1).write.mode("overwrite").option("compression", "zstd").parquet(out)
     files = glob.glob(os.path.join(out, "part-*.parquet"))
@@ -1458,7 +1509,7 @@ def q_source_xml(spark: SparkSession, sf_dir: str) -> DataFrame:
     escaping or type defect breaks the hash."""
     from pyspark.sql import types as T
 
-    out = _roundtrip_dir("xml_supplier")
+    out = _scratch_dir("xml_supplier", sf_dir)
     s = load_table(spark, sf_dir, "supplier")
     (
         s.coalesce(1)
@@ -1505,7 +1556,7 @@ def q_source_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import os
 
-    out = _roundtrip_dir("binary_docs")
+    out = _scratch_dir("binary_docs", sf_dir)
     os.makedirs(out, exist_ok=True)
     docs = (
         load_table(spark, sf_dir, "documents")
@@ -2324,7 +2375,7 @@ def q_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     metadata, not data, so evolution costs nothing at scan time.)"""
     import os
 
-    out = _roundtrip_dir("schema_evo")
+    out = _scratch_dir("schema_evo", sf_dir)
     s = load_table(spark, sf_dir, "supplier")
     old = s.filter(F.col("s_suppkey") < 50).select("s_suppkey", "s_name")
     new = s.filter(F.col("s_suppkey") >= 50).select(
@@ -2355,7 +2406,7 @@ def q_csv_corrupt_records(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql import types as T
 
-    out = _roundtrip_dir("csv_corrupt")
+    out = _scratch_dir("csv_corrupt", sf_dir)
     os.makedirs(out, exist_ok=True)
     n = load_table(spark, sf_dir, "nation").select(
         "n_nationkey", "n_name"

@@ -200,7 +200,7 @@ def q_stream_medallion_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     )
     base = os.path.join(
-        repo, ".tmp", f"medallion_stream_{os.path.basename(sf_dir.rstrip('/'))}"
+        repo, ".tmp", f"medallion_stream_{os.path.basename(sf_dir.rstrip('/'))}_p{os.getpid()}"
     )
     # fresh checkpoint every run: a stale checkpoint would see the
     # re-written raw files as already-processed and emit nothing new
@@ -331,7 +331,7 @@ def q_stream_neardup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     )
     base = os.path.join(
-        repo, ".tmp", f"neardup_stream_{os.path.basename(sf_dir.rstrip('/'))}"
+        repo, ".tmp", f"neardup_stream_{os.path.basename(sf_dir.rstrip('/'))}_p{os.getpid()}"
     )
     shutil.rmtree(base, ignore_errors=True)
     land = os.path.join(base, "docs")
@@ -397,9 +397,9 @@ def q_stream_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql import types as T
 
-    from etl_global_mobility_spark.corpus.relational import _roundtrip_dir
+    from etl_global_mobility_spark.corpus.relational import _scratch_dir
 
-    out = _roundtrip_dir("stream_schema_drift")
+    out = _scratch_dir("stream_schema_drift", sf_dir)
     os.makedirs(out, exist_ok=True)
     n = (
         load_table(spark, sf_dir, "nation")
