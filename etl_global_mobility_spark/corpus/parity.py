@@ -360,13 +360,18 @@ def q_catalog_table_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     read-back by table NAME through the catalog — the reference's
     metastore path (``spark.read.table("RDV.data_ventas")``, NB:582;
     DDL NB:275-395), here as an external parquet table."""
-    spark.sql("CREATE DATABASE IF NOT EXISTS corpus_cat")
-    spark.sql("DROP TABLE IF EXISTS corpus_cat.nation_ext")
+    from etl_global_mobility_spark.corpus.relational import _scratch_table
+
+    # per-(sf, process) table name: a fixed one let a concurrent
+    # process's DROP race this one's read-by-name (round-11 scratch
+    # isolation sweep). External table — DROP never touches the data.
+    tbl = _scratch_table(spark, "nation_ext", sf_dir)
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
     spark.sql(
-        f"""CREATE TABLE corpus_cat.nation_ext
+        f"""CREATE TABLE {tbl}
             USING PARQUET LOCATION '{sf_dir}/nation.parquet'"""
     )
-    n = spark.read.table("corpus_cat.nation_ext")
+    n = spark.read.table(tbl)
     # Arrays are serialized at the query boundary (array_join) — the
     # driver's pandas canonicalizer cannot hash list-typed cells.
     return n.groupBy("n_regionkey").agg(

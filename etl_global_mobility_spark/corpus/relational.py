@@ -743,15 +743,16 @@ def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_bucketed,
     )
 
-    spark.sql("CREATE DATABASE IF NOT EXISTS corpus_cat")
+    li_tbl = _scratch_table(spark, "lineitem_bkt", sf_dir)
+    o_tbl = _scratch_table(spark, "orders_bkt", sf_dir)
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_quantity"
     )
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
-    write_bucketed(li, "corpus_cat.lineitem_bkt", "l_orderkey", 8)
-    write_bucketed(o, "corpus_cat.orders_bkt", "o_orderkey", 8)
-    lib = read_bucketed(spark, "corpus_cat.lineitem_bkt")
-    ob = read_bucketed(spark, "corpus_cat.orders_bkt")
+    write_bucketed(li, li_tbl, "l_orderkey", 8)
+    write_bucketed(o, o_tbl, "o_orderkey", 8)
+    lib = read_bucketed(spark, li_tbl)
+    ob = read_bucketed(spark, o_tbl)
     return (
         lib.join(ob, lib.l_orderkey == ob.o_orderkey)
         .groupBy("o_orderpriority")
@@ -1297,6 +1298,34 @@ def _scratch_dir(name: str, sf_dir: str) -> str:
     return _roundtrip_dir(f"{name}-{digest}-p{os.getpid()}")
 
 
+def _scratch_table(spark: SparkSession, base: str, sf_dir: str) -> str:
+    """Per-(query, sf, process) CATALOG TABLE name under corpus_cat —
+    the :func:`_scratch_dir` contract for tables. A fixed name let two
+    driver processes interleave DROP TABLE / location-delete /
+    saveAsTable on the same managed table (write_bucketed's cleanup
+    removed the other process's mid-write directory — measured round
+    11 as a saveAsTable Py4JJavaError in the empty-input sweep racing
+    the full test suite). Dead-pid variants are dropped on the way in,
+    keeping the warehouse at one table per (query, sf) per LIVE
+    process."""
+    import hashlib
+    import os
+    import re
+
+    digest = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    spark.sql("CREATE DATABASE IF NOT EXISTS corpus_cat")
+    try:
+        for t in spark.catalog.listTables("corpus_cat"):
+            m = re.fullmatch(
+                re.escape(base) + r"_[0-9a-f]{8}_p(\d+)", t.name
+            )
+            if m and not _pid_alive(int(m.group(1))):
+                spark.sql(f"DROP TABLE IF EXISTS corpus_cat.{t.name}")
+    except Exception:
+        pass  # pruning is best-effort; a live run never depends on it
+    return f"corpus_cat.{base}_{digest}_p{os.getpid()}"
+
+
 def q_source_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSON-lines source with explicit schema: supplier round-tripped
     through the JSON writer then read back schema'd (no inference pass
@@ -1567,7 +1596,16 @@ def q_source_binaryfile(spark: SparkSession, sf_dir: str) -> DataFrame:
     for row in docs:
         with open(os.path.join(out, f"doc_{row['doc_id']:06d}.bin"), "wb") as f:
             f.write(row["text"].encode("utf-8"))
-    df = spark.read.format("binaryFile").load(f"{out}/*.bin")
+    if docs:
+        df = spark.read.format("binaryFile").load(f"{out}/*.bin")
+    else:
+        # empty corpus writes no files and a no-match glob is
+        # PATH_NOT_FOUND, not an empty scan — empty-in -> empty-out
+        # through the SAME projection below so the contract schema is
+        # identical by construction. (Surfaced by the round-11 scratch
+        # isolation: the old FIXED fixture dir kept stale files from
+        # earlier runs, which silently masked this case.)
+        df = spark.createDataFrame([], "path string, content binary")
     return df.select(
         F.regexp_extract(F.col("path"), r"doc_(\d+)\.bin", 1)
         .cast("long")
