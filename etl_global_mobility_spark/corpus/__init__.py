@@ -66,12 +66,13 @@ staleness deadline at round 12, so they LEAD the round-12 window
 (they are pinned in ``RESERVED_NEXT_WINDOW`` below so the staleness
 alarm tolerates them for exactly one round while rotation is still
 impossible — i.e. the closed round-11 HEAD stays green — and still
-trips if round 12 skips the rotation); the rest of that window
-drains the 48 r7-stale rows (stale-bound at round 13: 46 fit beside
-the 2 reserved rows + the 2 canaries, and the last 2 lead the
-round-13 window at their own deadline) plus any round-11 additions
-from SCHEDULED_NEXT_WINDOW (the invariant tests enforce the
-staleness arithmetic rather than this comment).
+trips if round 12 skips the rotation); the 2 round-11 additions in
+SCHEDULED_NEXT_WINDOW follow; the rest of that window drains the 48
+r7-stale rows (stale-bound at round 13: 2 reserved + 2 additions +
+2 canaries leave room for 44, and the last 4 lead the round-13
+window at their own deadline via the same RESERVED_NEXT_WINDOW
+mechanism — the invariant tests enforce the staleness arithmetic
+rather than this comment).
 
 ``DRIVER_GREEN_PAST_ROUNDS`` records which queries already hold a
 green row (union of all CORRECTNESS_r0N files); those may sit past the
