@@ -8,6 +8,8 @@ from __future__ import annotations
 import os
 import subprocess
 
+import pytest
+
 
 def _patched(monkeypatch, tmp_path):
     from etl_global_mobility_spark.corpus import relational as R
@@ -74,3 +76,61 @@ def test_wholetext_roundtrip_uses_isolated_scratch(spark):
         import shutil
 
         shutil.rmtree(legacy, ignore_errors=True)
+
+
+@pytest.mark.slow
+def test_two_processes_roundtrip_concurrently_without_interleaving(tmp_path):
+    """The round-11 failure, as a live two-process regression: two
+    driver processes run the wholetext round-trip SIMULTANEOUSLY at
+    different scale factors. With the old fixed fixture path one
+    reader listed the other's partition dirs (530 rows vs a 500-row
+    oracle); with per-(sf, pid) scratch both must read back exactly
+    their own capped write."""
+    import duckdb
+    import subprocess
+    import sys
+
+    SCRIPT = """
+import sys
+sys.path.insert(0, {repo!r})
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master("local[4]")
+         .config("spark.sql.shuffle.partitions", "4")
+         .config("spark.ui.enabled", "false").getOrCreate())
+from etl_global_mobility_spark.corpus.relational import q_source_text_wholetext
+for _ in range(3):  # widen the overlap window
+    n = q_source_text_wholetext(spark, {sf!r}).count()
+    print("COUNT", {sf!r}, n, flush=True)
+spark.stop()
+"""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sfs = ["/root/testdata/sf0.001", "/root/testdata/sf0.01"]
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", SCRIPT.format(repo=repo, sf=sf)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.DEVNULL,
+            text=True,
+        )
+        for sf in sfs
+    ]
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    assert all(p.returncode == 0 for p in procs), outs
+
+    expected = {
+        sf: duckdb.sql(
+            f"SELECT count(*) FROM read_parquet('{sf}/documents.parquet') "
+            "WHERE doc_id < 500"
+        ).fetchone()[0]
+        for sf in sfs
+    }
+    for sf, out in zip(sfs, outs):
+        counts = [
+            int(line.split()[-1])
+            for line in out.splitlines()
+            if line.startswith("COUNT")
+        ]
+        assert counts == [expected[sf]] * 3, (
+            f"{sf}: read-back {counts} != own write {expected[sf]} — "
+            "cross-process scratch interleaving"
+        )
