@@ -66,10 +66,10 @@ staleness deadline at round 12, so they LEAD the round-12 window
 (they are pinned in ``RESERVED_NEXT_WINDOW`` below so the staleness
 alarm tolerates them for exactly one round while rotation is still
 impossible — i.e. the closed round-11 HEAD stays green — and still
-trips if round 12 skips the rotation); the 2 round-11 additions in
+trips if round 12 skips the rotation); the 3 round-11 additions in
 SCHEDULED_NEXT_WINDOW follow; the rest of that window drains the 48
-r7-stale rows (stale-bound at round 13: 2 reserved + 2 additions +
-2 canaries leave room for 44, and the last 4 lead the round-13
+r7-stale rows (stale-bound at round 13: 2 reserved + 3 additions +
+2 canaries leave room for 43, and the last 5 lead the round-13
 window at their own deadline via the same RESERVED_NEXT_WINDOW
 mechanism — the invariant tests enforce the staleness arithmetic
 rather than this comment).
@@ -291,10 +291,11 @@ DRIVER_GREEN_PAST_ROUNDS = frozenset(
 #: (see ROUND-12 PLAN in the module docstring).
 SCHEDULED_NEXT_WINDOW: frozenset[str] = frozenset(
     {
-        # round-11 additions (oracle-backed; the cap is 2 — see the
+        # round-11 additions (oracle-backed; the cap is 3 — see the
         # ROUND-12 PLAN arithmetic)
         "llm_e2e_multimodal_curation",
         "llm_labelprop_convergence",
+        "rel_pagerank_convergence",
     }
 )
 

@@ -1487,13 +1487,36 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, n_iters=3)
 
 
-def _pagerank_sql(
+def q_pagerank_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-iteration residual curve for rel_pagerank (operators/
+    graph.py pagerank_convergence): per round, the exact-integer L1
+    norm of the score change and its per-node average — the stopping
+    rule behind the fixed-3-iteration contract, as a bounded n_iters-
+    row diagnostic (the labelprop analog is llm_labelprop_convergence).
+    Same graph, same BIGINT floor-division arithmetic, plus one
+    node-keyed join + sum per round; the oracle unrolls the iterations
+    and diffs consecutive score frames."""
+    from etl_global_mobility_spark.operators.graph import (
+        pagerank_convergence,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = li.filter(F.col("l_quantity") < 5).select(
+        (F.col("l_partkey") % 200).alias("src"),
+        (F.col("l_suppkey") % 200).alias("dst"),
+    )
+    return pagerank_convergence(edges, n_iters=3)
+
+
+def _pagerank_ctes(
     n_iters: int = 3, mod: int = 200, damping: int = 85, unit: int = 1_000_000
-) -> str:
-    """DuckDB mirror of operators/graph.py::pagerank — the iterations
-    unroll to chained CTEs; `//` (floor division) matches Spark's DIV
-    on the all-positive BIGINT scores, so every engine computes the
-    identical integers."""
+) -> list[str]:
+    """The shared CTE chain mirroring operators/graph.py::pagerank —
+    edges/nodes/deg/it0..itN; `//` (floor division) matches Spark's
+    DIV on the all-positive BIGINT scores, so every engine computes
+    the identical integers. Assembled by both the score oracle
+    (_pagerank_sql) and the residual-curve oracle
+    (_pagerank_convergence_sql)."""
     teleport = unit - unit * damping // 100
     ctes = [
         f"""edges AS (
@@ -1522,10 +1545,48 @@ def _pagerank_sql(
           ) c ON c.node = n.node
         )"""
         )
+    return ctes
+
+
+def _pagerank_sql(
+    n_iters: int = 3, mod: int = 200, damping: int = 85, unit: int = 1_000_000
+) -> str:
+    """DuckDB mirror of operators/graph.py::pagerank."""
+    ctes = _pagerank_ctes(n_iters, mod, damping, unit)
     return (
         "WITH "
         + ",\n".join(ctes)
         + f"\nSELECT node, score FROM it{n_iters}"
+    )
+
+
+def _pagerank_convergence_sql(
+    n_iters: int = 3, mod: int = 200, damping: int = 85, unit: int = 1_000_000
+) -> str:
+    """DuckDB mirror of operators/graph.py::pagerank_convergence: the
+    same unrolled iteration CTEs, with consecutive score frames diffed
+    into the per-round L1 residual (exact integers on both engines)."""
+    ctes = _pagerank_ctes(n_iters, mod, damping, unit)
+    ctes.append("nn AS (SELECT count(*) AS n_nodes FROM nodes)")
+    diffs = "\nUNION ALL\n".join(
+        f"""SELECT {i} AS round,
+                   SUM(ABS(b.score - a.score)) AS l1_delta
+            FROM it{i} b JOIN it{i - 1} a ON a.node = b.node"""
+        for i in range(1, n_iters + 1)
+    )
+    ctes.append(f"diffs AS ({diffs})")
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+        SELECT CAST(round AS INT) AS round,
+               CAST(COALESCE(l1_delta, 0) AS BIGINT) AS l1_delta,
+               n_nodes,
+               CASE WHEN n_nodes = 0 THEN 0.0
+                    ELSE CAST(COALESCE(l1_delta, 0) AS DOUBLE)
+                         / (n_nodes * {unit})
+               END AS avg_move
+        FROM diffs CROSS JOIN nn"""
     )
 
 
@@ -3201,6 +3262,14 @@ SPECS = [
         q_pagerank,
         _pagerank_sql(),
         doc="PageRank, 3 bounded iterations, integer fixed-point (order-independent)",
+    ),
+    QuerySpec(
+        "rel_pagerank_convergence",
+        q_pagerank_convergence,
+        _pagerank_convergence_sql(),
+        doc="power-iteration residual curve: per-round exact-integer "
+        "L1 score delta + per-node average — the stopping-rule dial "
+        "behind the fixed-iteration PageRank contract",
     ),
     QuerySpec(
         "rel_lateral_topk",

@@ -269,3 +269,97 @@ def label_propagation_convergence(
         )
     finally:
         und.unpersist()
+
+
+def pagerank_convergence(
+    edges: DataFrame,
+    n_iters: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    damping_pct: int = 85,
+    unit: int = 1_000_000,
+) -> DataFrame:
+    """Rounds-to-convergence diagnostic for :func:`pagerank` — the
+    power-iteration residual curve: per round, the L1 norm of the
+    integer score change (sum over nodes of |new − old| micro-units)
+    and its per-node average relative to ``unit``. The standard
+    stopping rule for power iteration is a threshold on exactly this
+    residual (Page et al. 1999 §2.1 run to convergence of the
+    iterate); a fixed-iteration deployment reads this curve to decide
+    whether its n_iters is sufficient on ITS graph.
+
+    Same per-round semantics and arithmetic as pagerank (BIGINT floor
+    division — every engine computes the identical integers, so the
+    residuals are exact, not float-drifting), plus ONE node-keyed
+    join + sum per round: bounded by the node count. Scores are
+    eagerly localCheckpointed per round (the diagnostic reads each
+    frame twice: round input + residual), so the iterative lineage
+    stays flat. Output is n_iters rows — driver-bounded.
+    """
+    if n_iters < 1:
+        raise ValueError(f"n_iters must be >= 1, got {n_iters}")
+    if not 0 < damping_pct < 100:
+        raise ValueError(f"damping_pct must be in (0, 100), got {damping_pct}")
+    e = edges.select(
+        F.col(src_col).cast("long").alias("src"),
+        F.col(dst_col).cast("long").alias("dst"),
+    ).distinct()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    sendable = e.join(deg, "src").persist()
+    try:
+        teleport = unit - unit * damping_pct // 100
+        scores = nodes.select(
+            "node", F.lit(unit).cast("long").alias("score")
+        ).localCheckpoint(eager=True)
+        n_nodes = scores.count()
+        rows = []
+        for t in range(1, n_iters + 1):
+            contrib = (
+                sendable.join(
+                    scores.select(F.col("node").alias("src"), "score"), "src"
+                )
+                .select(
+                    F.col("dst").alias("node"),
+                    F.expr(
+                        f"(score * {damping_pct}) DIV 100 DIV outdeg"
+                    ).alias("c"),
+                )
+                .groupBy("node")
+                .agg(F.sum("c").alias("contrib"))
+            )
+            new = (
+                nodes.join(contrib, "node", "left")
+                .select(
+                    "node",
+                    (
+                        F.lit(teleport)
+                        + F.coalesce(F.col("contrib"), F.lit(0))
+                    )
+                    .cast("long")
+                    .alias("score"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            l1 = (
+                new.join(
+                    scores.select("node", F.col("score").alias("prev")),
+                    "node",
+                )
+                .agg(F.sum(F.abs(F.col("score") - F.col("prev"))).alias("l1"))
+                .collect()[0]["l1"]
+            )
+            l1 = int(l1) if l1 is not None else 0
+            avg = float(l1) / (n_nodes * unit) if n_nodes else 0.0
+            rows.append((t, l1, n_nodes, avg))
+            scores = new
+        return edges.sparkSession.createDataFrame(
+            rows,
+            "round int, l1_delta long, n_nodes long, avg_move double",
+        )
+    finally:
+        sendable.unpersist()

@@ -73,3 +73,48 @@ def test_convergence_validates_n_iters(spark):
     edges = spark.createDataFrame([(1, 2)], "src long, dst long")
     with pytest.raises(ValueError, match="n_iters"):
         label_propagation_convergence(edges, n_iters=0)
+
+
+def test_pagerank_residual_curve_on_known_graph(spark):
+    """Single edge a->b, unit=1e6, damping 85 (teleport 150000).
+    Hand-rolled integer rounds:
+
+      it1: a 1000000->150000 (delta 850000); b gets 850000+150000 =
+           1000000 (delta 0)                       -> L1 850000
+      it2: a stays 150000; b gets (150000*85)//100 = 127500
+           + 150000 = 277500 (delta 722500)        -> L1 722500
+      it3: identical sends -> fixed point          -> L1 0
+    """
+    from etl_global_mobility_spark.operators.graph import (
+        pagerank_convergence,
+    )
+
+    edges = spark.createDataFrame([(1, 2)], "src long, dst long")
+    rows = {
+        r.round: r for r in pagerank_convergence(edges, n_iters=3).collect()
+    }
+    assert [rows[t].l1_delta for t in (1, 2, 3)] == [850000, 722500, 0]
+    assert [rows[t].n_nodes for t in (1, 2, 3)] == [2, 2, 2]
+    assert rows[1].avg_move == 850000 / 2_000_000
+    assert rows[3].avg_move == 0.0
+
+
+def test_pagerank_convergence_matches_pagerank_rounds(spark):
+    """After the residual hits 0, pagerank at that n_iters is a fixed
+    point — the diagnostic's round semantics are the operator's."""
+    from etl_global_mobility_spark.operators.graph import (
+        pagerank,
+        pagerank_convergence,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (3, 2), (4, 2)], "src long, dst long"
+    )
+    curve = {
+        r.round: r.l1_delta
+        for r in pagerank_convergence(edges, n_iters=4).collect()
+    }
+    fixed_after = min(t for t, d in curve.items() if d == 0)
+    a = {(r.node, r.score) for r in pagerank(edges, n_iters=fixed_after).collect()}
+    b = {(r.node, r.score) for r in pagerank(edges, n_iters=fixed_after + 1).collect()}
+    assert a == b
