@@ -52,27 +52,36 @@ green driver row, and no query's evidence gets stale:
   newest green row is CORRECTNESS_r05 (they reach the corpus-scaled
   staleness bound at round 11): 2 + 2 + 46 = 50.
 
-* round 11 (this window) takes ``udf_apply_in_arrow`` (the one
-  remaining r5-only row, at its hard staleness deadline this round),
+* round 11 took ``udf_apply_in_arrow`` (the one remaining r5-only
+  row, at its hard staleness deadline that round),
   ``llm_community_labelprop`` (the round-10 addition, from
   SCHEDULED_NEXT_WINDOW), the 2 standing canaries, and the 46
   alphabetically-first of the 48 rows whose newest green row is
-  CORRECTNESS_r06: 1 + 1 + 2 + 46 = 50.
+  CORRECTNESS_r06: 1 + 1 + 2 + 46 = 50 (CORRECTNESS_r11: 50/50
+  green — every oracle-backed query registered through round 10
+  holds a green driver row);
 
-ROUND-12 PLAN (reserve now so window arithmetic stays provable): the
-2 remaining r6-only rows — ``stream_static_join`` and
-``udf_udtf_table_arg``, alphabetically last — hit their hard
-staleness deadline at round 12, so they LEAD the round-12 window
-(they are pinned in ``RESERVED_NEXT_WINDOW`` below so the staleness
-alarm tolerates them for exactly one round while rotation is still
-impossible — i.e. the closed round-11 HEAD stays green — and still
-trips if round 12 skips the rotation); the 3 round-11 additions in
-SCHEDULED_NEXT_WINDOW follow; the rest of that window drains the 48
-r7-stale rows (stale-bound at round 13: 2 reserved + 3 additions +
-2 canaries leave room for 43, and the last 5 lead the round-13
-window at their own deadline via the same RESERVED_NEXT_WINDOW
-mechanism — the invariant tests enforce the staleness arithmetic
-rather than this comment).
+* round 12 (this window) takes the 2 remaining r6-only rows —
+  ``stream_static_join`` and ``udf_udtf_table_arg``, at their hard
+  staleness deadline this round (they led ``RESERVED_NEXT_WINDOW``
+  through the round-11 close, as planned) — then the 3 round-11
+  additions from SCHEDULED_NEXT_WINDOW, the 43 alphabetically-first
+  of the 48 rows whose newest green row is CORRECTNESS_r07, and the
+  2 standing canaries: 2 + 3 + 43 + 2 = 50.
+
+ROUND-13 PLAN (reserve now so window arithmetic stays provable): the
+5 remaining r7-only rows — ``rel_tpch_q8_market_share``,
+``rel_tpch_q9_product_profit``, ``stream_neardup_dedup``,
+``stream_windowed_topk``, ``udf_sql_function``, alphabetically last
+of the 48 — hit their hard staleness deadline at round 13, so they
+LEAD the round-13 window (pinned in ``RESERVED_NEXT_WINDOW`` below:
+the staleness alarm tolerates them for exactly one round while
+rotation is still impossible — i.e. the closed round-12 HEAD stays
+green once CORRECTNESS_r12 lands — and still trips if round 13 skips
+the rotation); any round-12 additions in SCHEDULED_NEXT_WINDOW
+follow; the rest of that window drains the r8-stale rows
+(stale-bound at round 14) — the invariant tests enforce the
+staleness arithmetic rather than this comment.
 
 ``DRIVER_GREEN_PAST_ROUNDS`` records which queries already hold a
 green row (union of all CORRECTNESS_r0N files); those may sit past the
@@ -89,72 +98,74 @@ from __future__ import annotations
 
 from etl_global_mobility_spark.corpus.base import QuerySpec, load_table
 
-#: First 50 registered names — the driver's round-11 correctness window.
+#: First 50 registered names — the driver's round-12 correctness window.
 DRIVER_WINDOW = (
-    # the one remaining r5-only row, at its HARD staleness deadline
-    # this round (trip condition current_round - latest > 5) — leads
-    "udf_apply_in_arrow",
-    # the round-10 addition (SCHEDULED_NEXT_WINDOW last round) —
-    # first driver row for synchronous label propagation
-    "llm_community_labelprop",
-    # the 46 alphabetically-first of the 48 rows whose newest green
-    # row is CORRECTNESS_r06 — they hit the corpus-scaled staleness
-    # bound at round 12 (stream_static_join / udf_udtf_table_arg,
-    # alphabetically last, lead the round-12 window at their own
-    # deadline — see RESERVED_NEXT_WINDOW)
-    "llm_asof_join",
-    "llm_bigram_novelty",
-    "llm_bm25",
-    "llm_bpe_pair_stats",
-    "llm_chunk_documents",
-    "llm_contamination",
-    "llm_cosine_topk",
-    "llm_dedup_components",
-    "llm_dup_ngram_spans",
-    "llm_embedding_neardup",
-    "llm_feature_hash",
-    "llm_filter_rules",
-    "llm_fingerprint",
-    "llm_frame_sample",
-    "llm_hash_split",
-    "llm_ivf_ann",
-    "llm_language_id",
-    "llm_lsh_ann",
-    "llm_minhash_neardup",
-    "llm_mix_sources",
-    "llm_mmr_rerank",
-    "llm_multimodal_features",
-    "llm_ngram_jaccard",
-    "llm_pack_sequences",
-    "llm_packing_efficiency",
-    "llm_pq_ann",
-    "llm_sentence_chunks",
-    "llm_simhash",
-    "llm_temperature_mix",
-    "llm_tfidf_topterms",
-    "parity_rounding",
-    "rel_agg_cube",
-    "rel_agg_rollup",
-    "rel_interval_overlap_join",
-    "rel_join_right",
-    "rel_join_semi",
-    "rel_ohlc_downsample",
-    "rel_scalar_strings_extended",
-    "rel_source_parquet_zstd",
-    "rel_spatial_grid_nearest",
-    "rel_tpch_q13_custdist",
-    "rel_tpch_q18_large_orders",
-    "rel_window_rank_dense",
-    "stream_medallion_batch_parity",
-    "stream_ohlc_bars",
-    "stream_scd2_enrichment",
+    # the 2 remaining r6-only rows, at their HARD staleness deadline
+    # this round (trip condition current_round - latest > 5) — they
+    # led RESERVED_NEXT_WINDOW through the round-11 close; now they
+    # lead the window itself
+    "stream_static_join",
+    "udf_udtf_table_arg",
+    # the 3 round-11 additions (SCHEDULED_NEXT_WINDOW last round) —
+    # first driver rows for the fused multimodal curation pipeline
+    # and the two iterative-convergence dials
+    "llm_e2e_multimodal_curation",
+    "llm_labelprop_convergence",
+    "rel_pagerank_convergence",
+    # the 43 alphabetically-first of the 48 rows whose newest green
+    # row is CORRECTNESS_r07 — they hit the corpus-scaled staleness
+    # bound at round 13 (the 5 alphabetically last lead the round-13
+    # window at their own deadline — see RESERVED_NEXT_WINDOW)
+    "llm_ann_recall_report",
+    "llm_cdc_chunks",
+    "llm_cdc_dup_passages",
+    "llm_cross_source_dups",
+    "llm_dedup_cluster_stats",
+    "llm_dsir_resample",
+    "llm_epoch_plan",
+    "llm_fim_transform",
+    "llm_group_advantage",
+    "llm_hard_negative_mining",
+    "llm_incremental_neardup",
+    "llm_kmeans_refine",
+    "llm_length_bucket_batching",
+    "llm_minhash_verified",
+    "llm_normalize_text",
+    "llm_quality_classifier_trained",
+    "llm_quality_prune",
+    "llm_rejection_sample",
+    "llm_sft_chat_format",
+    "llm_span_corruption",
+    "llm_token_budget_sample",
+    "llm_unigram_rarity",
+    "llm_weighted_sample",
+    "llm_winnowing_fingerprint",
+    "llm_winnowing_neardup",
+    "rel_mad_outliers",
+    "rel_skew_report",
+    "rel_tpch_q10_returned_items",
+    "rel_tpch_q11_important_parts",
+    "rel_tpch_q12_late_shipments",
+    "rel_tpch_q14_promo_effect",
+    "rel_tpch_q15_top_supplier",
+    "rel_tpch_q16_supplier_cnt",
+    "rel_tpch_q17_small_quantity",
+    "rel_tpch_q19_disjunctive",
+    "rel_tpch_q20_small_part_suppliers",
+    "rel_tpch_q21_waiting_suppliers",
+    "rel_tpch_q22_global_sales",
+    "rel_tpch_q2_min_cost",
+    "rel_tpch_q4_order_priority",
+    "rel_tpch_q5_local_supplier",
+    "rel_tpch_q6_forecast_revenue",
+    "rel_tpch_q7_volume_shipping",
     # standing canaries (green every round since r2/r3) for
     # cross-round regression signal — one parity + one llm
     "parity_derived_all",
     "llm_exact_dedup",
 )
 
-#: Queries holding a green driver row in CORRECTNESS_r02…r09 —
+#: Queries holding a green driver row in CORRECTNESS_r02…r11 —
 #: allowed past the window (their evidence is already recorded; the
 #: local gate still re-verifies them every round). Regenerated each
 #: round as the union of green rows across all CORRECTNESS_r0N.json.
@@ -165,7 +176,8 @@ DRIVER_GREEN_PAST_ROUNDS = frozenset(
         "llm_bm25", "llm_bpe_pair_stats", "llm_causal_lm_examples",
         "llm_cdc_chunks", "llm_cdc_dup_passages",
         "llm_chunk_documents", "llm_cluster_balanced_sample",
-        "llm_cluster_profile", "llm_contamination",
+        "llm_cluster_profile", "llm_community_labelprop",
+        "llm_contamination",
         "llm_cosine_topk", "llm_cross_source_dups",
         "llm_dataset_drift", "llm_dedup_cluster_stats",
         "llm_dedup_components", "llm_dedup_keep_best",
@@ -286,18 +298,10 @@ DRIVER_GREEN_PAST_ROUNDS = frozenset(
 #: Queries ADDED this round (registered past the already-frozen
 #: window): the NEXT rotation must pull these in. The window-invariant
 #: test treats this as the only legitimate reason an oracle-backed
-#: query lacks both window coverage and a past green row. Round-11
-#: additions are appended here as they are registered — AT MOST 2
-#: (see ROUND-12 PLAN in the module docstring).
-SCHEDULED_NEXT_WINDOW: frozenset[str] = frozenset(
-    {
-        # round-11 additions (oracle-backed; the cap is 3 — see the
-        # ROUND-12 PLAN arithmetic)
-        "llm_e2e_multimodal_curation",
-        "llm_labelprop_convergence",
-        "rel_pagerank_convergence",
-    }
-)
+#: query lacks both window coverage and a past green row. Round-12
+#: additions are appended here as they are registered (see the
+#: ROUND-13 PLAN arithmetic in the module docstring).
+SCHEDULED_NEXT_WINDOW: frozenset[str] = frozenset()
 
 #: Queries whose existing driver evidence reaches its hard staleness
 #: deadline NEXT round — reserved to LEAD the next rotation (see the
@@ -308,8 +312,11 @@ SCHEDULED_NEXT_WINDOW: frozenset[str] = frozenset(
 #: HEAD would be permanently red. If the next rotation skips them the
 #: alarm still trips (tests/test_corpus_oracle.py pins both sides).
 RESERVED_NEXT_WINDOW: tuple[str, ...] = (
-    "stream_static_join",
-    "udf_udtf_table_arg",
+    "rel_tpch_q8_market_share",
+    "rel_tpch_q9_product_profit",
+    "stream_neardup_dedup",
+    "stream_windowed_topk",
+    "udf_sql_function",
 )
 
 
