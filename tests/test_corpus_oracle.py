@@ -116,7 +116,7 @@ def test_driver_evidence_max_staleness():
     )
 
 
-def _compute_stale_evidence(extra_round=None):
+def _compute_stale_evidence(extra_round=None, return_latest=False):
     """Shared staleness arithmetic for the invariant tests.
 
     Returns ``(stale, MAX_STALENESS, current_round)`` where ``stale``
@@ -132,6 +132,9 @@ def _compute_stale_evidence(extra_round=None):
 
     ``extra_round`` simulates a future CORRECTNESS drop: a pair
     ``(round_no, green_names)`` treated as one more driver file.
+    ``return_latest=True`` additionally returns the newest-green-round
+    map computed from the on-disk files (pre-simulation), so callers
+    can anchor simulations on a row's own evidence age.
     """
     import glob
     import json
@@ -171,6 +174,7 @@ def _compute_stale_evidence(extra_round=None):
             if green(v):
                 latest[name] = max(latest.get(name, 0), rn)
     assert rounds, "no CORRECTNESS_r*.json files found"
+    on_disk_latest = dict(latest)
     if extra_round is not None:
         rn, names = extra_round
         rounds.append(rn)
@@ -191,21 +195,26 @@ def _compute_stale_evidence(extra_round=None):
         bound = MAX_STALENESS + (1 if n in RESERVED_NEXT_WINDOW else 0)
         if age > bound:
             stale[n] = latest.get(n)
+    if return_latest:
+        return stale, MAX_STALENESS, current_round, on_disk_latest
     return stale, MAX_STALENESS, current_round
 
 
 def test_reserved_rows_trip_if_skipped():
     """RESERVED_NEXT_WINDOW is a one-round grace, not an exemption.
-    After the NEXT driver drop the reserved rows sit at exactly
-    bound+1 — tolerated, by design (the grace covering the closed
-    round's HEAD and the round-open gap before rotation). If the next
-    round's rotation then SKIPS them, the drop after that pushes them
-    to bound+2 and the alarm must name them. Simulate a skipped
-    rotation: two future CORRECTNESS drops that green only the
-    CURRENT window (which excludes the reserved rows)."""
-    import glob
-    import re
+    A reserved row with newest green round L and staleness bound B
+    sits at exactly B+1 once the driver drop for round L+B lands —
+    tolerated, by design (the grace covering the closed round's HEAD
+    and the round-open gap before rotation). If the rotation then
+    SKIPS it, the drop for round L+B+1 pushes it to B+2 and the alarm
+    must name it.
 
+    Anchor each simulation on the row's OWN evidence age (L+B /
+    L+B+1), NOT on max(CORRECTNESS files)+k: the artifact-count
+    anchor goes stale the moment the driver's file for the current
+    round lands on disk (the round-10 and round-11 failure class —
+    each drop shifted the simulated grace round forward while the
+    row's real deadline stayed put)."""
     sys.path.insert(0, REPO)
     from etl_global_mobility_spark.corpus import (
         DRIVER_WINDOW,
@@ -217,23 +226,24 @@ def test_reserved_rows_trip_if_skipped():
     assert not set(RESERVED_NEXT_WINDOW) & set(DRIVER_WINDOW), (
         "reserved rows are by definition NOT in the current window"
     )
-    rounds = [
-        int(re.search(r"CORRECTNESS_r(\d+)\.json$", p).group(1))
-        for p in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))
-    ]
-    # grace round: reserved rows at bound+1 must be tolerated...
-    grace_drop = (max(rounds) + 1, list(DRIVER_WINDOW))
-    stale, _, _ = _compute_stale_evidence(extra_round=grace_drop)
-    tripped_early = [n for n in RESERVED_NEXT_WINDOW if n in stale]
-    assert not tripped_early, (
-        f"reserved rows tripped DURING their grace round — the closed "
-        f"round's HEAD would be red: {tripped_early}"
-    )
-    # ...but a second drop without rotation must trip them
-    skip_drop = (max(rounds) + 2, list(DRIVER_WINDOW))
-    stale, _, _ = _compute_stale_evidence(extra_round=skip_drop)
-    missing = [n for n in RESERVED_NEXT_WINDOW if n not in stale]
-    assert not missing, (
-        f"reserved rows would NOT trip the staleness alarm after a "
-        f"skipped rotation — the grace period is too wide: {missing}"
-    )
+    _, bound, _, latest = _compute_stale_evidence(return_latest=True)
+    for name in RESERVED_NEXT_WINDOW:
+        assert name in latest, (
+            f"reserved row {name} has no green driver row at all — "
+            f"the reserve mechanism only defers a STALENESS deadline"
+        )
+        # grace round: the row at bound+1 must be tolerated (a drop
+        # that greens only the current window, which excludes it)...
+        grace_drop = (latest[name] + bound, list(DRIVER_WINDOW))
+        stale, _, _ = _compute_stale_evidence(extra_round=grace_drop)
+        assert name not in stale, (
+            f"reserved row {name} tripped DURING its grace round — "
+            f"the closed round's HEAD would be red"
+        )
+        # ...but one more drop without rotation must trip it
+        skip_drop = (latest[name] + bound + 1, list(DRIVER_WINDOW))
+        stale, _, _ = _compute_stale_evidence(extra_round=skip_drop)
+        assert name in stale, (
+            f"reserved row {name} would NOT trip the staleness alarm "
+            f"after a skipped rotation — the grace period is too wide"
+        )
