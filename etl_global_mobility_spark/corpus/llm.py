@@ -2862,7 +2862,32 @@ def _kmeans_artifact_centroids(
             try:
                 os.rename(tmp, path)
             except OSError:
-                shutil.rmtree(tmp, ignore_errors=True)
+                # rename refuses a non-empty existing `path`
+                # (ENOTEMPTY). Two states land here: (a) another
+                # process published a valid artifact first — a lost
+                # race, discard tmp; (b) `path` is the SAME
+                # partial/corrupt/scale-mismatched artifact that
+                # routed us into this retrain branch — silently
+                # discarding tmp would leave it broken forever, every
+                # subsequent process retraining per-run (ADVICE r11).
+                # Only a now-loadable path counts as a lost race;
+                # otherwise repair: remove the invalid artifact and
+                # retry the publish.
+                try:
+                    _, disk_scale = load_kmeans_centroids(spark, path)
+                    disk_ok = disk_scale == scale
+                except Exception:
+                    disk_ok = False
+                if disk_ok:
+                    shutil.rmtree(tmp, ignore_errors=True)
+                else:
+                    shutil.rmtree(path, ignore_errors=True)
+                    try:
+                        os.rename(tmp, path)
+                    except OSError:
+                        # a concurrent repair won the re-publish race;
+                        # the centroids are bit-identical either way
+                        shutil.rmtree(tmp, ignore_errors=True)
         _KMEANS_ARTIFACT_MEM[key] = cents
     return cents
 

@@ -196,12 +196,13 @@ def q_stream_medallion_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
 
-    repo = os.path.dirname(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    )
-    base = os.path.join(
-        repo, ".tmp", f"medallion_stream_{os.path.basename(sf_dir.rstrip('/'))}_p{os.getpid()}"
-    )
+    from etl_global_mobility_spark.corpus.relational import _scratch_dir
+
+    # _scratch_dir keys by (query, sf digest, pid) AND prunes dead-pid
+    # siblings on the way in — a bare pid-suffixed path under .tmp
+    # leaked one checkpoint/landing layout per dead process forever
+    # (ADVICE r11)
+    base = _scratch_dir("medallion_stream", sf_dir)
     # fresh checkpoint every run: a stale checkpoint would see the
     # re-written raw files as already-processed and emit nothing new
     shutil.rmtree(base, ignore_errors=True)
@@ -327,12 +328,10 @@ def q_stream_neardup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         neardup_survivors,
     )
 
-    repo = os.path.dirname(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    )
-    base = os.path.join(
-        repo, ".tmp", f"neardup_stream_{os.path.basename(sf_dir.rstrip('/'))}_p{os.getpid()}"
-    )
+    from etl_global_mobility_spark.corpus.relational import _scratch_dir
+
+    # per-(query, sf, pid) with dead-pid pruning — see q_medallion
+    base = _scratch_dir("neardup_stream", sf_dir)
     shutil.rmtree(base, ignore_errors=True)
     land = os.path.join(base, "docs")
 

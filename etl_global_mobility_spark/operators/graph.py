@@ -129,6 +129,12 @@ def label_propagation(
         .distinct()
         .persist()
     )
+    # Capture the persisted handle BEFORE the coalesce rebind below:
+    # unpersist() resolves cache entries by sameResult on the plan, and
+    # a Coalesce node on top makes the lookup miss — unpersisting the
+    # coalesced frame leaves the original blocks cached forever
+    # (ADVICE r11; measured is_cached=True after the old finally ran).
+    und_cached = und
     n_und = und.count()
     if n_und < 100_000:  # graph fits one task: skip wide shuffles
         und = und.coalesce(1)
@@ -172,7 +178,7 @@ def label_propagation(
                 )
         return labels
     finally:
-        und.unpersist()
+        und_cached.unpersist()
 
 
 def _lpa_round(und: DataFrame, labels: DataFrame) -> DataFrame:
@@ -227,6 +233,8 @@ def label_propagation_convergence(
         .distinct()
         .persist()
     )
+    # capture before the coalesce rebind — see label_propagation
+    und_cached = und
     try:
         n_und = und.count()
         if n_und < 100_000:  # graph fits one task: skip wide shuffles
@@ -268,7 +276,7 @@ def label_propagation_convergence(
             "round int, n_changed long, n_nodes long, frac_changed double",
         )
     finally:
-        und.unpersist()
+        und_cached.unpersist()
 
 
 def pagerank_convergence(

@@ -70,8 +70,14 @@ def main() -> int:
     ]
     label = f"round {max(rounds)}" if rounds else "round"
     _git("add", "--", *dirty)
-    _git("commit", "-m", f"Track {label} driver/judge artifacts: "
-         + " ".join(dirty))
+    # --only with explicit paths commits JUST the artifact files: a
+    # bare `git commit` would sweep anything the user had staged
+    # before this script ran into the artifact commit (ADVICE r11),
+    # breaking the "only the known artifact filenames are staged,
+    # never the worktree" contract above.
+    _git("commit", "--only", "-m",
+         f"Track {label} driver/judge artifacts: " + " ".join(dirty),
+         "--", *dirty)
     print(f"round_open: committed {len(dirty)} artifact(s): "
           + " ".join(dirty))
     return 0
