@@ -78,9 +78,11 @@ LEAD the round-13 window (pinned in ``RESERVED_NEXT_WINDOW`` below:
 the staleness alarm tolerates them for exactly one round while
 rotation is still impossible — i.e. the closed round-12 HEAD stays
 green once CORRECTNESS_r12 lands — and still trips if round 13 skips
-the rotation); any round-12 additions in SCHEDULED_NEXT_WINDOW
-follow; the rest of that window drains the r8-stale rows
-(stale-bound at round 14) — the invariant tests enforce the
+the rotation); the 2 round-12 additions in SCHEDULED_NEXT_WINDOW
+(``llm_ivf_incremental``, ``llm_retrieval_ndcg``) follow; the rest
+of that window drains 41 of the 48 r8-stale rows (stale-bound at
+round 14), with the remaining 7 leading round 14 via the same
+RESERVED_NEXT_WINDOW mechanism — the invariant tests enforce the
 staleness arithmetic rather than this comment.
 
 ``DRIVER_GREEN_PAST_ROUNDS`` records which queries already hold a
@@ -301,7 +303,16 @@ DRIVER_GREEN_PAST_ROUNDS = frozenset(
 #: query lacks both window coverage and a past green row. Round-12
 #: additions are appended here as they are registered (see the
 #: ROUND-13 PLAN arithmetic in the module docstring).
-SCHEDULED_NEXT_WINDOW: frozenset[str] = frozenset()
+SCHEDULED_NEXT_WINDOW: frozenset[str] = frozenset(
+    {
+        # round-12 additions (oracle-backed; the cap is 2 — the
+        # round-13 window must still fit 5 reserved + 2 canaries +
+        # 41 of the 48 r8-stale rows, the remaining 7 leading round
+        # 14 via RESERVED_NEXT_WINDOW)
+        "llm_ivf_incremental",
+        "llm_retrieval_ndcg",
+    }
+)
 
 #: Queries whose existing driver evidence reaches its hard staleness
 #: deadline NEXT round — reserved to LEAD the next rotation (see the

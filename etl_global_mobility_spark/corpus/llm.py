@@ -200,6 +200,142 @@ def _ann_recall_report_sql() -> str:
     """
 
 
+def q_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-aware retrieval evaluation: per-query nDCG@k of the LSH
+    ANN against exact cosine ground truth (operators/retrieval.py
+    ndcg_report) — the companion dial to llm_ann_recall_report, which
+    can't distinguish "all true neighbors at the top" from "all at the
+    bottom of the k". The log2 discount is replaced by the rational
+    1/(rank+1) scaled by lcm(2..k+1), so every DCG term is an integer,
+    the sums are order-invariant across engines, and nDCG is one final
+    IEEE division — hash-exact against the DuckDB mirror."""
+    from etl_global_mobility_spark.operators.retrieval import ndcg_report
+
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < 8)
+    exact = cosine_topk_exact(e, queries, k=5)
+    ann = lsh_ann_candidates(e, queries, dim=64, n_planes=6, k=5)
+    return ndcg_report(exact, ann, k=5)
+
+
+def _retrieval_ndcg_sql(k: int = 5) -> str:
+    import math
+
+    lcm = math.lcm(*range(2, k + 2))
+    wt_rows = ", ".join(f"({r}, {lcm // (r + 1)})" for r in range(1, k + 1))
+    return f"""
+    WITH ex AS (
+      SELECT q_id, rank, c_id FROM ({_cosine_topk_sql()})
+    ), an AS (
+      SELECT q_id, rank, c_id FROM ({_lsh_ann_sql()})
+    ), w(rk, wt) AS (
+      VALUES {wt_rows}
+    ), dcg AS (
+      SELECT an.q_id, sum(({k + 1} - ex.rank) * w.wt) AS dcg_num
+      FROM an
+      JOIN ex ON an.q_id = ex.q_id AND an.c_id = ex.c_id
+      JOIN w ON w.rk = an.rank
+      GROUP BY an.q_id
+    ), idcg AS (
+      SELECT q_id, sum(({k + 1} - rank) * w.wt) AS idcg_num
+      FROM ex JOIN w ON w.rk = ex.rank
+      GROUP BY q_id
+    )
+    SELECT i.q_id,
+           CAST(COALESCE(d.dcg_num, 0) AS BIGINT) AS dcg_num,
+           CAST(i.idcg_num AS BIGINT) AS idcg_num,
+           CAST(COALESCE(d.dcg_num, 0) AS DOUBLE)
+             / CAST(i.idcg_num AS DOUBLE) AS ndcg
+    FROM idcg i LEFT JOIN dcg d ON i.q_id = d.q_id
+    """
+
+
+def q_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN ingest — the similarity-family mirror of
+    llm_incremental_neardup's daily-shard story: embeddings with
+    vec_id % 10 == 0 play the NEW shard arriving; the coarse quantizer
+    is resolved once from the EXISTING corpus snapshot (deterministic
+    lowest-id cells, the same rule ivf_topk defaults to), persisted
+    via save_ann_artifacts, re-LOADED from disk, and only then probes
+    — so the save→load→probe artifact loop is proven by construction
+    every run (the llm_quality_classifier_trained discipline). Daily
+    cost is ∝ shard: the shard side is broadcast into its probed
+    cells, the existing side is one map-only cell-assignment scan
+    (literal centroids, no join, no corpus shuffle), and NOTHING is
+    retrained. The oracle recomputes the whole path — existing-side
+    quantizer, assignment, probe, top-k — in DuckDB."""
+    from etl_global_mobility_spark.corpus.relational import _scratch_dir
+    from etl_global_mobility_spark.operators.similarity import (
+        guarded_sq_norm,
+        ivf_topk,
+        load_ann_artifacts,
+        save_ann_artifacts,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    existing = e.filter(F.col("vec_id") % 10 != 0)
+    shard = e.filter(F.col("vec_id") % 10 == 0)
+    # deterministic quantizer over the EXISTING snapshot (bounded
+    # 16-row collect; degenerate vectors can't anchor a cosine cell)
+    cents = [
+        [float(x) for x in r[1]]
+        for r in existing.select("vec_id", "embedding")
+        .filter(guarded_sq_norm(F.col("embedding")).isNotNull())
+        .orderBy("vec_id")
+        .limit(16)
+        .collect()
+    ]
+    centroids = None
+    if cents:  # empty snapshot: nothing to persist, ivf_topk
+        # resolves the empty default and returns the contract schema
+        path = _scratch_dir("ivf_artifact", sf_dir)
+        save_ann_artifacts(spark, path, centroids=cents)
+        centroids, _codebook = load_ann_artifacts(spark, path)
+    return ivf_topk(
+        existing, shard, n_cells=16, nprobe=2, k=5, centroids=centroids
+    )
+
+
+def _ivf_incremental_sql(n_cells: int = 16, nprobe: int = 2, k: int = 5) -> str:
+    cos_ec = _COS.replace("a.embedding", "e.embedding").replace(
+        "b.embedding", "c.embedding"
+    )
+    cos_pa = _COS.replace("b.embedding", "p.q_emb")
+    return f"""
+    WITH existing AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 <> 0
+    ), shard AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0
+    ), cents AS (
+      SELECT vec_id AS cent_id, embedding FROM existing
+      ORDER BY vec_id LIMIT {n_cells}
+    ), assign AS (
+      SELECT vec_id, embedding, cent_id FROM (
+        SELECT e.vec_id, e.embedding, c.cent_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {cos_ec} DESC, c.cent_id) AS rn
+        FROM existing e CROSS JOIN cents c
+      ) WHERE rn = 1
+    ), probe AS (
+      SELECT vec_id AS q_id, embedding AS q_emb, cent_id AS cell FROM (
+        SELECT e.vec_id, e.embedding, c.cent_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {cos_ec} DESC, c.cent_id) AS rn
+        FROM shard e CROSS JOIN cents c
+      ) WHERE rn <= {nprobe}
+    ), scored AS (
+      SELECT p.q_id, a.vec_id AS c_id, {cos_pa} AS score
+      FROM assign a JOIN probe p ON a.cent_id = p.cell
+      WHERE p.q_id <> a.vec_id
+    ), ranked AS (
+      SELECT q_id, c_id, score,
+             row_number() OVER (PARTITION BY q_id ORDER BY score DESC, c_id) AS rank
+      FROM scored
+    )
+    SELECT q_id, rank, c_id, score FROM ranked WHERE rank <= {k}
+    """
+
+
 def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pre-dedup text normalization with deterministic planted mess:
     a third of the docs get control chars + trailing spaces, a third
@@ -4771,6 +4907,22 @@ SPECS = [
         _ann_recall_report_sql(),
         doc="retrieval evaluation as an operator: per-query recall@k of "
         "LSH ANN vs exact cosine ground truth",
+    ),
+    QuerySpec(
+        "llm_retrieval_ndcg",
+        q_retrieval_ndcg,
+        _retrieval_ndcg_sql(),
+        doc="rank-aware retrieval evaluation: per-query nDCG@k of LSH "
+        "ANN vs exact cosine ground truth, exact-integer rational "
+        "rank discounts (order-invariant cross-engine sums)",
+    ),
+    QuerySpec(
+        "llm_ivf_incremental",
+        q_ivf_incremental,
+        _ivf_incremental_sql(),
+        doc="incremental ANN ingest: new embedding shard probed through "
+        "the persisted IVF quantizer artifact (save→load→probe proven "
+        "each run), cost ∝ shard, no retraining",
     ),
     QuerySpec(
         "llm_normalize_text",

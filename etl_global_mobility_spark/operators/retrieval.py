@@ -498,3 +498,76 @@ def mine_bitext_pairs(
         F.col("_best.score").alias("cos"),
         F.col("_best.margin").alias("margin"),
     ).filter(F.col("margin") >= threshold)
+
+
+def ndcg_report(
+    exact: DataFrame,
+    ann: DataFrame,
+    k: int = 5,
+) -> DataFrame:
+    """Per-query nDCG@k of an ANN retrieval against exact ground
+    truth — the rank-aware companion to the recall@k report (recall
+    treats a hit at rank 1 and rank k identically; nDCG grades WHERE
+    the true neighbors landed).
+
+    Both inputs are (q_id, rank, c_id) top-k frames: ``exact`` defines
+    graded relevance (the true rank-r neighbor has gain ``k - r + 1``;
+    anything outside the exact top-k has gain 0) and ``ann`` supplies
+    the evaluated ordering.
+
+    Exact-arithmetic discipline (the cross-engine hash contract): the
+    textbook 1/log2(rank+1) discount is transcendental — libm log2
+    differs between engines in the last ulp and float SUM order is
+    engine-private — so the discount is the RATIONAL 1/(rank+1)
+    scaled by lcm(2..k+1), making every DCG term an integer:
+
+        dcg_num  = sum over ANN hits of gain(c) * (L / (ann_rank+1))
+        idcg_num = sum over exact ranks of (k-r+1) * (L / (r+1))
+
+    Integer sums are order-invariant; ``ndcg`` is ONE final double
+    division, identical on any IEEE engine. Zipfian-style discount
+    weights preserve nDCG's top-heaviness (rank 1 weighs 3x rank 5 at
+    k=5 — steeper than log2's ~2.6x).
+
+    Scale shape: both inputs are (n_queries x k)-bounded, so every
+    join/agg here is trivially broadcastable — cost lives in the two
+    retrievals upstream, the report adds one small-frame join chain.
+    """
+    import math
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    lcm = math.lcm(*range(2, k + 2))
+    weights = F.lit([lcm // (r + 1) for r in range(1, k + 1)])
+
+    rel = exact.select(
+        "q_id", "c_id", (F.lit(k + 1) - F.col("rank")).alias("gain")
+    )
+    dcg = (
+        ann.select("q_id", "rank", "c_id")
+        .join(rel, ["q_id", "c_id"])
+        .select(
+            "q_id",
+            (F.col("gain") * F.element_at(weights, F.col("rank").cast("int"))).alias(
+                "term"
+            ),
+        )
+        .groupBy("q_id")
+        .agg(F.sum("term").alias("dcg_num"))
+    )
+    idcg = exact.select(
+        "q_id",
+        (
+            (F.lit(k + 1) - F.col("rank"))
+            * F.element_at(weights, F.col("rank").cast("int"))
+        ).alias("term"),
+    ).groupBy("q_id").agg(F.sum("term").alias("idcg_num"))
+    return idcg.join(dcg, "q_id", "left").select(
+        "q_id",
+        F.coalesce("dcg_num", F.lit(0)).cast("long").alias("dcg_num"),
+        F.col("idcg_num").cast("long").alias("idcg_num"),
+        (
+            F.coalesce("dcg_num", F.lit(0)).cast("double")
+            / F.col("idcg_num").cast("double")
+        ).alias("ndcg"),
+    )

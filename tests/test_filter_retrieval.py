@@ -583,3 +583,65 @@ def test_bitext_mining_zero_denominator_margin_guard(spark):
     by_src = {r["src_id"]: r for r in rows}
     assert 2 not in by_src
     assert by_src[0]["tgt_id"] == 1
+
+
+# ---------------------------------------------------------------- ndcg
+
+
+def _rank_frame(spark, rows):
+    return spark.createDataFrame(rows, "q_id long, rank int, c_id long")
+
+
+def test_ndcg_perfect_retrieval_scores_one(spark):
+    """ANN that reproduces the exact ranking exactly → ndcg == 1.0 and
+    dcg_num == idcg_num (integer equality, not float closeness)."""
+    from etl_global_mobility_spark.operators.retrieval import ndcg_report
+
+    exact = _rank_frame(spark, [(1, r, 100 + r) for r in range(1, 6)])
+    got = ndcg_report(exact, exact, k=5).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r.dcg_num == r.idcg_num and r.ndcg == 1.0
+
+
+def test_ndcg_rewards_rank_position_not_just_overlap(spark):
+    """Recall@k is identical (all 5 true neighbors retrieved) but the
+    REVERSED ordering must score strictly below 1 — the dial this
+    report adds over llm_ann_recall_report."""
+    from etl_global_mobility_spark.operators.retrieval import ndcg_report
+
+    exact = _rank_frame(spark, [(1, r, 100 + r) for r in range(1, 6)])
+    reversed_ann = _rank_frame(spark, [(1, 6 - r, 100 + r) for r in range(1, 6)])
+    r = ndcg_report(exact, reversed_ann, k=5).collect()[0]
+    assert 0.0 < r.ndcg < 1.0
+    # exact integer check: gains (5..1), weights (30,20,15,12,10);
+    # reversed pairs gain g with weight w(6-rank(g)):
+    # 5*10 + 4*12 + 3*15 + 2*20 + 1*30 = 213; ideal = 5*30+4*20+3*15+2*12+1*10 = 309
+    assert r.dcg_num == 213 and r.idcg_num == 309
+    assert r.ndcg == 213 / 309
+
+
+def test_ndcg_zero_overlap_scores_zero_and_missing_query_rows_kept(spark):
+    """A query whose ANN top-k shares nothing with the exact top-k
+    scores 0 (not NULL, not dropped); queries absent from the ANN
+    frame entirely also surface with ndcg 0."""
+    from etl_global_mobility_spark.operators.retrieval import ndcg_report
+
+    exact = _rank_frame(
+        spark,
+        [(1, r, 100 + r) for r in range(1, 6)]
+        + [(2, r, 200 + r) for r in range(1, 6)],
+    )
+    ann = _rank_frame(spark, [(1, r, 900 + r) for r in range(1, 6)])
+    by_q = {r.q_id: r for r in ndcg_report(exact, ann, k=5).collect()}
+    assert set(by_q) == {1, 2}
+    assert by_q[1].dcg_num == 0 and by_q[1].ndcg == 0.0
+    assert by_q[2].dcg_num == 0 and by_q[2].ndcg == 0.0
+
+
+def test_ndcg_rejects_bad_k(spark):
+    from etl_global_mobility_spark.operators.retrieval import ndcg_report
+
+    exact = _rank_frame(spark, [(1, 1, 2)])
+    with pytest.raises(ValueError):
+        ndcg_report(exact, exact, k=0)

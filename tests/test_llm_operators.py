@@ -401,7 +401,7 @@ def test_multimodal_real_decode_when_pillow_present(spark):
         "PIL.Image",
         reason="Pillow not installed and not installable here: "
         "`pip install --dry-run Pillow` was attempted in-session "
-        "(round 5, re-attested rounds 7, 8, 9, 10 and 11) and failed with 'No matching distribution found' / NewConnectionError '[Errno -2] Name "
+        "(round 5, re-attested rounds 7-11 and 12) and failed with 'No matching distribution found' / NewConnectionError '[Errno -2] Name "
         "or service not known' resolving the package index — the build "
         "env has no network route (and prohibits pip/apt regardless)",
     )
@@ -3328,3 +3328,44 @@ def test_label_propagation_tie_breaks_to_smallest_label(spark):
     # n_iters=0 is the identity labeling
     got0 = {r.node: r.label for r in label_propagation(e, n_iters=0).collect()}
     assert got0 == {n: n for n in (1, 2, 3, 4, 5)}
+
+
+def test_ivf_incremental_artifact_path_equals_inline_quantizer(spark):
+    """q_ivf_incremental's save→load→probe loop must be bit-identical
+    to handing ivf_topk the same corpus inline (the artifact is pure
+    persistence, never a semantic fork), and the artifact must exist
+    on disk with its manifest after the run."""
+    import os
+
+    from etl_global_mobility_spark.corpus.llm import q_ivf_incremental
+    from etl_global_mobility_spark.corpus.relational import _scratch_dir
+    from etl_global_mobility_spark.operators.similarity import ivf_topk
+
+    sf = "/root/testdata/sf0.001"
+    e = spark.read.parquet(f"{sf}/embeddings.parquet")
+    existing = e.filter(F.col("vec_id") % 10 != 0)
+    shard = e.filter(F.col("vec_id") % 10 == 0)
+    inline = sorted(
+        map(tuple, ivf_topk(existing, shard, n_cells=16, nprobe=2, k=5).collect())
+    )
+    via_artifact = sorted(map(tuple, q_ivf_incremental(spark, sf).collect()))
+    assert via_artifact == inline
+    path = _scratch_dir("ivf_artifact", sf)
+    assert os.path.exists(os.path.join(path, "_ann_manifest.json"))
+
+
+def test_ivf_incremental_empty_snapshot_returns_contract_schema(spark, tmp_path):
+    """An empty existing snapshot (no vectors to quantize) must yield
+    an EMPTY frame with the contract schema, not a save/shape error."""
+    import os
+
+    from etl_global_mobility_spark.corpus.llm import q_ivf_incremental
+
+    sf_dir = str(tmp_path / "sf")
+    os.makedirs(sf_dir)
+    spark.createDataFrame(
+        [], "vec_id long, embedding array<double>, lang string"
+    ).write.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    out = q_ivf_incremental(spark, sf_dir)
+    assert out.count() == 0
+    assert out.columns == ["q_id", "rank", "c_id", "score"]
