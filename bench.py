@@ -82,6 +82,7 @@ def main() -> None:
         .save()
     )
     _warm_python_workers(spark, int(cpus))
+    cal_start = _calibration_probe(spark, int(cpus))
 
     specs = all_queries()
     headline = headline_names()
@@ -162,6 +163,25 @@ def main() -> None:
         times[name] = min([times[name], *retries])
     total = sum(times.values())
 
+    # Host-speed calibration: the same fixed synthetic plan at suite
+    # start and end, compared against the sec recorded when the
+    # baseline was promoted. The driver's full-suite samples drift
+    # ±25% round-over-round with ZERO per-query code changes (209.4 →
+    # 262.0 s across r10→r11, movement uniform across all queries);
+    # this one number attributes a slow window to host-vs-code without
+    # per-query A/Bs. vs_baseline > 1 means THIS host window is slower
+    # than the baseline's window — scale per-query ratios down by it
+    # before blaming code (plan_perf_diff.py does this automatically).
+    cal_end = _calibration_probe(spark, int(cpus))
+    cal_sec = min(cal_start, cal_end)
+    cal_base = _baseline_calibration()
+    calibration = {
+        "start_sec": cal_start,
+        "end_sec": cal_end,
+        "vs_baseline": round(cal_sec / cal_base, 3) if cal_base else None,
+    }
+    print(f"bench: calibration {calibration}", file=sys.stderr)
+
     # COMPACT stdout line: the driver tail-captures only ~2 KB, and the
     # full 100+-query map outgrew that in round 6 (BENCH_r06.json
     # recorded `parsed: null` — no headline number, no driver-side
@@ -179,6 +199,7 @@ def main() -> None:
                 "queries": slowest,
                 "n_queries": len(times),
                 "queries_full": "BENCH_FULL_LATEST.json",
+                "calibration": calibration,
                 "sf": sf,
             }
         )
@@ -210,7 +231,13 @@ def main() -> None:
                     "unit": "sec",
                     "queries": times,
                     "sf": sf,
-                    "label": "full-latest",
+                    # label carries the measured code state so
+                    # KNOWN_BASELINE_ARTIFACTS entries (matched by
+                    # label) SELF-EXPIRE at the next promotion — a
+                    # constant label would let an exemption mask real
+                    # regressions forever
+                    "label": f"full-latest@{_git_head()}",
+                    "calibration_sec": cal_sec,
                 },
                 f,
                 indent=1,
@@ -218,6 +245,68 @@ def main() -> None:
             f.write("\n")
     if regressed:
         sys.exit(1)
+
+
+def _git_head() -> str:
+    """Short HEAD hash for the candidate label (promotion provenance);
+    'unknown' outside a git checkout — labels must never fail a run."""
+    import subprocess
+
+    try:
+        return subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip() or "unknown"
+    except Exception:
+        return "unknown"
+
+
+def _calibration_probe(spark, cpus: int) -> float:
+    """Host-speed probe: min-of-3 of a FIXED synthetic plan — 8M-row
+    range → sha256 + modulo key → hash-shuffle groupBy — that reads no
+    files, so its cost is pure (CPU × shuffle × scheduler) on this
+    host at this moment. ~1.6s/run steady-state on the reference box;
+    min-of-3 because single runs swing with scheduler noise just like
+    real queries. The value is only ever USED as a ratio against the
+    calibration_sec recorded in BENCH_FULL_LATEST.json, so absolute
+    magnitude doesn't matter — stability of the plan does: do not
+    change this workload without re-baselining."""
+    from pyspark.sql import functions as F
+
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        (
+            spark.range(0, 8_000_000, 1, cpus)
+            .select(
+                (F.col("id") % 9973).alias("k"),
+                F.sha2(F.col("id").cast("string"), 256).alias("h"),
+            )
+            .groupBy("k")
+            .agg(F.count(F.lit(1)).alias("n"), F.max("h").alias("mx"))
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+        best = min(best, time.time() - t0)
+    return round(best, 3)
+
+
+def _baseline_calibration() -> float | None:
+    """calibration_sec recorded in BENCH_FULL_LATEST.json at promotion
+    time, or None while the baseline predates the probe."""
+    try:
+        with open(
+            os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "BENCH_FULL_LATEST.json",
+            )
+        ) as f:
+            v = json.load(f).get("calibration_sec")
+        return float(v) if v else None
+    except (OSError, ValueError):
+        return None
 
 
 def _warm_python_workers(spark, cpus: int) -> None:
@@ -365,6 +454,32 @@ KNOWN_BASELINE_ARTIFACTS = {
     "llm_dup_ngram_spans": {
         "only_vs": "r5",
         "reason": "r5 baseline measured a leaked-cache rerun",
+    },
+    # The same defect class, found the same way, one family over: the
+    # graph-family operators unpersisted a coalesce(1)-REBOUND plan,
+    # which the cache manager doesn't sameResult-match, so the
+    # persisted edge/pair frames leaked — and best-of-2's second run
+    # (plus every LATER family query building the same frames) hit the
+    # still-cached plan. Round-12 interleaved worktree A/B, sf0.1:
+    # pre-fix run2 = 2.05 / 1.83 / 2.13 s with the cache NON-EMPTY
+    # after (the leak, live) — matching these baselines; post-fix
+    # run2 = 7.0 / 6.1 / 7.1 s with the cache EMPTY after. The old
+    # numbers are unreachable without reintroducing the leak. Expires
+    # at the round-12 promotion (labels rotate to full-latest@<hash>).
+    "llm_dedup_components": {
+        "only_vs": "full-latest",
+        "reason": "r11 baseline measured a leaked-cache rerun "
+        "(coalesce-rebound unpersist, fixed round 12)",
+    },
+    "llm_community_labelprop": {
+        "only_vs": "full-latest",
+        "reason": "r11 baseline measured a leaked-cache rerun "
+        "(coalesce-rebound unpersist, fixed round 12)",
+    },
+    "llm_dedup_keep_best": {
+        "only_vs": "full-latest",
+        "reason": "r11 baseline measured cross-query reuse of the "
+        "leaked graph-family frames (fixed round 12)",
     },
 }
 

@@ -52,6 +52,40 @@ def _bench_secs(path: str) -> dict[str, float]:
         return dict(json.load(f).get("queries") or {})
 
 
+def _bench_calibration(path: str) -> float | None:
+    """calibration_sec the bench run recorded (bench.py
+    _calibration_probe) — a host-speed sample taken alongside the
+    per-query seconds, or None for files predating the probe."""
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        v = json.load(f).get("calibration_sec")
+    return float(v) if v else None
+
+
+def _host_factor() -> float:
+    """now-host-speed / prev-host-speed from the two bench files'
+    calibration probes. Dividing the candidate's seconds by this
+    before the ratio join makes `slower` mean "slower after removing
+    host drift" — the r10→r11 driver samples moved 25% with zero code
+    changes, which otherwise floods the review artifact with false
+    `slower` rows. Clamped to [1/3, 3]: a factor outside that band
+    means a broken probe, not a believable host window, so fall back
+    to raw seconds (factor 1.0) rather than normalize by garbage."""
+    prev, now = _bench_calibration(BENCH_PREV), _bench_calibration(BENCH_NOW)
+    if not prev or not now:
+        return 1.0
+    factor = now / prev
+    if not (1 / 3 <= factor <= 3):
+        print(
+            f"plan_perf_diff: calibration factor {factor:.2f} outside "
+            f"sanity band — ignoring (raw seconds used)",
+            file=sys.stderr,
+        )
+        return 1.0
+    return factor
+
+
 def compute_shapes(spark, sf_dir: str, filters: list[str]) -> list[dict]:
     """EXPLAIN every (filtered) corpus query; one shape row each.
 
@@ -123,20 +157,29 @@ def main() -> int:
 
     plan_prev = spark.createDataFrame(baseline, PLAN_SHAPE_SCHEMA)
     plan_now = spark.createDataFrame(shapes, PLAN_SHAPE_SCHEMA)
+    host_factor = _host_factor()
+    now_secs = {
+        k: v / host_factor for k, v in _bench_secs(BENCH_NOW).items()
+    }
     report = perf_plan_diff(
-        spark, plan_prev, plan_now, _bench_secs(BENCH_PREV), _bench_secs(BENCH_NOW)
+        spark, plan_prev, plan_now, _bench_secs(BENCH_PREV), now_secs
     )
     rows = [r.asDict() for r in report.collect()]
     by_status: dict[str, int] = {}
     for r in rows:
         by_status[r["status"]] = by_status.get(r["status"], 0) + 1
     with open(OUT_PATH, "w") as f:
-        json.dump({"sf_dir": sf_dir, "rows": rows}, f, indent=1, default=str)
+        json.dump(
+            {"sf_dir": sf_dir, "host_factor": round(host_factor, 3),
+             "rows": rows},
+            f, indent=1, default=str,
+        )
     print(
         json.dumps(
             {
                 "queries": len(rows),
                 "by_status": by_status,
+                "host_factor": round(host_factor, 3),
                 "errors": len(errors),
                 "out": os.path.relpath(OUT_PATH, REPO),
             }
