@@ -481,6 +481,19 @@ KNOWN_BASELINE_ARTIFACTS = {
         "reason": "r11 baseline measured cross-query reuse of the "
         "leaked graph-family frames (fixed round 12)",
     },
+    # same A/B protocol, sf0.1: pre-fix run2 = 3.25 s (labelprop_
+    # convergence) / 2.52 s (dedup_cluster_stats) with the cache
+    # non-empty after; post-fix run2 = 11.7 / 7.5 s, cache empty.
+    "llm_labelprop_convergence": {
+        "only_vs": "full-latest",
+        "reason": "r11 baseline measured a leaked-cache rerun "
+        "(coalesce-rebound unpersist, fixed round 12)",
+    },
+    "llm_dedup_cluster_stats": {
+        "only_vs": "full-latest",
+        "reason": "r11 baseline measured cross-query reuse of the "
+        "leaked graph-family frames (fixed round 12)",
+    },
 }
 
 
