@@ -122,6 +122,18 @@ def main() -> int:
     shapes = [r for r in shapes if "error" not in r]
 
     if rebaseline:
+        # A FILTERED rebaseline merges into the existing baseline
+        # instead of replacing it: `--rebaseline <sf> some_query` used
+        # to silently shrink the 250+-query baseline file to the one
+        # filtered shape, wiping every other query's pin.
+        if filters and os.path.exists(BASELINE_PATH):
+            with open(BASELINE_PATH) as f:
+                kept = [
+                    r
+                    for r in json.load(f)["shapes"]
+                    if not any(flt in r["query"] for flt in filters)
+                ]
+            shapes = sorted(kept + shapes, key=lambda r: r["query"])
         with open(BASELINE_PATH, "w") as f:
             json.dump(
                 {"sf_dir": sf_dir, "shapes": shapes}, f, indent=1, sort_keys=True
@@ -130,6 +142,7 @@ def main() -> int:
             json.dumps(
                 {
                     "action": "rebaseline",
+                    "merged": bool(filters),
                     "queries": len(shapes),
                     "errors": len(errors),
                     "path": os.path.relpath(BASELINE_PATH, REPO),
