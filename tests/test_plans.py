@@ -610,6 +610,7 @@ def test_no_plan_antipatterns_across_entire_corpus(spark):
         "llm_e2e_curation",           # composes mix_sources
         "rel_skew_report",            # broadcast 1-row total/n_keys frame
         "llm_ann_recall_report",      # composes cosine_topk (broadcast query side)
+        "llm_retrieval_ndcg",         # composes cosine_topk (broadcast query side)
         "rel_tpch_q22_global_sales",  # broadcast 1-row avg-balance frame
         "llm_hard_negative_mining",   # composes cosine_topk (broadcast query side)
         "rel_tpch_q11_important_parts",  # broadcast 1-row value-total frame
