@@ -506,9 +506,10 @@ def ndcg_report(
     k: int = 5,
 ) -> DataFrame:
     """Per-query nDCG@k of an ANN retrieval against exact ground
-    truth — the rank-aware companion to the recall@k report (recall
-    treats a hit at rank 1 and rank k identically; nDCG grades WHERE
-    the true neighbors landed).
+    truth (Järvelin & Kekäläinen 2002, "Cumulated gain-based
+    evaluation of IR techniques") — the rank-aware companion to the
+    recall@k report (recall treats a hit at rank 1 and rank k
+    identically; nDCG grades WHERE the true neighbors landed).
 
     Both inputs are (q_id, rank, c_id) top-k frames: ``exact`` defines
     graded relevance (the true rank-r neighbor has gain ``k - r + 1``;

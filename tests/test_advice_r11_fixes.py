@@ -184,3 +184,75 @@ def test_streaming_scratch_bases_prune_dead_pid_siblings(spark, sf_smoke):
     assert not os.path.exists(stale), (
         "dead-pid medallion_stream layout was not pruned"
     )
+
+
+@pytest.mark.slow
+def test_two_processes_repair_corrupt_kmeans_artifact_concurrently(spark, sf_smoke):
+    """The repair path under the topology it must survive: the shared
+    kmeans artifact is corrupted on disk, then TWO driver processes
+    race to retrain-and-republish. Whoever loses any rename race must
+    treat a now-loadable path as a lost race (bit-identical
+    centroids); the end state must be a loadable, correct artifact —
+    never the silent forever-corrupt state the old ENOTEMPTY handler
+    left behind."""
+    import hashlib
+    import subprocess
+    import sys
+
+    import etl_global_mobility_spark.corpus.llm as llm
+    from etl_global_mobility_spark.corpus.relational import _roundtrip_dir
+    from etl_global_mobility_spark.operators.similarity import (
+        load_kmeans_centroids,
+    )
+
+    k, iters, scale = 4, 2, 1 << 20
+    # train once in-process to know the expected centroids + path
+    llm._KMEANS_ARTIFACT_MEM.clear()
+    expected = llm._kmeans_artifact_centroids(spark, sf_smoke, k=k, iters=iters)
+    st = os.stat(os.path.join(os.path.abspath(sf_smoke), "embeddings.parquet"))
+    fingerprint = f"{st.st_mtime_ns}-{st.st_size}"
+    key = (os.path.abspath(sf_smoke), k, iters, scale, fingerprint)
+    digest = hashlib.md5(f"{key}|{fingerprint}".encode()).hexdigest()[:16]
+    target = _roundtrip_dir(f"kmeans_{digest}")
+
+    shutil.rmtree(target)
+    os.makedirs(target)
+    with open(os.path.join(target, "garbage.txt"), "w") as f:
+        f.write("not parquet")
+
+    SCRIPT = """
+import sys
+sys.path.insert(0, {repo!r})
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master("local[4]")
+         .config("spark.sql.shuffle.partitions", "4")
+         .config("spark.ui.enabled", "false").getOrCreate())
+from etl_global_mobility_spark.corpus.llm import _kmeans_artifact_centroids
+cents = _kmeans_artifact_centroids(spark, {sf!r}, k={k}, iters={iters})
+import hashlib
+print("CENTS_HASH", hashlib.md5(repr(cents).encode()).hexdigest(), flush=True)
+spark.stop()
+"""
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c",
+             SCRIPT.format(repo=REPO, sf=sf_smoke, k=k, iters=iters)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.DEVNULL,
+            text=True,
+        )
+        for _ in range(2)
+    ]
+    outs = [p.communicate(timeout=600)[0] for p in procs]
+    assert all(p.returncode == 0 for p in procs), outs
+    # both processes computed/loaded the same (bit-exact) centroids
+    hashes = {
+        line.split()[-1]
+        for out in outs
+        for line in out.splitlines()
+        if line.startswith("CENTS_HASH")
+    }
+    assert len(hashes) == 1, outs
+    # and the on-disk artifact was REPAIRED, not left corrupt
+    loaded, _scale = load_kmeans_centroids(spark, target)
+    assert loaded == expected

@@ -58,3 +58,35 @@ def test_baseline_calibration_reader(tmp_path, monkeypatch):
     assert bench._baseline_calibration() == 1.62
     f.write_text(json.dumps({"queries": {}}))  # predates the probe
     assert bench._baseline_calibration() is None
+
+
+def test_plan_perf_diff_host_factor(tmp_path, monkeypatch):
+    """now/prev calibration ratio normalizes candidate seconds; a
+    missing probe on either side or an out-of-band factor falls back
+    to 1.0 (raw seconds) instead of normalizing by garbage."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "plan_perf_diff_mod",
+        os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "scripts",
+            "plan_perf_diff.py",
+        ),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    prev = tmp_path / "prev.json"
+    now = tmp_path / "now.json"
+    monkeypatch.setattr(mod, "BENCH_PREV", str(prev))
+    monkeypatch.setattr(mod, "BENCH_NOW", str(now))
+
+    assert mod._host_factor() == 1.0  # neither file exists
+    prev.write_text(json.dumps({"queries": {}, "calibration_sec": 0.5}))
+    assert mod._host_factor() == 1.0  # probe missing on the now side
+    now.write_text(json.dumps({"queries": {}, "calibration_sec": 0.6}))
+    assert abs(mod._host_factor() - 1.2) < 1e-9  # slower host window
+    now.write_text(json.dumps({"queries": {}, "calibration_sec": 5.0}))
+    assert mod._host_factor() == 1.0  # 10x outside the sanity band
