@@ -569,3 +569,75 @@ def test_label_propagation_soak_recovers_planted_communities(spark):
     assert labels_a == {0}, f"clique A not uniform: {labels_a}"
     assert labels_b == {1000}, f"clique B not uniform: {labels_b}"
     assert wall < 120, f"LP soak exceeded budget: {wall:.1f}s"
+
+
+@pytest.mark.slow
+def test_ivf_incremental_soak_shard_probes_persisted_quantizer(spark, tmp_path):
+    """The ANN daily-ingest shape at volume: a 1k-vector shard probed
+    against 10k and 40k corpora through a quantizer artifact that is
+    trained/persisted ONCE per corpus snapshot (save→load→probe, the
+    llm_ivf_incremental loop). Every shard vector has an IDENTICAL
+    planted twin in the corpus; identical vectors land in the same
+    Voronoi cell, so even nprobe=1 must return the twin at rank 1
+    (cos=1.0 is the max) — at BOTH corpus sizes, proving the probe's
+    recall doesn't decay as the indexed corpus grows 4x while the
+    shard-side work stays shard-shaped (broadcast probe rows into
+    cells; the corpus side is one map-only assignment scan)."""
+    import time
+
+    from etl_global_mobility_spark.operators.similarity import (
+        ivf_topk,
+        load_ann_artifacts,
+        save_ann_artifacts,
+    )
+
+    n_shard, dim = 1_000, 16
+
+    def vec(id_col):
+        # deterministic, id-unique direction: components spread over
+        # two coprime moduli so no two ids are colinear
+        return F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda d: (
+                ((id_col * 7 + d * 13) % 101 + 1).cast("double")
+                + ((id_col * 31 + d * 3) % 53).cast("double") / 100.0
+            ),
+        )
+
+    def corpus(n):
+        return spark.range(n).select(
+            F.col("id").alias("vec_id"), vec(F.col("id")).alias("embedding")
+        )
+
+    # shard ids live in a high namespace; shard vector i twins corpus
+    # vector i (same direction => same cell, cosine exactly 1.0)
+    shard = spark.range(n_shard).select(
+        (F.col("id") + 10_000_000).alias("vec_id"),
+        vec(F.col("id")).alias("embedding"),
+    )
+
+    for n_corpus in (10_000, 40_000):
+        cents = [
+            [float(x) for x in r[1]]
+            for r in corpus(n_corpus).orderBy("vec_id").limit(16).collect()
+        ]
+        path = str(tmp_path / f"ivf_art_{n_corpus}")
+        save_ann_artifacts(spark, path, centroids=cents)
+        loaded, _ = load_ann_artifacts(spark, path)
+        t0 = time.time()
+        top1 = {
+            r.q_id: r.c_id
+            for r in ivf_topk(
+                corpus(n_corpus), shard, n_cells=16, nprobe=1, k=1,
+                centroids=loaded,
+            ).collect()
+        }
+        elapsed = time.time() - t0
+        assert elapsed < 150, f"ivf soak({n_corpus}) took {elapsed:.0f}s"
+        missed = {
+            q for q, c in top1.items() if c != q - 10_000_000
+        }
+        assert not missed and len(top1) == n_shard, (
+            f"corpus={n_corpus}: {len(missed)} shard vectors missed "
+            f"their planted twin (found {len(top1)}/{n_shard})"
+        )
