@@ -29,6 +29,7 @@ import pandas as pd  # module-level: pandas_udf resolves the (stringified
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from etl_global_mobility_spark.operators.parallelism import driver_rows_df
 from etl_global_mobility_spark.operators.text import tokenize
 
 
@@ -207,9 +208,9 @@ def save_bpe_merges(spark, merges: list[tuple[str, str]], path: str) -> None:
 
     os.makedirs(path, exist_ok=True)
     rows = [(i, l, r) for i, (l, r) in enumerate(merges)]
-    spark.createDataFrame(
-        rows, "rank int, left string, right string"
-    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "merges"))
+    driver_rows_df(
+        spark, rows, "rank int, left string, right string"
+    ).write.mode("overwrite").parquet(os.path.join(path, "merges"))
     with open(os.path.join(path, "_bpe_manifest.json"), "w") as f:
         json.dump({"n_merges": len(merges)}, f)
 

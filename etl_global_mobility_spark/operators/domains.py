@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from etl_global_mobility_spark.operators.parallelism import driver_rows_df
 from etl_global_mobility_spark.operators.text import _bind
 
 #: Multi-label public suffixes the registrable-domain rule recognizes.
@@ -65,9 +66,9 @@ def save_suffix_list(spark, suffixes, path: str) -> None:
     fs = _fs(spark, path)
     fs.mkdirs(path)
     base = path.rstrip("/")
-    spark.createDataFrame(
-        [(s,) for s in entries], "suffix string"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{base}/suffixes")
+    driver_rows_df(
+        spark, [(s,) for s in entries], "suffix string"
+    ).write.mode("overwrite").parquet(f"{base}/suffixes")
     fs.write_text(
         f"{base}/_psl_manifest.json",
         json.dumps({"n_suffixes": len(entries)}),

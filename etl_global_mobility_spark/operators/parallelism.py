@@ -87,3 +87,21 @@ def ensure_grouped_compute_parallelism(
     if target <= 1:
         return df
     return df.repartition(target, *keys)
+
+
+def driver_rows_df(spark, rows: list, schema: str) -> DataFrame:
+    """DataFrame from a SMALL driver-local row list in ONE partition.
+
+    The dual of the fan-out guard above: ``spark.createDataFrame(rows)``
+    slices local data into ``defaultParallelism`` pickle partitions, so
+    the artifact-writer idiom ``createDataFrame(rows).coalesce(1)``
+    makes its single write task consume 32 python partitions
+    SEQUENTIALLY — one python-worker IPC round-trip each (measured on
+    local[32]: ~5 s to write 1024 centroid rows vs 0.4 s from one
+    slice; the cost scales with CORES, not data, so it silently grows
+    with the cluster). One slice from the start is the right shape for
+    KB-sized artifact frames — never use this for corpus data.
+    """
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema
+    )

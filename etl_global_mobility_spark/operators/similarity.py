@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from etl_global_mobility_spark.operators.parallelism import (
     AUTO,
+    driver_rows_df,
     ensure_compute_parallelism,
 )
 
@@ -1016,9 +1017,12 @@ def save_ann_artifacts(
             for cell, vec in enumerate(centroids)
             for pos, v in enumerate(vec)
         ]
-        spark.createDataFrame(rows, "cell int, pos int, v double").coalesce(
-            1
-        ).write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+        # one slice from the start: createDataFrame().coalesce(1) makes
+        # the write task drain defaultParallelism python partitions
+        # sequentially — ~5 s per KB-sized artifact on 32 cores
+        driver_rows_df(spark, rows, "cell int, pos int, v double").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(path, "centroids"))
         manifest["centroids"] = {
             "n_cells": len(centroids),
             "dim": len(centroids[0]),
@@ -1030,11 +1034,9 @@ def save_ann_artifacts(
             for code, vec in enumerate(cents)
             for pos, v in enumerate(vec)
         ]
-        spark.createDataFrame(
-            rows, "subspace int, code int, pos int, v double"
-        ).coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(path, "codebook")
-        )
+        driver_rows_df(
+            spark, rows, "subspace int, code int, pos int, v double"
+        ).write.mode("overwrite").parquet(os.path.join(path, "codebook"))
         manifest["codebook"] = {
             "m": len(codebook),
             "k": len(codebook[0]),
@@ -1323,9 +1325,9 @@ def save_kmeans_centroids(
         for cid, vec in enumerate(centroids)
         for pos, v in enumerate(vec)
     ]
-    spark.createDataFrame(rows, "cid int, pos int, v long").coalesce(
-        1
-    ).write.mode("overwrite").parquet(os.path.join(path, "kmeans_centroids"))
+    driver_rows_df(spark, rows, "cid int, pos int, v long").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(path, "kmeans_centroids"))
     manifest = {
         "kmeans": {
             "k": len(centroids),
