@@ -130,14 +130,28 @@ def release_session_state(
     if drop_sql_cache:
         spark.catalog.clearCache()
     gc.collect()
-    try:
-        deque = spark.sparkContext._gateway._gateway_client.finalizer_deque
-        deadline = time.time() + settle_secs
-        while deque and time.time() < deadline:
-            time.sleep(0.05)
-        time.sleep(0.1)  # grace for the popped-but-not-yet-sent command
-    except AttributeError:
-        # plain JavaGateway (PYSPARK_PIN_THREAD=false) detaches
-        # synchronously on __del__ — no deque to drain
-        pass
+
+    def _drain_detach_queue() -> None:
+        try:
+            deque = spark.sparkContext._gateway._gateway_client.finalizer_deque
+            deadline = time.time() + settle_secs
+            while deque and time.time() < deadline:
+                time.sleep(0.05)
+            time.sleep(0.1)  # grace for the popped-but-not-yet-sent command
+        except AttributeError:
+            # plain JavaGateway (PYSPARK_PIN_THREAD=false) detaches
+            # synchronously on __del__ — no deque to drain
+            pass
+
+    _drain_detach_queue()
+    spark.sparkContext._jvm.System.gc()
+    # SECOND drain + GC cycle: a detach command that the worker popped
+    # after the first System.gc() leaves its Dataset → LogicalRDD →
+    # checkpointed-RDD chain strongly reachable through that whole
+    # cycle, so the last-released query reliably kept ONE block past
+    # the pass (measured round 12: every HEAVY query retained exactly
+    # its final checkpoint RDD, 4-550 KB, and one more System.gc()
+    # cleared it). Weak-ref release chains routinely need two
+    # collections; the extra driver GC costs ~tens of ms on this heap.
+    _drain_detach_queue()
     spark.sparkContext._jvm.System.gc()

@@ -53,9 +53,13 @@ def _stored_rdds(spark):
 def _run(spark, name, sf):
     from etl_global_mobility_spark.corpus import all_queries
 
-    all_queries()[name].fn(spark, sf).write.format("noop").mode(
-        "overwrite"
-    ).save()
+    df = all_queries()[name].fn(spark, sf)
+    df.write.format("noop").mode("overwrite").save()
+    # returned so a caller can HOLD the frame: its plan references the
+    # localCheckpointed RDDs, keeping their blocks alive until the
+    # caller drops it — without a live reference the ContextCleaner may
+    # release them as soon as driver GC runs
+    return df
 
 
 @pytest.mark.slow
@@ -72,8 +76,13 @@ def test_release_session_state_returns_storage_to_zero(spark, sf_smoke):
     while _stored_rdds(spark) and time.time() < deadline:
         time.sleep(0.25)
 
-    for name in HEAVY:
-        _run(spark, name, sf_smoke)
+    # HOLD the result frames while sampling: checkpoint blocks are
+    # only pinned while something references the checkpointed RDDs.
+    # (Before round 12 this assertion passed WITHOUT holding — but
+    # only because the graph family leaked cache entries; with the
+    # leak fixed, an unlucky driver GC between the last run and the
+    # sample could release every block and make this vacuously red.)
+    held = [_run(spark, name, sf_smoke) for name in HEAVY]
     leftover = _stored_rdds(spark)
     assert leftover, (
         "expected checkpoint-heavy queries to retain RDD blocks — if "
@@ -81,6 +90,7 @@ def test_release_session_state_returns_storage_to_zero(spark, sf_smoke):
         "lineage and the hygiene tests are vacuous"
     )
 
+    del held  # drop the only references; hygiene must now release all
     release_session_state(spark)
     deadline = time.time() + 15
     while _stored_rdds(spark) and time.time() < deadline:
