@@ -301,11 +301,24 @@ def _ivf_incremental_sql(n_cells: int = 16, nprobe: int = 2, k: int = 5) -> str:
         "b.embedding", "c.embedding"
     )
     cos_pa = _COS.replace("b.embedding", "p.q_emb")
+    # guarded_sq_norm mirror: the Spark path EXCLUDES degenerate
+    # vectors (NULL, zero norm, NaN/Inf component, magnitude overflow)
+    # from seeds, assignment, and probing — without the same guard
+    # here a planted degenerate row becomes a SQL centroid whose 0/0
+    # cosine is NaN, and DuckDB sorts NaN ABOVE all values in ORDER BY
+    # DESC, so it would win rankings Spark never emits (r12 review;
+    # _cosine_topk_sql defends with NOT isnan(score) the same way)
+    ok = (
+        "isfinite(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) "
+        "AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0"
+    )
     return f"""
     WITH existing AS (
-      SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 <> 0
+      SELECT vec_id, embedding FROM embeddings
+      WHERE vec_id % 10 <> 0 AND {ok}
     ), shard AS (
-      SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 0
+      SELECT vec_id, embedding FROM embeddings
+      WHERE vec_id % 10 = 0 AND {ok}
     ), cents AS (
       SELECT vec_id AS cent_id, embedding FROM existing
       ORDER BY vec_id LIMIT {n_cells}

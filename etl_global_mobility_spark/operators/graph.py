@@ -135,12 +135,6 @@ def label_propagation(
     # coalesced frame leaves the original blocks cached forever
     # (ADVICE r11; measured is_cached=True after the old finally ran).
     und_cached = und
-    n_und = und.count()
-    if n_und < 100_000:  # graph fits one task: skip wide shuffles
-        und = und.coalesce(1)
-    labels = und.select(F.col("src").alias("node")).distinct().withColumn(
-        "label", F.col("node")
-    )
     # Node-count conservation guard (same defect class as
     # dedup_components): every node in the undirected edge list has at
     # least one neighbor, so the top-1-per-node round NEVER shrinks
@@ -157,7 +151,18 @@ def label_propagation(
     # blocks behind; the success path leaked ``und`` too). Safe on the
     # success path because every round's labels are eagerly
     # localCheckpointed — the returned frame no longer reads ``und``.
+    # The first count() sits INSIDE the try: it is exactly the job the
+    # clearCache-race failure mode can kill, and a raise before the
+    # try would skip the unpersist (r12 review).
     try:
+        n_und = und.count()
+        if n_und < 100_000:  # graph fits one task: skip wide shuffles
+            und = und.coalesce(1)
+        labels = (
+            und.select(F.col("src").alias("node"))
+            .distinct()
+            .withColumn("label", F.col("node"))
+        )
         n_nodes = labels.count()
         if n_und > 0 and n_nodes == 0:
             raise RuntimeError(

@@ -126,17 +126,23 @@ def main() -> int:
         # instead of replacing it: `--rebaseline <sf> some_query` used
         # to silently shrink the 250+-query baseline file to the one
         # filtered shape, wiping every other query's pin.
+        out_sf = sf_dir
         if filters and os.path.exists(BASELINE_PATH):
             with open(BASELINE_PATH) as f:
-                kept = [
-                    r
-                    for r in json.load(f)["shapes"]
-                    if not any(flt in r["query"] for flt in filters)
-                ]
+                prev = json.load(f)
+            # drop old pins ONLY for queries successfully recomputed
+            # this run: keying the drop on the filter string would also
+            # delete the pin of a filtered query whose declaration
+            # ERRORED (it is absent from `shapes`), silently removing
+            # it from all future plan-regression diffs
+            recomputed = {r["query"] for r in shapes}
+            kept = [r for r in prev["shapes"] if r["query"] not in recomputed]
             shapes = sorted(kept + shapes, key=lambda r: r["query"])
+            # the unfiltered pins keep the sf_dir they were computed at
+            out_sf = prev.get("sf_dir", sf_dir)
         with open(BASELINE_PATH, "w") as f:
             json.dump(
-                {"sf_dir": sf_dir, "shapes": shapes}, f, indent=1, sort_keys=True
+                {"sf_dir": out_sf, "shapes": shapes}, f, indent=1, sort_keys=True
             )
         print(
             json.dumps(
