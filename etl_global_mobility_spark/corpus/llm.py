@@ -301,24 +301,15 @@ def _ivf_incremental_sql(n_cells: int = 16, nprobe: int = 2, k: int = 5) -> str:
         "b.embedding", "c.embedding"
     )
     cos_pa = _COS.replace("b.embedding", "p.q_emb")
-    # guarded_sq_norm mirror: the Spark path EXCLUDES degenerate
-    # vectors (NULL, zero norm, NaN/Inf component, magnitude overflow)
-    # from seeds, assignment, and probing — without the same guard
-    # here a planted degenerate row becomes a SQL centroid whose 0/0
-    # cosine is NaN, and DuckDB sorts NaN ABOVE all values in ORDER BY
-    # DESC, so it would win rankings Spark never emits (r12 review;
-    # _cosine_topk_sql defends with NOT isnan(score) the same way)
-    ok = (
-        "isfinite(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) "
-        "AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0"
-    )
+    # _EMB_OK mirrors the Spark path's exclusion of degenerate vectors
+    # from seeds, assignment, and probing (r12 review finding)
     return f"""
-    WITH existing AS (
+    WITH existing AS MATERIALIZED (
       SELECT vec_id, embedding FROM embeddings
-      WHERE vec_id % 10 <> 0 AND {ok}
-    ), shard AS (
+      WHERE vec_id % 10 <> 0 AND {_EMB_OK}
+    ), shard AS MATERIALIZED (
       SELECT vec_id, embedding FROM embeddings
-      WHERE vec_id % 10 = 0 AND {ok}
+      WHERE vec_id % 10 = 0 AND {_EMB_OK}
     ), cents AS (
       SELECT vec_id AS cent_id, embedding FROM existing
       ORDER BY vec_id LIMIT {n_cells}
@@ -1914,12 +1905,40 @@ _COS = (
     "sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))"
 )
 
+#: DuckDB mirror of operators/similarity.py guarded_sq_norm: TRUE only
+#: for vectors the Spark QUANTIZER family admits (finite squared norm,
+#: strictly positive — excludes NULL, zero, NaN/Inf components, and
+#: magnitude overflow). The IVF/SemDeDup mirrors filter their base
+#: relation with this, because DuckDB sorts/compares NaN ABOVE all
+#: values, so an unguarded degenerate row WINS rankings and PASSES
+#: >= thresholds that Spark's guarded plans never emit. Built on the
+#: LAMBDA list functions, not list_dot_product: DuckDB's
+#: list_inner_product validates the whole 2048-row batch's child
+#: buffer and RAISES if ANY row in the batch is a NULL list — even a
+#: filtered-out one — while list_transform/list_sum respect per-row
+#: validity (NULL list → NULL → WHERE drops it). The squared-norm
+#: value is identical (sequential fold of x*x).
+#: (The cosine/LSH mirrors deliberately do NOT use this: their Spark
+#: operators keep overflow vectors — scoring them 0 via dot/inf — and
+#: exclude degenerates by NaN-score filtering instead; those mirrors
+#: need only the NULL prefilter + NOT isnan(score).)
+_EMB_OK = (
+    "isfinite(list_sum(list_transform(embedding::DOUBLE[], x -> x*x))) "
+    "AND list_sum(list_transform(embedding::DOUBLE[], x -> x*x)) > 0"
+)
+
 
 def _cosine_topk_sql(k: int = 5, n_queries: int = 8) -> str:
+    # NULL prefilter only (NOT _EMB_OK): cosine_topk_exact keeps e.g.
+    # overflow vectors (scored dot/inf = 0) and excludes degenerates by
+    # NaN-score filtering; DuckDB's list_dot_product would RAISE over a
+    # NULL list, and 0/0 is NULL here (dropped by NOT isnan's NULL)
     return f"""
-    WITH scored AS (
+    WITH nn AS MATERIALIZED (
+      SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL
+    ), scored AS (
       SELECT b.vec_id AS q_id, a.vec_id AS c_id, {_COS} AS score
-      FROM embeddings a, embeddings b
+      FROM nn a, nn b
       WHERE b.vec_id < {n_queries} AND a.vec_id <> b.vec_id
     ), ranked AS (
       SELECT q_id, c_id, score,
@@ -1937,9 +1956,11 @@ def _hard_negative_sql(
     (same NaN exclusion as _cosine_topk_sql) label-joined, different-
     label rows re-ranked by similarity rank."""
     return f"""
-    WITH scored AS (
+    WITH nn AS MATERIALIZED (
+      SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL
+    ), scored AS (
       SELECT b.vec_id AS q_id, a.vec_id AS c_id, {_COS} AS score
-      FROM embeddings a, embeddings b
+      FROM nn a, nn b
       WHERE b.vec_id < {n_queries} AND a.vec_id <> b.vec_id
     ), ranked AS (
       SELECT q_id, c_id, score,
@@ -2047,14 +2068,20 @@ def _lsh_ann_sql(dim: int = 64, n_planes: int = 6, k: int = 5, n_queries: int = 
             f"THEN {1 << i} ELSE 0 END)"
         )
     bucket = " + ".join(terms)
+    # NULL prefilter + NaN-score exclusion, mirroring
+    # lsh_ann_candidates: zero-norm pairs are NULL here (DuckDB x/0),
+    # NaN-component pairs are NaN — Spark filters ~isnan on its
+    # guarded score, and an unfiltered NaN would rank FIRST descending
     return f"""
-    WITH bucketed AS (
-      SELECT vec_id, embedding, CAST({bucket} AS BIGINT) AS bucket FROM embeddings
+    WITH nn AS MATERIALIZED (
+      SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL
+    ), bucketed AS (
+      SELECT vec_id, embedding, CAST({bucket} AS BIGINT) AS bucket FROM nn
     ), scored AS (
       SELECT b.vec_id AS q_id, a.vec_id AS c_id, {_COS} AS score
       FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket
       WHERE b.vec_id < {n_queries} AND a.vec_id <> b.vec_id
-        AND ({_COS}) IS NOT NULL
+        AND ({_COS}) IS NOT NULL AND NOT isnan({_COS})
     ), ranked AS (
       SELECT q_id, c_id, score,
              row_number() OVER (PARTITION BY q_id ORDER BY score DESC, c_id) AS rank
@@ -2068,21 +2095,23 @@ def _ivf_ann_sql(n_cells: int = 16, nprobe: int = 2, k: int = 5, n_queries: int 
     cos_ec = _COS.replace("a.embedding", "e.embedding").replace("b.embedding", "c.embedding")
     cos_pa = _COS.replace("b.embedding", "p.q_emb")
     return f"""
-    WITH cents AS (
-      SELECT vec_id AS cent_id, embedding FROM embeddings ORDER BY vec_id LIMIT {n_cells}
+    WITH clean AS MATERIALIZED (
+      SELECT vec_id, embedding FROM embeddings WHERE {_EMB_OK}
+    ), cents AS (
+      SELECT vec_id AS cent_id, embedding FROM clean ORDER BY vec_id LIMIT {n_cells}
     ), assign AS (
       SELECT vec_id, embedding, cent_id FROM (
         SELECT e.vec_id, e.embedding, c.cent_id,
                row_number() OVER (PARTITION BY e.vec_id
                                   ORDER BY {cos_ec} DESC, c.cent_id) AS rn
-        FROM embeddings e CROSS JOIN cents c
+        FROM clean e CROSS JOIN cents c
       ) WHERE rn = 1
     ), probe AS (
       SELECT vec_id AS q_id, embedding AS q_emb, cent_id AS cell FROM (
         SELECT e.vec_id, e.embedding, c.cent_id,
                row_number() OVER (PARTITION BY e.vec_id
                                   ORDER BY {cos_ec} DESC, c.cent_id) AS rn
-        FROM embeddings e CROSS JOIN cents c WHERE e.vec_id < {n_queries}
+        FROM clean e CROSS JOIN cents c WHERE e.vec_id < {n_queries}
       ) WHERE rn <= {nprobe}
     ), scored AS (
       SELECT p.q_id, a.vec_id AS c_id, {cos_pa} AS score
@@ -2109,8 +2138,9 @@ def _embedding_neardup_sql(dim: int = 64, n_planes: int = 4, thr: float = 0.3) -
     bucket = " + ".join(terms)
     cos = _COS.replace("a.embedding", "x.embedding").replace("b.embedding", "y.embedding")
     return f"""
-    WITH bucketed AS (
-      SELECT vec_id, embedding, CAST({bucket} AS BIGINT) AS bucket FROM embeddings
+    WITH bucketed AS MATERIALIZED (
+      SELECT vec_id, embedding, CAST({bucket} AS BIGINT) AS bucket
+      FROM embeddings WHERE {_EMB_OK}
     )
     SELECT x.vec_id AS id_a, y.vec_id AS id_b, {cos} AS cos
     FROM bucketed x JOIN bucketed y
@@ -2132,14 +2162,16 @@ def _semantic_dedup_sql(n_cells: int = 16, thr: float = 0.5) -> str:
         "b.embedding", "y.embedding"
     )
     return f"""
-    WITH cents AS (
-      SELECT vec_id AS cent_id, embedding FROM embeddings ORDER BY vec_id LIMIT {n_cells}
+    WITH clean AS MATERIALIZED (
+      SELECT vec_id, embedding FROM embeddings WHERE {_EMB_OK}
+    ), cents AS (
+      SELECT vec_id AS cent_id, embedding FROM clean ORDER BY vec_id LIMIT {n_cells}
     ), assign AS (
       SELECT vec_id, embedding, cent_id AS cell FROM (
         SELECT e.vec_id, e.embedding, c.cent_id,
                row_number() OVER (PARTITION BY e.vec_id
                                   ORDER BY {cos_ec} DESC, c.cent_id) AS rn
-        FROM embeddings e CROSS JOIN cents c
+        FROM clean e CROSS JOIN cents c
       ) WHERE rn = 1
     ), pairs AS (
       SELECT x.vec_id AS id, x.cell, y.vec_id AS dup_of, {cos_ab} AS cos
@@ -2157,9 +2189,12 @@ def _semantic_dedup_sql(n_cells: int = 16, thr: float = 0.5) -> str:
 
 def _knn_vote_sql(n_queries: int = 8, k: int = 10) -> str:
     return f"""
-    WITH scored AS (
+    WITH nn AS MATERIALIZED (
+      SELECT vec_id, embedding, label FROM embeddings
+      WHERE embedding IS NOT NULL
+    ), scored AS (
       SELECT b.vec_id AS q_id, a.vec_id AS c_id, a.label, {_COS} AS score
-      FROM embeddings a, embeddings b
+      FROM nn a, nn b
       WHERE b.vec_id < {n_queries} AND a.vec_id <> b.vec_id
     ), ranked AS (
       SELECT q_id, c_id, label,
