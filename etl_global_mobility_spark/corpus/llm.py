@@ -38,7 +38,7 @@ from etl_global_mobility_spark.operators.text import (
 
 # ------------------------------------------------ shared SQL fragments ----
 # DuckDB mirror of operators.text.tokenize
-TOKS = "list_filter(string_split_regex(lower(trim(text)), '\\s+'), x -> len(x) > 0)"
+TOKS = "list_filter(string_split_regex(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+'), x -> len(x) > 0)"
 
 
 def _shingles_sql(k: int = 3) -> str:
@@ -1164,7 +1164,7 @@ def q_sentence_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _sentence_chunks_sql(budget: int = 48) -> str:
     sent_toks = (
-        "list_filter(string_split_regex(lower(trim(sentence)), '\\s+'), "
+        "list_filter(string_split_regex(lower(trim(sentence)), '[ \\t\\n\\x0b\\f\\r]+'), "
         "x -> len(x) > 0)"
     )
     return f"""
@@ -1176,7 +1176,7 @@ def _sentence_chunks_sql(budget: int = 48) -> str:
       FROM documents
     ), m AS (
       SELECT doc_id,
-             string_split(regexp_replace(text, '([.!?]+)\\s+', '\\1' || chr(1), 'g'),
+             string_split(regexp_replace(text, '([.!?]+)[ \\t\\n\\x0b\\f\\r]+', '\\1' || chr(1), 'g'),
                           chr(1)) AS parts
       FROM punct
     ), raw AS (
@@ -1737,10 +1737,13 @@ def _salient_terms_sql(top_k: int = 5) -> str:
 def _language_id_sql() -> str:
     from etl_global_mobility_spark.operators.text import STOPWORDS
 
+    # coalesce mirrors Spark: NULL text scores 0 hits everywhere →
+    # 'und' (without it every CASE condition is NULL and the row
+    # falls through to the ELSE language — measured on hostile input)
     hits = {
         lang: (
-            f"len(list_filter({TOKS}, t -> list_contains("
-            f"[{', '.join(repr(w) for w in words)}], t)))"
+            f"coalesce(len(list_filter({TOKS}, t -> list_contains("
+            f"[{', '.join(repr(w) for w in words)}], t))), 0)"
         )
         for lang, words in STOPWORDS.items()
     }
@@ -2906,7 +2909,7 @@ def q_sft_chat_format(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _sft_chat_format_sql() -> str:
     def tc(expr: str) -> str:
         toks = (
-            f"list_filter(string_split_regex(lower(trim({expr})), '\\s+'), "
+            f"list_filter(string_split_regex(lower(trim({expr})), '[ \\t\\n\\x0b\\f\\r]+'), "
             "x -> len(x) > 0)"
         )
         return f"CAST(len({toks}) AS INT)"
@@ -4630,7 +4633,10 @@ SPECS = [
     QuerySpec(
         "llm_fingerprint",
         q_fingerprint,
-        f"SELECT doc_id, substr(md5(array_to_string({TOKS}, ' ')), 1, 16) AS fp "
+        # coalesce mirrors Spark's concat_ws: a NULL token array joins
+        # to '' (fp of no content = md5('')), never a NULL fp
+        f"SELECT doc_id, "
+        f"substr(md5(coalesce(array_to_string({TOKS}, ' '), '')), 1, 16) AS fp "
         "FROM documents",
         doc="md5 document fingerprint of normalized tokens",
     ),
@@ -4640,7 +4646,9 @@ SPECS = [
         f"""SELECT doc_id,
               len(text) AS n_chars_calc,
               len({TOKS}) AS n_tokens,
-              CAST(list_sum(list_transform({TOKS}, t -> len(t))) AS DOUBLE)
+              CAST(CASE WHEN {TOKS} IS NULL THEN NULL
+                        ELSE coalesce(list_sum(list_transform({TOKS}, t -> len(t))), 0)
+                   END AS DOUBLE)
                 / greatest(len({TOKS}), 1) AS avg_token_len,
               CAST(len(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
                 / greatest(len(text), 1) AS punct_ratio,

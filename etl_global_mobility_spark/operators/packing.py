@@ -137,7 +137,11 @@ def sentence_chunks(
     if budget <= 0:
         raise ValueError(f"budget must be positive: {budget}")
     mark = "\x01"
-    marked = F.regexp_replace(F.col(text_col), r"([.!?]+)\s+", "$1" + mark)
+    # explicit whitespace class — Java \s has \x0B, RE2's does not
+    # (see operators.text.WS_CLASS_RE); identical Java semantics
+    marked = F.regexp_replace(
+        F.col(text_col), r"([.!?]+)[ \t\n\x0b\f\r]+", "$1" + mark
+    )
     sents = F.filter(
         F.split(marked, mark), lambda s: F.length(F.trim(s)) > 0
     )

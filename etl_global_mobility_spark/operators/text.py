@@ -21,12 +21,24 @@ STOPWORDS = {
 }
 
 
+#: The tokenizer's whitespace class, spelled EXPLICITLY because the
+#: two engines' \s disagree: Java regex \s == [ \t\n\x0B\f\r] while
+#: RE2 (DuckDB) \s lacks \x0B (vertical tab) — under '\s+' the two
+#: engines tokenize "a\x0bb" differently and every downstream hash
+#: (fingerprint, feature-hash buckets, stopword ratios) silently
+#: diverges (round-12 two-engine hostile parity suite). This spelling
+#: is byte-identical semantics in BOTH engines; the DuckDB mirrors
+#: (corpus/llm.py TOKS) embed the same class.
+WS_CLASS_RE = r"[ \t\n\x0b\f\r]+"
+
+
 def tokenize(text: str | Column) -> Column:
     """Whitespace tokenization with lowercase normalization; empty
-    strings removed (split on runs of whitespace)."""
+    strings removed (split on runs of whitespace — the portable
+    :data:`WS_CLASS_RE` class, see its note)."""
     col = F.col(text) if isinstance(text, str) else text
     return F.filter(
-        F.split(F.lower(F.trim(col)), r"\s+"), lambda t: F.length(t) > 0
+        F.split(F.lower(F.trim(col)), WS_CLASS_RE), lambda t: F.length(t) > 0
     )
 
 

@@ -82,3 +82,95 @@ def test_vector_oracles_match_spark_on_degenerate_input(
             assert np.array_equal(sv, ov, equal_nan=True), f"{name}.{c}"
         else:
             assert (sv == ov).all(), f"{name}.{c}"
+
+
+# ----------------------------------------------------------- text family
+
+TEXT_QUERIES = [
+    "llm_normalize_text",
+    "llm_fingerprint",
+    "llm_text_stats",
+    "llm_language_id",
+    "llm_quality_score",
+    "llm_feature_hash",
+]
+
+
+@pytest.fixture(scope="module")
+def hostile_docs_sf(spark, tmp_path_factory):
+    """A documents table of regex/Unicode edge cases: NULL and empty
+    text, control characters, exotic Unicode whitespace, emoji + CJK +
+    RTL scripts, combining marks, a 10k-char single token, digits/
+    punctuation-only rows — the inputs where Java regex (Spark) and
+    RE2-style regex (DuckDB) are most likely to diverge."""
+    sf = str(tmp_path_factory.mktemp("hostile_docs"))
+    texts = [
+        None,
+        "",
+        "   ",
+        "plain english text with several common stopwords in it",
+        "the and is of to in that it was for on are with as his they",
+        "tab\there\nnewline\rcarriage\x0bvtab\x0cformfeed",
+        "control\x00null\x01soh\x1funit",
+        "exotic      whitespace nbsp",
+        "emoji \U0001F600\U0001F680 and flags \U0001F1EA\U0001F1E8 inline",
+        "中文文本混合 mixed with english words",
+        "مرحبا rtl arabic שלום hebrew",
+        "combining áéí marks",
+        "x" * 10_000,
+        "1234567890 9876543210 000",
+        "!!! ??? ... ;;; ::: ,,,",
+        "MiXeD CaSe TeXt WiTh OdDs",
+        "repeated repeated repeated repeated repeated",
+        "quotes \"double\" 'single' `back` “curly”",
+        "url http://example.com/path?q=1&r=2 inline",
+        "unicode math ∑∏√∞ symbols",
+    ]
+    rows = [
+        (i, t, ["en", "es", "und"][i % 3], ["web", "book"][i % 2],
+         len(t) if t is not None else None)
+        for i, t in enumerate(texts)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(os.path.join(sf, "documents.parquet"))
+    return sf
+
+
+@pytest.mark.parametrize("name", TEXT_QUERIES)
+def test_text_oracles_match_spark_on_hostile_unicode(
+    spark, hostile_docs_sf, name
+):
+    import duckdb
+    import pandas as pd
+
+    from etl_global_mobility_spark.corpus import all_queries
+
+    spec = all_queries()[name]
+    sdf = spec.fn(spark, hostile_docs_sf).toPandas()
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{hostile_docs_sf}/documents.parquet/*.parquet')"
+    )
+    odf = con.execute(spec.oracle).df()
+
+    cols = sorted(sdf.columns)
+    assert cols == sorted(odf.columns), (name, cols, sorted(odf.columns))
+    s = sdf[cols].sort_values(cols).reset_index(drop=True)
+    o = odf[cols].sort_values(cols).reset_index(drop=True)
+    assert len(s) == len(o), (
+        f"{name}: Spark {len(s)} rows vs oracle {len(o)}"
+    )
+    for c in cols:
+        sv, ov = s[c].to_numpy(), o[c].to_numpy()
+        if np.issubdtype(sv.dtype, np.floating):
+            assert np.array_equal(sv, ov, equal_nan=True), f"{name}.{c}"
+        else:
+            mism = [
+                (i, a, b)
+                for i, (a, b) in enumerate(zip(sv.tolist(), ov.tolist()))
+                if (a != b and not (pd.isna(a) and pd.isna(b)))
+            ]
+            assert not mism, f"{name}.{c}: {mism[:3]}"
