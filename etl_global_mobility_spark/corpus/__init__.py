@@ -61,29 +61,43 @@ green driver row, and no query's evidence gets stale:
   green — every oracle-backed query registered through round 10
   holds a green driver row);
 
-* round 12 (this window) takes the 2 remaining r6-only rows —
+* round 12 took the 2 remaining r6-only rows —
   ``stream_static_join`` and ``udf_udtf_table_arg``, at their hard
-  staleness deadline this round (they led ``RESERVED_NEXT_WINDOW``
+  staleness deadline that round (they led ``RESERVED_NEXT_WINDOW``
   through the round-11 close, as planned) — then the 3 round-11
   additions from SCHEDULED_NEXT_WINDOW, the 43 alphabetically-first
   of the 48 rows whose newest green row is CORRECTNESS_r07, and the
-  2 standing canaries: 2 + 3 + 43 + 2 = 50.
+  2 standing canaries: 2 + 3 + 43 + 2 = 50 (CORRECTNESS_r12: 50/50
+  green — every oracle-backed query registered through round 11
+  holds a green driver row);
 
-ROUND-13 PLAN (reserve now so window arithmetic stays provable): the
-5 remaining r7-only rows — ``rel_tpch_q8_market_share``,
-``rel_tpch_q9_product_profit``, ``stream_neardup_dedup``,
-``stream_windowed_topk``, ``udf_sql_function``, alphabetically last
-of the 48 — hit their hard staleness deadline at round 13, so they
-LEAD the round-13 window (pinned in ``RESERVED_NEXT_WINDOW`` below:
-the staleness alarm tolerates them for exactly one round while
-rotation is still impossible — i.e. the closed round-12 HEAD stays
-green once CORRECTNESS_r12 lands — and still trips if round 13 skips
-the rotation); the 2 round-12 additions in SCHEDULED_NEXT_WINDOW
-(``llm_ivf_incremental``, ``llm_retrieval_ndcg``) follow; the rest
-of that window drains 41 of the 48 r8-stale rows (stale-bound at
-round 14), with the remaining 7 leading round 14 via the same
-RESERVED_NEXT_WINDOW mechanism — the invariant tests enforce the
-staleness arithmetic rather than this comment.
+* round 13 (this window) takes the 5 remaining r7-only rows —
+  ``rel_tpch_q8_market_share``, ``rel_tpch_q9_product_profit``,
+  ``stream_neardup_dedup``, ``stream_windowed_topk``,
+  ``udf_sql_function``, at their hard staleness deadline this round
+  (they led ``RESERVED_NEXT_WINDOW`` through the round-12 close, as
+  planned) — then the 2 round-12 additions from
+  SCHEDULED_NEXT_WINDOW (``llm_ivf_incremental``,
+  ``llm_retrieval_ndcg``, their FIRST driver rows), the 41
+  alphabetically-first of the 48 rows whose newest green row is
+  CORRECTNESS_r08 (stale-bound at round 14), and the 2 standing
+  canaries: 5 + 2 + 41 + 2 = 50.
+
+ROUND-14 PLAN (reserve now so window arithmetic stays provable): the
+7 remaining r8-only rows — ``stream_stream_join``,
+``stream_tumbling_counts``, ``udf_map_in_arrow``,
+``udf_pandas_grouped_agg``, ``udf_pandas_grouped_map``,
+``udf_pandas_scalar``, ``udf_python_udtf``, alphabetically last of
+the 48 — hit their hard staleness deadline at round 14, so they LEAD
+the round-14 window (pinned in ``RESERVED_NEXT_WINDOW`` below: the
+staleness alarm tolerates them for exactly one round while rotation
+is still impossible — i.e. the closed round-13 HEAD stays green once
+CORRECTNESS_r13 lands — and still trips if round 14 skips the
+rotation); any round-13 additions in SCHEDULED_NEXT_WINDOW follow;
+the rest of that window drains the 48 r9-stale rows (stale-bound at
+round 15) as far as it reaches, with any remainder leading round 15
+via the same RESERVED_NEXT_WINDOW mechanism — the invariant tests
+enforce the staleness arithmetic rather than this comment.
 
 ``DRIVER_GREEN_PAST_ROUNDS`` records which queries already hold a
 green row (union of all CORRECTNESS_r0N files); those may sit past the
@@ -100,74 +114,74 @@ from __future__ import annotations
 
 from etl_global_mobility_spark.corpus.base import QuerySpec, load_table
 
-#: First 50 registered names — the driver's round-12 correctness window.
+#: First 50 registered names — the driver's round-13 correctness window.
 DRIVER_WINDOW = (
-    # the 2 remaining r6-only rows, at their HARD staleness deadline
-    # this round (trip condition current_round - latest > 5) — they
-    # led RESERVED_NEXT_WINDOW through the round-11 close; now they
+    # the 5 remaining r7-only rows, at their HARD staleness deadline
+    # this round (trip condition current_round - latest > 6) — they
+    # led RESERVED_NEXT_WINDOW through the round-12 close; now they
     # lead the window itself
-    "stream_static_join",
-    "udf_udtf_table_arg",
-    # the 3 round-11 additions (SCHEDULED_NEXT_WINDOW last round) —
-    # first driver rows for the fused multimodal curation pipeline
-    # and the two iterative-convergence dials
-    "llm_e2e_multimodal_curation",
-    "llm_labelprop_convergence",
-    "rel_pagerank_convergence",
-    # the 43 alphabetically-first of the 48 rows whose newest green
-    # row is CORRECTNESS_r07 — they hit the corpus-scaled staleness
-    # bound at round 13 (the 5 alphabetically last lead the round-13
+    "rel_tpch_q8_market_share",
+    "rel_tpch_q9_product_profit",
+    "stream_neardup_dedup",
+    "stream_windowed_topk",
+    "udf_sql_function",
+    # the 2 round-12 additions (SCHEDULED_NEXT_WINDOW last round) —
+    # first driver rows for incremental IVF ingest through the
+    # persisted quantizer and rank-aware retrieval evaluation
+    "llm_ivf_incremental",
+    "llm_retrieval_ndcg",
+    # the 41 alphabetically-first of the 48 rows whose newest green
+    # row is CORRECTNESS_r08 — they hit the corpus-scaled staleness
+    # bound at round 14 (the 7 alphabetically last lead the round-14
     # window at their own deadline — see RESERVED_NEXT_WINDOW)
-    "llm_ann_recall_report",
-    "llm_cdc_chunks",
-    "llm_cdc_dup_passages",
-    "llm_cross_source_dups",
-    "llm_dedup_cluster_stats",
-    "llm_dsir_resample",
-    "llm_epoch_plan",
-    "llm_fim_transform",
-    "llm_group_advantage",
-    "llm_hard_negative_mining",
-    "llm_incremental_neardup",
-    "llm_kmeans_refine",
-    "llm_length_bucket_batching",
-    "llm_minhash_verified",
-    "llm_normalize_text",
-    "llm_quality_classifier_trained",
-    "llm_quality_prune",
-    "llm_rejection_sample",
-    "llm_sft_chat_format",
-    "llm_span_corruption",
-    "llm_token_budget_sample",
-    "llm_unigram_rarity",
-    "llm_weighted_sample",
-    "llm_winnowing_fingerprint",
-    "llm_winnowing_neardup",
-    "rel_mad_outliers",
-    "rel_skew_report",
-    "rel_tpch_q10_returned_items",
-    "rel_tpch_q11_important_parts",
-    "rel_tpch_q12_late_shipments",
-    "rel_tpch_q14_promo_effect",
-    "rel_tpch_q15_top_supplier",
-    "rel_tpch_q16_supplier_cnt",
-    "rel_tpch_q17_small_quantity",
-    "rel_tpch_q19_disjunctive",
-    "rel_tpch_q20_small_part_suppliers",
-    "rel_tpch_q21_waiting_suppliers",
-    "rel_tpch_q22_global_sales",
-    "rel_tpch_q2_min_cost",
-    "rel_tpch_q4_order_priority",
-    "rel_tpch_q5_local_supplier",
-    "rel_tpch_q6_forecast_revenue",
-    "rel_tpch_q7_volume_shipping",
+    "llm_dedup_keep_best",
+    "llm_domain_blocklist",
+    "llm_domain_cap_report",
+    "llm_domain_extract",
+    "llm_e2e_curation",
+    "llm_e2e_web_curation",
+    "llm_event_sequences",
+    "llm_int8_quantize",
+    "llm_k_anonymity",
+    "llm_k_suppress",
+    "llm_keyword_tag",
+    "llm_knn_label_vote",
+    "llm_lang_profile",
+    "llm_per_source_cap",
+    "llm_pii_redact",
+    "llm_pmi_collocations",
+    "llm_quality_score",
+    "llm_repetition_signals",
+    "llm_split_leakage",
+    "llm_stratified_sample",
+    "llm_strip_boilerplate",
+    "llm_text_stats",
+    "llm_token_fertility",
+    "llm_url_dedup",
+    "llm_vocab_oov",
+    "parity_catalog_table_scan",
+    "parity_csv_scan",
+    "parity_quality_reasons",
+    "rel_agg_pricing_summary",
+    "rel_collect_sorted_lists",
+    "rel_hof_arrays",
+    "rel_join_revenue_by_nation",
+    "rel_json_events",
+    "rel_merge_upsert",
+    "rel_set_ops",
+    "rel_source_avro",
+    "rel_source_text_wholetext",
+    "rel_window_range_frame",
+    "stream_dedup_keys",
+    "stream_session_windows",
+    "stream_stateful_profile",
     # standing canaries (green every round since r2/r3) for
     # cross-round regression signal — one parity + one llm
     "parity_derived_all",
     "llm_exact_dedup",
 )
 
-#: Queries holding a green driver row in CORRECTNESS_r02…r11 —
+#: Queries holding a green driver row in CORRECTNESS_r02…r12 —
 #: allowed past the window (their evidence is already recorded; the
 #: local gate still re-verifies them every round). Regenerated each
 #: round as the union of green rows across all CORRECTNESS_r0N.json.
@@ -186,7 +200,7 @@ DRIVER_GREEN_PAST_ROUNDS = frozenset(
         "llm_domain_blocklist", "llm_domain_cap_report",
         "llm_domain_extract", "llm_dsir_resample",
         "llm_dup_ngram_spans", "llm_dup_spans_within",
-        "llm_e2e_curation",
+        "llm_e2e_curation", "llm_e2e_multimodal_curation",
         "llm_e2e_training_examples", "llm_e2e_web_curation",
         "llm_embedding_neardup", "llm_epoch_plan",
         "llm_event_sequences", "llm_exact_dedup",
@@ -197,7 +211,8 @@ DRIVER_GREEN_PAST_ROUNDS = frozenset(
         "llm_incremental_neardup", "llm_int8_quantize",
         "llm_ivf_ann", "llm_k_anonymity", "llm_k_suppress",
         "llm_keyword_tag", "llm_kmeans_refine",
-        "llm_knn_label_vote", "llm_lang_profile", "llm_language_id",
+        "llm_knn_label_vote", "llm_labelprop_convergence",
+        "llm_lang_profile", "llm_language_id",
         "llm_length_bucket_batching", "llm_lsh_ann",
         "llm_minhash_neardup", "llm_minhash_verified",
         "llm_mix_sources", "llm_mmr_rerank",
@@ -247,6 +262,7 @@ DRIVER_GREEN_PAST_ROUNDS = frozenset(
         "rel_mask_redaction", "rel_median_disc", "rel_merge_upsert",
         "rel_moving_window_sum", "rel_null_aware_anti_join",
         "rel_null_safe_join", "rel_ohlc_downsample", "rel_pagerank",
+        "rel_pagerank_convergence",
         "rel_percentiles_exact", "rel_pivot_linestatus",
         "rel_range_join_buckets", "rel_ratio_to_report",
         "rel_recursive_chain", "rel_resample_ffill",
@@ -304,30 +320,31 @@ DRIVER_GREEN_PAST_ROUNDS = frozenset(
 #: additions are appended here as they are registered (see the
 #: ROUND-13 PLAN arithmetic in the module docstring).
 SCHEDULED_NEXT_WINDOW: frozenset[str] = frozenset(
-    {
-        # round-12 additions (oracle-backed; the cap is 2 — the
-        # round-13 window must still fit 5 reserved + 2 canaries +
-        # 41 of the 48 r8-stale rows, the remaining 7 leading round
-        # 14 via RESERVED_NEXT_WINDOW)
-        "llm_ivf_incremental",
-        "llm_retrieval_ndcg",
-    }
+    # round-13 additions (oracle-backed) are appended here as they
+    # are registered; the round-14 window must still fit the 7
+    # reserved r8-stale rows + 2 canaries, so the budget for
+    # additions is 50 - 7 - 2 = 41 minus however many r9-stale rows
+    # round 14 drains (round 14 needs to drain all 48 by round 15's
+    # bound, so keep additions ≤ 2 as in prior rounds).
+    set()
 )
 
 #: Queries whose existing driver evidence reaches its hard staleness
 #: deadline NEXT round — reserved to LEAD the next rotation (see the
-#: ROUND-12 PLAN paragraph). The staleness invariant tolerates these
+#: ROUND-14 PLAN paragraph). The staleness invariant tolerates these
 #: for EXACTLY ONE round past the bound: once the driver drops this
 #: round's CORRECTNESS file, rotating the frozen window is impossible
 #: until next round opens, so without the reserve the closed round's
 #: HEAD would be permanently red. If the next rotation skips them the
 #: alarm still trips (tests/test_corpus_oracle.py pins both sides).
 RESERVED_NEXT_WINDOW: tuple[str, ...] = (
-    "rel_tpch_q8_market_share",
-    "rel_tpch_q9_product_profit",
-    "stream_neardup_dedup",
-    "stream_windowed_topk",
-    "udf_sql_function",
+    "stream_stream_join",
+    "stream_tumbling_counts",
+    "udf_map_in_arrow",
+    "udf_pandas_grouped_agg",
+    "udf_pandas_grouped_map",
+    "udf_pandas_scalar",
+    "udf_python_udtf",
 )
 
 
