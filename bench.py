@@ -143,9 +143,15 @@ def main() -> None:
     # inherit the degraded pool measure the environment, not the plan.
     # A genuine plan regression survives a warm pool just the same.
     _, baseline = _load_baseline() if abs(sf - 0.1) < 1e-9 else ("none", {})
+    # Mid-run flagging divides out the host band measured at suite
+    # START (cal_end doesn't exist yet) — same clamp as the final gate,
+    # so a slow host window doesn't burn min-of-4 retries on every
+    # ~1.5x query.
+    mid_factor = _ratchet_host_factor(cal_start)
     flagged = [
         n for n in headline
-        if baseline.get(n) and times[n] > 2.0 * baseline[n] + 0.5
+        if baseline.get(n)
+        and times[n] / mid_factor > 2.0 * baseline[n] + 0.5
     ]
     if flagged:
         release_session_state(spark)
@@ -208,7 +214,7 @@ def main() -> None:
     # Regression gate AFTER the JSON line (the driver parses stdout's
     # single line either way): exit nonzero so a >2x per-query
     # regression fails loudly instead of shipping silently.
-    regressed = _check_regressions(times, sf)
+    regressed = _check_regressions(times, sf, _ratchet_host_factor(cal_sec))
     # Persist the full map as a CANDIDATE, never directly as the
     # baseline: if every green run rewrote BENCH_FULL_LATEST.json,
     # each sub-2x regression would rebase the gate and compound
@@ -304,8 +310,10 @@ def _baseline_calibration() -> float | None:
             )
         ) as f:
             v = json.load(f).get("calibration_sec")
+        if not isinstance(v, (int, float)) or isinstance(v, bool):
+            return None  # absent or non-numeric JSON type
         return float(v) if v else None
-    except (OSError, ValueError):
+    except (OSError, ValueError, TypeError, KeyError):
         return None
 
 
@@ -443,69 +451,51 @@ def _load_baseline() -> tuple[str, dict[str, float]]:
 #: the query is back under the full gate — a forgotten entry cannot
 #: mask a future genuine regression. Each carries the investigation
 #: that earned the exemption.
-KNOWN_BASELINE_ARTIFACTS = {
-    # r5 recorded 0.971s because duplicated_ngram_spans leaked its
-    # persist()ed gram frame: best-of-2's SECOND run hit the still-
-    # cached plan (CacheManager matches by analyzed plan, not object).
-    # Round 6 fixed the leak (localCheckpoint, ADVICE r5) and fanned
-    # the md5 hot path across cores; the honest steady-state cost is
-    # ~5s at sf0.1 (measured persist-vs-checkpoint A/B: identical).
-    # The 0.971s figure is unreachable without reintroducing the leak.
-    "llm_dup_ngram_spans": {
-        "only_vs": "r5",
-        "reason": "r5 baseline measured a leaked-cache rerun",
-    },
-    # The same defect class, found the same way, one family over: the
-    # graph-family operators unpersisted a coalesce(1)-REBOUND plan,
-    # which the cache manager doesn't sameResult-match, so the
-    # persisted edge/pair frames leaked — and best-of-2's second run
-    # (plus every LATER family query building the same frames) hit the
-    # still-cached plan. Round-12 interleaved worktree A/B, sf0.1:
-    # pre-fix run2 = 2.05 / 1.83 / 2.13 s with the cache NON-EMPTY
-    # after (the leak, live) — matching these baselines; post-fix
-    # run2 = 7.0 / 6.1 / 7.1 s with the cache EMPTY after. The old
-    # numbers are unreachable without reintroducing the leak. Expires
-    # at the round-12 promotion (labels rotate to full-latest@<hash>).
-    "llm_dedup_components": {
-        "only_vs": "full-latest",
-        "reason": "r11 baseline measured a leaked-cache rerun "
-        "(coalesce-rebound unpersist, fixed round 12)",
-    },
-    "llm_community_labelprop": {
-        "only_vs": "full-latest",
-        "reason": "r11 baseline measured a leaked-cache rerun "
-        "(coalesce-rebound unpersist, fixed round 12)",
-    },
-    "llm_dedup_keep_best": {
-        "only_vs": "full-latest",
-        "reason": "r11 baseline measured cross-query reuse of the "
-        "leaked graph-family frames (fixed round 12)",
-    },
-    # same A/B protocol, sf0.1: pre-fix run2 = 3.25 s (labelprop_
-    # convergence) / 2.52 s (dedup_cluster_stats) with the cache
-    # non-empty after; post-fix run2 = 11.7 / 7.5 s, cache empty.
-    "llm_labelprop_convergence": {
-        "only_vs": "full-latest",
-        "reason": "r11 baseline measured a leaked-cache rerun "
-        "(coalesce-rebound unpersist, fixed round 12)",
-    },
-    "llm_dedup_cluster_stats": {
-        "only_vs": "full-latest",
-        "reason": "r11 baseline measured cross-query reuse of the "
-        "leaked graph-family frames (fixed round 12)",
-    },
+KNOWN_BASELINE_ARTIFACTS: dict[str, dict[str, str]] = {
+    # EMPTY at round 13: every prior exemption has expired. The two
+    # precedents live in git history (round 6: llm_dup_ngram_spans
+    # vs the r5 label — a leaked persist() made best-of-2's second
+    # run hit the still-cached plan; round 12: five graph-family
+    # entries vs the pre-promotion "full-latest" label — the
+    # coalesce(1)-REBOUND unpersist missed the cache entry, so the
+    # persisted edge/pair frames leaked and propped up the family's
+    # baselines). Labels now always embed the HEAD hash
+    # ("full-latest@<hash>"), so any entry added here must name the
+    # CURRENT promoted label and dies at the next promotion; a
+    # hygiene test (tests/test_bench_gate.py) fails on any entry
+    # whose only_vs can no longer match the live baseline label.
 }
 
 
-def _check_regressions(times: dict[str, float], sf: float) -> bool:
+def _ratchet_host_factor(cal_sec: float | None) -> float:
+    """Clamped now/baseline calibration ratio for the regression
+    ratchet. A genuinely slow host window (measured 1.46x at the
+    round-12 close with zero code changes) pushes every ~1.5x query
+    toward the 2x trip line and burns min-of-4 retries; dividing the
+    observed seconds by this factor makes ratchet verdicts invariant
+    under the measured host band. Clamped to [1.0, 1.3] so a broken
+    or drifted probe can never MASK a real regression: at the cap a
+    query still trips at 2.6x raw, and a fast host window (ratio < 1)
+    never tightens the gate below the raw threshold."""
+    base = _baseline_calibration()
+    if not base or not cal_sec:
+        return 1.0
+    return max(1.0, min(1.3, cal_sec / base))
+
+
+def _check_regressions(
+    times: dict[str, float], sf: float, host_factor: float = 1.0
+) -> bool:
     """True if any query regressed >2x (+0.5s noise floor) vs the last
-    round's recorded bench."""
+    round's recorded bench, after dividing out the measured host-speed
+    band (``host_factor``, see :func:`_ratchet_host_factor`)."""
     if abs(sf - 0.1) > 1e-9:  # baseline only holds at its own SF
         return False
     label, baseline = _load_baseline()
     bad = False
-    for name, t in times.items():
+    for name, raw_t in times.items():
         base = baseline.get(name)
+        t = raw_t / host_factor
         if base and t > 2.0 * base + 0.5:
             art = KNOWN_BASELINE_ARTIFACTS.get(name)
             if art is not None and art["only_vs"] == label:
@@ -517,8 +507,9 @@ def _check_regressions(times: dict[str, float], sf: float) -> bool:
                 continue
             bad = True
             print(
-                f"bench: REGRESSION {name}: {t:.2f}s vs {label} baseline "
-                f"{base:.2f}s (>2x)",
+                f"bench: REGRESSION {name}: {raw_t:.2f}s raw / "
+                f"{t:.2f}s host-normalized (factor {host_factor:.3f}) "
+                f"vs {label} baseline {base:.2f}s (>2x)",
                 file=sys.stderr,
             )
     return bad

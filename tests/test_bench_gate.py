@@ -14,12 +14,23 @@ def _with_baseline(monkeypatch, label: str, queries: dict[str, float]):
     monkeypatch.setattr(bench, "_BASELINE_CACHE", (label, queries))
 
 
+def _with_artifact(monkeypatch, name: str, only_vs: str):
+    monkeypatch.setattr(
+        bench,
+        "KNOWN_BASELINE_ARTIFACTS",
+        {name: {"only_vs": only_vs, "reason": "injected test entry"}},
+    )
+
+
 def test_artifact_exemption_masks_only_its_own_label(monkeypatch, capsys):
-    """llm_dedup_components is exempt vs the 'full-latest' baseline it
-    was investigated against (round-12 leaked-cache A/B) — a >2x
-    sample must NOT fail the bench there..."""
-    _with_baseline(monkeypatch, "full-latest", {"llm_dedup_components": 1.76})
-    assert bench._check_regressions({"llm_dedup_components": 5.6}, 0.1) is False
+    """An artifact entry is exempt vs exactly the baseline label it
+    was investigated against (the round-12 leaked-cache precedent) —
+    a >2x sample must NOT fail the bench there... (entries are
+    injected: the live dict is empty at round 13, every prior
+    exemption having expired at promotion)"""
+    _with_baseline(monkeypatch, "full-latest@aaa0000", {"q_leaky": 1.76})
+    _with_artifact(monkeypatch, "q_leaky", "full-latest@aaa0000")
+    assert bench._check_regressions({"q_leaky": 5.6}, 0.1) is False
     assert "baseline-artifact exempt" in capsys.readouterr().err
 
 
@@ -27,13 +38,55 @@ def test_artifact_exemption_expires_at_promotion(monkeypatch, capsys):
     """...but once the baseline is re-promoted (labels rotate to
     full-latest@<hash>), the same entry must be back under the full
     gate — a forgotten exemption cannot mask a future regression."""
-    _with_baseline(
-        monkeypatch, "full-latest@abc1234", {"llm_dedup_components": 6.5}
-    )
-    assert (
-        bench._check_regressions({"llm_dedup_components": 20.0}, 0.1) is True
-    )
+    _with_baseline(monkeypatch, "full-latest@abc1234", {"q_leaky": 6.5})
+    _with_artifact(monkeypatch, "q_leaky", "full-latest@aaa0000")
+    assert bench._check_regressions({"q_leaky": 20.0}, 0.1) is True
     assert "REGRESSION" in capsys.readouterr().err
+
+
+def test_artifact_dict_hygiene_only_live_matchable_labels():
+    """Every KNOWN_BASELINE_ARTIFACTS entry must name the CURRENT
+    promoted baseline label — an entry whose only_vs can never match
+    again (labels rotate to full-latest@<hash> at each promotion) is
+    dead weight that erodes the dict's signal and must be pruned, not
+    left to accumulate."""
+    label, _ = bench._load_baseline()
+    stale = {
+        name: art["only_vs"]
+        for name, art in bench.KNOWN_BASELINE_ARTIFACTS.items()
+        if art["only_vs"] != label
+    }
+    assert not stale, (
+        f"expired baseline-artifact exemptions (current label {label!r}): "
+        f"{stale} — prune them; the investigations live in git history"
+    )
+
+
+def test_ratchet_host_factor_clamps(monkeypatch):
+    """now/baseline probe ratio, clamped to [1.0, 1.3]: a slow host
+    window relaxes the gate proportionally, a fast window never
+    TIGHTENS it, and a broken probe (missing or wildly off) falls
+    back to raw seconds instead of masking real regressions."""
+    monkeypatch.setattr(bench, "_baseline_calibration", lambda: 0.5)
+    assert bench._ratchet_host_factor(0.6) == 1.2  # measured slow band
+    assert bench._ratchet_host_factor(0.4) == 1.0  # fast host: no tighten
+    assert bench._ratchet_host_factor(5.0) == 1.3  # 10x: clamped at cap
+    assert bench._ratchet_host_factor(None) == 1.0  # probe missing now
+    monkeypatch.setattr(bench, "_baseline_calibration", lambda: None)
+    assert bench._ratchet_host_factor(0.6) == 1.0  # baseline predates probe
+
+
+def test_ratchet_verdict_invariant_under_host_band(monkeypatch, capsys):
+    """The round-12 close measured a 1.46x host window with zero code
+    changes; a 1.9x-raw query must not trip the 2x gate once the
+    measured band is divided out — and the SAME sample must still trip
+    when the probe says the host is at baseline speed."""
+    _with_baseline(monkeypatch, "full-latest@abc1234", {"q": 2.0})
+    sample = {"q": 5.6}  # 2.49x raw incl. noise floor, 1.99x under 1.25
+    assert bench._check_regressions(sample, 0.1, host_factor=1.25) is False
+    assert bench._check_regressions(sample, 0.1, host_factor=1.0) is True
+    err = capsys.readouterr().err
+    assert "raw" in err and "host-normalized" in err
 
 
 def test_non_bench_sf_never_gates(monkeypatch):
@@ -57,6 +110,11 @@ def test_baseline_calibration_reader(tmp_path, monkeypatch):
     f.write_text(json.dumps({"queries": {}, "calibration_sec": 1.62}))
     assert bench._baseline_calibration() == 1.62
     f.write_text(json.dumps({"queries": {}}))  # predates the probe
+    assert bench._baseline_calibration() is None
+    # non-numeric JSON types must fall back, not raise (ADVICE r12)
+    f.write_text(json.dumps({"queries": {}, "calibration_sec": [1.6]}))
+    assert bench._baseline_calibration() is None
+    f.write_text(json.dumps({"queries": {}, "calibration_sec": "1.6"}))
     assert bench._baseline_calibration() is None
 
 
