@@ -3068,13 +3068,36 @@ def _kmeans_artifact_centroids(
                 if disk_ok:
                     shutil.rmtree(tmp, ignore_errors=True)
                 else:
-                    shutil.rmtree(path, ignore_errors=True)
+                    # Repair under an exclusive sentinel (ADVICE r12):
+                    # rmtree(path) had a TOCTOU window — between the
+                    # failed load above and the delete, a concurrent
+                    # process may have already repaired `path`, which
+                    # we'd then destroy, leaving a gap where a third
+                    # reader retrains redundantly. os.rename is atomic
+                    # on one filesystem: exactly ONE process moves the
+                    # invalid dir aside (losers get ENOENT and fall
+                    # through to the lost-race branch), and our tmp is
+                    # already fully written, so the artifact-missing
+                    # window shrinks to the instant between the two
+                    # renames.
+                    quarantine = (
+                        f"{path}.quarantine-{os.getpid()}-"
+                        f"{uuid.uuid4().hex[:8]}"
+                    )
+                    try:
+                        os.rename(path, quarantine)
+                    except OSError:
+                        # another process quarantined it first; it
+                        # will publish bit-identical centroids
+                        quarantine = None
                     try:
                         os.rename(tmp, path)
                     except OSError:
                         # a concurrent repair won the re-publish race;
                         # the centroids are bit-identical either way
                         shutil.rmtree(tmp, ignore_errors=True)
+                    if quarantine is not None:
+                        shutil.rmtree(quarantine, ignore_errors=True)
         _KMEANS_ARTIFACT_MEM[key] = cents
     return cents
 

@@ -108,11 +108,41 @@ def compute_shapes(spark, sf_dir: str, filters: list[str]) -> list[dict]:
     return rows
 
 
+def _filtered_rebaseline_sf_conflict(sf_dir: str) -> dict | None:
+    """Refuse a FILTERED rebaseline computed at a different scale
+    factor than the existing baseline (ADVICE r12): plan shapes
+    legitimately differ by sf (AQE / broadcast-threshold decisions),
+    so merging would produce a baseline whose declared sf_dir no
+    longer describes all of its pinned shapes — a silent provenance
+    lie. A full (unfiltered) rebaseline at the new sf is the correct
+    move instead. Returns the refusal payload, or None when the merge
+    is provenance-safe."""
+    if not os.path.exists(BASELINE_PATH):
+        return None
+    with open(BASELINE_PATH) as f:
+        prev_sf = json.load(f).get("sf_dir")
+    if prev_sf is None or os.path.abspath(prev_sf) == os.path.abspath(sf_dir):
+        return None
+    return {
+        "error": "filtered rebaseline sf mismatch",
+        "baseline_sf_dir": prev_sf,
+        "requested_sf_dir": sf_dir,
+        "hint": "rerun unfiltered at the new sf, or filter-rebaseline "
+        "at the baseline's own sf_dir",
+    }
+
+
 def main() -> int:
     args = [a for a in sys.argv[1:] if a != "--rebaseline"]
     rebaseline = "--rebaseline" in sys.argv[1:]
     sf_dir = args[0] if args else "/root/testdata/sf0.001"
     filters = args[1:]
+
+    if rebaseline and filters:
+        refusal = _filtered_rebaseline_sf_conflict(sf_dir)
+        if refusal is not None:  # refuse BEFORE paying for a session
+            print(json.dumps(refusal))
+            return 2
 
     from etl_global_mobility_spark.session import get_spark
 
@@ -130,6 +160,8 @@ def main() -> int:
         if filters and os.path.exists(BASELINE_PATH):
             with open(BASELINE_PATH) as f:
                 prev = json.load(f)
+            # sf-mismatch merges were already refused pre-session by
+            # _filtered_rebaseline_sf_conflict (ADVICE r12)
             # drop old pins ONLY for queries successfully recomputed
             # this run: keying the drop on the filter string would also
             # delete the pin of a filtered query whose declaration
