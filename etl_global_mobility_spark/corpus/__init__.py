@@ -93,11 +93,12 @@ the round-14 window (pinned in ``RESERVED_NEXT_WINDOW`` below: the
 staleness alarm tolerates them for exactly one round while rotation
 is still impossible — i.e. the closed round-13 HEAD stays green once
 CORRECTNESS_r13 lands — and still trips if round 14 skips the
-rotation); any round-13 additions in SCHEDULED_NEXT_WINDOW follow;
-the rest of that window drains the 48 r9-stale rows (stale-bound at
-round 15) as far as it reaches, with any remainder leading round 15
-via the same RESERVED_NEXT_WINDOW mechanism — the invariant tests
-enforce the staleness arithmetic rather than this comment.
+rotation); the 2 round-13 additions in SCHEDULED_NEXT_WINDOW
+(``llm_dup_substring_spans``, ``stream_ivf_ingest``) follow; the
+rest of that window drains 39 of the 48 r9-stale rows (stale-bound
+at round 15), with the remaining 9 leading round 15 via the same
+RESERVED_NEXT_WINDOW mechanism — the invariant tests enforce the
+staleness arithmetic rather than this comment.
 
 ``DRIVER_GREEN_PAST_ROUNDS`` records which queries already hold a
 green row (union of all CORRECTNESS_r0N files); those may sit past the
@@ -320,13 +321,14 @@ DRIVER_GREEN_PAST_ROUNDS = frozenset(
 #: additions are appended here as they are registered (see the
 #: ROUND-13 PLAN arithmetic in the module docstring).
 SCHEDULED_NEXT_WINDOW: frozenset[str] = frozenset(
-    # round-13 additions (oracle-backed) are appended here as they
-    # are registered; the round-14 window must still fit the 7
-    # reserved r8-stale rows + 2 canaries, so the budget for
-    # additions is 50 - 7 - 2 = 41 minus however many r9-stale rows
-    # round 14 drains (round 14 needs to drain all 48 by round 15's
-    # bound, so keep additions ≤ 2 as in prior rounds).
-    set()
+    {
+        # round-13 additions (oracle-backed; the cap is 2 — the
+        # round-14 window must still fit the 7 reserved r8-stale rows
+        # + 2 canaries + 39 of the 48 r9-stale rows, the remaining 9
+        # leading round 15 via RESERVED_NEXT_WINDOW)
+        "llm_dup_substring_spans",
+        "stream_ivf_ingest",
+    }
 )
 
 #: Queries whose existing driver evidence reaches its hard staleness

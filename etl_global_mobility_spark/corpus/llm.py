@@ -1138,6 +1138,90 @@ def _dup_spans_within_sql(k: int = 3) -> str:
     """
 
 
+def q_dup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variable-length exact-substring dedup (operators/dedup.py
+    maximal_shared_substrings, min_len=20 — the MAXIMAL-span
+    "ExactSubstr" semantics of Lee et al. arXiv:2107.06499 §4.1 that
+    llm_dup_ngram_spans' fixed-k form cannot express): maximal
+    verbatim shared token runs per document pair. Deterministic
+    planting makes the gap measurable: documents with doc_id % 20 == 3
+    get a 200-token passage appended, shared ONLY within their
+    100-id block (bounded fan-out: C(5,2) pairs x 181 anchors per
+    block) — fixed-k span-union reports those docs as ~80% covered but
+    says the same about scattered-trigram text; this query must report
+    the pair's max_len_tokens as exactly 200, the paper's cut unit.
+    The oracle recomputes anchors, alignment diagonals, and
+    gaps-and-islands runs from the gram STRINGS in DuckDB."""
+    from etl_global_mobility_spark.operators.dedup import (
+        maximal_shared_substrings,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    block = F.floor(F.col("doc_id") / F.lit(100)).cast("bigint")
+    passage = F.concat_ws(
+        " ",
+        F.transform(
+            F.sequence(F.lit(1), F.lit(200)),
+            lambda i: F.concat(
+                F.lit("planted"),
+                block.cast("string"),
+                F.lit("x"),
+                i.cast("string"),
+            ),
+        ),
+    )
+    staged = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 20 == 3,
+            F.concat(F.col("text"), F.lit(" "), passage),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return maximal_shared_substrings(staged, min_len=20)
+
+
+def _dup_substring_spans_sql(min_len: int = 20) -> str:
+    return f"""
+    WITH staged AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 20 = 3 THEN text || ' ' || array_to_string(
+                    list_transform(range(1, 201),
+                      i -> 'planted' || CAST(doc_id // 100 AS VARCHAR)
+                           || 'x' || CAST(i AS VARCHAR)), ' ')
+                  ELSE text END AS text
+      FROM documents
+    ), base AS (
+      SELECT doc_id,
+             list_transform(
+               range(1, greatest(len({TOKS}) - {min_len - 1}, 0) + 1),
+               i -> array_to_string(({TOKS})[i:i + {min_len - 1}], ' ')) AS grams
+      FROM staged
+    ), occ AS (
+      SELECT doc_id, i - 1 AS pos, grams[CAST(i AS INT)] AS gram
+      FROM (SELECT doc_id, grams, unnest(range(1, len(grams) + 1)) AS i
+            FROM base)
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.pos AS pa, a.pos - b.pos AS diag
+      FROM occ a JOIN occ b ON a.gram = b.gram AND a.doc_id < b.doc_id
+    ), isl AS (
+      SELECT doc_a, doc_b, diag, pa,
+             pa - row_number() OVER (PARTITION BY doc_a, doc_b, diag
+                                     ORDER BY pa) AS island
+      FROM pairs
+    ), runs AS (
+      SELECT doc_a, doc_b, count(*) + {min_len} - 1 AS span_len
+      FROM isl GROUP BY doc_a, doc_b, diag, island
+    )
+    SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(max(span_len) AS BIGINT) AS max_len_tokens,
+           CAST(sum(span_len) AS BIGINT) AS sum_span_tokens
+    FROM runs GROUP BY doc_a, doc_b
+    """
+
+
 def q_sentence_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sentence-boundary-respecting RAG chunking at a 48-token budget
     (operators.packing.sentence_chunks). The driver corpus carries no
@@ -5130,6 +5214,14 @@ SPECS = [
         doc="WITHIN-document repeated k-gram coverage (Gopher duplicate-"
         "n-gram signal) — zero-shuffle map-only complement of "
         "llm_dup_ngram_spans",
+    ),
+    QuerySpec(
+        "llm_dup_substring_spans",
+        q_dup_substring_spans,
+        _dup_substring_spans_sql(),
+        doc="variable-length exact-substring dedup (Lee et al. "
+        "ExactSubstr maximal spans via anchor chaining) — finds the "
+        "planted 200-token passage fixed-k span-union cannot size",
     ),
     QuerySpec(
         "llm_preference_pairs",

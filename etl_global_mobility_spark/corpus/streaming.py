@@ -351,6 +351,123 @@ def q_stream_neardup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neardup_survivors(owners, d)
 
 
+def q_stream_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental ANN ingest — the availableNow twin of
+    llm_ivf_incremental, mirroring how stream_neardup_dedup twins
+    llm_incremental_neardup: the new-vector shard (vec_id % 10 == 0)
+    lands as four parquet files and streams in one-file micro-batches;
+    the coarse quantizer is resolved once from the EXISTING snapshot,
+    persisted via save_ann_artifacts and re-LOADED (the save→load→probe
+    loop proven by construction), and the existing corpus is assigned
+    to cells ONCE (operators/similarity.py ivf_assign_cells) into a
+    parquet cell index PARTITIONED BY CELL. Each micro-batch then
+    probes that index via ivf_topk(preassigned=...): the probe side is
+    broadcast and joins on the partition column, so dynamic partition
+    pruning reads only the probed cells — per-batch cost is bounded by
+    the batch and its nprobe cells, never the corpus, and nothing is
+    retrained. Stream ≡ batch because each query vector's top-k is
+    computed entirely within its own micro-batch against the static
+    index; the per-batch parquet commit is the idempotent
+    dynamic-overwrite-by-batch-id recipe. Oracle: identical to
+    llm_ivf_incremental's (the whole path recomputed in DuckDB)."""
+    import os
+    import shutil
+
+    from etl_global_mobility_spark.corpus.relational import _scratch_dir
+    from etl_global_mobility_spark.operators.similarity import (
+        guarded_sq_norm,
+        ivf_assign_cells,
+        ivf_topk,
+        load_ann_artifacts,
+        save_ann_artifacts,
+    )
+
+    base = _scratch_dir("ivf_ingest_stream", sf_dir)
+    shutil.rmtree(base, ignore_errors=True)
+    land = os.path.join(base, "shard")
+    sink = os.path.join(base, "topk")
+    ckpt = os.path.join(base, "ckpt")
+    art = os.path.join(base, "ann_artifact")
+    index_path = os.path.join(base, "cell_index")
+
+    e = load_table(spark, sf_dir, "embeddings")
+    existing = e.filter(F.col("vec_id") % 10 != 0)
+    shard = e.filter(F.col("vec_id") % 10 == 0)
+    # deterministic quantizer over the EXISTING snapshot (bounded
+    # 16-row collect; degenerate vectors can't anchor a cosine cell)
+    cents = [
+        [float(x) for x in r[1]]
+        for r in existing.select("vec_id", "embedding")
+        .filter(guarded_sq_norm(F.col("embedding")).isNotNull())
+        .orderBy("vec_id")
+        .limit(16)
+        .collect()
+    ]
+    if not cents:  # empty snapshot: nothing to index or probe
+        return ivf_topk(existing, shard, n_cells=16, nprobe=2, k=5)
+    save_ann_artifacts(spark, art, centroids=cents)
+    centroids, _codebook = load_ann_artifacts(spark, art)
+    # one-time corpus cell index, partitioned by cell so per-batch
+    # probes prune to their nprobe cells
+    ivf_assign_cells(existing, n_cells=16, centroids=centroids).write.mode(
+        "overwrite"
+    ).partitionBy("cell").parquet(index_path)
+    index = spark.read.parquet(index_path)
+
+    shard.repartition(4).write.mode("overwrite").parquet(land)
+    sdf = (
+        spark.readStream.schema(shard.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(land)
+    )
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        out = ivf_topk(
+            existing,
+            batch_df,
+            n_cells=16,
+            nprobe=2,
+            k=5,
+            centroids=centroids,
+            preassigned=index,
+        )
+        (
+            out.withColumn("_batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch_id")
+            .parquet(sink)
+        )
+
+    q = (
+        sdf.writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    if not os.path.exists(sink):  # every micro-batch was empty
+        return ivf_topk(
+            existing,
+            shard.limit(0),
+            n_cells=16,
+            nprobe=2,
+            k=5,
+            centroids=centroids,
+            preassigned=index,
+        )
+    return spark.read.parquet(sink).select("q_id", "rank", "c_id", "score")
+
+
+def _stream_ivf_ingest_sql() -> str:
+    """The batch twin's oracle verbatim: stream ≡ batch by
+    construction (per-query top-k is micro-batch-local against the
+    static index), so the DuckDB recomputation is the same."""
+    from etl_global_mobility_spark.corpus.llm import _ivf_incremental_sql
+
+    return _ivf_incremental_sql()
+
+
 def q_stream_python_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom Python Data Source STREAM (sources/pysource.py): the
     deterministic generator read as offset-tracked micro-batches and
@@ -579,6 +696,15 @@ SPECS = [
         "key, MIN(id)-per-bucket state merged across micro-batches "
         "(split-invariant ⇒ stream ≡ batch), first-arrival-wins keep "
         "set; oracle recomputes signatures→owners→survivors in SQL",
+    ),
+    QuerySpec(
+        "stream_ivf_ingest",
+        q_stream_ivf_ingest,
+        _stream_ivf_ingest_sql(),
+        doc="streaming incremental ANN ingest: shard micro-batches probe "
+        "a persisted cell-partitioned IVF index (assign once, DPP-pruned "
+        "per-batch probes; stream ≡ batch) — the availableNow twin of "
+        "llm_ivf_incremental",
     ),
     QuerySpec(
         "stream_schema_drift",

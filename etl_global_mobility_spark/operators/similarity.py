@@ -337,11 +337,18 @@ def ivf_topk(
     centroids: list[list[float]] | None = None,
     min_parallelism: int | str | None = AUTO,
     strict: bool = False,
+    preassigned: DataFrame | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate nearest neighbors: partition the
     corpus into `n_cells` Voronoi cells around centroid vectors, then
     answer each query by exact top-k over only the `nprobe` cells whose
     centroids are nearest to the query.
+
+    ``preassigned`` (from :func:`ivf_assign_cells`, with the SAME
+    centroids) skips the corpus-side assignment scan entirely — the
+    streaming-ingest path: assign the corpus once, persist the cell
+    index, and serve every later micro-batch from it, so per-batch
+    cost is bounded by the batch, never the corpus.
 
     The default coarse quantizer is the `n_cells` lowest-id corpus
     vectors — deterministic, so the result is oracle-checkable. Pass
@@ -385,12 +392,18 @@ def ivf_topk(
     # sides — the cosine-family contract: a zero norm is an ANSI
     # DIVIDE_BY_ZERO in the assignment expression, a NaN norm poisons
     # the ranking; no-op on clean corpora
-    assigned = (
-        c.withColumn("nv", guarded_sq_norm(F.col("c_vec")))
-        .filter(F.col("nv").isNotNull())
-        .withColumn("cell", -F.array_max(cell_scores("c_vec", "nv")).getField("neg_id"))
-        .select("c_id", "c_vec", "cell", F.col("nv").alias("c_nv"))
-    )
+    if preassigned is not None:
+        assigned = preassigned.select("c_id", "c_vec", "cell", "c_nv")
+    else:
+        assigned = (
+            c.withColumn("nv", guarded_sq_norm(F.col("c_vec")))
+            .filter(F.col("nv").isNotNull())
+            .withColumn(
+                "cell",
+                -F.array_max(cell_scores("c_vec", "nv")).getField("neg_id"),
+            )
+            .select("c_id", "c_vec", "cell", F.col("nv").alias("c_nv"))
+        )
     q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
     # strict=True raises on a degenerate QUERY vector instead of
     # silently dropping that query from the result (ADVICE r10)
@@ -427,6 +440,40 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("q_id", "rank", "c_id", "score")
     )
+
+
+def ivf_assign_cells(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+    min_parallelism: int | str | None = AUTO,
+) -> DataFrame:
+    """One-time corpus → Voronoi-cell assignment, the persistable cell
+    index :func:`ivf_topk` consumes via ``preassigned``: one map-only
+    scan over literal centroids (no join, no shuffle) producing
+    ``(c_id, c_vec, cell, c_nv)`` with degenerate vectors excluded —
+    the same assignment ivf_topk builds inline (pinned by test). The
+    streaming-ingest recipe: assign once, persist the index, serve
+    every micro-batch from it."""
+    cents, norms = _resolve_centroids(corpus, n_cells, id_col, vec_col, centroids)
+    base = (
+        ensure_compute_parallelism(corpus, min_parallelism)
+        .select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec"))
+        .withColumn("nv", guarded_sq_norm(F.col("c_vec")))
+        .filter(F.col("nv").isNotNull())
+    )
+    if not cents:
+        return base.limit(0).select(
+            "c_id", "c_vec", F.lit(0).alias("cell"), F.col("nv").alias("c_nv")
+        )
+    return base.withColumn(
+        "cell",
+        -F.array_max(_centroid_scores(cents, norms, "c_vec", "nv")).getField(
+            "neg_id"
+        ),
+    ).select("c_id", "c_vec", "cell", F.col("nv").alias("c_nv"))
 
 
 def semantic_dedup(

@@ -3369,3 +3369,172 @@ def test_ivf_incremental_empty_snapshot_returns_contract_schema(spark, tmp_path)
     out = q_ivf_incremental(spark, sf_dir)
     assert out.count() == 0
     assert out.columns == ["q_id", "rank", "c_id", "score"]
+
+
+def test_maximal_shared_substrings_exact_lengths(spark):
+    """The anchor-chaining construction must reproduce Lee et al.'s
+    maximal-span semantics exactly: a planted shared passage of L
+    tokens reports max_len_tokens == L (never the anchor size, never
+    a span-union coverage figure), sub-min_len sharing reports
+    nothing, and a passage present twice in one document is two
+    alignments (two spans)."""
+    from etl_global_mobility_spark.operators.dedup import (
+        maximal_shared_substrings,
+    )
+
+    passage = " ".join(f"p{i}" for i in range(25))  # 25 shared tokens
+    short = " ".join(f"s{i}" for i in range(4))  # below min_len=5 anchors
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta {passage} gamma"),
+            (2, f"{passage} delta epsilon"),
+            (3, f"{short} zeta"),
+            (4, f"eta {short}"),
+            # doc 5 contains the passage TWICE -> two alignments vs doc 1
+            (5, f"{passage} theta {passage}"),
+            (6, "unrelated text entirely different words here"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r.doc_a, r.doc_b): r
+        for r in maximal_shared_substrings(docs, min_len=5).collect()
+    }
+    assert rows[(1, 2)].max_len_tokens == 25
+    assert rows[(1, 2)].n_spans == 1
+    assert rows[(1, 2)].sum_span_tokens == 25
+    # two alignments of the same 25-token passage
+    assert rows[(1, 5)].n_spans == 2
+    assert rows[(1, 5)].max_len_tokens == 25
+    assert rows[(1, 5)].sum_span_tokens == 50
+    # sub-min_len sharing (4 < 5 tokens) must not appear at all
+    assert (3, 4) not in rows
+    assert all(k[0] < k[1] for k in rows)
+    # doc 6 shares nothing
+    assert not any(6 in k for k in rows)
+
+
+def test_maximal_shared_substrings_run_boundaries(spark):
+    """Two disjoint shared runs separated by differing tokens must
+    stay two spans with their own exact lengths — the island fold must
+    close at every gap, including a gap of exactly one position."""
+    from etl_global_mobility_spark.operators.dedup import (
+        maximal_shared_substrings,
+    )
+
+    a_run = " ".join(f"a{i}" for i in range(8))  # 8 tokens
+    b_run = " ".join(f"b{i}" for i in range(6))  # 6 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, f"{a_run} xxx {b_run}"),
+            (2, f"{a_run} yyy {b_run}"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = maximal_shared_substrings(docs, min_len=5).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.n_spans, r.max_len_tokens, r.sum_span_tokens) == (2, 8, 14)
+    # degenerate inputs: short/empty docs vanish, never error
+    empties = spark.createDataFrame(
+        [(1, ""), (2, "one two"), (3, None)], "doc_id long, text string"
+    )
+    assert maximal_shared_substrings(empties, min_len=5).count() == 0
+    with pytest.raises(ValueError):
+        maximal_shared_substrings(docs, min_len=1)
+
+
+def test_dup_substring_spans_finds_planted_passage_fixed_k_cannot_size(spark):
+    """The corpus query's planted 200-token passage must surface as
+    max_len_tokens == 200+ for planted-pair rows — the quantity the
+    fixed-k operator (llm_dup_ngram_spans) structurally lacks: its
+    per-doc output has no span-length column at all, only coverage."""
+    from etl_global_mobility_spark.corpus.llm import q_dup_substring_spans
+
+    sf = "/root/testdata/sf0.001"
+    out = q_dup_substring_spans(spark, sf)
+    planted = out.filter(
+        (F.col("doc_a") % 20 == 3)
+        & (F.col("doc_b") % 20 == 3)
+        & (F.floor(F.col("doc_a") / 100) == F.floor(F.col("doc_b") / 100))
+    )
+    rows = planted.collect()
+    assert rows, "no planted pairs surfaced"
+    assert all(r.max_len_tokens >= 200 for r in rows)
+    # and the natural corpus stays below the planted length
+    natural_max = (
+        out.filter(~((F.col("doc_a") % 20 == 3) & (F.col("doc_b") % 20 == 3)))
+        .agg(F.max("max_len_tokens"))
+        .collect()[0][0]
+    )
+    assert natural_max is None or natural_max < 200
+
+
+def test_ivf_assign_cells_matches_inline_and_preassigned_roundtrip(spark):
+    """ivf_assign_cells must be byte-identical to the assignment
+    ivf_topk builds inline (same centroids), and ivf_topk fed the
+    parquet-roundtripped, CELL-PARTITIONED index via `preassigned`
+    must return exactly the inline results — the streaming-ingest
+    contract."""
+    import tempfile
+
+    from etl_global_mobility_spark.operators.similarity import (
+        guarded_sq_norm,
+        ivf_assign_cells,
+        ivf_topk,
+    )
+
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    existing = e.filter(F.col("vec_id") % 10 != 0)
+    shard = e.filter(F.col("vec_id") % 10 == 0)
+    cents = [
+        [float(x) for x in r[1]]
+        for r in existing.select("vec_id", "embedding")
+        .filter(guarded_sq_norm(F.col("embedding")).isNotNull())
+        .orderBy("vec_id")
+        .limit(16)
+        .collect()
+    ]
+    inline = sorted(
+        map(
+            tuple,
+            ivf_topk(
+                existing, shard, n_cells=16, nprobe=2, k=5, centroids=cents
+            ).collect(),
+        )
+    )
+    with tempfile.TemporaryDirectory() as td:
+        ivf_assign_cells(existing, n_cells=16, centroids=cents).write.mode(
+            "overwrite"
+        ).partitionBy("cell").parquet(td)
+        index = spark.read.parquet(td)
+        via_index = sorted(
+            map(
+                tuple,
+                ivf_topk(
+                    existing,
+                    shard,
+                    n_cells=16,
+                    nprobe=2,
+                    k=5,
+                    centroids=cents,
+                    preassigned=index,
+                ).collect(),
+            )
+        )
+    assert via_index == inline
+
+
+def test_stream_ivf_ingest_equals_batch_twin(spark):
+    """stream ≡ batch: the availableNow micro-batched ingest must
+    return exactly the batch twin's rows (per-query top-k is batch-
+    local against the static index, so any file split yields the same
+    union)."""
+    from etl_global_mobility_spark.corpus.llm import q_ivf_incremental
+    from etl_global_mobility_spark.corpus.streaming import q_stream_ivf_ingest
+
+    sf = "/root/testdata/sf0.001"
+    batch = sorted(map(tuple, q_ivf_incremental(spark, sf).collect()))
+    streamed = sorted(map(tuple, q_stream_ivf_ingest(spark, sf).collect()))
+    assert streamed == batch
+    assert len(batch) > 0
