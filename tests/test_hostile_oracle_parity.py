@@ -24,6 +24,11 @@ QUERIES = [
     "llm_ivf_incremental",
     "llm_embedding_neardup",
     "llm_semantic_dedup",
+    # r13: the streaming twin must survive the same degenerate shard
+    # (its oracle is the batch twin's verbatim; the planted NaN/zero/
+    # overflow vectors hit the quantizer, the cell index, AND the
+    # micro-batched probe side)
+    "stream_ivf_ingest",
 ]
 
 
@@ -93,6 +98,11 @@ TEXT_QUERIES = [
     "llm_language_id",
     "llm_quality_score",
     "llm_feature_hash",
+    # r13: the variable-length substring mirror tokenizes + slices
+    # gram strings in both engines — NULL/empty/whitespace-only docs
+    # and the 10k-char single token must vanish identically, never
+    # diverge the anchor sets
+    "llm_dup_substring_spans",
 ]
 
 
