@@ -641,3 +641,86 @@ def test_ivf_incremental_soak_shard_probes_persisted_quantizer(spark, tmp_path):
             f"corpus={n_corpus}: {len(missed)} shard vectors missed "
             f"their planted twin (found {len(top1)}/{n_shard})"
         )
+
+
+@pytest.mark.slow
+def test_maximal_shared_substrings_soak_cost_tracks_duplication(spark):
+    """The variable-length substring operator's 100 TB claim: anchor
+    self-join fan-out is sum(df^2) over DUPLICATED anchors only —
+    unique text contributes zero join rows, so the candidate set (and
+    the output) must be INVARIANT in corpus size while only planted
+    duplication drives it. Also exercises the island fold on a deep
+    run: a 500-token shared passage must come back as ONE span of
+    exactly 500 (a 481-anchor consecutive run), not fragments."""
+    from etl_global_mobility_spark.operators.dedup import (
+        maximal_shared_substrings,
+    )
+
+    def corpus(n_unique):
+        # unique filler docs: 40 tokens each, vocabulary keyed by id so
+        # no 20-gram ever repeats across docs
+        uniq = spark.range(n_unique).select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(40)),
+                    lambda i: F.concat(
+                        F.lit("u"),
+                        F.col("id").cast("string"),
+                        F.lit("x"),
+                        i.cast("string"),
+                    ),
+                ),
+            ).alias("text"),
+        )
+        # 8 planted pairs sharing a 60-token passage (pair = id // 2)
+        plants = spark.range(16).select(
+            (F.col("id") + 2_000_000).alias("doc_id"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(60)),
+                    lambda i: F.concat(
+                        F.lit("p"),
+                        F.floor(F.col("id") / 2).cast("string"),
+                        F.lit("x"),
+                        i.cast("string"),
+                    ),
+                ),
+            ).alias("text"),
+        )
+        # one deep pair sharing a 500-token passage
+        deep = spark.range(2).select(
+            (F.col("id") + 3_000_000).alias("doc_id"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(500)),
+                    lambda i: F.concat(F.lit("d"), i.cast("string")),
+                ),
+            ).alias("text"),
+        )
+        return uniq.unionByName(plants).unionByName(deep)
+
+    def run(n_unique):
+        t0 = time.time()
+        rows = sorted(
+            map(tuple, maximal_shared_substrings(corpus(n_unique), min_len=20).collect())
+        )
+        return rows, time.time() - t0
+
+    small_rows, small_s = run(3_000)
+    big_rows, big_s = run(30_000)
+    # output invariant in corpus size: only the planted structure shows
+    assert big_rows == small_rows
+    assert len(big_rows) == 9  # 8 planted pairs + 1 deep pair
+    by_pair = {(a, b): (n, mx, tot) for a, b, n, mx, tot in big_rows}
+    assert by_pair[(3_000_000, 3_000_001)] == (1, 500, 500)
+    assert all(
+        by_pair[(2_000_000 + 2 * p, 2_000_001 + 2 * p)] == (1, 60, 60)
+        for p in range(8)
+    )
+    # 10x the unique corpus must not cost anywhere near 10x^2; generous
+    # budget, sharp structure above
+    assert big_s < max(12.0, 25 * small_s), (small_s, big_s)
