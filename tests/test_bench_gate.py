@@ -148,3 +148,25 @@ def test_plan_perf_diff_host_factor(tmp_path, monkeypatch):
     assert abs(mod._host_factor() - 1.2) < 1e-9  # slower host window
     now.write_text(json.dumps({"queries": {}, "calibration_sec": 5.0}))
     assert mod._host_factor() == 1.0  # 10x outside the sanity band
+
+
+def test_mid_run_flagging_is_raw_final_gate_is_calibrated(monkeypatch):
+    """The flag threshold must be the RAW 2x test — a host-calibrated
+    flag with a noisy-high start probe suppresses the clearing retries
+    and converts noise into RC=1 (observed round 13: start probe 0.681
+    vs end 0.493; two noise-hit ~1s queries skipped their retries, then
+    tripped the stricter final gate). Pin: the flag expression in
+    main() carries no division by a host factor."""
+    import inspect
+
+    src = inspect.getsource(bench.main)
+    lines = src.splitlines()
+    start = next(i for i, l in enumerate(lines) if "flagged = [" in l)
+    end = next(i for i in range(start, len(lines)) if lines[i].strip() == "]")
+    flag_block = "\n".join(lines[start : end + 1])
+    assert "2.0 * baseline[n] + 0.5" in flag_block
+    assert "_ratchet_host_factor" not in flag_block
+    assert "times[n] /" not in flag_block  # no host division in the flag
+    # and the final verdict IS calibrated
+    tail = src.split("_check_regressions(")[1].split(")")[0]
+    assert "_ratchet_host_factor" in tail
