@@ -266,7 +266,7 @@ def q_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantizer, assignment, probe, top-k — in DuckDB."""
     from etl_global_mobility_spark.corpus.relational import _scratch_dir
     from etl_global_mobility_spark.operators.similarity import (
-        guarded_sq_norm,
+        deterministic_seed_centroids,
         ivf_topk,
         load_ann_artifacts,
         save_ann_artifacts,
@@ -275,16 +275,9 @@ def q_ivf_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     existing = e.filter(F.col("vec_id") % 10 != 0)
     shard = e.filter(F.col("vec_id") % 10 == 0)
-    # deterministic quantizer over the EXISTING snapshot (bounded
-    # 16-row collect; degenerate vectors can't anchor a cosine cell)
-    cents = [
-        [float(x) for x in r[1]]
-        for r in existing.select("vec_id", "embedding")
-        .filter(guarded_sq_norm(F.col("embedding")).isNotNull())
-        .orderBy("vec_id")
-        .limit(16)
-        .collect()
-    ]
+    # deterministic quantizer over the EXISTING snapshot — the SAME
+    # helper the streaming twin uses, so the shared oracle can't drift
+    cents = deterministic_seed_centroids(existing, n_cells=16)
     centroids = None
     if cents:  # empty snapshot: nothing to persist, ivf_topk
         # resolves the empty default and returns the contract schema
@@ -1179,10 +1172,13 @@ def q_dup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("text"))
         .alias("text"),
     )
-    return maximal_shared_substrings(staged, min_len=20)
+    # max_anchor_occ=64: inert on this corpus (natural max occurrence
+    # 4, planted anchors 5 per block) but bounds the hostile worst
+    # case — mirrored exactly in the oracle's `ok` CTE
+    return maximal_shared_substrings(staged, min_len=20, max_anchor_occ=64)
 
 
-def _dup_substring_spans_sql(min_len: int = 20) -> str:
+def _dup_substring_spans_sql(min_len: int = 20, max_anchor_occ: int = 64) -> str:
     return f"""
     WITH staged AS (
       SELECT doc_id,
@@ -1198,10 +1194,15 @@ def _dup_substring_spans_sql(min_len: int = 20) -> str:
                range(1, greatest(len({TOKS}) - {min_len - 1}, 0) + 1),
                i -> array_to_string(({TOKS})[i:i + {min_len - 1}], ' ')) AS grams
       FROM staged
-    ), occ AS (
+    ), occ_all AS (
       SELECT doc_id, i - 1 AS pos, grams[CAST(i AS INT)] AS gram
       FROM (SELECT doc_id, grams, unnest(range(1, len(grams) + 1)) AS i
             FROM base)
+    ), ok AS (
+      SELECT gram FROM occ_all GROUP BY gram
+      HAVING count(*) <= {max_anchor_occ}
+    ), occ AS (
+      SELECT occ_all.* FROM occ_all JOIN ok USING (gram)
     ), pairs AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
              a.pos AS pa, a.pos - b.pos AS diag

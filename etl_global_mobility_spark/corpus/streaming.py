@@ -375,7 +375,7 @@ def q_stream_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from etl_global_mobility_spark.corpus.relational import _scratch_dir
     from etl_global_mobility_spark.operators.similarity import (
-        guarded_sq_norm,
+        deterministic_seed_centroids,
         ivf_assign_cells,
         ivf_topk,
         load_ann_artifacts,
@@ -393,16 +393,9 @@ def q_stream_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "embeddings")
     existing = e.filter(F.col("vec_id") % 10 != 0)
     shard = e.filter(F.col("vec_id") % 10 == 0)
-    # deterministic quantizer over the EXISTING snapshot (bounded
-    # 16-row collect; degenerate vectors can't anchor a cosine cell)
-    cents = [
-        [float(x) for x in r[1]]
-        for r in existing.select("vec_id", "embedding")
-        .filter(guarded_sq_norm(F.col("embedding")).isNotNull())
-        .orderBy("vec_id")
-        .limit(16)
-        .collect()
-    ]
+    # deterministic quantizer over the EXISTING snapshot — the SAME
+    # helper the batch twin uses, so the shared oracle can't drift
+    cents = deterministic_seed_centroids(existing, n_cells=16)
     if not cents:  # empty snapshot: nothing to index or probe
         return ivf_topk(existing, shard, n_cells=16, nprobe=2, k=5)
     save_ann_artifacts(spark, art, centroids=cents)
@@ -451,17 +444,14 @@ def q_stream_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    if not os.path.exists(sink):  # every micro-batch was empty
-        return ivf_topk(
-            existing,
-            shard.limit(0),
-            n_cells=16,
-            nprobe=2,
-            k=5,
-            centroids=centroids,
-            preassigned=index,
-        )
-    return spark.read.parquet(sink).select("q_id", "rank", "c_id", "score")
+    # Explicit contract schema: an all-empty ingest (every shard vector
+    # degenerate) still CREATES the sink dir — dynamic-overwrite
+    # commits zero partitions but writes _SUCCESS — so schema
+    # inference would fail exactly when the batch twin returns its
+    # empty contract frame (r13 review finding).
+    return spark.read.schema(
+        "q_id long, rank int, c_id long, score double, _batch_id int"
+    ).parquet(sink).select("q_id", "rank", "c_id", "score")
 
 
 def _stream_ivf_ingest_sql() -> str:

@@ -381,28 +381,17 @@ def ivf_topk(
     def cell_scores(vec_name: str, nv_name: str):
         return _centroid_scores(cents, norms, vec_name, nv_name)
 
-    # The squared norm (`nv`) computed for cell assignment is carried
-    # through the join so the candidate scoring pays one array fold per
-    # pair (the cross dot) — sqrt(nv) is the same IEEE value l2_norm()
-    # would recompute from scratch.
-    c = ensure_compute_parallelism(corpus, min_parallelism).select(
-        F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec")
-    )
     # degenerate vectors (guarded_sq_norm NULL) are EXCLUDED from both
     # sides — the cosine-family contract: a zero norm is an ANSI
     # DIVIDE_BY_ZERO in the assignment expression, a NaN norm poisons
-    # the ranking; no-op on clean corpora
+    # the ranking; no-op on clean corpora. The inline branch and
+    # ivf_assign_cells share ONE construction (_assigned_cells_frame)
+    # so a persisted index can never drift from inline assignment.
     if preassigned is not None:
         assigned = preassigned.select("c_id", "c_vec", "cell", "c_nv")
     else:
-        assigned = (
-            c.withColumn("nv", guarded_sq_norm(F.col("c_vec")))
-            .filter(F.col("nv").isNotNull())
-            .withColumn(
-                "cell",
-                -F.array_max(cell_scores("c_vec", "nv")).getField("neg_id"),
-            )
-            .select("c_id", "c_vec", "cell", F.col("nv").alias("c_nv"))
+        assigned = _assigned_cells_frame(
+            corpus, id_col, vec_col, cents, norms, min_parallelism
         )
     q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
     # strict=True raises on a degenerate QUERY vector instead of
@@ -442,6 +431,36 @@ def ivf_topk(
     )
 
 
+def _assigned_cells_frame(
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cents: list[tuple[int, list[float]]],
+    norms: list[float],
+    min_parallelism: int | str | None,
+) -> DataFrame:
+    """The ONE construction of the corpus-side cell assignment —
+    ``(c_id, c_vec, cell, c_nv)``, degenerate vectors excluded, one
+    map-only scan over literal centroids. Shared by ivf_topk's inline
+    branch and :func:`ivf_assign_cells` so the persisted index is the
+    inline assignment BY CONSTRUCTION, not by test pin alone. The
+    squared norm (`c_nv`) computed for assignment is carried through
+    so candidate scoring pays one array fold per pair."""
+    return (
+        ensure_compute_parallelism(corpus, min_parallelism)
+        .select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec"))
+        .withColumn("nv", guarded_sq_norm(F.col("c_vec")))
+        .filter(F.col("nv").isNotNull())
+        .withColumn(
+            "cell",
+            -F.array_max(_centroid_scores(cents, norms, "c_vec", "nv")).getField(
+                "neg_id"
+            ),
+        )
+        .select("c_id", "c_vec", "cell", F.col("nv").alias("c_nv"))
+    )
+
+
 def ivf_assign_cells(
     corpus: DataFrame,
     n_cells: int = 16,
@@ -454,26 +473,46 @@ def ivf_assign_cells(
     index :func:`ivf_topk` consumes via ``preassigned``: one map-only
     scan over literal centroids (no join, no shuffle) producing
     ``(c_id, c_vec, cell, c_nv)`` with degenerate vectors excluded —
-    the same assignment ivf_topk builds inline (pinned by test). The
-    streaming-ingest recipe: assign once, persist the index, serve
-    every micro-batch from it."""
+    byte-identical to ivf_topk's inline assignment because both call
+    :func:`_assigned_cells_frame`. The streaming-ingest recipe: assign
+    once, persist the index, serve every micro-batch from it."""
     cents, norms = _resolve_centroids(corpus, n_cells, id_col, vec_col, centroids)
-    base = (
-        ensure_compute_parallelism(corpus, min_parallelism)
-        .select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec"))
-        .withColumn("nv", guarded_sq_norm(F.col("c_vec")))
-        .filter(F.col("nv").isNotNull())
-    )
     if not cents:
-        return base.limit(0).select(
-            "c_id", "c_vec", F.lit(0).alias("cell"), F.col("nv").alias("c_nv")
+        return (
+            ensure_compute_parallelism(corpus, min_parallelism)
+            .select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec"))
+            .withColumn("nv", guarded_sq_norm(F.col("c_vec")))
+            .filter(F.col("nv").isNotNull())
+            .limit(0)
+            .select(
+                "c_id", "c_vec", F.lit(0).alias("cell"), F.col("nv").alias("c_nv")
+            )
         )
-    return base.withColumn(
-        "cell",
-        -F.array_max(_centroid_scores(cents, norms, "c_vec", "nv")).getField(
-            "neg_id"
-        ),
-    ).select("c_id", "c_vec", "cell", F.col("nv").alias("c_nv"))
+    return _assigned_cells_frame(
+        corpus, id_col, vec_col, cents, norms, min_parallelism
+    )
+
+
+def deterministic_seed_centroids(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """The ``n_cells`` lowest-id NON-DEGENERATE vectors as a literal
+    list — the deterministic coarse quantizer both incremental-ingest
+    twins (llm_ivf_incremental, stream_ivf_ingest) derive from the
+    EXISTING snapshot, kept in one place so the twins (and their
+    shared DuckDB oracle) can never drift. Bounded n_cells-row
+    collect; degenerate vectors can't anchor a cosine cell."""
+    return [
+        [float(x) for x in r[1]]
+        for r in corpus.select(id_col, vec_col)
+        .filter(guarded_sq_norm(F.col(vec_col)).isNotNull())
+        .orderBy(id_col)
+        .limit(n_cells)
+        .collect()
+    ]
 
 
 def semantic_dedup(

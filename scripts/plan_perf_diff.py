@@ -121,7 +121,20 @@ def _filtered_rebaseline_sf_conflict(sf_dir: str) -> dict | None:
         return None
     with open(BASELINE_PATH) as f:
         prev_sf = json.load(f).get("sf_dir")
-    if prev_sf is None or os.path.abspath(prev_sf) == os.path.abspath(sf_dir):
+    if prev_sf is None:
+        # a legacy baseline with NO sf provenance cannot be merged
+        # into safely either: the merged file would be stamped with
+        # THIS run's sf_dir, fabricating provenance for every legacy
+        # pin (r13 review finding) — one full rebaseline stamps it
+        return {
+            "error": "filtered rebaseline onto a baseline without "
+            "sf_dir provenance",
+            "baseline_sf_dir": None,
+            "requested_sf_dir": sf_dir,
+            "hint": "run one full (unfiltered) --rebaseline first to "
+            "stamp sf provenance",
+        }
+    if os.path.abspath(prev_sf) == os.path.abspath(sf_dir):
         return None
     return {
         "error": "filtered rebaseline sf mismatch",

@@ -57,10 +57,12 @@ def test_filtered_rebaseline_refuses_sf_mismatch(tmp_path, monkeypatch):
     assert refusal["baseline_sf_dir"] == "/root/testdata/sf0.001"
     assert refusal["requested_sf_dir"] == "/root/testdata/sf0.01"
 
-    # legacy baseline without sf_dir: tolerated (no provenance to
-    # contradict), matching the old behavior
+    # legacy baseline without sf_dir: ALSO refused — merging would
+    # stamp the current run's sf over every legacy pin, fabricating
+    # provenance (r13 review finding); one full rebaseline stamps it
     baseline.write_text(json.dumps({"shapes": []}))
-    assert mod._filtered_rebaseline_sf_conflict("/root/testdata/sf0.01") is None
+    refusal = mod._filtered_rebaseline_sf_conflict("/root/testdata/sf0.01")
+    assert refusal is not None and refusal["baseline_sf_dir"] is None
 
 
 def test_kmeans_repair_never_deletes_concurrent_valid_artifact(

@@ -3538,3 +3538,72 @@ def test_stream_ivf_ingest_equals_batch_twin(spark):
     streamed = sorted(map(tuple, q_stream_ivf_ingest(spark, sf).collect()))
     assert streamed == batch
     assert len(batch) > 0
+
+
+def test_stream_ivf_ingest_all_degenerate_shard_returns_empty_contract(
+    spark, tmp_path
+):
+    """Every shard vector degenerate (zero-norm/NaN): each micro-batch
+    commits zero partitions but still CREATES the sink dir, so the
+    final read must use the explicit contract schema instead of
+    inference — the batch twin's empty-contract behavior, streamed."""
+    import os
+
+    from etl_global_mobility_spark.corpus.streaming import q_stream_ivf_ingest
+
+    sf_dir = str(tmp_path / "sf")
+    os.makedirs(sf_dir)
+    dim = 8
+    rows = [
+        (i, [float((i + d) % 5 + 1) for d in range(dim)], "en")
+        for i in range(1, 40)
+        if i % 10 != 0  # valid EXISTING vectors only
+    ]
+    rows += [(i, [0.0] * dim, "en") for i in (10, 20, 30)]  # degenerate shard
+    rows += [(40, [float("nan")] * dim, "en")]
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, lang string"
+    ).write.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    out = q_stream_ivf_ingest(spark, sf_dir)
+    assert out.columns == ["q_id", "rank", "c_id", "score"]
+    assert out.count() == 0
+
+
+def test_maximal_shared_substrings_anchor_occ_cap(spark):
+    """max_anchor_occ is the worst-case guard: mass boilerplate whose
+    anchors exceed the cap is suppressed wholesale BEFORE the
+    self-join (a single repetitive doc otherwise fans out ~occ^2 join
+    rows), while rare shared passages under the cap are untouched."""
+    from etl_global_mobility_spark.operators.dedup import (
+        maximal_shared_substrings,
+    )
+
+    boiler = " ".join("same" for _ in range(120))  # 1 token repeated
+    rare = " ".join(f"r{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [
+            (1, boiler),
+            (2, boiler),
+            (3, f"{rare} tailone"),
+            (4, f"headtwo {rare}"),
+        ],
+        "doc_id long, text string",
+    )
+    capped = {
+        (r.doc_a, r.doc_b): r
+        for r in maximal_shared_substrings(
+            docs, min_len=5, max_anchor_occ=16
+        ).collect()
+    }
+    # the repeated-token boilerplate pair is suppressed (each anchor
+    # occurs 232x > 16), the rare pair survives exactly
+    assert (1, 2) not in capped
+    assert capped[(3, 4)].max_len_tokens == 30
+    # uncapped still finds the boilerplate pair (quadratic but correct)
+    uncapped = {
+        (r.doc_a, r.doc_b)
+        for r in maximal_shared_substrings(docs, min_len=5).collect()
+    }
+    assert (1, 2) in uncapped and (3, 4) in uncapped
+    with pytest.raises(ValueError):
+        maximal_shared_substrings(docs, min_len=5, max_anchor_occ=1)
