@@ -71,33 +71,46 @@ green driver row, and no query's evidence gets stale:
   green — every oracle-backed query registered through round 11
   holds a green driver row);
 
-* round 13 (this window) takes the 5 remaining r7-only rows —
+* round 13 took the 5 remaining r7-only rows —
   ``rel_tpch_q8_market_share``, ``rel_tpch_q9_product_profit``,
   ``stream_neardup_dedup``, ``stream_windowed_topk``,
-  ``udf_sql_function``, at their hard staleness deadline this round
+  ``udf_sql_function``, at their hard staleness deadline that round
   (they led ``RESERVED_NEXT_WINDOW`` through the round-12 close, as
   planned) — then the 2 round-12 additions from
   SCHEDULED_NEXT_WINDOW (``llm_ivf_incremental``,
   ``llm_retrieval_ndcg``, their FIRST driver rows), the 41
-  alphabetically-first of the 48 rows whose newest green row is
-  CORRECTNESS_r08 (stale-bound at round 14), and the 2 standing
-  canaries: 5 + 2 + 41 + 2 = 50.
+  alphabetically-first of the 48 rows whose newest green row was
+  CORRECTNESS_r08, and the 2 standing canaries: 5 + 2 + 41 + 2 = 50
+  (CORRECTNESS_r13: 50/50 green — every oracle-backed query
+  registered through round 12 holds a green driver row);
 
-ROUND-14 PLAN (reserve now so window arithmetic stays provable): the
-7 remaining r8-only rows — ``stream_stream_join``,
-``stream_tumbling_counts``, ``udf_map_in_arrow``,
-``udf_pandas_grouped_agg``, ``udf_pandas_grouped_map``,
-``udf_pandas_scalar``, ``udf_python_udtf``, alphabetically last of
-the 48 — hit their hard staleness deadline at round 14, so they LEAD
-the round-14 window (pinned in ``RESERVED_NEXT_WINDOW`` below: the
-staleness alarm tolerates them for exactly one round while rotation
-is still impossible — i.e. the closed round-13 HEAD stays green once
-CORRECTNESS_r13 lands — and still trips if round 14 skips the
-rotation); the 2 round-13 additions in SCHEDULED_NEXT_WINDOW
-(``llm_dup_substring_spans``, ``stream_ivf_ingest``) follow; the
-rest of that window drains 39 of the 48 r9-stale rows (stale-bound
-at round 15), with the remaining 9 leading round 15 via the same
-RESERVED_NEXT_WINDOW mechanism — the invariant tests enforce the
+* round 14 (this window) takes the 7 remaining r8-only rows —
+  ``stream_stream_join``, ``stream_tumbling_counts``,
+  ``udf_map_in_arrow``, ``udf_pandas_grouped_agg``,
+  ``udf_pandas_grouped_map``, ``udf_pandas_scalar``,
+  ``udf_python_udtf``, at their hard staleness deadline this round
+  (they led ``RESERVED_NEXT_WINDOW`` through the round-13 close, as
+  planned) — then the 2 round-13 additions from
+  SCHEDULED_NEXT_WINDOW (``llm_dup_substring_spans``,
+  ``stream_ivf_ingest``, their FIRST driver rows), the 39
+  alphabetically-first of the 48 rows whose newest green row is
+  CORRECTNESS_r09 (stale-bound at round 15), and the 2 standing
+  canaries: 7 + 2 + 39 + 2 = 50.
+
+ROUND-15 PLAN (reserve now so window arithmetic stays provable): the
+9 remaining r9-only rows — ``rel_source_python_ds``,
+``rel_tpch_q3_shipping_priority``, ``rel_triangle_count``,
+``rel_variant_json``, ``rel_window_first_last``, ``rel_zorder_key``,
+``stream_python_source``, ``stream_sliding_counts``,
+``udf_cogroup_profile``, alphabetically last of the 48 — hit their
+hard staleness deadline at round 15, so they LEAD the round-15
+window (pinned in ``RESERVED_NEXT_WINDOW`` below: the staleness
+alarm tolerates them for exactly one round while rotation is still
+impossible — i.e. the closed round-14 HEAD stays green once
+CORRECTNESS_r14 lands — and still trips if round 15 skips the
+rotation); any round-14 additions in SCHEDULED_NEXT_WINDOW follow;
+the rest of that window starts draining the 48 r10-stale rows
+(stale-bound at round 16) — the invariant tests enforce the
 staleness arithmetic rather than this comment.
 
 ``DRIVER_GREEN_PAST_ROUNDS`` records which queries already hold a
@@ -115,74 +128,75 @@ from __future__ import annotations
 
 from etl_global_mobility_spark.corpus.base import QuerySpec, load_table
 
-#: First 50 registered names — the driver's round-13 correctness window.
+#: First 50 registered names — the driver's round-14 correctness window.
 DRIVER_WINDOW = (
-    # the 5 remaining r7-only rows, at their HARD staleness deadline
+    # the 7 remaining r8-only rows, at their HARD staleness deadline
     # this round (trip condition current_round - latest > 6) — they
-    # led RESERVED_NEXT_WINDOW through the round-12 close; now they
+    # led RESERVED_NEXT_WINDOW through the round-13 close; now they
     # lead the window itself
-    "rel_tpch_q8_market_share",
-    "rel_tpch_q9_product_profit",
-    "stream_neardup_dedup",
-    "stream_windowed_topk",
-    "udf_sql_function",
-    # the 2 round-12 additions (SCHEDULED_NEXT_WINDOW last round) —
-    # first driver rows for incremental IVF ingest through the
-    # persisted quantizer and rank-aware retrieval evaluation
-    "llm_ivf_incremental",
-    "llm_retrieval_ndcg",
-    # the 41 alphabetically-first of the 48 rows whose newest green
-    # row is CORRECTNESS_r08 — they hit the corpus-scaled staleness
-    # bound at round 14 (the 7 alphabetically last lead the round-14
+    "stream_stream_join",
+    "stream_tumbling_counts",
+    "udf_map_in_arrow",
+    "udf_pandas_grouped_agg",
+    "udf_pandas_grouped_map",
+    "udf_pandas_scalar",
+    "udf_python_udtf",
+    # the 2 round-13 additions (SCHEDULED_NEXT_WINDOW last round) —
+    # first driver rows for variable-length ExactSubstr maximal
+    # shared-substring spans and streaming IVF ingest through the
+    # persisted cell-partitioned index
+    "llm_dup_substring_spans",
+    "stream_ivf_ingest",
+    # the 39 alphabetically-first of the 48 rows whose newest green
+    # row is CORRECTNESS_r09 — they hit the corpus-scaled staleness
+    # bound at round 15 (the 9 alphabetically last lead the round-15
     # window at their own deadline — see RESERVED_NEXT_WINDOW)
-    "llm_dedup_keep_best",
-    "llm_domain_blocklist",
-    "llm_domain_cap_report",
-    "llm_domain_extract",
-    "llm_e2e_curation",
-    "llm_e2e_web_curation",
-    "llm_event_sequences",
-    "llm_int8_quantize",
-    "llm_k_anonymity",
-    "llm_k_suppress",
-    "llm_keyword_tag",
-    "llm_knn_label_vote",
-    "llm_lang_profile",
-    "llm_per_source_cap",
-    "llm_pii_redact",
-    "llm_pmi_collocations",
-    "llm_quality_score",
-    "llm_repetition_signals",
-    "llm_split_leakage",
-    "llm_stratified_sample",
-    "llm_strip_boilerplate",
-    "llm_text_stats",
-    "llm_token_fertility",
-    "llm_url_dedup",
-    "llm_vocab_oov",
-    "parity_catalog_table_scan",
-    "parity_csv_scan",
-    "parity_quality_reasons",
-    "rel_agg_pricing_summary",
-    "rel_collect_sorted_lists",
-    "rel_hof_arrays",
-    "rel_join_revenue_by_nation",
-    "rel_json_events",
-    "rel_merge_upsert",
-    "rel_set_ops",
-    "rel_source_avro",
-    "rel_source_text_wholetext",
-    "rel_window_range_frame",
-    "stream_dedup_keys",
-    "stream_session_windows",
-    "stream_stateful_profile",
+    "llm_alignment_report",
+    "llm_bitext_mining",
+    "llm_causal_lm_examples",
+    "llm_cluster_balanced_sample",
+    "llm_cluster_profile",
+    "llm_dataset_drift",
+    "llm_multimodal_alignment",
+    "rel_agg_conditional_modern",
+    "rel_array_ops",
+    "rel_bucketed_join",
+    "rel_cohort_retention",
+    "rel_csv_corrupt_records",
+    "rel_decayed_activity",
+    "rel_equidepth_bins",
+    "rel_error_safe_functions",
+    "rel_expectations_report",
+    "rel_funnel_analysis",
+    "rel_fuzzy_match",
+    "rel_histogram_prices",
+    "rel_incremental_agg",
+    "rel_join_hinted_shuffle_hash",
+    "rel_mask_redaction",
+    "rel_moving_window_sum",
+    "rel_null_safe_join",
+    "rel_percentiles_exact",
+    "rel_ratio_to_report",
+    "rel_recursive_chain",
+    "rel_resample_ffill",
+    "rel_robust_scaling",
+    "rel_running_distinct",
+    "rel_scalar_dates",
+    "rel_scd2_dimension",
+    "rel_scd2_point_in_time",
+    "rel_schema_evolution",
+    "rel_sessionize_batch",
+    "rel_snapshot_diff",
+    "rel_source_binaryfile",
+    "rel_source_json",
+    "rel_source_orc",
     # standing canaries (green every round since r2/r3) for
     # cross-round regression signal — one parity + one llm
     "parity_derived_all",
     "llm_exact_dedup",
 )
 
-#: Queries holding a green driver row in CORRECTNESS_r02…r12 —
+#: Queries holding a green driver row in CORRECTNESS_r02…r13 —
 #: allowed past the window (their evidence is already recorded; the
 #: local gate still re-verifies them every round). Regenerated each
 #: round as the union of green rows across all CORRECTNESS_r0N.json.
@@ -210,7 +224,8 @@ DRIVER_GREEN_PAST_ROUNDS = frozenset(
         "llm_group_advantage", "llm_hard_negative_mining",
         "llm_hash_split", "llm_hybrid_retrieval_rrf",
         "llm_incremental_neardup", "llm_int8_quantize",
-        "llm_ivf_ann", "llm_k_anonymity", "llm_k_suppress",
+        "llm_ivf_ann", "llm_ivf_incremental", "llm_k_anonymity",
+        "llm_k_suppress",
         "llm_keyword_tag", "llm_kmeans_refine",
         "llm_knn_label_vote", "llm_labelprop_convergence",
         "llm_lang_profile", "llm_language_id",
@@ -225,7 +240,8 @@ DRIVER_GREEN_PAST_ROUNDS = frozenset(
         "llm_preference_pairs", "llm_quality_classifier",
         "llm_quality_classifier_trained", "llm_quality_prune",
         "llm_quality_score", "llm_rejection_sample",
-        "llm_repetition_signals", "llm_semantic_dedup",
+        "llm_repetition_signals", "llm_retrieval_ndcg",
+        "llm_semantic_dedup",
         "llm_sentence_chunks", "llm_sft_chat_format", "llm_simhash",
         "llm_span_corruption", "llm_split_leakage",
         "llm_stratified_sample", "llm_strip_boilerplate",
@@ -317,19 +333,13 @@ DRIVER_GREEN_PAST_ROUNDS = frozenset(
 #: Queries ADDED this round (registered past the already-frozen
 #: window): the NEXT rotation must pull these in. The window-invariant
 #: test treats this as the only legitimate reason an oracle-backed
-#: query lacks both window coverage and a past green row. Round-12
+#: query lacks both window coverage and a past green row. Round-14
 #: additions are appended here as they are registered (see the
-#: ROUND-13 PLAN arithmetic in the module docstring).
-SCHEDULED_NEXT_WINDOW: frozenset[str] = frozenset(
-    {
-        # round-13 additions (oracle-backed; the cap is 2 — the
-        # round-14 window must still fit the 7 reserved r8-stale rows
-        # + 2 canaries + 39 of the 48 r9-stale rows, the remaining 9
-        # leading round 15 via RESERVED_NEXT_WINDOW)
-        "llm_dup_substring_spans",
-        "stream_ivf_ingest",
-    }
-)
+#: ROUND-15 PLAN arithmetic in the module docstring; the cap is
+#: 50 - 9 reserved - 2 canaries - however many r10-stale rows round
+#: 15 chooses to drain — keep additions ≤ 2 so the burn-down of the
+#: 48 r10-stale rows stays on schedule for round 16).
+SCHEDULED_NEXT_WINDOW: frozenset[str] = frozenset()
 
 #: Queries whose existing driver evidence reaches its hard staleness
 #: deadline NEXT round — reserved to LEAD the next rotation (see the
@@ -340,13 +350,15 @@ SCHEDULED_NEXT_WINDOW: frozenset[str] = frozenset(
 #: HEAD would be permanently red. If the next rotation skips them the
 #: alarm still trips (tests/test_corpus_oracle.py pins both sides).
 RESERVED_NEXT_WINDOW: tuple[str, ...] = (
-    "stream_stream_join",
-    "stream_tumbling_counts",
-    "udf_map_in_arrow",
-    "udf_pandas_grouped_agg",
-    "udf_pandas_grouped_map",
-    "udf_pandas_scalar",
-    "udf_python_udtf",
+    "rel_source_python_ds",
+    "rel_tpch_q3_shipping_priority",
+    "rel_triangle_count",
+    "rel_variant_json",
+    "rel_window_first_last",
+    "rel_zorder_key",
+    "stream_python_source",
+    "stream_sliding_counts",
+    "udf_cogroup_profile",
 )
 
 
