@@ -444,6 +444,15 @@ def q_stream_ivf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
+    # An EMPTY shard (non-empty snapshot, no vec_id % 10 == 0 rows)
+    # lands zero data files, availableNow plans zero micro-batches,
+    # foreachBatch never fires, and the sink dir is never created —
+    # spark.read would throw PATH_NOT_FOUND where the batch twin
+    # returns its empty contract frame. Mirror the empty-centroids
+    # early return (r13 advice finding).
+    if not os.path.isdir(sink):
+        return ivf_topk(existing, shard, n_cells=16, nprobe=2, k=5,
+                        centroids=centroids).limit(0)
     # Explicit contract schema: an all-empty ingest (every shard vector
     # degenerate) still CREATES the sink dir — dynamic-overwrite
     # commits zero partitions but writes _SUCCESS — so schema

@@ -364,6 +364,18 @@ def ivf_topk(
     """
     from pyspark.sql import Window
 
+    if preassigned is not None and centroids is None:
+        # A persisted index's quantizer cannot be recovered from
+        # `corpus`: re-deriving seed centroids here could disagree
+        # with the centroids that built `preassigned`, and the probe
+        # side would then target the WRONG cells — silently wrong or
+        # empty top-k. The 'SAME centroids' requirement is enforced,
+        # not just documented (r13 advice finding).
+        raise ValueError(
+            "ivf_topk(preassigned=...) requires the `centroids` that "
+            "built the persisted index; pass the quantizer loaded via "
+            "load_ann_artifacts, not None"
+        )
     cents, norms = _resolve_centroids(corpus, n_cells, id_col, vec_col, centroids)
     if not cents:
         # empty corpus and no trained quantizer: there is nothing to

@@ -119,8 +119,20 @@ def _filtered_rebaseline_sf_conflict(sf_dir: str) -> dict | None:
     is provenance-safe."""
     if not os.path.exists(BASELINE_PATH):
         return None
-    with open(BASELINE_PATH) as f:
-        prev_sf = json.load(f).get("sf_dir")
+    try:
+        with open(BASELINE_PATH) as f:
+            prev_sf = json.load(f).get("sf_dir")
+    except (json.JSONDecodeError, OSError) as exc:
+        # a corrupt/unreadable baseline must produce the structured
+        # refusal payload like every other conflict, not a raw
+        # traceback (r13 advice finding)
+        return {
+            "error": f"unreadable baseline: {exc}",
+            "baseline_sf_dir": None,
+            "requested_sf_dir": sf_dir,
+            "hint": "run one full (unfiltered) --rebaseline to "
+            "rewrite the baseline",
+        }
     if prev_sf is None:
         # a legacy baseline with NO sf provenance cannot be merged
         # into safely either: the merged file would be stamped with
