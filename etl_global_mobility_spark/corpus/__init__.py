@@ -339,7 +339,15 @@ DRIVER_GREEN_PAST_ROUNDS = frozenset(
 #: 50 - 9 reserved - 2 canaries - however many r10-stale rows round
 #: 15 chooses to drain — keep additions ≤ 2 so the burn-down of the
 #: 48 r10-stale rows stays on schedule for round 16).
-SCHEDULED_NEXT_WINDOW: frozenset[str] = frozenset()
+SCHEDULED_NEXT_WINDOW: frozenset[str] = frozenset(
+    {
+        # round-14 addition (oracle-backed): the unigram-LM trainer's
+        # seed-candidate statistics. Its iterative twin
+        # ``llm_unigram_train`` is rows-only (no oracle) and therefore
+        # exempt from window coverage, like ``llm_bpe_train``.
+        "llm_unigram_seed_stats",
+    }
+)
 
 #: Queries whose existing driver evidence reaches its hard staleness
 #: deadline NEXT round — reserved to LEAD the next rotation (see the

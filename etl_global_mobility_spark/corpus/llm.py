@@ -943,6 +943,68 @@ def _bpe_pair_stats_sql() -> str:
     """
 
 
+def q_unigram_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed unigram-LM tokenizer training (Kudo
+    arXiv:1804.10959): substring-seeded vocabulary fitted by
+    forward-backward EM over the segmentation lattice, pruned to the
+    target size — the top-down probabilistic contrast to
+    ``llm_bpe_train``'s bottom-up greedy merges. Iterative with
+    per-word dynamic programming, so no SQL oracle — correctness is
+    anchored by the sequential-reference pytest
+    (tests/test_llm_operators.py::test_unigram_training_matches_sequential_reference)
+    and the partition-invariance test (DECIMAL-exact E-step sums);
+    the driver records the rows-only check on the ranked vocabulary."""
+    from etl_global_mobility_spark.operators.unigram import train_unigram_lm
+
+    d = load_table(spark, sf_dir, "documents")
+    vocab = train_unigram_lm(
+        d,
+        vocab_size=48,
+        max_piece_len=4,
+        seed_size=80,
+        em_iters=2,
+        max_rounds=3,
+        max_words=4_000,
+    )
+    return spark.createDataFrame(
+        [(i, p, lp) for i, (p, lp) in enumerate(vocab)],
+        "rank int, piece string, logprob double",
+    )
+
+
+def q_unigram_seed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The unigram trainer's seed-candidate table, made
+    ORACLE-CHECKABLE (non-iterative slice of :func:`q_unigram_train`,
+    the analog of ``llm_bpe_pair_stats``): corpus word frequencies →
+    every word substring up to 4 chars → frequency-weighted counts
+    (the table the trainer's vocabulary initialization ranks).
+    Covers the word-frequency shuffle and the substring explode; the
+    EM loop on top is pinned by the sequential-reference pytest."""
+    from etl_global_mobility_spark.operators.unigram import seed_piece_stats
+
+    d = load_table(spark, sf_dir, "documents")
+    return seed_piece_stats(d, max_piece_len=4, min_freq=2)
+
+
+def _unigram_seed_stats_sql() -> str:
+    return f"""
+    WITH words AS (
+      SELECT w AS word, CAST(count(*) AS BIGINT) AS freq
+      FROM (SELECT unnest({TOKS}) AS w FROM documents) t
+      GROUP BY w
+    ), pos AS (
+      SELECT word, freq, unnest(range(1, len(word) + 1)) AS i FROM words
+    ), cand AS (
+      SELECT word, freq, i, unnest(range(1, 5)) AS l FROM pos
+    )
+    SELECT substr(word, CAST(i AS INTEGER), CAST(l AS INTEGER)) AS piece,
+           CAST(sum(freq) AS BIGINT) AS piece_freq
+    FROM cand
+    WHERE i + l - 1 <= len(word)
+    GROUP BY 1 HAVING sum(freq) >= 2
+    """
+
+
 def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-scaled source balancing (T=0.5): the mT5/XLM-R
     mixture-flattening resampler. sqrt+division are correctly-rounded
@@ -5179,6 +5241,20 @@ SPECS = [
         _bpe_pair_stats_sql(),
         doc="one BPE merge iteration's pair-count table (oracle-backed "
         "non-iterative slice of llm_bpe_train)",
+    ),
+    QuerySpec(
+        "llm_unigram_train",
+        q_unigram_train,
+        None,
+        doc="distributed unigram-LM (SentencePiece-style) tokenizer "
+        "training: EM + prune (iterative; reference-tested, rows-only)",
+    ),
+    QuerySpec(
+        "llm_unigram_seed_stats",
+        q_unigram_seed_stats,
+        _unigram_seed_stats_sql(),
+        doc="the unigram trainer's substring seed-candidate table "
+        "(oracle-backed non-iterative slice of llm_unigram_train)",
     ),
     QuerySpec(
         "llm_sentence_chunks",

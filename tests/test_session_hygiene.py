@@ -30,7 +30,8 @@ import pytest
 
 #: Queries whose operators localCheckpoint or persist internally —
 #: the state-accumulating worst case (sites: dedup.py:224,297,366,
-#: 478-535,821, bpe.py:105,123, retrieval.py:269, graph.py).
+#: 478-535,821, bpe.py:105,123, unigram.py train_unigram_lm,
+#: retrieval.py:269, graph.py).
 HEAVY = [
     "llm_minhash_neardup",
     "llm_minhash_verified",
@@ -38,6 +39,7 @@ HEAVY = [
     "llm_dedup_components",
     "llm_dup_ngram_spans",
     "llm_bpe_train",
+    "llm_unigram_train",
     "llm_hard_negative_mining",
     "rel_pagerank",
 ]
