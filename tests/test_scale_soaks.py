@@ -724,3 +724,115 @@ def test_maximal_shared_substrings_soak_cost_tracks_duplication(spark):
     # 10x the unique corpus must not cost anywhere near 10x^2; generous
     # budget, sharp structure above
     assert big_s < max(12.0, 25 * small_s), (small_s, big_s)
+
+
+@pytest.mark.slow
+def test_maximal_shared_substrings_anchor_cap_bounds_spam_fanout(spark):
+    """The adversarial case the operator's docstring prices: a
+    single-token-spam document makes ONE anchor with occurrence count
+    ~doc_len, and the anchor self-join fan-out is sum(df^2) — a
+    5k-token one-word document alone is ~25M join rows, and every
+    diagonal's position array lands in one island fold. The
+    ``max_anchor_occ`` guard must drop hot anchors BEFORE the
+    self-join so that cost never materializes.
+
+    Two assertions: (1) semantics — on a small corpus where the
+    uncapped run is affordable, capped suppresses the spam-pair span
+    wholesale while keeping the genuine planted pair, and uncapped
+    (the control) proves the spam span WAS there to suppress;
+    (2) scale — with a 5,000-token spam doc planted in an 8,000-doc
+    corpus, the capped run completes inside a budget the 25M-row
+    fan-out could not touch, with the planted structure intact."""
+    from etl_global_mobility_spark.operators.dedup import (
+        maximal_shared_substrings,
+    )
+
+    def spam_doc(doc_id, n_tokens):
+        return spark.range(1).select(
+            F.lit(doc_id).cast("long").alias("doc_id"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(n_tokens)),
+                    lambda _i: F.lit("spam"),
+                ),
+            ).alias("text"),
+        )
+
+    def planted_pair(base):
+        return spark.range(2).select(
+            (F.col("id") + base).alias("doc_id"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(60)),
+                    lambda i: F.concat(F.lit("g"), i.cast("string")),
+                ),
+            ).alias("text"),
+        )
+
+    def filler(n):
+        return spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(40)),
+                    lambda i: F.concat(
+                        F.lit("u"),
+                        F.col("id").cast("string"),
+                        F.lit("x"),
+                        i.cast("string"),
+                    ),
+                ),
+            ).alias("text"),
+        )
+
+    # (1) semantics at affordable scale: two 400-token spam docs
+    # (uncapped cross-doc fan-out ~145k rows — fine as a control)
+    small = (
+        filler(500)
+        .unionByName(spam_doc(7_000_000, 400))
+        .unionByName(spam_doc(7_000_001, 400))
+        .unionByName(planted_pair(8_000_000))
+    )
+    uncapped = {
+        (a, b): (n, mx, tot)
+        for a, b, n, mx, tot in maximal_shared_substrings(
+            small, min_len=20
+        ).collect()
+    }
+    # the control: spam pair IS a (degenerate) maximal-substring hit
+    assert (7_000_000, 7_000_001) in uncapped
+    assert uncapped[(8_000_000, 8_000_001)] == (1, 60, 60)
+    capped = {
+        (a, b): (n, mx, tot)
+        for a, b, n, mx, tot in maximal_shared_substrings(
+            small, min_len=20, max_anchor_occ=64
+        ).collect()
+    }
+    # capped: boilerplate-only pair suppressed wholesale, genuine kept
+    assert (7_000_000, 7_000_001) not in capped
+    assert capped[(8_000_000, 8_000_001)] == (1, 60, 60)
+
+    # (2) scale: one 5,000-token spam doc (the docstring's ~25M-row
+    # case) in an 8,000-doc corpus; capped must stay cheap and exact
+    big = (
+        filler(8_000)
+        .unionByName(spam_doc(7_000_000, 5_000))
+        .unionByName(spam_doc(7_000_001, 5_000))
+        .unionByName(planted_pair(8_000_000))
+    )
+    t0 = time.time()
+    rows = {
+        (a, b): (n, mx, tot)
+        for a, b, n, mx, tot in maximal_shared_substrings(
+            big, min_len=20, max_anchor_occ=64
+        ).collect()
+    }
+    capped_s = time.time() - t0
+    assert (7_000_000, 7_000_001) not in rows
+    assert rows[(8_000_000, 8_000_001)] == (1, 60, 60)
+    assert len(rows) == 1
+    # generous wall budget; the uncapped 50M-element fold cannot meet it
+    assert capped_s < 60.0, capped_s
