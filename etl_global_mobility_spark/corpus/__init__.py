@@ -341,11 +341,14 @@ DRIVER_GREEN_PAST_ROUNDS = frozenset(
 #: 48 r10-stale rows stays on schedule for round 16).
 SCHEDULED_NEXT_WINDOW: frozenset[str] = frozenset(
     {
-        # round-14 addition (oracle-backed): the unigram-LM trainer's
-        # seed-candidate statistics. Its iterative twin
+        # round-14 additions (oracle-backed; the cap is 2 — see the
+        # ROUND-15 PLAN arithmetic): the unigram-LM trainer's
+        # seed-candidate statistics, and the trigram backoff-LM
+        # perplexity filter. The trainer's iterative twin
         # ``llm_unigram_train`` is rows-only (no oracle) and therefore
         # exempt from window coverage, like ``llm_bpe_train``.
         "llm_unigram_seed_stats",
+        "llm_trigram_backoff_rarity",
     }
 )
 

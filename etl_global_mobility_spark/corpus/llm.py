@@ -1005,6 +1005,90 @@ def _unigram_seed_stats_sql() -> str:
     """
 
 
+def q_trigram_backoff_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram Stupid-Backoff LM perplexity filter (operators/lm.py,
+    Brants EMNLP'07 scoring inside the CCNet filter shape, Wenzek
+    arXiv:1911.00359): the reference model trains on the ``src0``
+    slice (the held-out "Wikipedia" role) and every document is scored
+    by its mean reciprocal token score in exact integer micro-units —
+    rational arithmetic end to end, so Spark and DuckDB agree
+    bit-for-bit where ln()-based perplexity would not."""
+    from etl_global_mobility_spark.operators.lm import backoff_lm_rarity
+
+    d = load_table(spark, sf_dir, "documents")
+    ref = d.filter(F.col("source") == "src0")
+    return backoff_lm_rarity(d, ref)
+
+
+def _trigram_backoff_rarity_sql() -> str:
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, source, {TOKS} AS t FROM documents
+    ), ref3 AS (
+      SELECT g, CAST(count(*) AS BIGINT) AS c3 FROM (
+        SELECT array_to_string(t[i:i + 2], ' ') AS g
+        FROM (SELECT t, unnest(range(1, len(t) - 1)) AS i
+              FROM toks WHERE source = 'src0' AND len(t) >= 3)
+      ) GROUP BY g
+    ), ref2 AS (
+      SELECT g, CAST(count(*) AS BIGINT) AS c2 FROM (
+        SELECT array_to_string(t[i:i + 1], ' ') AS g
+        FROM (SELECT t, unnest(range(1, len(t))) AS i
+              FROM toks WHERE source = 'src0' AND len(t) >= 2)
+      ) GROUP BY g
+    ), ref1 AS (
+      SELECT g, CAST(count(*) AS BIGINT) AS c1 FROM (
+        SELECT unnest(t) AS g FROM toks WHERE source = 'src0'
+      ) GROUP BY g
+    ), tot AS (
+      SELECT CAST(coalesce(sum(c1), 0) AS BIGINT) AS n_total FROM ref1
+    ), pos AS (
+      SELECT doc_id,
+             array_to_string(t[i - 2:i], ' ') AS tri,
+             array_to_string(t[i - 2:i - 1], ' ') AS bctx,
+             array_to_string(t[i - 1:i], ' ') AS bi,
+             t[CAST(i AS INTEGER) - 1] AS uctx,
+             t[CAST(i AS INTEGER)] AS uni
+      FROM (SELECT doc_id, t, unnest(range(3, len(t) + 1)) AS i
+            FROM toks WHERE len(t) >= 3)
+    ), tf AS (
+      SELECT doc_id, tri, bctx, bi, uctx, uni,
+             CAST(count(*) AS BIGINT) AS tf
+      FROM pos GROUP BY ALL
+    ), sc AS (
+      SELECT f.doc_id, f.tf,
+             CASE
+               WHEN r3.c3 IS NOT NULL
+                 THEN (bc.c2 * CAST(1000000 AS BIGINT)) // r3.c3
+               WHEN r2.c2 IS NOT NULL
+                 THEN (uc.c1 * CAST(1000000 AS BIGINT) * 5) // (r2.c2 * 2)
+               WHEN r1.c1 IS NOT NULL
+                 THEN (tot.n_total * CAST(1000000 AS BIGINT) * 25)
+                      // (r1.c1 * 4)
+               ELSE (tot.n_total * CAST(1000000 AS BIGINT) * 25) // 4
+             END AS micro,
+             CASE WHEN r3.c3 IS NULL THEN 1 ELSE 0 END AS is_backoff,
+             CASE WHEN r1.c1 IS NULL THEN 1 ELSE 0 END AS is_oov
+      FROM tf f
+      LEFT JOIN ref3 r3 ON f.tri = r3.g
+      LEFT JOIN ref2 bc ON f.bctx = bc.g
+      LEFT JOIN ref2 r2 ON f.bi = r2.g
+      LEFT JOIN ref1 uc ON f.uctx = uc.g
+      LEFT JOIN ref1 r1 ON f.uni = r1.g
+      CROSS JOIN tot
+    )
+    SELECT doc_id,
+           CAST(sum(tf) AS BIGINT) AS n_scored,
+           CAST(sum(tf * micro) AS DOUBLE)
+             / (CAST(sum(tf) AS DOUBLE) * 1000000.0) AS mean_rarity,
+           CAST(sum(tf * is_backoff) AS DOUBLE)
+             / CAST(sum(tf) AS DOUBLE) AS backoff_frac,
+           CAST(sum(tf * is_oov) AS DOUBLE)
+             / CAST(sum(tf) AS DOUBLE) AS oov_frac
+    FROM sc GROUP BY doc_id
+    """
+
+
 def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-scaled source balancing (T=0.5): the mT5/XLM-R
     mixture-flattening resampler. sqrt+division are correctly-rounded
@@ -5255,6 +5339,14 @@ SPECS = [
         _unigram_seed_stats_sql(),
         doc="the unigram trainer's substring seed-candidate table "
         "(oracle-backed non-iterative slice of llm_unigram_train)",
+    ),
+    QuerySpec(
+        "llm_trigram_backoff_rarity",
+        q_trigram_backoff_rarity,
+        _trigram_backoff_rarity_sql(),
+        doc="trigram Stupid-Backoff LM perplexity filter: reference "
+        "model on the src0 slice, exact integer micro-unit scoring "
+        "(the full CCNet shape beyond llm_unigram_rarity)",
     ),
     QuerySpec(
         "llm_sentence_chunks",

@@ -616,6 +616,7 @@ def test_no_plan_antipatterns_across_entire_corpus(spark):
         "rel_tpch_q11_important_parts",  # broadcast 1-row value-total frame
         "llm_quality_prune",             # broadcast 1-row p25-threshold frame
         "llm_unigram_rarity",            # broadcast 1-row corpus-total frame
+        "llm_trigram_backoff_rarity",    # broadcast 1-row reference-total frame
         "llm_weighted_sample",           # broadcast k-row draws frame
         "llm_dsir_resample",             # broadcast 1-row max-score frame
         "llm_domain_cap_report",         # broadcast 1-row corpus-totals frame
