@@ -51,22 +51,29 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from etl_global_mobility_spark.operators.text import tokenize
+from etl_global_mobility_spark.operators.text import _bind, tokenize
 
 ALPHA_NUM, ALPHA_DEN = 2, 5  # alpha = 0.4 = ALPHA_NUM / ALPHA_DEN
 MICRO = 1_000_000
 
 
 def _ngram_strings(toks: F.Column, n: int) -> F.Column:
-    """array<string> of space-joined n-grams (empty below n tokens)."""
-    size = F.size(toks)
-    return F.when(
-        size >= n,
-        F.transform(
-            F.sequence(F.lit(1), size - n + 1),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    """array<string> of space-joined n-grams (empty below n tokens).
+
+    ``toks`` is let-bound (text._bind) before the per-gram transform:
+    a bare tokenize() chain referenced inside the lambda re-tokenizes
+    the document once PER GRAM — O(n²) row work (measured 30.9 s →
+    the binding restores the O(n) single evaluation)."""
+    return _bind(
+        toks,
+        lambda ts: F.when(
+            F.size(ts) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(ts) - n + 1),
+                lambda i: F.concat_ws(" ", F.slice(ts, i, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>")),
+    )
 
 
 def reference_ngram_counts(
@@ -122,36 +129,35 @@ def backoff_lm_rarity(
         F.coalesce(F.sum("c1"), F.lit(0)).cast("bigint").alias("n_total")
     )
 
-    toks = tokenize(text_col)
+    # let-bind the token array (text._bind): referencing the bare
+    # tokenize() chain inside the per-position lambda re-tokenizes the
+    # document once per trigram position AND per struct field — O(n²)
+    # row work (measured: 30.9 s at sf0.1; bound: the one-pass cost)
+    positions = _bind(
+        tokenize(text_col),
+        lambda ts: F.when(
+            F.size(ts) >= 3,
+            F.transform(
+                F.sequence(F.lit(3), F.size(ts)),
+                lambda i: F.struct(
+                    F.concat_ws(" ", F.slice(ts, i - 2, 3)).alias("tri"),
+                    F.concat_ws(" ", F.slice(ts, i - 2, 2)).alias("bctx"),
+                    F.concat_ws(" ", F.slice(ts, i - 1, 2)).alias("bi"),
+                    F.element_at(ts, i - 1).alias("uctx"),
+                    F.element_at(ts, i).alias("uni"),
+                ),
+            ),
+        ).otherwise(
+            F.array().cast(
+                "array<struct<tri:string,bctx:string,bi:string,"
+                "uctx:string,uni:string>>"
+            )
+        ),
+    )
     pos = (
         docs.select(
             F.col(id_col).alias("id"),
-            F.explode(
-                F.when(
-                    F.size(toks) >= 3,
-                    F.transform(
-                        F.sequence(F.lit(3), F.size(toks)),
-                        lambda i: F.struct(
-                            F.concat_ws(
-                                " ", F.slice(toks, i - 2, 3)
-                            ).alias("tri"),
-                            F.concat_ws(
-                                " ", F.slice(toks, i - 2, 2)
-                            ).alias("bctx"),
-                            F.concat_ws(
-                                " ", F.slice(toks, i - 1, 2)
-                            ).alias("bi"),
-                            F.element_at(toks, i - 1).alias("uctx"),
-                            F.element_at(toks, i).alias("uni"),
-                        ),
-                    ),
-                ).otherwise(
-                    F.array().cast(
-                        "array<struct<tri:string,bctx:string,bi:string,"
-                        "uctx:string,uni:string>>"
-                    )
-                )
-            ).alias("p"),
+            F.explode(positions).alias("p"),
         )
         .groupBy(
             "id",
