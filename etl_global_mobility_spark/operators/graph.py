@@ -17,6 +17,49 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from etl_global_mobility_spark.operators.parallelism import (
+    SINGLE_TASK_MAX_EDGES,
+)
+
+
+def _lpa_rounds_pandas(und_pdf, n_iters: int):
+    """EXACT synchronous majority-LPA rounds over an in-memory
+    undirected edge frame (pandas): per round every node adopts its
+    neighbors' most frequent PREVIOUS-round label, ties to the
+    smallest label — the same pure function of (edge set, n_iters) as
+    the distributed ``_lpa_round``, pinned equal by test. Returns the
+    final label Series (index = node) plus the per-round changed-node
+    counts (the convergence diagnostic shares one implementation)."""
+    import pandas as pd
+
+    src = und_pdf["src"].to_numpy()
+    dst = und_pdf["dst"].to_numpy()
+    nodes = pd.unique(pd.Series(src)).copy()
+    nodes.sort()
+    lab = pd.Series(nodes, index=nodes)
+    changed: list[int] = []
+    for _ in range(n_iters):
+        nb = pd.DataFrame({"src": src, "label": lab.loc[dst].to_numpy()})
+        cnt = (
+            nb.groupby(["src", "label"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        # total order (src, n DESC, label ASC) → first row per src is
+        # the deterministic majority label, exactly the distributed
+        # row_number() tie-break
+        cnt = cnt.sort_values(
+            ["src", "n", "label"], ascending=[True, False, True],
+            kind="mergesort",
+        )
+        top = cnt.drop_duplicates("src", keep="first")
+        new = pd.Series(
+            top["label"].to_numpy(), index=top["src"].to_numpy()
+        ).sort_index()
+        changed.append(int((new.to_numpy() != lab.loc[new.index].to_numpy()).sum()))
+        lab = new
+    return lab, changed
+
 
 def pagerank(
     edges: DataFrame,
@@ -156,8 +199,37 @@ def label_propagation(
     # try would skip the unpersist (r12 review).
     try:
         n_und = und.count()
-        if n_und < 100_000:  # graph fits one task: skip wide shuffles
-            und = und.coalesce(1)
+        if n_und < SINGLE_TASK_MAX_EDGES:
+            # Small-graph fast path (same bound that already gated
+            # coalesce(1)): run ALL synchronous rounds in one
+            # Arrow-batched job over the coalesced cached edge list —
+            # measured ~2.5 s of per-round join+window+checkpoint
+            # micro-jobs at sf0.1 local[32] collapsing to one task,
+            # identical labels (equality with the distributed rounds
+            # pinned by test). The node-conservation guards protect
+            # MULTI-job loops from a clearCache() race between jobs;
+            # this single linear job reads the cached edges once, so
+            # a cleared cache recomputes from source instead. Eagerly
+            # checkpointed so the caller's finally-unpersist cannot
+            # force the upstream pair generation to rerun.
+            def _one_task(batches):
+                import pandas as pd
+
+                parts = [b for b in batches if len(b)]
+                if not parts:
+                    return
+                lab, _ = _lpa_rounds_pandas(
+                    pd.concat(parts, ignore_index=True), n_iters
+                )
+                yield pd.DataFrame(
+                    {"node": lab.index.to_numpy(), "label": lab.to_numpy()}
+                )
+
+            return (
+                und.coalesce(1)
+                .mapInPandas(_one_task, "node long, label long")
+                .localCheckpoint(eager=True)
+            )
         labels = (
             und.select(F.col("src").alias("node"))
             .distinct()
@@ -242,8 +314,50 @@ def label_propagation_convergence(
     und_cached = und
     try:
         n_und = und.count()
-        if n_und < 100_000:  # graph fits one task: skip wide shuffles
-            und = und.coalesce(1)
+        if n_und == 0:
+            # empty graph: every round trivially changes 0 of 0 nodes
+            # — build the n_iters diagnostic rows directly (the
+            # distributed loop below computes exactly these via
+            # empty-frame jobs; the fast path would emit nothing
+            # because mapInPandas never fires on a 0-row source)
+            return edges.sparkSession.createDataFrame(
+                [(t, 0, 0, 0.0) for t in range(1, n_iters + 1)],
+                "round int, n_changed long, n_nodes long, frac_changed double",
+            )
+        if n_und < SINGLE_TASK_MAX_EDGES:
+            # Small-graph fast path — same rationale and proof
+            # obligations as label_propagation's: all rounds AND the
+            # per-round changed counts in one Arrow-batched job over
+            # the coalesced cached edges (the round body is shared —
+            # _lpa_rounds_pandas — so the two queries cannot drift).
+            def _one_task(batches):
+                import pandas as pd
+
+                parts = [b for b in batches if len(b)]
+                if not parts:
+                    return
+                lab, changed = _lpa_rounds_pandas(
+                    pd.concat(parts, ignore_index=True), n_iters
+                )
+                n = int(len(lab))
+                yield pd.DataFrame(
+                    {
+                        "round": list(range(1, n_iters + 1)),
+                        "n_changed": changed,
+                        "n_nodes": [n] * n_iters,
+                        "frac_changed": [float(c) / n for c in changed],
+                    }
+                )
+
+            return (
+                und.coalesce(1)
+                .mapInPandas(
+                    _one_task,
+                    "round int, n_changed long, n_nodes long, "
+                    "frac_changed double",
+                )
+                .localCheckpoint(eager=True)
+            )
         # checkpointed eagerly: each round reads the previous labels
         # TWICE (round input + change comparison)
         labels = (

@@ -228,9 +228,15 @@ def test_dedup_components_labels_clusters_with_min_id(spark):
     assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
 
 
-def test_dedup_components_raises_when_not_converged(spark):
+def test_dedup_components_raises_when_not_converged(spark, monkeypatch):
+    """The max_iters cap must raise rather than return wrong clusters.
+    Only the DISTRIBUTED rounds iterate (the single-task union-find
+    fast path always converges), so pin that path via the threshold."""
     import pytest
 
+    import etl_global_mobility_spark.operators.dedup as dedup_mod
+
+    monkeypatch.setattr(dedup_mod, "SINGLE_TASK_MAX_EDGES", 0)
     pairs = spark.createDataFrame([(i, i + 1) for i in range(8)], "id_a long, id_b long")
     with pytest.raises(RuntimeError, match="converge"):
         dedup_components(pairs, max_iters=1)  # chain of 9 has diameter 8

@@ -649,6 +649,13 @@ def test_no_plan_antipatterns_across_entire_corpus(spark):
         "rel_tdigest_quantiles",  # the digest build/merge/report IS
         # the declared Arrow escape hatch (complex aggregate state —
         # operators/sketch.py module docstring)
+        # NOTE (r14): the components/LPA small-graph fast paths DO run
+        # one Arrow-batched job (union-find / in-memory LPA), but it
+        # executes EAGERLY at declaration and the returned frame is a
+        # localCheckpoint scan — so no Python node reaches these
+        # queries' static plans; the escape hatch is justified at the
+        # operator (SINGLE_TASK_MAX_EDGES) and pinned equal to the
+        # distributed rounds by tests/test_r14_fastpaths.py.
     }
     ARROW_NODES = (
         "ArrowEvalPython", "FlatMapGroupsInPandas", "MapInPandas",

@@ -454,14 +454,22 @@ def test_incremental_neardup_soak_shard_cost_not_corpus_cost(
 
 
 @pytest.mark.slow
-def test_dedup_components_deep_chain_soak(spark):
+def test_dedup_components_deep_chain_soak(spark, monkeypatch):
     """Pointer-jumping convergence: a 5000-deep duplicate CHAIN (graph
     diameter 4999) plus 500 star clusters. Plain hash-min needs
     diameter rounds and would abort at the max_iters=20 cap; the
     label-shortcut halves chain depth per round, so the whole graph
     resolves in O(log diameter) rounds — every chain node labels to
-    component 0, every star to its hub, inside the runtime budget."""
+    component 0, every star to its hub, inside the runtime budget.
+    The DISTRIBUTED rounds are pinned via the threshold (round 14):
+    the graph is under SINGLE_TASK_MAX_EDGES, and the union-find fast
+    path that would otherwise take it is chain-depth-insensitive by
+    construction — this soak exists to cover the at-scale path."""
+    import etl_global_mobility_spark.operators.dedup as dedup_mod
+
     from etl_global_mobility_spark.operators.dedup import dedup_components
+
+    monkeypatch.setattr(dedup_mod, "SINGLE_TASK_MAX_EDGES", 0)
 
     chain_n = 5_000
     chain = spark.range(chain_n - 1).select(
