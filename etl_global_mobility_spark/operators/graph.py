@@ -440,6 +440,71 @@ def pagerank_convergence(
     sendable = e.join(deg, "src").persist()
     try:
         teleport = unit - unit * damping_pct // 100
+        n_edges = sendable.count()
+        if n_edges == 0:
+            # empty graph: zero nodes move zero mass every round — the
+            # distributed loop below computes exactly these rows via
+            # empty-frame jobs (and the fast path's mapInPandas never
+            # fires on a 0-row source)
+            return edges.sparkSession.createDataFrame(
+                [(t, 0, 0, 0.0) for t in range(1, n_iters + 1)],
+                "round int, l1_delta long, n_nodes long, avg_move double",
+            )
+        if n_edges < SINGLE_TASK_MAX_EDGES:
+            # Small-graph fast path (same bound/rationale as the
+            # components/LPA fast paths): all power-iteration rounds
+            # and their L1 residuals in one Arrow-batched job over the
+            # coalesced cached (src, dst, outdeg) list. Python ints
+            # reproduce the BIGINT floor-division arithmetic exactly
+            # (all operands non-negative), so the residual curve is
+            # bit-identical — pinned by test against the distributed
+            # rounds. Replaces ~3 micro-jobs per round (contrib join,
+            # checkpoint, residual collect).
+            def _one_task(batches):
+                import pandas as pd
+
+                parts = [b for b in batches if len(b)]
+                if not parts:
+                    return
+                e_pdf = pd.concat(parts, ignore_index=True)
+                srcs = e_pdf["src"].tolist()
+                dsts = e_pdf["dst"].tolist()
+                degs = e_pdf["outdeg"].tolist()
+                node_set = sorted(set(srcs) | set(dsts))
+                score = {n: unit for n in node_set}
+                out_rows = []
+                for t in range(1, n_iters + 1):
+                    contrib: dict[int, int] = {}
+                    for s, d2, od in zip(srcs, dsts, degs):
+                        c = (score[s] * damping_pct) // 100 // od
+                        contrib[d2] = contrib.get(d2, 0) + c
+                    new = {
+                        n: teleport + contrib.get(n, 0) for n in node_set
+                    }
+                    l1 = sum(abs(new[n] - score[n]) for n in node_set)
+                    out_rows.append(
+                        (
+                            t,
+                            l1,
+                            len(node_set),
+                            float(l1) / (len(node_set) * unit),
+                        )
+                    )
+                    score = new
+                yield pd.DataFrame(
+                    out_rows,
+                    columns=["round", "l1_delta", "n_nodes", "avg_move"],
+                )
+
+            return (
+                sendable.coalesce(1)
+                .mapInPandas(
+                    _one_task,
+                    "round int, l1_delta long, n_nodes long, "
+                    "avg_move double",
+                )
+                .localCheckpoint(eager=True)
+            )
         scores = nodes.select(
             "node", F.lit(unit).cast("long").alias("score")
         ).localCheckpoint(eager=True)

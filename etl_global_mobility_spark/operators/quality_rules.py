@@ -258,9 +258,19 @@ def save_classifier_weights(spark, weights: dict[str, float], path: str) -> None
     fs.mkdirs(path)
     base = path.rstrip("/")
     rows = [(k, float(v)) for k, v in sorted(weights.items())]
-    spark.createDataFrame(rows, "name string, weight double").coalesce(
-        1
-    ).write.mode("overwrite").parquet(f"{base}/weights")
+    # one slice from the start (parallelism.driver_rows_df): the
+    # createDataFrame().coalesce(1) idiom slices a KB-sized row list
+    # into defaultParallelism pickle partitions and the single write
+    # task drains them sequentially, one python-worker round-trip each
+    # — cost scales with CORES, not data (same fix as the r12 ANN
+    # artifact writer)
+    from etl_global_mobility_spark.operators.parallelism import (
+        driver_rows_df,
+    )
+
+    driver_rows_df(spark, rows, "name string, weight double").write.mode(
+        "overwrite"
+    ).parquet(f"{base}/weights")
     fs.write_text(
         f"{base}/_clf_manifest.json",
         json.dumps({"n_weights": len(rows), "keys": [k for k, _ in rows]}),

@@ -117,6 +117,39 @@ def test_lpa_convergence_fast_path_equals_distributed(
     assert [r.round for r in fast] == [1, 2, 3, 4]
 
 
+def test_pagerank_convergence_fast_path_equals_distributed(
+    spark, force_distributed
+):
+    """The residual curve is exact integer arithmetic on both paths —
+    bit-identical rows, including the L1 deltas."""
+    from etl_global_mobility_spark.operators.graph import (
+        pagerank_convergence,
+    )
+
+    edges = spark.createDataFrame(
+        _mixed_graph(17), "src long, dst long"
+    )
+    fast = pagerank_convergence(edges, n_iters=3).orderBy("round").collect()
+    force_distributed()
+    slow = pagerank_convergence(edges, n_iters=3).orderBy("round").collect()
+    assert fast == slow
+    assert [r.round for r in fast] == [1, 2, 3]
+    assert all(r.l1_delta > 0 for r in fast)
+
+
+def test_pagerank_convergence_empty_graph(spark):
+    from etl_global_mobility_spark.operators.graph import (
+        pagerank_convergence,
+    )
+
+    edges = spark.createDataFrame([], "src long, dst long")
+    conv = pagerank_convergence(edges, n_iters=2).orderBy("round").collect()
+    assert [(r.round, r.l1_delta, r.n_nodes, r.avg_move) for r in conv] == [
+        (1, 0, 0, 0.0),
+        (2, 0, 0, 0.0),
+    ]
+
+
 def test_fast_paths_empty_graph(spark):
     """Empty edge lists keep the pre-optimization contracts: empty
     label frames for components/LPA, n_iters all-zero diagnostic rows
