@@ -101,6 +101,34 @@ def ensure_grouped_compute_parallelism(
     return df.repartition(target, *keys)
 
 
+def ensure_stream_compute_parallelism(
+    df: DataFrame, min_parallelism: int | str | None = AUTO
+) -> DataFrame:
+    """Streaming twin of :func:`ensure_compute_parallelism` for
+    CPU-heavy per-batch map phases: a file-source micro-batch arrives
+    with one partition PER FILE (``maxFilesPerTrigger=1`` → every
+    batch is a single task), so a compute-bound pass — md5-per-shingle
+    banding, CSV parse + quality derivations — runs one core per
+    batch while the rest idle (measured: the neardup banding stream
+    3.3 s → 2.2 s at sf0.1 on local[32] from this one exchange).
+
+    Unlike the batch guard this cannot be conditional: a streaming
+    frame has no ``.rdd`` to introspect, so the repartition is
+    unconditional — one rebalance of the BATCH's bytes per trigger,
+    the standard recipe for compute-bound micro-batches (cost ∝
+    batch, never the corpus). ``None`` disables."""
+    if min_parallelism is None:
+        return df
+    target = (
+        df.sparkSession.sparkContext.defaultParallelism
+        if min_parallelism == AUTO
+        else int(min_parallelism)
+    )
+    if target <= 1:
+        return df
+    return df.repartition(target)
+
+
 def driver_rows_df(spark, rows: list, schema: str) -> DataFrame:
     """DataFrame from a SMALL driver-local row list in ONE partition.
 

@@ -136,9 +136,17 @@ def neardup_bucket_owners_stream(
     Finalize with :func:`neardup_survivors` after the drain.
     """
     from etl_global_mobility_spark.operators.dedup import minhash_band_index
+    from etl_global_mobility_spark.operators.parallelism import (
+        ensure_stream_compute_parallelism,
+    )
 
+    # per-batch compute fan-out: a one-file micro-batch is ONE task,
+    # so the md5-per-shingle banding ran single-core per trigger; the
+    # batch guard can't introspect a streaming frame, hence the
+    # streaming twin (cost: one rebalance of the batch's bytes)
     banded = minhash_band_index(
-        docs, text_col, id_col, n_hashes, bands, k, min_parallelism=None
+        ensure_stream_compute_parallelism(docs),
+        text_col, id_col, n_hashes, bands, k, min_parallelism=None,
     )
     return banded.groupBy("band", "bucket").agg(F.min("id").alias("owner_id"))
 

