@@ -39,6 +39,18 @@ AUTO = "auto"
 #: distributed path by monkeypatching it to 0.
 SINGLE_TASK_MAX_EDGES = 100_000
 
+#: Word-table cap below which the unigram-LM trainer runs its EM loop
+#: driver-side over the collected (word, freq) table instead of ~6-8
+#: distributed E-step jobs (pandas_udf + DECIMAL agg + collect each) —
+#: the same scheduling-dominates argument as SINGLE_TASK_MAX_EDGES:
+#: the trainer ALREADY collects vocab-scale rows every E-step, and a
+#: ``max_words``-capped table is bounded by the CALLER's parameter,
+#: not the corpus, so the collect is artifact-scale at any SF. Gated
+#: on the parameter (not a count job): callers training beyond the
+#: bound keep the distributed E-step unchanged. Module constant so
+#: tests can pin either path by monkeypatching.
+SINGLE_TASK_MAX_WORDS = 100_000
+
 
 def ensure_compute_parallelism(
     df: DataFrame, min_parallelism: int | str | None = AUTO

@@ -238,6 +238,76 @@ def _em_expected_counts(
     )
 
 
+def _cast_decimal18(x: float) -> "object":
+    """Mirror Spark's CAST(double AS DECIMAL(38,18)) bit-for-bit:
+    shortest decimal representation (Java's Double.toString and
+    Python's repr agree on it), then scale-18 HALF_UP — the exact
+    per-element quantization the distributed E-step's
+    ``sum(cnt.cast("decimal(38,18)"))`` applies, so the single-task
+    fast path's Decimal sums equal the distributed aggregation."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return Decimal(repr(float(x))).quantize(
+        Decimal("1e-18"), rounding=ROUND_HALF_UP
+    )
+
+
+def _train_single_task(
+    words: list[tuple[str, int]],
+    vocab_size: int,
+    max_piece_len: int,
+    seed_size: int,
+    em_iters: int,
+    max_rounds: int,
+    shrink: float,
+    min_freq: int,
+) -> list[tuple[str, float]]:
+    """Driver-side seed + EM over an already-capped (word, freq) list —
+    the single-task fast path of :func:`train_unigram_lm`. Every stage
+    mirrors its distributed twin exactly: integer char/substring sums,
+    (count DESC, piece ASC) seed ranking, per-word double expected
+    counts from the SHARED lattice DP, :func:`_cast_decimal18`
+    quantization before the (order-independent) Decimal sums, and the
+    shared ``_m_step`` / ``_prune``. Pinned row-identical to the
+    distributed path by tests/test_unigram.py."""
+    from decimal import Decimal
+
+    chars: dict[str, int] = {}
+    sub: dict[str, int] = {}
+    for w, f in words:
+        for i in range(len(w)):
+            chars[w[i]] = chars.get(w[i], 0) + f
+            for ln in range(2, min(max_piece_len, len(w) - i) + 1):
+                p = w[i : i + ln]
+                sub[p] = sub.get(p, 0) + f
+    multi = sorted(
+        ((p, c) for p, c in sub.items() if c >= min_freq),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:seed_size]
+    if not chars and not multi:
+        return []
+    init = dict(chars)
+    init.update(dict(multi))
+    total = sum(init.values())
+    logp = {p: math.log(c / total) for p, c in init.items()}
+
+    for _ in range(max_rounds):
+        for _ in range(em_iters):
+            counts: dict[str, "object"] = {}
+            for w, f in words:
+                ec, _z = word_lattice_expected_counts(w, logp, max_piece_len)
+                for p, c in ec.items():
+                    counts[p] = counts.get(p, Decimal(0)) + _cast_decimal18(
+                        c * float(f)
+                    )
+            logp = _m_step(counts)
+        n_multi = sum(1 for p in logp if len(p) > 1)
+        if n_multi <= vocab_size:
+            break
+        logp = _prune(logp, counts, vocab_size, shrink)
+    return sorted(logp.items(), key=lambda kv: (-kv[1], kv[0]))
+
+
 def _m_step(counts: dict[str, "object"]) -> dict[str, float]:
     """Normalize exact Decimal expected counts into log-probabilities.
     Driver-side, vocab-scale; float conversion is correctly rounded,
@@ -299,12 +369,36 @@ def train_unigram_lm(
     materialization, never a deepening plan."""
     if vocab_size <= 0:
         raise ValueError(f"vocab_size must be positive: {vocab_size}")
-    words = (
+    from etl_global_mobility_spark.operators.parallelism import (
+        SINGLE_TASK_MAX_WORDS,
+    )
+
+    capped = (
         word_frequencies(docs, text_col)
         .orderBy(F.col("freq").desc(), F.col("word").asc())
         .limit(max_words)
-        .localCheckpoint()
     )
+    if max_words <= SINGLE_TASK_MAX_WORDS:
+        # Single-task fast path: the EM table is bounded by the
+        # CALLER's max_words cap (parameter, not data — no count job
+        # needed), so collect it once and run seed + EM driver-side:
+        # ONE Spark job instead of ~9 (checkpoint, char/seed collects,
+        # and an Arrow E-step + DECIMAL agg + collect per EM iter),
+        # whose per-job scheduling dominates at this table size. Same
+        # words, same arithmetic (see _train_single_task), same
+        # result — pinned bit-identical by tests/test_unigram.py.
+        rows = capped.collect()  # bounded: <= max_words rows
+        return _train_single_task(
+            [(r.word, int(r.freq)) for r in rows],
+            vocab_size,
+            max_piece_len,
+            seed_size,
+            em_iters,
+            max_rounds,
+            shrink,
+            min_freq,
+        )
+    words = capped.localCheckpoint()
     # Seed from the SAME capped word table EM will run on (the
     # sequential reference mirrors this exactly): every character with
     # its freq-weighted count (no min_freq — the alphabet must be

@@ -154,30 +154,43 @@ PARAMS = dict(
 )
 
 
-def test_unigram_training_matches_sequential_reference(spark):
+def test_unigram_training_matches_sequential_reference(spark, monkeypatch):
+    """BOTH execution paths — the default single-task fast path
+    (collect the capped word table, EM on the driver) and the
+    distributed E-step (pinned by monkeypatching the fast-path
+    threshold to 0) — must equal this module's independent sequential
+    reference EXACTLY."""
+    import etl_global_mobility_spark.operators.parallelism as par
     from etl_global_mobility_spark.operators.unigram import train_unigram_lm
 
     df = spark.createDataFrame(
         [(i, t) for i, t in enumerate(TEXTS)], "doc_id long, text string"
     )
-    got = train_unigram_lm(df, **PARAMS)
     want = _reference_train(TEXTS, **PARAMS)
-    assert [p for p, _ in got] == [p for p, _ in want]
-    # logprobs are EXACT: identical serial per-word doubles, identical
-    # decimal quantization, order-independent decimal sums, identical
-    # driver-side M-step arithmetic
-    assert got == want
-    assert any(len(p) > 1 for p, _ in got)  # it actually learned pieces
-    n_multi = sum(1 for p, _ in got if len(p) > 1)
+    got_fast = train_unigram_lm(df, **PARAMS)
+    monkeypatch.setattr(par, "SINGLE_TASK_MAX_WORDS", 0)
+    got_dist = train_unigram_lm(df, **PARAMS)
+    # logprobs are EXACT on both paths: identical serial per-word
+    # doubles, identical decimal quantization (Spark's double→decimal
+    # cast mirrored by _cast_decimal18), order-independent decimal
+    # sums, identical driver-side M-step arithmetic
+    assert got_fast == want
+    assert got_dist == want
+    assert any(len(p) > 1 for p, _ in got_fast)  # it actually learned
+    n_multi = sum(1 for p, _ in got_fast if len(p) > 1)
     assert n_multi <= PARAMS["vocab_size"]
 
 
-def test_unigram_training_is_partition_invariant(spark):
+def test_unigram_training_is_partition_invariant(spark, monkeypatch):
     """The DECIMAL(38,18) E-step aggregation makes training
     bit-identical on any partition layout — the property that lets a
-    persisted vocabulary be reproduced by an independent run."""
+    persisted vocabulary be reproduced by an independent run. Pins the
+    DISTRIBUTED path (threshold → 0): the fast path is trivially
+    layout-free."""
+    import etl_global_mobility_spark.operators.parallelism as par
     from etl_global_mobility_spark.operators.unigram import train_unigram_lm
 
+    monkeypatch.setattr(par, "SINGLE_TASK_MAX_WORDS", 0)
     df = spark.createDataFrame(
         [(i, t) for i, t in enumerate(TEXTS)], "doc_id long, text string"
     )
