@@ -4436,6 +4436,14 @@ def q_e2e_multimodal_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         n_cells=16,
         threshold=0.35,
+        # the dedup corpus is POST-JOIN here, not a bare scan: the
+        # compute-parallelism guard's .rdd probe finalizes the gate
+        # pipeline's AQE plan eagerly (an extra broadcast-build job per
+        # declaration) and its repartition would re-shuffle what the
+        # join already distributed — measured 4.89 s → 3.73 s at sf0.1
+        # disabling it (identical rows; layout-invariance pinned by the
+        # operator's tests)
+        min_parallelism=None,
     )
     survivors = gated.join(
         dups.select(F.col("vec_id").alias("img_id")), "img_id", "left_anti"
