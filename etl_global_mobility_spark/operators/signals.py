@@ -195,6 +195,7 @@ def dsir_importance_resample(
     seed: int = 0,
     id_col: str = "doc_id",
     text_col: str = "text",
+    min_parallelism: int | str | None = AUTO,
 ) -> DataFrame:
     """DSIR-style importance resampling (Xie et al. 2023, "Data
     Selection for Language Models via Importance Resampling"),
@@ -229,6 +230,13 @@ def dsir_importance_resample(
         raise ValueError(f"n_buckets must be positive: {n_buckets}")
     from etl_global_mobility_spark.operators.dedup import _md5_band_hash
 
+    # compute fan-out before the explode: the md5-per-token pass runs
+    # in BOTH aggregation subtrees (count pass and score pass), and a
+    # single-row-group scan would execute each on one core; both
+    # subtrees read the one round-robin exchange back via
+    # ReusedExchange, so the guard adds one small shuffle, not two
+    # (no-op at real file counts, like every other text operator here)
+    df = ensure_compute_parallelism(df, min_parallelism)
     tok = df.select(
         F.col(id_col),
         target_filter.alias("_is_tgt"),
