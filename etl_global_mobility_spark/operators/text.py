@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from etl_global_mobility_spark.operators.parallelism import AUTO
+
 # Tiny per-language stopword lists for the n-gram/stopword-ratio
 # language heuristic (deterministic, dependency-free).
 STOPWORDS = {
@@ -418,6 +420,7 @@ def winnowing_fingerprints(
     id_col: str = "doc_id",
     k: int = 5,
     w: int = 4,
+    min_parallelism: int | str | None = AUTO,
 ) -> DataFrame:
     """Winnowing document fingerprinting (Schleimer, Wilkerson & Aiken,
     SIGMOD'03): token k-grams → portable 60-bit md5 hashes → the
@@ -473,6 +476,15 @@ def winnowing_fingerprints(
         tokenize(F.col(text_col)),
         lambda ts: _bind(_winnow_hashes(ts, k), report_of),
     )
+    # compute fan-out before the per-row gram-hash/winnow chain: a
+    # single-row-group scan runs the whole O(tokens·w) pass on one
+    # core (measured 1.06 s → 0.48 s at sf0.1 on local[32]; no-op at
+    # real file counts)
+    from etl_global_mobility_spark.operators.parallelism import (
+        ensure_compute_parallelism,
+    )
+
+    df = ensure_compute_parallelism(df, min_parallelism)
     return df.select(F.col(id_col), F.inline(F.array(report)))
 
 

@@ -2120,14 +2120,23 @@ def test_winnowing_density_and_boundaries(spark):
 def test_winnowing_and_length_buckets_plan_map_only(spark):
     """Both operators must stay shuffle-free on the corpus side:
     winnowing is a pure projection (+ the inline generate); the bucket
-    report's only exchange is the bounded-key aggregation."""
+    report's only exchange is the bounded-key aggregation. The
+    winnowing shape is pinned with ``min_parallelism=None`` — the
+    documented at-scale state where the small-input compute fan-out
+    guard never fires (parallelism.ensure_compute_parallelism)."""
+    from etl_global_mobility_spark.corpus.base import load_table
     from etl_global_mobility_spark.corpus.llm import (
         q_length_bucket_batching,
-        q_winnowing_fingerprint,
+    )
+    from etl_global_mobility_spark.operators.text import (
+        winnowing_fingerprints,
     )
 
     SF = "/root/testdata/sf0.001"
-    plan_w = q_winnowing_fingerprint(spark, SF)._jdf.queryExecution().executedPlan().toString()
+    w_df = winnowing_fingerprints(
+        load_table(spark, SF, "documents"), k=5, w=4, min_parallelism=None
+    )
+    plan_w = w_df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan_w
     assert "BatchEvalPython" not in plan_w and "ArrowEvalPython" not in plan_w
     plan_b = q_length_bucket_batching(spark, SF)._jdf.queryExecution().executedPlan().toString()
