@@ -119,6 +119,7 @@ def test_every_query_survives_adversarial_embeddings(spark, adversarial_emb_sf):
     assert not bad, "adversarial-embeddings failures:\n" + "\n".join(bad)
 
 
+@pytest.mark.slow
 def test_exact_topk_never_ranks_nan_similarity(spark, adversarial_emb_sf):
     """Semantics spot check: a NaN-similarity candidate must never
     occupy a top-k slot (NaN would win any comparison ordering that

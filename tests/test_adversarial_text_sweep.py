@@ -128,6 +128,7 @@ def test_every_query_survives_adversarial_text(spark, adversarial_sf):
     assert not bad, "adversarial-text failures:\n" + "\n".join(bad)
 
 
+@pytest.mark.slow
 def test_planted_duplicates_found(spark, adversarial_sf):
     """Semantics spot check: the dedup family must still FIND the
     planted duplicates amid the hostile rows, not merely survive."""

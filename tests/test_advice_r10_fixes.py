@@ -121,6 +121,7 @@ def test_centroid_scores_skips_underflowed_zero_norm(spark):
         )
 
 
+@pytest.mark.slow
 def test_kmeans_artifact_publish_is_atomic_rename(spark, tmp_path, monkeypatch):
     """The train-once artifact must appear via one rename — no reader
     window onto a half-written directory — and losing the rename race

@@ -77,6 +77,7 @@ def test_dedup_components_releases_cache_on_coalesce_path(spark):
     )
 
 
+@pytest.mark.slow
 def test_kmeans_publish_repairs_invalid_on_disk_artifact(spark, sf_smoke):
     """An on-disk artifact that cannot be loaded (partial write,
     corrupt parquet) must be REPLACED by the retrain publish — the old

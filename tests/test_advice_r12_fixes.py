@@ -13,6 +13,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 import importlib.util
 import json
 import os
@@ -65,6 +67,7 @@ def test_filtered_rebaseline_refuses_sf_mismatch(tmp_path, monkeypatch):
     assert refusal is not None and refusal["baseline_sf_dir"] is None
 
 
+@pytest.mark.slow
 def test_kmeans_repair_never_deletes_concurrent_valid_artifact(
     spark, sf_smoke, monkeypatch
 ):
@@ -151,6 +154,7 @@ def test_kmeans_repair_never_deletes_concurrent_valid_artifact(
     assert loaded == expected
 
 
+@pytest.mark.slow
 def test_kmeans_repair_quarantine_leaves_no_leftovers(spark, sf_smoke):
     """The winning-claim path: an invalid on-disk artifact is moved
     aside atomically, the fresh artifact is published, and the

@@ -45,6 +45,7 @@ def _write_embeddings(spark, out_dir: str, vec_ids: list[int]) -> None:
     ).parquet(os.path.join(out_dir, "embeddings.parquet"))
 
 
+@pytest.mark.slow
 def test_stream_ivf_ingest_empty_shard_returns_contract_frame(
     spark, tmp_path
 ):
@@ -65,6 +66,7 @@ def test_stream_ivf_ingest_empty_shard_returns_contract_frame(
     assert out.count() == 0
 
 
+@pytest.mark.slow
 def test_stream_ivf_ingest_nonempty_shard_still_works(spark, tmp_path):
     """Control for the guard: a shard WITH vec_id % 10 == 0 rows takes
     the normal foreachBatch path and produces per-query top-k rows."""

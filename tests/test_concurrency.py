@@ -24,6 +24,8 @@ What these tests pin:
 
 from __future__ import annotations
 
+import pytest
+
 import shutil
 from concurrent.futures import ThreadPoolExecutor
 
@@ -81,6 +83,7 @@ def test_concurrent_same_query_agrees_with_itself(spark, sf_smoke):
         assert all(r == results[0] for r in results), name
 
 
+@pytest.mark.slow
 def test_hygiene_racing_live_queries_is_correctness_safe(spark, sf_smoke):
     """release_session_state(drop_sql_cache=False) fired WHILE other
     threads are mid-query must never change results: the GC→detach→
@@ -141,6 +144,7 @@ def test_hygiene_racing_live_queries_is_correctness_safe(spark, sf_smoke):
         )
 
 
+@pytest.mark.slow
 def test_unsafe_hygiene_race_fails_loudly_never_silently(spark, sf_smoke):
     """Violating the barrier rule (clearCache racing live queries) may
     corrupt AQE runtime stats and empty a join mid-plan — the engine's
@@ -195,6 +199,7 @@ def test_unsafe_hygiene_race_fails_loudly_never_silently(spark, sf_smoke):
     assert len(outcomes) == 8, outcomes
 
 
+@pytest.mark.slow
 def test_concurrent_kmeans_composers_share_one_artifact(spark, sf_smoke):
     """Race the three kmeans composers from a fully cold start (memo
     cleared, on-disk artifact removed): the artifact lock must admit

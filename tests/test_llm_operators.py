@@ -1188,6 +1188,7 @@ def test_bpe_training_early_stops_below_min_freq(spark):
     assert train_bpe_merges(df, n_merges=5, min_freq=2) == []
 
 
+@pytest.mark.slow
 def test_watermark_drops_late_events_in_append_mode(spark, tmp_path):
     """Late-data contract: once the watermark passes an event's time,
     the event is DROPPED from windowed aggregation — append mode then

@@ -692,11 +692,12 @@ def test_no_plan_antipatterns_across_entire_corpus(spark):
                 return True
         return False
 
-    bad: list[str] = []
-    for name, spec in all_queries().items():
+    def audit_one(item) -> list[str]:
+        name, spec = item
         if name.startswith("stream_"):
-            continue
+            return []
         plan = plan_of(spec.fn(spark, SF))
+        bad: list[str] = []
         if "CartesianProduct" in plan:
             bad.append(f"{name}: CartesianProduct")
         if unpartitioned_windows(plan) and name not in UNPARTITIONED_WINDOW_BOUNDED:
@@ -712,6 +713,20 @@ def test_no_plan_antipatterns_across_entire_corpus(spark):
             ARROW_PYTHON_ALLOWED | ROW_PYTHON_ALLOWED
         ):
             bad.append(f"{name}: undeclared Python eval node")
+        return bad
+
+    # Declaration + EXPLAIN of 246 independent queries from a driver
+    # thread pool (guide §2.6): py4j releases the GIL during JVM
+    # analysis, and the few queries that execute jobs at declaration
+    # (train-persist artifacts, fast paths) are concurrency-safe —
+    # the same property test_concurrency pins for whole queries.
+    # Measured 115 s serial → ~40 s at 8 threads, identical verdicts.
+    from concurrent.futures import ThreadPoolExecutor
+
+    bad: list[str] = []
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        for errs in pool.map(audit_one, all_queries().items()):
+            bad.extend(errs)
     assert not bad, "plan anti-patterns:\n" + "\n".join(bad)
 
 

@@ -3,6 +3,8 @@ determinism, and schema contract."""
 
 from __future__ import annotations
 
+import pytest
+
 from etl_global_mobility_spark.sources.pysource import (
     SyntheticEventsReader,
     register,
@@ -197,6 +199,7 @@ def test_filter_pushdown_contradiction_plans_empty(spark):
     ).count() == 0
 
 
+@pytest.mark.slow
 def test_stream_writer_exactly_once_across_restart(spark, tmp_path):
     """Custom Python STREAMING sink: drain the synthetic stream into the
     JSON-dir stream writer with availableNow; every committed batch has

@@ -181,6 +181,7 @@ def test_unigram_training_matches_sequential_reference(spark, monkeypatch):
     assert n_multi <= PARAMS["vocab_size"]
 
 
+@pytest.mark.slow
 def test_unigram_training_is_partition_invariant(spark, monkeypatch):
     """The DECIMAL(38,18) E-step aggregation makes training
     bit-identical on any partition layout — the property that lets a
