@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from etl_global_mobility_spark.operators.parallelism import (
     SINGLE_TASK_MAX_EDGES,
+    driver_rows_df,
 )
 
 
@@ -163,73 +164,89 @@ def label_propagation(
     """
     if n_iters < 0:
         raise ValueError(f"n_iters must be >= 0, got {n_iters}")
-    e = edges.select(
-        F.col(src_col).cast("long").alias("src"),
-        F.col(dst_col).cast("long").alias("dst"),
-    ).distinct()
-    und = (
-        e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    # Persist the DIRECTED distinct edges and gate the fast path on
+    # THEIR count — not on the symmetrized union as round 14 did. The
+    # union's two branches each scan the upstream edge pipeline, so
+    # materializing it first via und.count() re-ran the (expensive)
+    # pair generation's post-shuffle tail once per branch at every
+    # declaration; counting ``e`` materializes the upstream exactly
+    # once, and the distributed path's union then reads the cache
+    # twice. The bound is the same module constant — n_und ∈ [n_e,
+    # 2·n_e], so gating on n_e admits graphs up to ~2× the old
+    # undirected-row bound: still one-task-sized either way, and the
+    # distributed rounds stay pinned by the monkeypatched-threshold
+    # tests and soaks.
+    e = (
+        edges.select(
+            F.col(src_col).cast("long").alias("src"),
+            F.col(dst_col).cast("long").alias("dst"),
+        )
         .distinct()
         .persist()
     )
-    # Capture the persisted handle BEFORE the coalesce rebind below:
-    # unpersist() resolves cache entries by sameResult on the plan, and
-    # a Coalesce node on top makes the lookup miss — unpersisting the
-    # coalesced frame leaves the original blocks cached forever
-    # (ADVICE r11; measured is_cached=True after the old finally ran).
-    und_cached = und
-    # Node-count conservation guard (same defect class as
-    # dedup_components): every node in the undirected edge list has at
-    # least one neighbor, so the top-1-per-node round NEVER shrinks
-    # the label frame. A shrink means external session-state
-    # corruption — measured: clearCache() racing this query lets AQE's
-    # empty-relation propagation empty a join mid-round (see
-    # session.release_session_state). Fail loudly, never return a
-    # silently partial community map. The n_und cross-check closes the
-    # vacuous case where the node frame itself materialized empty off
-    # a corrupted cached stage.
+    e_cached = e
+    und = None
     # try/finally so NO exit path — success, guard raise, or a failure
-    # mid-round — leaks the persisted edge frame into the long-lived
-    # session (ADVICE r10: the guard raises previously left cached
-    # blocks behind; the success path leaked ``und`` too). Safe on the
-    # success path because every round's labels are eagerly
-    # localCheckpointed — the returned frame no longer reads ``und``.
-    # The first count() sits INSIDE the try: it is exactly the job the
-    # clearCache-race failure mode can kill, and a raise before the
-    # try would skip the unpersist (r12 review).
+    # mid-round — leaks the persisted edge frames into the long-lived
+    # session (ADVICE r10). Safe on the success path because every
+    # round's labels are eagerly localCheckpointed — the returned
+    # frame no longer reads ``und``. The first count() sits INSIDE the
+    # try: it is exactly the job the clearCache-race failure mode can
+    # kill, and a raise before the try would skip the unpersist.
     try:
-        n_und = und.count()
-        if n_und < SINGLE_TASK_MAX_EDGES:
-            # Small-graph fast path (same bound that already gated
-            # coalesce(1)): run ALL synchronous rounds in one
-            # Arrow-batched job over the coalesced cached edge list —
-            # measured ~2.5 s of per-round join+window+checkpoint
-            # micro-jobs at sf0.1 local[32] collapsing to one task,
-            # identical labels (equality with the distributed rounds
-            # pinned by test). The node-conservation guards protect
-            # MULTI-job loops from a clearCache() race between jobs;
-            # this single linear job reads the cached edges once, so
-            # a cleared cache recomputes from source instead. Eagerly
-            # checkpointed so the caller's finally-unpersist cannot
-            # force the upstream pair generation to rerun.
-            def _one_task(batches):
-                import pandas as pd
+        n_e = e.count()
+        if n_e < SINGLE_TASK_MAX_EDGES:
+            # Small-graph fast path: the edge list is BOUNDED (≤ the
+            # module constant ≈ 1.6 MB of long pairs), so collect the
+            # cached edges, symmetrize driver-side, and run ALL
+            # synchronous rounds in local pandas — the same
+            # _lpa_rounds_pandas body the one-task path ran, so the
+            # two cannot drift; equality with the distributed rounds
+            # stays pinned by test. Round 14 ran this as a coalesce(1)
+            # mapInPandas + eager localCheckpoint, which still paid
+            # ~1.5-2 s of Python-worker round-trip + checkpoint job
+            # per declaration (measured r15, warm session); the
+            # driver-local run returns a one-slice frame with the
+            # labels already materialized — nothing to recompute when
+            # the finally releases the cache.
+            import pandas as pd
 
-                parts = [b for b in batches if len(b)]
-                if not parts:
-                    return
-                lab, _ = _lpa_rounds_pandas(
-                    pd.concat(parts, ignore_index=True), n_iters
+            und_set = set()
+            for r in e.collect():
+                und_set.add((r[0], r[1]))
+                und_set.add((r[1], r[0]))
+            if not und_set:
+                return driver_rows_df(
+                    edges.sparkSession, [], "node long, label long"
                 )
-                yield pd.DataFrame(
-                    {"node": lab.index.to_numpy(), "label": lab.to_numpy()}
-                )
-
-            return (
-                und.coalesce(1)
-                .mapInPandas(_one_task, "node long, label long")
-                .localCheckpoint(eager=True)
+            srcs, dsts = zip(*sorted(und_set))
+            lab, _ = _lpa_rounds_pandas(
+                pd.DataFrame({"src": srcs, "dst": dsts}), n_iters
             )
+            return driver_rows_df(
+                edges.sparkSession,
+                [(int(n), int(v)) for n, v in lab.items()],
+                "node long, label long",
+            )
+        und = (
+            e.unionByName(
+                e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            )
+            .distinct()
+            .persist()
+        )
+        # Node-count conservation guard (same defect class as
+        # dedup_components): every node in the undirected edge list
+        # has at least one neighbor, so the top-1-per-node round NEVER
+        # shrinks the label frame. A shrink means external
+        # session-state corruption — measured: clearCache() racing
+        # this query lets AQE's empty-relation propagation empty a
+        # join mid-round (see session.release_session_state). Fail
+        # loudly, never return a silently partial community map. The
+        # n_und cross-check closes the vacuous case where the node
+        # frame itself materialized empty off a corrupted cached
+        # stage.
+        n_und = und.count()
         labels = (
             und.select(F.col("src").alias("node"))
             .distinct()
@@ -255,7 +272,9 @@ def label_propagation(
                 )
         return labels
     finally:
-        und_cached.unpersist()
+        e_cached.unpersist()
+        if und is not None:
+            und.unpersist()
 
 
 def _lpa_round(und: DataFrame, labels: DataFrame) -> DataFrame:
@@ -301,63 +320,66 @@ def label_propagation_convergence(
     """
     if n_iters < 1:
         raise ValueError(f"n_iters must be >= 1, got {n_iters}")
-    e = edges.select(
-        F.col(src_col).cast("long").alias("src"),
-        F.col(dst_col).cast("long").alias("dst"),
-    ).distinct()
-    und = (
-        e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    # Persist + gate on the DIRECTED distinct edges — see
+    # label_propagation for the rationale (one upstream
+    # materialization per declaration; the bound shifts to directed
+    # rows, same module constant).
+    e = (
+        edges.select(
+            F.col(src_col).cast("long").alias("src"),
+            F.col(dst_col).cast("long").alias("dst"),
+        )
         .distinct()
         .persist()
     )
-    # capture before the coalesce rebind — see label_propagation
-    und_cached = und
+    e_cached = e
+    und = None
     try:
-        n_und = und.count()
-        if n_und == 0:
+        n_e = e.count()
+        if n_e == 0:
             # empty graph: every round trivially changes 0 of 0 nodes
             # — build the n_iters diagnostic rows directly (the
             # distributed loop below computes exactly these via
-            # empty-frame jobs; the fast path would emit nothing
-            # because mapInPandas never fires on a 0-row source)
+            # empty-frame jobs)
             return edges.sparkSession.createDataFrame(
                 [(t, 0, 0, 0.0) for t in range(1, n_iters + 1)],
                 "round int, n_changed long, n_nodes long, frac_changed double",
             )
-        if n_und < SINGLE_TASK_MAX_EDGES:
+        if n_e < SINGLE_TASK_MAX_EDGES:
             # Small-graph fast path — same rationale and proof
-            # obligations as label_propagation's: all rounds AND the
-            # per-round changed counts in one Arrow-batched job over
-            # the coalesced cached edges (the round body is shared —
-            # _lpa_rounds_pandas — so the two queries cannot drift).
-            def _one_task(batches):
-                import pandas as pd
+            # obligations as label_propagation's: collect the bounded
+            # cached edges, symmetrize driver-side, run all rounds AND
+            # the per-round changed counts in local pandas (the round
+            # body is shared — _lpa_rounds_pandas — so the two queries
+            # cannot drift), return a one-slice local frame.
+            import pandas as pd
 
-                parts = [b for b in batches if len(b)]
-                if not parts:
-                    return
-                lab, changed = _lpa_rounds_pandas(
-                    pd.concat(parts, ignore_index=True), n_iters
-                )
-                n = int(len(lab))
-                yield pd.DataFrame(
-                    {
-                        "round": list(range(1, n_iters + 1)),
-                        "n_changed": changed,
-                        "n_nodes": [n] * n_iters,
-                        "frac_changed": [float(c) / n for c in changed],
-                    }
-                )
-
-            return (
-                und.coalesce(1)
-                .mapInPandas(
-                    _one_task,
-                    "round int, n_changed long, n_nodes long, "
-                    "frac_changed double",
-                )
-                .localCheckpoint(eager=True)
+            und_set = set()
+            for r in e.collect():
+                und_set.add((r[0], r[1]))
+                und_set.add((r[1], r[0]))
+            srcs, dsts = zip(*sorted(und_set))
+            lab, changed = _lpa_rounds_pandas(
+                pd.DataFrame({"src": srcs, "dst": dsts}), n_iters
             )
+            n = int(len(lab))
+            return driver_rows_df(
+                edges.sparkSession,
+                [
+                    (t, int(c), n, float(c) / n)
+                    for t, c in zip(range(1, n_iters + 1), changed)
+                ],
+                "round int, n_changed long, n_nodes long, "
+                "frac_changed double",
+            )
+        und = (
+            e.unionByName(
+                e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+            )
+            .distinct()
+            .persist()
+        )
+        n_und = und.count()
         # checkpointed eagerly: each round reads the previous labels
         # TWICE (round input + change comparison)
         labels = (
@@ -395,7 +417,9 @@ def label_propagation_convergence(
             "round int, n_changed long, n_nodes long, frac_changed double",
         )
     finally:
-        und_cached.unpersist()
+        e_cached.unpersist()
+        if und is not None:
+            und.unpersist()
 
 
 def pagerank_convergence(
@@ -452,58 +476,44 @@ def pagerank_convergence(
             )
         if n_edges < SINGLE_TASK_MAX_EDGES:
             # Small-graph fast path (same bound/rationale as the
-            # components/LPA fast paths): all power-iteration rounds
-            # and their L1 residuals in one Arrow-batched job over the
-            # coalesced cached (src, dst, outdeg) list. Python ints
-            # reproduce the BIGINT floor-division arithmetic exactly
-            # (all operands non-negative), so the residual curve is
-            # bit-identical — pinned by test against the distributed
-            # rounds. Replaces ~3 micro-jobs per round (contrib join,
-            # checkpoint, residual collect).
-            def _one_task(batches):
-                import pandas as pd
-
-                parts = [b for b in batches if len(b)]
-                if not parts:
-                    return
-                e_pdf = pd.concat(parts, ignore_index=True)
-                srcs = e_pdf["src"].tolist()
-                dsts = e_pdf["dst"].tolist()
-                degs = e_pdf["outdeg"].tolist()
-                node_set = sorted(set(srcs) | set(dsts))
-                score = {n: unit for n in node_set}
-                out_rows = []
-                for t in range(1, n_iters + 1):
-                    contrib: dict[int, int] = {}
-                    for s, d2, od in zip(srcs, dsts, degs):
-                        c = (score[s] * damping_pct) // 100 // od
-                        contrib[d2] = contrib.get(d2, 0) + c
-                    new = {
-                        n: teleport + contrib.get(n, 0) for n in node_set
-                    }
-                    l1 = sum(abs(new[n] - score[n]) for n in node_set)
-                    out_rows.append(
-                        (
-                            t,
-                            l1,
-                            len(node_set),
-                            float(l1) / (len(node_set) * unit),
-                        )
+            # components/LPA fast paths): collect the bounded cached
+            # (src, dst, outdeg) list and run all power-iteration
+            # rounds + L1 residuals on the DRIVER, returning a
+            # one-slice local frame. Python ints reproduce the BIGINT
+            # floor-division arithmetic exactly (all operands
+            # non-negative), so the residual curve is bit-identical —
+            # pinned by test against the distributed rounds. Round 14
+            # ran this as a coalesce(1) mapInPandas + eager
+            # localCheckpoint, which still paid the Python-worker
+            # round-trip + checkpoint job per declaration (~1.5-2 s
+            # measured r15, warm session).
+            rows3 = sendable.collect()
+            srcs = [r[0] for r in rows3]
+            dsts = [r[1] for r in rows3]
+            degs = [r[2] for r in rows3]
+            node_set = sorted(set(srcs) | set(dsts))
+            score = {n: unit for n in node_set}
+            out_rows = []
+            for t in range(1, n_iters + 1):
+                contrib: dict[int, int] = {}
+                for s, d2, od in zip(srcs, dsts, degs):
+                    c = (score[s] * damping_pct) // 100 // od
+                    contrib[d2] = contrib.get(d2, 0) + c
+                new = {n: teleport + contrib.get(n, 0) for n in node_set}
+                l1 = sum(abs(new[n] - score[n]) for n in node_set)
+                out_rows.append(
+                    (
+                        t,
+                        l1,
+                        len(node_set),
+                        float(l1) / (len(node_set) * unit),
                     )
-                    score = new
-                yield pd.DataFrame(
-                    out_rows,
-                    columns=["round", "l1_delta", "n_nodes", "avg_move"],
                 )
-
-            return (
-                sendable.coalesce(1)
-                .mapInPandas(
-                    _one_task,
-                    "round int, l1_delta long, n_nodes long, "
-                    "avg_move double",
-                )
-                .localCheckpoint(eager=True)
+                score = new
+            return driver_rows_df(
+                edges.sparkSession,
+                out_rows,
+                "round int, l1_delta long, n_nodes long, avg_move double",
             )
         scores = nodes.select(
             "node", F.lit(unit).cast("long").alias("score")
