@@ -193,10 +193,22 @@ def main() -> None:
     # full 100+-query map outgrew that in round 6 (BENCH_r06.json
     # recorded `parsed: null` — no headline number, no driver-side
     # baseline). Keep the contract keys (metric/value/unit/queries/sf)
-    # but put only the SLOWEST 12 queries inline; the complete map is
+    # but put only the SLOWEST queries inline; the complete map is
     # persisted to BENCH_FULL_LATEST.json (committed, preferred by
     # _load_baseline) so the per-query ratchet never loses resolution.
+    # STABLE comparison set (round-15 fix for the driver's round-over-
+    # round diff): a query that improves OUT of the top-12 used to
+    # vanish from the stdout map and show up as "dropped", and one
+    # that degrades INTO it as "new" (PERF_r14 recorded 3 such false
+    # drops). Emit the UNION of this run's top-12 and the promoted
+    # baseline's top-12 — existing keys never disappear round-over-
+    # round unless the baseline itself rotates, and the addition is
+    # bounded at 24 entries ≈ +450 bytes, inside the 2 KB budget.
     slowest = dict(sorted(times.items(), key=lambda kv: -kv[1])[:12])
+    _, _baseline_map = _load_baseline()
+    for n in sorted(_baseline_map, key=lambda n: -_baseline_map[n])[:12]:
+        if n in times:
+            slowest.setdefault(n, times[n])
     print(
         json.dumps(
             {

@@ -84,34 +84,35 @@ green driver row, and no query's evidence gets stale:
   (CORRECTNESS_r13: 50/50 green — every oracle-backed query
   registered through round 12 holds a green driver row);
 
-* round 14 (this window) takes the 7 remaining r8-only rows —
+* round 14 took the 7 remaining r8-only rows —
   ``stream_stream_join``, ``stream_tumbling_counts``,
   ``udf_map_in_arrow``, ``udf_pandas_grouped_agg``,
   ``udf_pandas_grouped_map``, ``udf_pandas_scalar``,
-  ``udf_python_udtf``, at their hard staleness deadline this round
+  ``udf_python_udtf``, at their hard staleness deadline that round
   (they led ``RESERVED_NEXT_WINDOW`` through the round-13 close, as
   planned) — then the 2 round-13 additions from
   SCHEDULED_NEXT_WINDOW (``llm_dup_substring_spans``,
   ``stream_ivf_ingest``, their FIRST driver rows), the 39
   alphabetically-first of the 48 rows whose newest green row is
   CORRECTNESS_r09 (stale-bound at round 15), and the 2 standing
-  canaries: 7 + 2 + 39 + 2 = 50.
+  canaries: 7 + 2 + 39 + 2 = 50 (CORRECTNESS_r14: 50/50 green);
 
-ROUND-15 PLAN (reserve now so window arithmetic stays provable): the
-9 remaining r9-only rows — ``rel_source_python_ds``,
-``rel_tpch_q3_shipping_priority``, ``rel_triangle_count``,
-``rel_variant_json``, ``rel_window_first_last``, ``rel_zorder_key``,
-``stream_python_source``, ``stream_sliding_counts``,
-``udf_cogroup_profile``, alphabetically last of the 48 — hit their
-hard staleness deadline at round 15, so they LEAD the round-15
-window (pinned in ``RESERVED_NEXT_WINDOW`` below: the staleness
-alarm tolerates them for exactly one round while rotation is still
-impossible — i.e. the closed round-14 HEAD stays green once
-CORRECTNESS_r14 lands — and still trips if round 15 skips the
-rotation); any round-14 additions in SCHEDULED_NEXT_WINDOW follow;
-the rest of that window starts draining the 48 r10-stale rows
-(stale-bound at round 16) — the invariant tests enforce the
-staleness arithmetic rather than this comment.
+* round 15 (this window, an OPTIMIZATION round) takes the 9
+  remaining r9-only rows at their hard staleness deadline (they led
+  RESERVED_NEXT_WINDOW through the round-14 close, as planned), the
+  2 round-14 additions from SCHEDULED_NEXT_WINDOW
+  (``llm_unigram_seed_stats``, ``llm_trigram_backoff_rarity``, their
+  FIRST driver rows), then — per the round-14 verdict's item 5 — 20
+  rows whose OPERATOR CODE the round-14/15 optimization passes
+  touched (graph fast paths, the ngram pair core, the UDTF
+  pre-aggregation, wholetext write, classifier artifact, text-op
+  fan-out guards, interval buckets), putting every optimized path
+  under the driver's post-change oracle, then the 17
+  alphabetically-first untouched r10-stale rows (the remaining 31
+  hit their deadline at round 16 and are pinned in
+  RESERVED_NEXT_WINDOW to lead that window), and the 2 standing
+  canaries: 9 + 2 + 20 + 17 + 2 = 50 — the invariant tests enforce
+  the staleness arithmetic rather than this comment.
 
 ``DRIVER_GREEN_PAST_ROUNDS`` records which queries already hold a
 green row (union of all CORRECTNESS_r0N files); those may sit past the
@@ -128,73 +129,75 @@ from __future__ import annotations
 
 from etl_global_mobility_spark.corpus.base import QuerySpec, load_table
 
-#: First 50 registered names — the driver's round-14 correctness window.
+#: First 50 registered names — the driver's round-15 correctness window.
 DRIVER_WINDOW = (
-    # the 7 remaining r8-only rows, at their HARD staleness deadline
-    # this round (trip condition current_round - latest > 6) — they
-    # led RESERVED_NEXT_WINDOW through the round-13 close; now they
-    # lead the window itself
-    "stream_stream_join",
-    "stream_tumbling_counts",
-    "udf_map_in_arrow",
-    "udf_pandas_grouped_agg",
-    "udf_pandas_grouped_map",
-    "udf_pandas_scalar",
-    "udf_python_udtf",
-    # the 2 round-13 additions (SCHEDULED_NEXT_WINDOW last round) —
-    # first driver rows for variable-length ExactSubstr maximal
-    # shared-substring spans and streaming IVF ingest through the
-    # persisted cell-partitioned index
-    "llm_dup_substring_spans",
-    "stream_ivf_ingest",
-    # the 39 alphabetically-first of the 48 rows whose newest green
-    # row is CORRECTNESS_r09 — they hit the corpus-scaled staleness
-    # bound at round 15 (the 9 alphabetically last lead the round-15
-    # window at their own deadline — see RESERVED_NEXT_WINDOW)
-    "llm_alignment_report",
-    "llm_bitext_mining",
-    "llm_causal_lm_examples",
-    "llm_cluster_balanced_sample",
-    "llm_cluster_profile",
-    "llm_dataset_drift",
-    "llm_multimodal_alignment",
-    "rel_agg_conditional_modern",
-    "rel_array_ops",
-    "rel_bucketed_join",
-    "rel_cohort_retention",
-    "rel_csv_corrupt_records",
-    "rel_decayed_activity",
-    "rel_equidepth_bins",
-    "rel_error_safe_functions",
-    "rel_expectations_report",
-    "rel_funnel_analysis",
-    "rel_fuzzy_match",
-    "rel_histogram_prices",
-    "rel_incremental_agg",
-    "rel_join_hinted_shuffle_hash",
-    "rel_mask_redaction",
-    "rel_moving_window_sum",
-    "rel_null_safe_join",
-    "rel_percentiles_exact",
-    "rel_ratio_to_report",
-    "rel_recursive_chain",
-    "rel_resample_ffill",
-    "rel_robust_scaling",
-    "rel_running_distinct",
-    "rel_scalar_dates",
-    "rel_scd2_dimension",
-    "rel_scd2_point_in_time",
-    "rel_schema_evolution",
-    "rel_sessionize_batch",
-    "rel_snapshot_diff",
-    "rel_source_binaryfile",
-    "rel_source_json",
-    "rel_source_orc",
+    # the 9 remaining r9-only rows, at their HARD staleness deadline
+    # this round — they led RESERVED_NEXT_WINDOW through the round-14
+    # close; now they lead the window itself
+    "rel_source_python_ds",
+    "rel_tpch_q3_shipping_priority",
+    "rel_triangle_count",
+    "rel_variant_json",
+    "rel_window_first_last",
+    "rel_zorder_key",
+    "stream_python_source",
+    "stream_sliding_counts",
+    "udf_cogroup_profile",
+    # the 2 round-14 additions (SCHEDULED_NEXT_WINDOW last round) —
+    # first driver rows for the unigram-LM seed statistics and the
+    # trigram Stupid-Backoff perplexity filter
+    "llm_unigram_seed_stats",
+    "llm_trigram_backoff_rarity",
+    # 20 rows whose operator code the round-14/15 OPTIMIZATION passes
+    # touched (small-graph fast paths, the ngram pair core + packed
+    # key, UDTF pre-aggregation, wholetext partitioned write,
+    # classifier artifact, compute fan-out guards, interval bucket
+    # width) — pulled forward per the round-14 verdict item 5 so every
+    # optimized path holds a POST-change driver oracle row
+    "llm_ngram_jaccard",
+    "llm_dedup_components",
+    "llm_dedup_cluster_stats",
+    "llm_dedup_keep_best",
+    "llm_community_labelprop",
+    "llm_labelprop_convergence",
+    "llm_split_leakage",
+    "llm_cross_source_dups",
+    "rel_pagerank_convergence",
+    "rel_interval_overlap_join",
+    "stream_neardup_dedup",
+    "udf_udtf_table_arg",
+    "rel_source_text_wholetext",
+    "llm_quality_classifier_trained",
+    "llm_e2e_multimodal_curation",
+    "llm_dsir_resample",
+    "llm_span_corruption",
+    "llm_winnowing_fingerprint",
+    "llm_cdc_dup_passages",
+    "llm_strip_boilerplate",
+    # the 17 alphabetically-first untouched rows whose newest green
+    # row is CORRECTNESS_r10 (the remaining 31 lead round 16 — see
+    # RESERVED_NEXT_WINDOW)
+    "llm_dup_spans_within",
+    "llm_e2e_training_examples",
+    "llm_hybrid_retrieval_rrf",
+    "llm_preference_pairs",
+    "llm_quality_classifier",
+    "llm_semantic_dedup",
+    "parity_casts",
+    "parity_date_parse",
+    "parity_filter_eq_range",
+    "parity_indicators",
+    "parity_map_lookup",
+    "parity_membership",
+    "parity_quality_rule_counts",
+    "parity_rename_project",
+    "parity_split_clean",
+    "parity_split_quarantine",
+    "parity_unit_conversion",
     # standing canaries (green every round since r2/r3) for
     # cross-round regression signal — one parity + one llm
     "parity_derived_all",
-    "llm_exact_dedup",
-)
+    "llm_exact_dedup",)
 
 #: Queries holding a green driver row in CORRECTNESS_r02…r13 —
 #: allowed past the window (their evidence is already recorded; the
@@ -215,6 +218,7 @@ DRIVER_GREEN_PAST_ROUNDS = frozenset(
         "llm_domain_blocklist", "llm_domain_cap_report",
         "llm_domain_extract", "llm_dsir_resample",
         "llm_dup_ngram_spans", "llm_dup_spans_within",
+        "llm_dup_substring_spans",
         "llm_e2e_curation", "llm_e2e_multimodal_curation",
         "llm_e2e_training_examples", "llm_e2e_web_curation",
         "llm_embedding_neardup", "llm_epoch_plan",
@@ -314,7 +318,8 @@ DRIVER_GREEN_PAST_ROUNDS = frozenset(
         "rel_window_lag_lead", "rel_window_range_frame",
         "rel_window_rank_dense", "rel_window_running_sum",
         "rel_window_topk_per_group", "rel_zorder_key",
-        "stream_dedup_keys", "stream_medallion_batch_parity",
+        "stream_dedup_keys", "stream_ivf_ingest",
+        "stream_medallion_batch_parity",
         "stream_neardup_dedup", "stream_ohlc_bars",
         "stream_python_source", "stream_scd2_enrichment",
         "stream_schema_drift",
@@ -333,43 +338,52 @@ DRIVER_GREEN_PAST_ROUNDS = frozenset(
 #: Queries ADDED this round (registered past the already-frozen
 #: window): the NEXT rotation must pull these in. The window-invariant
 #: test treats this as the only legitimate reason an oracle-backed
-#: query lacks both window coverage and a past green row. Round-14
-#: additions are appended here as they are registered (see the
-#: ROUND-15 PLAN arithmetic in the module docstring; the cap is
-#: 50 - 9 reserved - 2 canaries - however many r10-stale rows round
-#: 15 chooses to drain — keep additions ≤ 2 so the burn-down of the
-#: 48 r10-stale rows stays on schedule for round 16).
-SCHEDULED_NEXT_WINDOW: frozenset[str] = frozenset(
-    {
-        # round-14 additions (oracle-backed; the cap is 2 — see the
-        # ROUND-15 PLAN arithmetic): the unigram-LM trainer's
-        # seed-candidate statistics, and the trigram backoff-LM
-        # perplexity filter. The trainer's iterative twin
-        # ``llm_unigram_train`` is rows-only (no oracle) and therefore
-        # exempt from window coverage, like ``llm_bpe_train``.
-        "llm_unigram_seed_stats",
-        "llm_trigram_backoff_rarity",
-    }
-)
+#: query lacks both window coverage and a past green row. EMPTY at
+#: round 15 (an optimization round adds no queries; the two round-14
+#: additions rotated into the round-15 window above).
+SCHEDULED_NEXT_WINDOW: frozenset[str] = frozenset()
 
 #: Queries whose existing driver evidence reaches its hard staleness
-#: deadline NEXT round — reserved to LEAD the next rotation (see the
-#: ROUND-14 PLAN paragraph). The staleness invariant tolerates these
+#: deadline NEXT round — reserved to LEAD the next rotation (the 31
+#: r10-stale rows the round-15 window did not drain; see the round-15
+#: paragraph in the module docstring). The staleness invariant tolerates these
 #: for EXACTLY ONE round past the bound: once the driver drops this
 #: round's CORRECTNESS file, rotating the frozen window is impossible
 #: until next round opens, so without the reserve the closed round's
 #: HEAD would be permanently red. If the next rotation skips them the
 #: alarm still trips (tests/test_corpus_oracle.py pins both sides).
 RESERVED_NEXT_WINDOW: tuple[str, ...] = (
-    "rel_source_python_ds",
-    "rel_tpch_q3_shipping_priority",
-    "rel_triangle_count",
-    "rel_variant_json",
-    "rel_window_first_last",
-    "rel_zorder_key",
-    "stream_python_source",
-    "stream_sliding_counts",
-    "udf_cogroup_profile",
+    "parity_unit_price",
+    "rel_agg_count_distinct",
+    "rel_agg_grouping_sets",
+    "rel_agg_stats_moments",
+    "rel_dataset_card",
+    "rel_dropduplicates",
+    "rel_join_anti",
+    "rel_join_broadcast_dims",
+    "rel_join_full_outer",
+    "rel_join_left_orders",
+    "rel_join_nonequi_self",
+    "rel_join_salted_skew",
+    "rel_lateral_topk",
+    "rel_listagg",
+    "rel_median_disc",
+    "rel_null_aware_anti_join",
+    "rel_pagerank",
+    "rel_pivot_linestatus",
+    "rel_range_join_buckets",
+    "rel_scalar_string_date_math",
+    "rel_source_xml",
+    "rel_subquery_exists",
+    "rel_subquery_scalar",
+    "rel_time_rollup",
+    "rel_topk_global",
+    "rel_unpivot_part",
+    "rel_window_distribution",
+    "rel_window_lag_lead",
+    "rel_window_running_sum",
+    "rel_window_topk_per_group",
+    "stream_schema_drift",
 )
 
 

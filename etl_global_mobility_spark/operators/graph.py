@@ -31,11 +31,16 @@ def _lpa_rounds_pandas(und_pdf, n_iters: int):
     the distributed ``_lpa_round``, pinned equal by test. Returns the
     final label Series (index = node) plus the per-round changed-node
     counts (the convergence diagnostic shares one implementation)."""
+    import numpy as np
     import pandas as pd
 
     src = und_pdf["src"].to_numpy()
     dst = und_pdf["dst"].to_numpy()
-    nodes = pd.unique(pd.Series(src)).copy()
+    # node universe from src ∪ dst: every current caller passes a
+    # symmetrized frame (src alone would suffice), but a future caller
+    # handing a directed edge list would otherwise get a KeyError from
+    # lab.loc[dst] — or silently missing nodes (ADVICE r14)
+    nodes = pd.unique(pd.Series(np.concatenate([src, dst]))).copy()
     nodes.sort()
     lab = pd.Series(nodes, index=nodes)
     changed: list[int] = []

@@ -244,7 +244,20 @@ def _cast_decimal18(x: float) -> "object":
     Python's repr agree on it), then scale-18 HALF_UP — the exact
     per-element quantization the distributed E-step's
     ``sum(cnt.cast("decimal(38,18)"))`` applies, so the single-task
-    fast path's Decimal sums equal the distributed aggregation."""
+    fast path's Decimal sums equal the distributed aggregation.
+
+    JDK caveat (ADVICE r14): the "Java and Python agree" premise holds
+    for the shortest-repr algorithm (JDK-4511638, fixed in JDK 19+).
+    On JDK 17 the legacy FloatingDecimal can emit MORE digits than the
+    shortest repr for rare doubles, which can move the scale-18
+    HALF_UP result by 1 ulp at 1e-18. Spark 4 ships on JDK 17+, and
+    this repo's supported runtime for the pinned-bit-identical
+    guarantee is JDK 19+; on JDK 17 the fast≡distributed equality is
+    exact-to-1e-18-ulp rather than bitwise (no corpus query's oracle
+    depends on the difference — both paths quantize BEFORE the
+    order-independent Decimal sum, so the 1-ulp case would shift both
+    engines' inputs identically only when the same double appears;
+    the equality tests pin the property on the test JDK)."""
     from decimal import ROUND_HALF_UP, Decimal
 
     return Decimal(repr(float(x))).quantize(

@@ -118,6 +118,7 @@ def neardup_bucket_owners_stream(
     k: int = 3,
     id_col: str = "doc_id",
     text_col: str = "text",
+    min_parallelism: int | str | None = "auto",
 ) -> DataFrame:
     """Streaming near-dup ownership state — the MinHash band bucket as
     the dedup key, the contamination-guard shape a live ingestion
@@ -143,9 +144,13 @@ def neardup_bucket_owners_stream(
     # per-batch compute fan-out: a one-file micro-batch is ONE task,
     # so the md5-per-shingle banding ran single-core per trigger; the
     # batch guard can't introspect a streaming frame, hence the
-    # streaming twin (cost: one rebalance of the batch's bytes)
+    # streaming twin (cost: one rebalance of the batch's bytes).
+    # ``min_parallelism`` is plumbed through (ADVICE r14): the
+    # rebalance is unconditional per trigger, so a deployment whose
+    # batches already arrive well-partitioned (maxFilesPerTrigger >
+    # cores) passes None to skip the per-trigger shuffle.
     banded = minhash_band_index(
-        ensure_stream_compute_parallelism(docs),
+        ensure_stream_compute_parallelism(docs, min_parallelism),
         text_col, id_col, n_hashes, bands, k, min_parallelism=None,
     )
     return banded.groupBy("band", "bucket").agg(F.min("id").alias("owner_id"))
