@@ -102,8 +102,13 @@ def main() -> int:
 
     from pyspark.sql import SparkSession
 
+    # 8 task slots, overridable: measured on this box (same window,
+    # back-to-back) 16 slots + the 8-thread pool was WORSE than 8
+    # slots (124 s vs 85 s, sys-time 7 m vs 3 m — scheduler thrash
+    # from oversubscribed tiny stages), so the default stays 8.
+    cores = os.environ.get("SPARK_GRAFT_SELFCHECK_CPUS", "8")
     spark = (
-        SparkSession.builder.master("local[8]")
+        SparkSession.builder.master(f"local[{cores}]")
         .appName("selfcheck")
         .config("spark.sql.shuffle.partitions", "8")
         .config("spark.sql.session.timeZone", "UTC")

@@ -42,6 +42,7 @@ def test_top_users_null_id_tie_ranks_instead_of_crashing(spark, tmp_path):
     assert got == {(7, 1): 5000, (None, 2): 5000}
 
 
+@pytest.mark.slow
 def test_pq_encode_strict_raises_default_drops(spark):
     from etl_global_mobility_spark.operators.similarity import (
         pq_encode,
@@ -66,6 +67,7 @@ def test_pq_encode_strict_raises_default_drops(spark):
         pq_encode(hostile, book, strict=True).count()
 
 
+@pytest.mark.slow
 def test_ivf_topk_strict_raises_on_degenerate_query(spark):
     from etl_global_mobility_spark.operators.similarity import ivf_topk
 

@@ -81,6 +81,7 @@ def test_stream_ivf_ingest_nonempty_shard_still_works(spark, tmp_path):
     assert (out["rank"] >= 1).all()
 
 
+@pytest.mark.slow
 def test_ivf_topk_preassigned_requires_centroids(spark, tmp_path):
     """preassigned without centroids must raise, never silently
     re-derive a quantizer that may disagree with the persisted index."""

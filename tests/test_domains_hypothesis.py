@@ -16,6 +16,8 @@ Mathematical anchors being exercised:
 
 from __future__ import annotations
 
+import pytest
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -38,6 +40,7 @@ _SETTINGS = dict(
     ),
     st.integers(min_value=2, max_value=6),
 )
+@pytest.mark.slow
 def test_k_suppress_always_releases_k_anonymous_tables(spark, rows, k):
     from collections import Counter
 

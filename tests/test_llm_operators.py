@@ -3007,6 +3007,7 @@ def test_dsir_threshold_survives_bigint_overflow(spark):
     assert got[mx] == scale  # top-scored doc: always kept
 
 
+@pytest.mark.slow
 def test_kmeans_large_k_literal_path_matches_unrolled(spark):
     """VERDICT r6: the unrolled per-centroid assignment expression is
     O(k·dim) generated code; the large-k literal path (centroids as

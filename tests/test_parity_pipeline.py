@@ -176,6 +176,7 @@ def test_export_copy_equals_depurado(spark, pipeline_run):
     assert dep.exceptAll(exp).count() == 0
 
 
+@pytest.mark.slow
 def test_idempotent_rerun(spark, pipeline_run):
     """Re-running EC with the same params leaves identical table state
     and does not disturb PE (replaceWhere semantics)."""

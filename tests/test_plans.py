@@ -724,7 +724,7 @@ def test_no_plan_antipatterns_across_entire_corpus(spark):
     from concurrent.futures import ThreadPoolExecutor
 
     bad: list[str] = []
-    with ThreadPoolExecutor(max_workers=8) as pool:
+    with ThreadPoolExecutor(max_workers=12) as pool:
         for errs in pool.map(audit_one, all_queries().items()):
             bad.extend(errs)
     assert not bad, "plan anti-patterns:\n" + "\n".join(bad)

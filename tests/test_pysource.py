@@ -269,6 +269,7 @@ def test_stream_writer_exactly_once_across_restart(spark, tmp_path):
     assert not glob.glob(os.path.join(out, ".part-*.tmp"))  # no staged leftovers
 
 
+@pytest.mark.slow
 def test_stream_upsert_to_parquet_converges_to_batch_answer(spark, tmp_path):
     """Streaming MERGE effect contract: per-bucket counts/sums streamed
     in update mode through upsert-per-batch equal the batch aggregation

@@ -18,6 +18,8 @@ Mathematical anchors being exercised:
 
 from __future__ import annotations
 
+import pytest
+
 import math
 import re
 
@@ -38,6 +40,7 @@ _SETTINGS = dict(
     st.integers(min_value=1, max_value=40),
     st.integers(min_value=0, max_value=100),
 )
+@pytest.mark.slow
 def test_weighted_sample_draw_owns_its_interval(spark, weights, k, seed):
     from etl_global_mobility_spark.operators.splits import (
         weighted_sample_with_replacement,
@@ -90,6 +93,7 @@ def test_weighted_sample_draw_owns_its_interval(spark, weights, k, seed):
         max_size=60,
     )
 )
+@pytest.mark.slow
 def test_group_advantage_zero_mean_unit_variance(spark, pairs):
     from etl_global_mobility_spark.operators.splits import group_advantage
 
@@ -121,6 +125,7 @@ _WORD = st.text(alphabet="abcdefg", min_size=1, max_size=6)
     st.integers(min_value=0, max_value=100),
     st.integers(min_value=0, max_value=50),
 )
+@pytest.mark.slow
 def test_span_corruption_roundtrip_any_document(spark, docs, noise_pct, seed):
     from etl_global_mobility_spark.operators.packing import span_corruption
 
